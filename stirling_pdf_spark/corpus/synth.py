@@ -1,0 +1,298 @@
+"""Deterministic interleaved-document corpus synthesis (FIXTURES.md §A).
+
+Mirrors the reference's cucumber fixture style
+(testing/cucumber/features/steps/step_definitions.py:25-113 —
+deterministic reportlab Letter pages, black-box images) but emits raw
+span structures directly, so no PDF binary round trip is needed.
+Everything is seed-fixed pure Python: doc ``idx`` + ``seed`` fully
+determine the document. No external data (BASELINE.json north_rule).
+
+Archetype weights (FIXTURES.md): single-col 40%, two-col 15%,
+mixed-media 15%, attachments 10%, html 15%, mega-doc 4%, edge 1%.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from ..kernel import wire
+from ..kernel.model import MediaDraw, TextRun
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
+    "ad minim veniam quis nostrud exercitation ullamco laboris nisi "
+    "aliquip ex ea commodo consequat duis aute irure in reprehenderit "
+    "voluptate velit esse cillum eu fugiat nulla pariatur excepteur "
+    "sint occaecat cupidatat non proident sunt culpa qui officia "
+    "deserunt mollit anim id est laborum"
+).split()
+
+ARCHETYPES = (
+    ("single-col", 40),
+    ("two-col", 15),
+    ("mixed-media", 15),
+    ("attachments", 10),
+    ("html", 15),
+    ("mega-doc", 4),
+    ("edge", 1),
+)
+_TOTAL_W = sum(w for _, w in ARCHETYPES)
+
+FONT = "Helvetica"
+FS = 11.0
+LEFT_X = 72.0
+TOP_Y = 72.0
+LINE_STEP = 14.0
+
+
+def _media_ref(rng: random.Random) -> str:
+    payload = rng.getrandbits(64).to_bytes(8, "big")
+    return "media-" + hashlib.sha256(payload).hexdigest()[:8]
+
+
+def _pick_archetype(idx: int, seed: int) -> str:
+    h = int(hashlib.sha256(f"{seed}:{idx}".encode()).hexdigest()[:8], 16)
+    r = h % _TOTAL_W
+    acc = 0
+    for name, w in ARCHETYPES:
+        acc += w
+        if r < acc:
+            return name
+    return "single-col"
+
+
+def _words(rng: random.Random, n: int) -> list[str]:
+    return [rng.choice(_WORDS) for _ in range(n)]
+
+
+def _budget_words(rng: random.Random, min_chars: int, max_chars: int) -> list[str]:
+    """Pick words until adding one more would exceed max_chars (joined
+    length incl. single spaces); guarantees >= min_chars by retrying
+    short draws with more words."""
+    out: list[str] = []
+    total = 0
+    while True:
+        w = rng.choice(_WORDS)
+        add = len(w) + (1 if out else 0)
+        if total + add > max_chars:
+            if total >= min_chars or max_chars - total < 3:
+                break
+            continue  # skip too-long word, keep filling
+        out.append(w)
+        total += add
+    return out
+
+
+def _line_runs(rng: random.Random, page: int, x: float, y: float,
+               n_words: int, fs: float = FS) -> list[TextRun]:
+    """One visual line as 1-3 glyph runs. Intra-line gaps are chosen to
+    exercise both word-space insertion (gap > 0.5*avg-char-width =
+    0.5*0.5*fs) and direct concatenation, never exceeding the 14 pt
+    column-gap split."""
+    words = _words(rng, n_words)
+    n_runs = rng.randint(1, min(3, n_words))
+    # split words into n_runs contiguous chunks
+    cuts = sorted(rng.sample(range(1, n_words), n_runs - 1)) if n_runs > 1 else []
+    chunks, prev = [], 0
+    for c in cuts + [n_words]:
+        chunks.append(" ".join(words[prev:c]))
+        prev = c
+    runs: list[TextRun] = []
+    cx = x
+    for i, chunk in enumerate(chunks):
+        if i > 0:
+            # > 2.75 => space inserted; <= 2.75 => glued; <= 14 always
+            gap = rng.choice((1.0, 4.0, 6.5, 10.0))
+            cx += gap
+        run = TextRun(page, round(cx, 2), round(y, 2), fs, FONT, chunk)
+        runs.append(run)
+        cx = run.right
+    return runs
+
+
+def _emit_text(spans: list, runs: list[TextRun]) -> None:
+    for run in runs:
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+
+
+def _emit_media(spans: list, draw: MediaDraw) -> None:
+    spans.append(("media", wire.encode_media(draw), draw.media_ref, len(spans)))
+
+
+def _col_line(rng: random.Random, page: int, x: float, y: float) -> list[TextRun]:
+    """A column-width line (20-34 chars) split into 1-2 runs with a
+    small gap; total width stays under 220 pt."""
+    words = _budget_words(rng, 20, 34)
+    content = " ".join(words)
+    if len(words) > 2 and rng.random() < 0.5:
+        k = rng.randint(1, len(words) - 1)
+        a, b = " ".join(words[:k]), " ".join(words[k:])
+        r1 = TextRun(page, round(x, 2), round(y, 2), FS, FONT, a)
+        gap = rng.choice((1.0, 4.0, 6.5))
+        r2 = TextRun(page, round(r1.right + gap, 2), round(y, 2), FS, FONT, b)
+        return [r1, r2]
+    return [TextRun(page, round(x, 2), round(y, 2), FS, FONT, content)]
+
+
+# --- archetype builders ------------------------------------------------
+
+def _single_col(rng: random.Random, spans: list, pages: int | None = None) -> None:
+    for page in range(1, (pages or rng.randint(1, 20)) + 1):
+        y = TOP_Y
+        for _ in range(rng.randint(5, 40)):
+            _emit_text(spans, _line_runs(rng, page, LEFT_X, y, rng.randint(3, 10)))
+            y += LINE_STEP
+
+
+def _two_col(rng: random.Random, spans: list) -> None:
+    """IEEE-style: full-width title, then two 220 pt columns with shared
+    baselines across the 60 pt gutter (left ends 292, right starts 352 —
+    the 60 pt x-gap > 14 pt splits the shared baseline)."""
+    for page in range(1, rng.randint(1, 4) + 1):
+        title = TextRun(page, 150.0, 60.0, 14.0,
+                        FONT, " ".join(_words(rng, 8)))
+        _emit_text(spans, [title])
+        n_lines = rng.randint(4, 12)
+        y = TOP_Y + 20
+        for _ in range(n_lines):
+            # 20-34 chars -> width 110-187 pt: >=100 (votes in the
+            # layout) and fits the 220 pt column even with intra-line
+            # gaps, so the 60 pt gutter always splits the baseline
+            left = _col_line(rng, page, LEFT_X, y)
+            right = _col_line(rng, page, 352.0, y)
+            # interleave emission order (content-stream order is not
+            # reading order — the kernel must fix it)
+            _emit_text(spans, right)
+            _emit_text(spans, left)
+            y += LINE_STEP
+
+
+def _mixed_media(rng: random.Random, spans: list) -> None:
+    refs = [_media_ref(rng) for _ in range(rng.randint(1, 3))]
+    for page in range(1, rng.randint(1, 6) + 1):
+        y = TOP_Y
+        for _ in range(rng.randint(3, 12)):
+            _emit_text(spans, _line_runs(rng, page, LEFT_X, y, rng.randint(3, 8)))
+            y += LINE_STEP
+        for _ in range(rng.randint(0, 2)):
+            ref = rng.choice(refs)  # repeats exercise dedup (E9)
+            _emit_media(spans, MediaDraw(page, round(rng.uniform(72, 400), 2),
+                                         round(y + 10, 2), 120.0, 80.0, ref))
+
+
+def _attachments(rng: random.Random, spans: list) -> None:
+    _single_col(rng, spans, pages=rng.randint(1, 3))
+    names = ["report.pdf", "report.pdf", "data.csv", "", "notes",
+             "report.pdf", "data.csv", "image.png"]
+    for _ in range(rng.randint(0, 5)):
+        name = rng.choice(names)
+        spans.append(("attachment", name, _media_ref(rng), len(spans)))
+
+
+def _html(rng: random.Random, spans: list) -> None:
+    paras = [" ".join(_words(rng, rng.randint(15, 40))) for _ in range(rng.randint(2, 6))]
+    nav_links = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in _words(rng, 5))
+    cid = _media_ref(rng)
+    html = (
+        "<html><head><style>.x{color:red}</style>"
+        "<script>var t=1;</script></head><body>"
+        f'<div style="position:fixed">SUBSCRIBE NOW banner</div>'
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f"<article><h1>{' '.join(_words(rng, 6))}</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + f'<p><img src="cid:{cid}" alt="inline"/>'
+        + " ".join(_words(rng, 20)) + "</p>"
+        "</article>"
+        f'<div class="sidebar">{nav_links}</div>'
+        f"<footer>Copyright {' '.join(_words(rng, 3))} <a href='/tos'>tos</a></footer>"
+        "</body></html>"
+    )
+    spans.append(("html", html, "", len(spans)))
+
+
+def _mega_doc(rng: random.Random, spans: list, mega_pages: tuple[int, int]) -> None:
+    pages = rng.randint(*mega_pages)
+    for page in range(1, pages + 1):
+        y = TOP_Y
+        for _ in range(rng.randint(3, 6)):
+            _emit_text(spans, _line_runs(rng, page, LEFT_X, y, rng.randint(3, 6)))
+            y += LINE_STEP
+
+
+def _edge(rng: random.Random, spans: list) -> None:
+    kind = rng.randint(0, 3)
+    if kind == 0:
+        return  # empty document
+    if kind == 1:
+        # whitespace-only runs (skipped per AllTextLineExtractor.java:74-80)
+        _emit_text(spans, [TextRun(1, 72.0, 72.0, FS, FONT, "   ")])
+        _emit_text(spans, [TextRun(2, 72.0, 72.0, FS, FONT, "\t ")])
+        return
+    if kind == 2:
+        # unicode incl. surrogate pairs at the 500-char clip boundary
+        body = ("\U0001F600" * 260) + " tail"
+        _emit_text(spans, [TextRun(1, 72.0, 72.0, FS, FONT, body)])
+        return
+    # single 1-char token (whole-word search target, TextFinder.java:79-88)
+    _emit_text(spans, [TextRun(1, 72.0, 72.0, FS, FONT, "7")])
+
+
+def synth_doc(idx: int, seed: int = 42,
+              mega_pages: tuple[int, int] = (1000, 1500)):
+    """Returns (doc_id, archetype, raw_spans) — fully determined by
+    (idx, seed, mega_pages)."""
+    archetype = _pick_archetype(idx, seed)
+    rng = random.Random(f"{seed}:{archetype}:{idx}")
+    spans: list[tuple[str, str, str, int]] = []
+    if archetype == "single-col":
+        _single_col(rng, spans)
+    elif archetype == "two-col":
+        _two_col(rng, spans)
+    elif archetype == "mixed-media":
+        _mixed_media(rng, spans)
+    elif archetype == "attachments":
+        _attachments(rng, spans)
+    elif archetype == "html":
+        _html(rng, spans)
+    elif archetype == "mega-doc":
+        _mega_doc(rng, spans, mega_pages)
+    else:
+        _edge(rng, spans)
+    doc_id = f"doc-{archetype}-{idx:08d}"
+    return doc_id, archetype, spans
+
+
+def synth_corpus(n: int, seed: int = 42,
+                 mega_pages: tuple[int, int] = (1000, 1500)):
+    for idx in range(n):
+        yield synth_doc(idx, seed, mega_pages)
+
+
+def synth_from_text(doc_id: str, text: str):
+    """Derive an interleaved raw document deterministically from a plain
+    text (used to build the corpus from the driver's read-only
+    ``documents`` table — deterministic, no external data). Lays words
+    onto Letter pages at 40 lines/page, ~8 words/line; every 3rd page
+    gets a media draw keyed by a content hash; docs whose hash ends in
+    0 get an attachment."""
+    words = text.split()
+    spans: list[tuple[str, str, str, int]] = []
+    h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
+    page, line_on_page, y = 1, 0, TOP_Y
+    for i in range(0, len(words), 8):
+        content = " ".join(words[i : i + 8])
+        run = TextRun(page, LEFT_X, round(y, 2), FS, FONT, content)
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        line_on_page += 1
+        y += LINE_STEP
+        if line_on_page >= 40:
+            if page % 3 == 0:
+                ref = "media-" + hashlib.sha256(f"{h}:{page}".encode()).hexdigest()[:8]
+                _emit_media(spans, MediaDraw(page, 100.0, 650.0, 200.0, 120.0, ref))
+            page, line_on_page, y = page + 1, 0, TOP_Y
+    if h.endswith("0"):
+        spans.append(("attachment", "extra.dat",
+                      "media-" + h[:8], len(spans)))
+    return doc_id, spans

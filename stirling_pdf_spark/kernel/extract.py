@@ -1,0 +1,102 @@
+"""The extraction kernel: raw interleaved segments -> ordered spans.
+
+``extract_doc`` is THE per-document semantics of the engine. It is the
+body of the Spark Arrow UDF stage (operators/extract_pipeline.py) AND
+the pytest oracle, so Spark-vs-oracle equality tests check plumbing +
+determinism, not two diverging implementations (SURVEY.md §5).
+
+Output contract (SURVEY.md §2.1.6, the reference's reading order):
+  1. pages ascending;
+  2. per page: media draws first in draw order (zOrder -1_000_000+i),
+     then text lines (+1_000_000+i) — mergeDrawables sorts
+     (zOrder, sequence), PdfJsonConversionService.java:5174,5378-5421;
+  3. text lines in reading order: line clustering (dy 3.0 / x-gap 14),
+     column vote, column-major order on two-column pages;
+  4. word spacing: gap > 0.5 x previous fragment's avg char width;
+  5. text chunks capped at 500 chars each, 2000 per document
+     (PdfTextChunkExtractor.java:28-31);
+  6. HTML raw spans -> boilerplate-stripped kind='text' blocks in
+     document order;
+  7. attachments last, name-tree order, fallback + unique-suffix names.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from . import wire
+from .attachments import fallback_name, unique_names
+from .html_extract import extract_main_blocks
+from .lines import cluster_lines
+from .columns import reading_order
+from .model import (
+    MAX_CHARS_PER_CHUNK,
+    MAX_CHUNKS_PER_DOC,
+    MediaDraw,
+    Span,
+    TextRun,
+)
+
+
+def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> list[Span]:
+    """raw_spans: iterable of (kind, text, media_ref, offset) tuples (or
+    objects indexable the same way). Returns extraction-result spans in
+    reading order; ``order`` == list index.
+
+    ``chunk_budget=None`` disables the 2000-text-chunk cap — used by the
+    salted mega-doc path, where the cap is re-applied globally at
+    reassembly (operators/extract_pipeline.py) so that
+    salted == unsalted == oracle."""
+    ordered = sorted(raw_spans, key=lambda s: s[3])
+
+    runs_by_page: dict[int, list[TextRun]] = defaultdict(list)
+    media_by_page: dict[int, list[MediaDraw]] = defaultdict(list)
+    attachments: list[tuple[str, str]] = []  # (raw name, media_ref)
+    html_parts: list[str] = []
+
+    for kind, text, media_ref, _off in ordered:
+        if kind == "text":
+            run = wire.parse_text_run(text)
+            runs_by_page[run.page].append(run)
+        elif kind == "media":
+            draw = wire.parse_media(text, media_ref)
+            media_by_page[draw.page].append(draw)
+        elif kind == "attachment":
+            attachments.append((text, media_ref))
+        elif kind == "html":
+            html_parts.append(text)
+        # unknown kinds are ignored (forward compatibility)
+
+    out: list[Span] = []
+    budget = float("inf") if chunk_budget is None else chunk_budget
+
+    for page in sorted(set(runs_by_page) | set(media_by_page)):
+        # images first, draw order (zOrder -1_000_000 + i)
+        for draw in media_by_page.get(page, ()):  # already in offset order
+            out.append(Span("media", "", draw.media_ref, len(out)))
+        # then text lines, reading order (zOrder 1_000_000 + i)
+        lines = cluster_lines(runs_by_page.get(page, []))
+        for line in reading_order(lines):
+            if budget <= 0:
+                break
+            text = line.text()[:MAX_CHARS_PER_CHUNK]
+            out.append(Span("text", text, "", len(out)))
+            budget -= 1
+
+    for html in html_parts:
+        for block in extract_main_blocks(html):
+            if budget <= 0:
+                break
+            out.append(Span("text", block[:MAX_CHARS_PER_CHUNK], "", len(out)))
+            budget -= 1
+
+    names = unique_names([fallback_name(n, ref) for n, ref in attachments])
+    for name, (_, ref) in zip(names, attachments):
+        out.append(Span("attachment", name, ref, len(out)))
+
+    return out
+
+
+def extract_doc_tuples(raw_spans) -> list[tuple[str, str, str, int]]:
+    """Same as extract_doc but returns plain tuples (Arrow-friendly)."""
+    return [tuple(s) for s in extract_doc(raw_spans)]

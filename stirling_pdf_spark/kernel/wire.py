@@ -1,0 +1,44 @@
+"""Wire format for raw interleaved segments.
+
+The input table (BASELINE.json ``input_hint``) is
+``docs(doc_id, spans: array<struct<kind,text,media_ref,offset:int32>>)``.
+Raw 'text' and 'media' spans need geometry for reading-order
+reconstruction, so their ``text`` field carries a compact positional
+header — the moral equivalent of the content-stream coordinates PDFBox
+reports via TextPosition.getXDirAdj()/getYDirAdj() (screen space,
+origin top-left; reference: PdfTextChunkExtractor.java:100-112).
+
+    text run : "{page}|{x}|{y}|{font_size}|{font}\t{content}"
+    media    : "{page}|{x}|{y}|{w}|{h}"            (media_ref set)
+    attach   : "{filename-or-empty}"               (media_ref set)
+    html     : raw markup
+
+Coordinates are formatted with repr(float) so parse(format(v)) == v
+exactly — determinism of the span-equality contract depends on it.
+"""
+
+from __future__ import annotations
+
+from .model import MediaDraw, TextRun
+
+_SEP = "\t"
+
+
+def encode_text_run(run: TextRun) -> str:
+    head = f"{run.page}|{run.x!r}|{run.y!r}|{run.font_size!r}|{run.font}"
+    return head + _SEP + run.content
+
+
+def parse_text_run(text: str) -> TextRun:
+    head, _, content = text.partition(_SEP)
+    page_s, x_s, y_s, fs_s, font = head.split("|", 4)
+    return TextRun(int(page_s), float(x_s), float(y_s), float(fs_s), font, content)
+
+
+def encode_media(draw: MediaDraw) -> str:
+    return f"{draw.page}|{draw.x!r}|{draw.y!r}|{draw.w!r}|{draw.h!r}"
+
+
+def parse_media(text: str, media_ref: str) -> MediaDraw:
+    page_s, x_s, y_s, w_s, h_s = text.split("|", 4)
+    return MediaDraw(int(page_s), float(x_s), float(y_s), float(w_s), float(h_s), media_ref)

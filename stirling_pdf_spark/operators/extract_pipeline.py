@@ -1,0 +1,176 @@
+"""The distributed extraction pipeline (the north-rule job).
+
+Shape (SURVEY.md §3.1 "Spark equivalent"):
+
+    read docs -> split by size -> [small] repartition(hash(doc_id))
+                                  -> mapInPandas(kernel)            (no shuffle inside)
+                               -> [mega]  explode -> bucket by page-range (salt)
+                                  -> groupBy(doc_id, bucket) -> mapInPandas(kernel, unbudgeted)
+                                  -> groupBy(doc_id) applyInPandas(reassemble+budget)
+    -> unionByName -> write spans_out + metrics + lineage
+
+Why salting: one 1500-page PDF in a hash-partitioned batch of 1-page
+docs is exactly the skew the reference never faces (one doc == one HTTP
+request there; SURVEY.md §4 "Skew handling"). At 100 TB a single
+straggler partition dominates the stage, so mega-docs are split into
+page-range sub-documents (salt = page bucket), extracted independently
+(page-local semantics: line clustering and column layout never cross
+pages), and reassembled with the global 2000-text-chunk budget
+re-applied — bit-identical to the unsalted kernel output.
+
+All per-document work happens inside Arrow-batched mapInPandas (no
+per-row Spark Python UDFs); the only shuffles are the repartition by
+doc_id and the (mega-doc-only) regroup, both on keys that are unique or
+salted — no hot keys by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.extract import extract_doc
+from ..kernel.model import MAX_CHUNKS_PER_DOC
+
+OUT_SPAN_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("order", T.IntegerType(), False),
+])
+SPANS_OUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+])
+_SUB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+])
+
+# spans-per-doc threshold above which a doc takes the salted path; a
+# mega-doc per FIXTURES.md has >= 3000 raw spans, normal docs < 1200
+DEFAULT_SALT_THRESHOLD = 4000
+PAGES_PER_BUCKET = 100
+_HTML_BUCKET = (1 << 30) - 1   # html blocks read after all pages
+_ATTACH_BUCKET = 1 << 30       # attachments read last (kernel contract)
+
+
+def _to_tuples(spans) -> list[tuple]:
+    return [(d["kind"], d["text"], d["media_ref"], d["offset"]) for d in spans]
+
+
+def _spans_to_dicts(spans) -> list[dict]:
+    return [
+        {"kind": k, "text": t, "media_ref": m, "order": o}
+        for k, t, m, o in spans
+    ]
+
+
+def _extract_small(batches):
+    for pdf in batches:
+        out = [
+            _spans_to_dicts(extract_doc(_to_tuples(spans)))
+            for spans in pdf["spans"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out})
+
+
+def _extract_sub(batches):
+    # unbudgeted: the 2000-chunk cap is global per doc, applied at
+    # reassembly (see module docstring)
+    for pdf in batches:
+        out = [
+            _spans_to_dicts(extract_doc(_to_tuples(spans), chunk_budget=None))
+            for spans in pdf["spans"]
+        ]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "bucket": pdf["bucket"], "spans": out}
+        )
+
+
+def _reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("bucket")
+    merged: list[dict] = []
+    n_text = 0
+    for arr in pdf["spans"]:
+        for d in arr:
+            if d["kind"] == "text":
+                if n_text >= MAX_CHUNKS_PER_DOC:
+                    continue
+                n_text += 1
+            merged.append(
+                {"kind": d["kind"], "text": d["text"],
+                 "media_ref": d["media_ref"], "order": len(merged)}
+            )
+    return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "spans": [merged]})
+
+
+def extract_spans(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    pages_per_bucket: int = PAGES_PER_BUCKET,
+) -> DataFrame:
+    """docs(doc_id, spans: array<raw span struct>) ->
+    spans_out(doc_id, spans: array<(kind,text,media_ref,order)>)."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    n_spans = F.size("spans")
+    small = docs.filter(n_spans <= salt_threshold)
+    big = docs.filter(n_spans > salt_threshold)
+
+    small_out = (
+        small.repartition(num_partitions, "doc_id")
+        .mapInPandas(_extract_small, SPANS_OUT_SCHEMA)
+    )
+
+    # salted path: explode to raw spans, assign page-range buckets
+    s = F.col("s")
+    page = F.when(
+        s["kind"].isin("text", "media"),
+        F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
+    )
+    bucket = (
+        F.when(s["kind"] == "attachment", F.lit(_ATTACH_BUCKET))
+        .when(s["kind"] == "html", F.lit(_HTML_BUCKET))
+        .when(page.isNotNull(), (page / F.lit(pages_per_bucket)).cast("long"))
+        .otherwise(F.lit(0))
+    )
+    sub = (
+        big.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        # kernel sorts by offset, so collect_list order doesn't matter
+        .agg(F.collect_list("s").alias("spans"))
+        .mapInPandas(_extract_sub, _SUB_SCHEMA)
+    )
+    big_out = sub.groupBy("doc_id").applyInPandas(_reassemble, SPANS_OUT_SCHEMA)
+
+    return small_out.unionByName(big_out)
+
+
+def explode_spans(spans_out: DataFrame) -> DataFrame:
+    """Flat view (doc_id, kind, text, media_ref, order) for relational
+    consumers — the reference's per-element JSON rows (E7/E8)."""
+    return spans_out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("order"),
+    )
+
+
+def span_counts_by_kind(spans_out: DataFrame) -> DataFrame:
+    """Flagship aggregate (SURVEY.md §7 Phase 1): spans per kind per doc."""
+    return (
+        explode_spans(spans_out)
+        .groupBy("doc_id", "kind")
+        .agg(F.count("*").alias("n_spans"))
+        .orderBy("doc_id", "kind")
+    )

@@ -1,0 +1,67 @@
+"""Span-sequence equality: Spark pipeline output == pure-Python oracle.
+
+The contract (BASELINE.json): per-document equality on
+(kind, text, media_ref, order). Covers all archetypes including the
+salted mega-doc path (which must be bit-identical to the unsalted
+kernel output despite page-range splitting + reassembly)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+from stirling_pdf_spark.corpus.synth import synth_corpus
+from stirling_pdf_spark.kernel.extract import extract_doc
+from stirling_pdf_spark.operators.extract_pipeline import extract_spans
+
+N_DOCS = 120
+MEGA_PAGES = (60, 80)  # scaled-down mega docs for test runtime
+SALT_THRESHOLD = 150   # force the salted path onto the scaled megas
+
+
+def _oracle(n_docs: int) -> dict[str, list[tuple]]:
+    out = {}
+    for doc_id, _arch, spans in synth_corpus(n_docs, mega_pages=MEGA_PAGES):
+        out[doc_id] = [tuple(s) for s in extract_doc(spans)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark):
+    docs = synth_docs_df(spark, N_DOCS, mega_pages=MEGA_PAGES, num_partitions=8)
+    result = extract_spans(docs, num_partitions=8, salt_threshold=SALT_THRESHOLD)
+    rows = result.collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_all_docs_present(spark_result):
+    oracle = _oracle(N_DOCS)
+    assert set(spark_result) == set(oracle)
+
+
+def test_span_sequence_equality(spark_result):
+    oracle = _oracle(N_DOCS)
+    mismatches = []
+    for doc_id, expected in oracle.items():
+        got = spark_result[doc_id]
+        if got != expected:
+            mismatches.append((doc_id, expected[:3], got[:3]))
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[0]}"
+
+
+def test_salted_path_was_exercised(spark_result):
+    oracle = _oracle(N_DOCS)
+    megas = [d for d in oracle if "mega-doc" in d]
+    assert megas, "corpus must contain at least one mega-doc"
+    for doc_id in megas:
+        assert spark_result[doc_id] == oracle[doc_id]
+
+
+def test_order_is_array_index(spark_result):
+    for spans in spark_result.values():
+        assert [s[3] for s in spans] == list(range(len(spans)))
