@@ -1,0 +1,275 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five families, each a first-class operator over the ``documents`` /
+``embeddings`` tables (and any DataFrame with the same column shapes):
+
+  * exact          — content-hash groupBy (one shuffle on md5(text))
+  * n-gram Jaccard — shingle inverted index self-join, exact integer
+                     threshold arithmetic (no float compares)
+  * MinHash + LSH  — K minhashes (string-min over md5(seed:shingle)),
+                     banded buckets, bucket self-join for candidates,
+                     exact Jaccard verification of candidates
+  * SimHash        — per-bit majority vote over token md5 hex digits
+  * embedding cos  — pairwise cosine over array<float> (brute force;
+                     the LSH-bucketed scale path is
+                     operators/similarity.py::lsh_buckets)
+
+Scale notes (100 TB):
+  - exact dedup is one hash-partitioned shuffle; identical-boilerplate
+    mega-groups skew the key — we only aggregate counts/min per key
+    (map-side partial agg), never collect members, so a hot key costs
+    one reducer a count, not memory.
+  - the Jaccard inverted index explodes on high-document-frequency
+    shingles ("of the" appears everywhere). ``max_df`` drops shingles
+    above a document-frequency cap before the self-join — the standard
+    prefix-filtering trick. Left None where an exact oracle must match.
+  - MinHash/LSH is the intended scale path: candidate generation is
+    linear in (docs x bands), the verify join touches only candidates.
+
+The reference (Stirling-PDF) deduplicates embedded images by content
+hash across pages (ExtractImagesController.java:123-128,
+PdfJsonConversionService.java:5256-5278); these operators generalize
+that content-hash dedup to document text and embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+def words_col(text_col: str = "text"):
+    """Whitespace tokenization matching Python str.split()."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_expr(n: int = 2, words: str = "w"):
+    """Distinct word n-grams as an array<string> column (0-based Spark
+    array indexing; the DuckDB oracle uses 1-based lists)."""
+    if n == 1:
+        return F.array_distinct(F.col(words))
+    joined = " || ' ' || ".join(f"{words}[i + {k}]" for k in range(n))
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.expr(f"transform(sequence(0, size({words}) - {n}), i -> {joined})")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
+        .select("id", shingles_expr(n, "w").alias("shingles"))
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, canonical_id, group_size, is_dup) — canonical = min id per
+    md5(text) group. One shuffle, partial-agg friendly."""
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_key")
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("content_key"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_dup", (F.col("id") != F.col("canonical_id")).cast("int"))
+        .select("id", "canonical_id", "group_size", "is_dup")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 2,
+                        threshold_pct: int = 50,
+                        max_df: int | None = None) -> DataFrame:
+    """Pairs (id_a < id_b) with n-gram Jaccard >= threshold_pct/100.
+
+    Threshold test is exact integer arithmetic:
+        common * 100 >= threshold_pct * (size_a + size_b - common)
+    Output: (id_a, id_b, common, size_a, size_b) — all integers.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
+    inv = sh.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        dfreq = inv.groupBy("sh").agg(F.count("*").alias("df_"))
+        inv = (
+            inv.join(dfreq.filter(F.col("df_") <= max_df), "sh", "inner")
+            .select("id", "sh")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "size_b"), "id_b")
+        .filter(
+            F.col("common") * 100
+            >= F.lit(threshold_pct) * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .select("id_a", "id_b", "common", "size_a", "size_b")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature_cols(num_hashes: int):
+    """num_hashes min-hash aggregate expressions over an exploded
+    shingle column ``sh``: mh_k = min(md5('k:' || sh)). String-min over
+    lowercase hex orders identically in Spark and DuckDB."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 2,
+                      num_hashes: int = 8, bands: int = 4,
+                      threshold_pct: int = 50) -> DataFrame:
+    """MinHash+LSH candidate generation, then exact-Jaccard verify.
+
+    Signature: num_hashes string-min hashes; bands of
+    num_hashes//bands rows each; band key = md5(concat of the band's
+    hashes). Candidates = pairs sharing any band bucket; verified with
+    exact integer-threshold Jaccard on distinct shingle sets.
+    Output: (id_a, id_b, common, size_a, size_b).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sh = _shingled(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    exploded = sh.select("id", F.explode("shingles").alias("sh"))
+    sig = exploded.groupBy("id").agg(*minhash_signature_cols(num_hashes))
+
+    band_keys = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_keys)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.select(F.col("id"), F.col("shingles"))
+    verified = (
+        cand.join(sets.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+        .filter(
+            F.col("common") * 100
+            >= F.lit(threshold_pct) * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_bit_votes(bits: int = 32):
+    """bits aggregate expressions over exploded token column ``tok_md5``
+    (md5 hex of the token): vote_i = sum(+1 if hex digit i's top bit is
+    set else -1). 32 hex digits of md5 give up to 32 independent bits."""
+    assert bits <= 32
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    return [
+        F.sum(
+            F.when(F.substring("tok_md5", i + 1, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """(id, simhash) — simhash as a '01...' bitstring of length ``bits``.
+    Token multiplicity counts (term-frequency weighting), matching the
+    classic Charikar construction. Bit = 1 iff vote sum > 0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_col(text_col)).alias("tok"),
+    ).select("id", F.md5("tok").alias("tok_md5"))
+    votes = toks.groupBy("id").agg(*simhash_bit_votes(bits))
+    bitcols = [
+        F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return votes.select("id", F.concat(*bitcols).alias("simhash"))
+
+
+def simhash_groups(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Exact-simhash duplicate groups: (id, simhash, group_size)."""
+    sh = simhash(df, id_col, text_col, bits)
+    w = Window.partitionBy("simhash")
+    return sh.withColumn("group_size", F.count("*").over(w))
+
+
+# ------------------------------------------------------------- embeddings
+
+def cosine_expr(a: str, b: str):
+    """Cosine similarity between two array<float> columns, computed in
+    float64 with a sequential left-to-right fold — bit-identical to
+    DuckDB's list_dot_product over DOUBLE[] (verified empirically)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    return dot(F.col(a), F.col(b)) / (
+        F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.45) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold. Brute-force O(n^2)
+    baseline — correct at any scale but quadratic; the scale path
+    pre-buckets with similarity.lsh_buckets and joins within buckets.
+    Output: (id_a, id_b) — ids only, no float columns."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference ships image/attachment bytes around as base64 strings
+inside JSON (PdfJsonImageElement.java:15-33, AttachmentService.java);
+here media are first-class `binary` columns with struct metadata, the
+layout a 100 TB training pipeline needs:
+
+    media(media_ref: string, fmt: string, payload: binary)
+
+Decode / feature-extract stages are `mapInPandas` over Arrow batches
+(pyarrow binary arrays — zero-copy into the Python worker). The
+actual codec calls are STUBBED (this container has no image/audio
+libs): `decode_image` raises NotImplementedError unless
+`deterministic_fake=True`, which derives metadata purely from the
+payload bytes (sha256-seeded), keeping schema/partitioning/batching
+real and testable.
+
+Scale notes: payload columns stay out of the hot span table
+(media_ref indirection), so scans that don't touch pixels never read
+them (Parquet/Iceberg column pruning); decode stages bound Arrow batch
+bytes via spark.sql.execution.arrow.maxRecordsPerBatch plus the
+per-row size guard here (mirrors the reference's DPI/dimension OOM
+guards, PdfUtils.java:140-154).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # reference: 50MB/file cap, AttachmentService.java:47
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("sha256", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("oversize", T.BooleanType(), False),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: dimensions derived from the payload
+    hash. Replace with a real codec (PIL/ffmpeg) in production."""
+    w = 1 + int.from_bytes(digest[0:2], "big") % 4096
+    h = 1 + int.from_bytes(digest[2:4], "big") % 4096
+    return w, h
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = True):
+    """Stub decode. Real implementation would be:
+        from PIL import Image; Image.open(io.BytesIO(payload))
+    gated behind an import-try; this container has no codec libs."""
+    if not deterministic_fake:
+        raise NotImplementedError("image codecs not available in this environment")
+    digest = hashlib.sha256(payload).digest()
+    return _fake_dims(digest)
+
+
+def media_metadata(media: DataFrame, payload_col: str = "payload",
+                   ref_col: str = "media_ref", fmt_col: str | None = "fmt") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+    One narrow map stage — no shuffle; batch shape = whole Arrow
+    record batches of (ref, fmt, payload)."""
+    cols = [F.col(ref_col).alias("media_ref"), F.col(payload_col).alias("payload")]
+    cols.insert(1, F.col(fmt_col).alias("fmt") if fmt_col else F.lit(None).cast("string").alias("fmt"))
+    src = media.select(*cols)
+
+    def extract(batches):
+        for pdf in batches:
+            metas = []
+            for ref, fmt, payload in zip(pdf["media_ref"], pdf["fmt"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(b)
+                w, h = _fake_dims(digest.digest())
+                metas.append((ref, fmt, len(b), digest.hexdigest(), w, h,
+                              len(b) > MAX_PAYLOAD_BYTES))
+            yield pd.DataFrame(metas, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return src.mapInPandas(extract, MEDIA_META_SCHEMA)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 4096, every_n: int = 10,
+                 payload_col: str = "payload", ref_col: str = "media_ref") -> DataFrame:
+    """Video-style frame sampling over an opaque payload: split into
+    fixed-size 'frames', keep every Nth. Real decoders swap in at the
+    chunking step; the fan-out shape (one row in, many out) and the
+    downstream explode/partition behavior are the real thing."""
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"media_ref": [], "frame_no": [], "frame": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    out["media_ref"].append(ref)
+                    out["frame_no"].append(i)
+                    out["frame"].append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def text_payload_metadata(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Pure-SQL analogue of media_metadata with text bytes as the
+    payload (oracle-checkable: sha2/octet_length are deterministic in
+    both engines; fake dims are integer arithmetic on byte length).
+    Output: (id, n_bytes, sha256, width, height)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(F.col(text_col)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_bytes"),
+        F.lower(F.sha2(payload, 256)).alias("sha256"),
+        (F.lit(1) + (n * 2654435761) % 4096).cast("int").alias("width"),
+        (F.lit(1) + (n * 2246822519) % 4096).cast("int").alias("height"),
+    )

@@ -1,0 +1,288 @@
+"""Relational analogues of the reference's operator shapes (SURVEY.md
+§2.2-2.6), expressed over the driver's TPC-H-ish tables so the DuckDB
+oracle can verify them at sf0.01.
+
+Each function cites the reference operator whose *shape* it exercises
+(the reference computes over PDFs; the relational skeleton — filter /
+aggregate / window / join / permutation — is identical). All are
+(spark, sf_dir) -> DataFrame.
+
+Determinism rules used throughout (so value hashes match DuckDB):
+  * money/double sums -> fixed-point micro units:
+    CAST(FLOOR(x * 1000000.0) AS BIGINT), summed exactly as int64;
+  * counts cast to long on both sides (DuckDB sum(BIGINT) is HUGEINT,
+    so oracles wrap sums in CAST(... AS BIGINT));
+  * timestamps surfaced as epoch seconds (bigint);
+  * ranking windows always carry a unique tie-break key.
+
+Scale notes: small dimensions (region, nation, supplier, even
+customer at TPC-H ratios) are broadcast explicitly; fact-fact joins
+shuffle on their join key only after filters are pushed below the
+join (written filter-first so Catalyst keeps them at the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_table
+
+
+def micro(col) -> "F.Column":
+    """Fixed-point micro-units: exact int64 arithmetic on both engines."""
+    return F.floor(col * F.lit(1000000.0)).cast("long")
+
+
+# ------------------------------------------------------ aggregations (E17)
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the reference's get-info-on-pdf per-page
+    aggregate (GetInfoOnPDF.java:812-851) as groupBy().agg()."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(micro(F.col("l_quantity"))).alias("sum_qty_micro"),
+            F.sum(micro(F.col("l_extendedprice"))).alias("sum_price_micro"),
+            F.sum(micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("sum_disc_price_micro"),
+        )
+    )
+
+
+def e16_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order profile — /analysis/* counts
+    (AnalysisController.java:36-148): count, exact total, last date."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(micro(F.col("o_totalprice"))).alias("total_micro"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("last_order_epoch"),
+    )
+
+
+def e3_doc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page classification TEXT/IMAGE/MIXED thresholds
+    (PdfContentExtractor.java:52,70-86; 20-char text presence) mapped
+    onto document length classes."""
+    docs = read_table(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("n_chars") < 20, "EMPTY")
+        .when(F.col("n_chars") < 200, "SHORT")
+        .otherwise("TEXT")
+    )
+    return docs.groupBy(cls.alias("doc_class")).agg(F.count("*").alias("n_docs"))
+
+
+# ------------------------------------------------------------- joins (S8+)
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — customer⋈orders⋈lineitem with a broadcast
+    dimension; the reference's overlay/page-zip join analogue
+    (PdfOverlayController.java)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_micro")
+        )
+        .orderBy(F.desc("revenue_micro"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — snowflake join with broadcast dims."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_micro")
+        )
+    )
+
+
+# ----------------------------------------------------------- windows (E18+)
+
+def e18_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title inference = top-1 by size (AutoRenameController.java:106-138):
+    row_number over (customer, totalprice desc)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                micro(F.col("o_totalprice")).alias("price_micro"))
+    )
+
+
+def s3_running_sum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-by-size = running sum -> bucket (SplitPdfBySizeController):
+    cumulative quantity per order, bucket = floor(cum/100)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus; the
+    # window order must be total or the running sum is nondeterministic
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey",
+                 micro(F.col("l_quantity")), micro(F.col("l_extendedprice")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.sum(micro(F.col("l_quantity"))).over(w).alias("cum_qty_micro"),
+    ).withColumn(
+        "bucket", F.floor(F.col("cum_qty_micro") / F.lit(100000000.0)).cast("long")
+    )
+
+
+def s4_lead_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapter end-pages = lead() (SplitPdfByChaptersController:62-90):
+    next order per customer with gap in seconds."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(F.unix_timestamp("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        nxt.alias("next_order_epoch"),
+    ).withColumn("gap_s", F.col("next_order_epoch") - F.col("order_epoch"))
+
+
+def e12_unique_name_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-name suffixing base_1.ext (AttachmentService.java:454-472)
+    = row_number per name partition."""
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    return part.select(
+        "p_partkey", "p_brand",
+        F.concat(F.col("p_brand"), F.lit("_"),
+                 F.row_number().over(w).cast("string")).alias("filename"),
+    )
+
+
+def s6_reverse_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE page rearrangement (RearrangePagesPDFController:212-220)
+    as a deterministic index permutation per document."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.max("l_linenumber").over(w) - F.col("l_linenumber") + 1).alias("new_pos"),
+    )
+
+
+def s1_merge_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-aware filename sort for merge inputs
+    (MergeController.java:115-162): 'src12' sorts after 'src2'."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    num = F.regexp_extract("source", "([0-9]+)", 1).cast("long")
+    w = Window.orderBy(num.asc(), F.col("source").asc())
+    return per_src.select(
+        "source", num.alias("src_num"), "n_docs",
+        F.row_number().over(w).cast("long").alias("merge_rank"),
+    )
+
+
+# ------------------------------------------------------------ filters (F*)
+
+def f1_filter_contains_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-contains-text (FilterController.java:62-77)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("spark join")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def f3_filter_count_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-page-count Greater (FilterController.java:127-142)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= 8)
+    )
+
+
+def f5_filter_size_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-file-size (FilterController.java:199-211) over n_chars."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 400)
+        .groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+def f7_page_select_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-select DSL (GeneralUtils.java:636-830) — '2n+1' over 7
+    lines; the evaluated set embeds as a literal so Catalyst pushes the
+    IN filter to the scan."""
+    from ..functions.page_select import parse_page_selection
+
+    pages = parse_page_selection("2n+1", total=7)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber").isin(pages))
+        .groupBy("l_linenumber").agg(F.count("*").alias("n_rows"))
+    )
+
+
+def e13_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextFinder regex search (TextFinder.java:21-193): occurrence
+    counts per document, docs with >= 1 match."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit("ta[a-z]+"), 0)).cast("long")
+    return (
+        docs.select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+# ---------------------------------------------------------------- events
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch shape of the streaming path):
+    per (hour, event_type) count + exact micro sum."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    return ev.groupBy(hour, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(micro(F.col("value"))).alias("sum_value_micro"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-props extraction (the reference's JSON round-trip,
+    ConvertPdfJsonController): parse props JSON, aggregate by key."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k").agg(F.count("*").alias("n"),
+                          F.sum(micro(F.col("value"))).alias("sum_value_micro"))
+    )

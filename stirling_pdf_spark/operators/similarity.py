@@ -1,0 +1,114 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers:
+  * brute-force cosine top-k — the exact baseline; O(queries x corpus),
+    fine when the query set is small (queries broadcast to every
+    executor, corpus never shuffles);
+  * random-hyperplane LSH buckets — the scale path: sign-bit bucket per
+    vector (one narrow map), candidates = same-bucket rows, so the
+    pairwise work drops from O(n^2) to O(sum bucket^2). Multi-probe /
+    multi-table variants are the standard recall knob (add tables by
+    calling with different seeds).
+
+All float math is float64 with sequential left-to-right folds so
+results are bit-identical to the DuckDB oracle (see
+operators/dedup.cosine_expr).
+
+An IVF variant (k-means coarse quantizer) is a natural follow-up; LSH
+was chosen first because it is deterministic from a seed — no trained
+state to persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def make_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, rounded to 6 decimals so
+    the same literals embed exactly in both Spark expressions and the
+    DuckDB oracle SQL text (decimal->float64 parse is correctly rounded
+    in both)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+def _plane_sign(vec_col: str, plane: list[float]):
+    """Sign bit of <vec, plane> with a sequential float64 fold."""
+    arr = F.array(*[F.lit(x) for x in plane])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_buckets(df: DataFrame, planes: list[list[float]],
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) — bucket is the concatenated sign-bit string of the
+    vector against each hyperplane."""
+    bits = [_plane_sign(vec_col, p) for p in planes]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.concat(*bits).alias("bucket"),
+    )
+
+
+def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors by cosine for each query id.
+
+    Output: (query_id, rank, neighbor_id) — rank 1..k, ties broken by
+    neighbor id ascending; self excluded. The query side is tiny and
+    broadcast; the corpus side is scanned once, no shuffle before the
+    per-query top-k (a windowed rank over query_id partitions)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = v.filter(F.col("id").isin([int(x) for x in query_ids])).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q).crossJoin(v)
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )
+
+
+def lsh_topk(df: DataFrame, query_ids: list[int], planes: list[list[float]],
+             k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's
+    bucket; exact cosine rank within candidates. Output shape matches
+    cosine_topk. Recall < 1 by construction — add tables/probes to
+    raise it; at 100 TB the bucket join replaces the full cross join."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    b = lsh_buckets(df, planes, id_col, vec_col)
+    vb = v.join(b, "id")
+    q = vb.filter(F.col("id").isin([int(x) for x in query_ids])).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vb, F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )

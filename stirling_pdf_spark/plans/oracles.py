@@ -1,0 +1,510 @@
+"""DuckDB oracle SQL for every gated query in ``__spark_entry__``.
+
+Each statement is the independent ANSI-SQL re-derivation of the Spark
+query's semantics over the same parquet views (region nation customer
+supplier part orders lineitem events documents embeddings). The driver
+runs both at sf0.01 and compares row count + schema + order-insensitive
+value hash, so:
+
+  * column names and (as far as possible) physical types match exactly;
+  * float math is avoided in outputs — money is fixed-point micro units
+    CAST(FLOOR(x*1000000.0) AS BIGINT); cosine similarity feeds filters
+    and ranks, never output columns;
+  * DuckDB's SUM(BIGINT) -> HUGEINT is always re-cast to BIGINT;
+  * generated fragments (simhash bit votes, minhash bands, LSH plane
+    dot products, the page-select literal set) are produced by the same
+    Python helpers that parameterize the Spark side, so the two engines
+    get the same constants while the computations remain independent.
+
+The extraction oracles (extract_*) are closed-form models of
+corpus.synth.synth_from_text + the kernel reading-order contract
+(SURVEY.md §2.1.6): 8 words per line, 40 lines per page, media on every
+3rd completed page, an attachment iff sha256(text) ends in '0'. They
+check the REAL Spark extraction pipeline (Arrow UDF stages, salting,
+reassembly) against an independent arithmetic model — not against the
+same code.
+"""
+
+from __future__ import annotations
+
+from ..functions.page_select import parse_page_selection
+from ..operators.similarity import make_planes
+from ..operators.textstats import LANGS, LANG_STOPWORDS, TOKEN_REGEX
+
+# shared constants (same objects parameterize the Spark side)
+ANN_QUERY_IDS = [0, 7, 21, 42, 63]
+ANN_K = 3
+LSH_SEED = 42
+LSH_N_PLANES = 8
+LSH_DIM = 64
+LSH_PLANES = make_planes(LSH_SEED, LSH_N_PLANES, LSH_DIM)
+F7_SPEC = "2n+1"
+F7_TOTAL = 7
+F7_PAGES = parse_page_selection(F7_SPEC, F7_TOTAL)
+JACCARD_THRESHOLD_PCT = 50
+NGRAM_N = 2
+MINHASH_K = 8
+MINHASH_BANDS = 4
+EMB_DUP_THRESHOLD = 0.45
+SIMHASH_BITS = 32
+
+_MICRO = "CAST(FLOOR({x} * 1000000.0) AS BIGINT)"
+
+
+def micro(x: str) -> str:
+    return _MICRO.format(x=x)
+
+
+# --------------------------------------------------------------- extraction
+
+EXTRACT_TEXT_SPANS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM d
+)
+SELECT did AS doc_id,
+       i AS text_rank,
+       array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ') AS text
+FROM l
+"""
+
+EXTRACT_ATTACHMENTS = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       'extra.dat' AS name,
+       'media-' || substr(sha256(text), 1, 8) AS media_ref
+FROM documents
+WHERE substr(sha256(text), 64, 1) = '0'
+"""
+
+EXTRACT_SPAN_COUNTS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM documents
+), k AS (
+  SELECT did, 'text' AS kind, LEAST(nl, 2000) AS n FROM d WHERE nl > 0
+  UNION ALL
+  SELECT did, 'media', (nl // 40) // 3 FROM d WHERE (nl // 40) // 3 > 0
+  UNION ALL
+  SELECT did, 'attachment', 1 FROM d WHERE substr(h, 64, 1) = '0'
+)
+SELECT did AS doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM k
+"""
+
+# --------------------------------------------------------------- relational
+
+Q1_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM({micro('l_quantity')}) AS BIGINT) AS sum_qty_micro,
+       CAST(SUM({micro('l_extendedprice')}) AS BIGINT) AS sum_price_micro,
+       CAST(SUM({micro('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         AS sum_disc_price_micro
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(SUM({micro('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_micro DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+Q5_NATION_VOLUME = f"""
+SELECT n_name,
+       CAST(SUM({micro('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+E16_CUSTOMER_PROFILE = f"""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM({micro('o_totalprice')}) AS BIGINT) AS total_micro,
+       CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_order_epoch
+FROM orders
+GROUP BY o_custkey
+"""
+
+E18_TOP_ORDER_PER_CUSTOMER = f"""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, {micro('o_totalprice')} AS price_micro
+FROM r WHERE rn = 1
+"""
+
+S3_RUNNING_SUM_BUCKETS = f"""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM({micro('l_quantity')}) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey,
+                    {micro('l_quantity')}, {micro('l_extendedprice')}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_qty_micro
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, cum_qty_micro,
+       CAST(FLOOR(cum_qty_micro / 100000000.0) AS BIGINT) AS bucket
+FROM c
+"""
+
+S4_LEAD_NEXT_ORDER = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+         lead(CAST(epoch(o_orderdate) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS next_order_epoch
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, order_epoch, next_order_epoch,
+       next_order_epoch - order_epoch AS gap_s
+FROM o
+"""
+
+E12_UNIQUE_NAME_SUFFIX = """
+SELECT p_partkey, p_brand,
+       p_brand || '_' || CAST(row_number() OVER (
+         PARTITION BY p_brand ORDER BY p_partkey) AS VARCHAR) AS filename
+FROM part
+"""
+
+S6_REVERSE_PERMUTATION = """
+SELECT l_orderkey, l_linenumber,
+       MAX(l_linenumber) OVER (PARTITION BY l_orderkey) - l_linenumber + 1
+         AS new_pos
+FROM lineitem
+"""
+
+S1_MERGE_COMPARATOR = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num,
+       n_docs,
+       CAST(row_number() OVER (
+         ORDER BY CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) ASC,
+                  source ASC) AS BIGINT) AS merge_rank
+FROM s
+"""
+
+F1_FILTER_CONTAINS_TEXT = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE contains(text, 'spark join')
+"""
+
+F3_FILTER_COUNT_COMPARATOR = """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 8
+"""
+
+F5_FILTER_SIZE_COMPARATOR = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE n_chars > 400 GROUP BY lang
+"""
+
+F7_PAGE_SELECT_DSL = f"""
+SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_linenumber IN ({', '.join(str(p) for p in F7_PAGES)})
+GROUP BY l_linenumber
+"""
+
+E13_REGEX_SEARCH = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT) AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, 'ta[a-z]+')) > 0
+"""
+
+E3_DOC_CLASSIFICATION = """
+SELECT CASE WHEN n_chars < 20 THEN 'EMPTY'
+            WHEN n_chars < 200 THEN 'SHORT'
+            ELSE 'TEXT' END AS doc_class,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+EVENTS_HOURLY_ROLLUP = f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM({micro('value')}) AS BIGINT) AS sum_value_micro
+FROM events
+GROUP BY 1, 2
+"""
+
+EVENTS_JSON_EXTRACT = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM({micro('value')}) AS BIGINT) AS sum_value_micro
+FROM events
+GROUP BY 1
+"""
+
+# ------------------------------------------------------------ training ops
+
+DEDUP_EXACT_GROUPS = """
+WITH k AS (SELECT doc_id AS id, md5(text) AS ck FROM documents)
+SELECT id,
+       MIN(id) OVER (PARTITION BY ck) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY ck) AS BIGINT) AS group_size,
+       CASE WHEN id = MIN(id) OVER (PARTITION BY ck) THEN 0 ELSE 1 END AS is_dup
+FROM k
+"""
+
+_SHINGLES_CTE = """
+d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(w) >= 2
+           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM d
+)"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+x AS (SELECT id, unnest(s) AS shingle FROM sh),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM x a JOIN x b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b
+FROM p
+JOIN sz sa ON id_a = sa.id
+JOIN sz sb ON id_b = sb.id
+WHERE common * 100 >= {JACCARD_THRESHOLD_PCT} * (sa.n + sb.n - common)
+"""
+
+
+def _minhash_sql() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rpb = k // bands
+    mh_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band_id, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+shf AS (SELECT id, s FROM sh WHERE len(s) > 0),
+x AS (SELECT id, unnest(s) AS shingle FROM shf),
+sig AS (
+  SELECT id,
+         {mh_cols}
+  FROM x GROUP BY id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id
+),
+v AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS common,
+         CAST(len(sa.s) AS BIGINT) AS size_a,
+         CAST(len(sb.s) AS BIGINT) AS size_b
+  FROM cand
+  JOIN shf sa ON id_a = sa.id
+  JOIN shf sb ON id_b = sb.id
+)
+SELECT id_a, id_b, common, size_a, size_b FROM v
+WHERE common * 100 >= {JACCARD_THRESHOLD_PCT} * (size_a + size_b - common)
+"""
+
+
+DEDUP_MINHASH_LSH = _minhash_sql()
+
+
+def _simhash_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN substr(m, {i + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT id, md5(tok) AS m FROM t),
+v AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+),
+s AS (SELECT id, {bits} AS simhash FROM v)
+SELECT id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
+FROM s
+"""
+
+
+DEDUP_SIMHASH_GROUPS = _simhash_sql()
+
+_EMB_CTE = """
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+DEDUP_EMBEDDING_PAIRS = f"""
+WITH {_EMB_CTE}
+SELECT a.id AS id_a, b.id AS id_b
+FROM n a JOIN n b ON a.id < b.id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+      * sqrt(list_dot_product(b.v, b.v))) >= {EMB_DUP_THRESHOLD}
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH {_EMB_CTE},
+q AS (SELECT id AS query_id, v AS qv FROM e
+      WHERE id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})),
+s AS (
+  SELECT query_id, id,
+         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
+           * sqrt(list_dot_product(v, v))) AS c
+  FROM q, e WHERE id <> query_id
+),
+r AS (
+  SELECT query_id, id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
+"""
+
+
+def _lsh_buckets_sql() -> str:
+    bit_exprs = []
+    for plane in LSH_PLANES:
+        terms = " + ".join(f"v[{i + 1}] * ({w!r})" for i, w in enumerate(plane))
+        bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    bits = " || ".join(bit_exprs)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id, {bits} AS bucket FROM e
+"""
+
+
+ANN_LSH_BUCKETS = _lsh_buckets_sql()
+
+TEXT_FINGERPRINT = """
+SELECT doc_id AS id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fp
+FROM documents
+"""
+
+TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id AS id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+         AS n_regex_tokens
+FROM documents
+"""
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in LANGS:
+        vals = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({vals}))) AS s_{lang}"
+        )
+    best = "GREATEST({})".format(", ".join(f"s_{lang}" for lang in LANGS))
+    pred = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT id, {', '.join(score_cols)} FROM d),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT id, {pred} AS pred_lang, CAST(best AS BIGINT) AS score FROM b
+"""
+
+
+TEXT_LANG_ID = _lang_id_sql()
+
+TEXT_QUALITY = r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         string_split(text, ' ') AS w,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+           AS punct_count,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+           AS n_nonspace
+  FROM documents
+),
+s AS (
+  SELECT id, n_chars, punct_count,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+         n_nonspace
+  FROM d
+),
+m AS (
+  SELECT *, CASE WHEN n_words > 0
+                 THEN CAST(FLOOR(n_nonspace * 100 / n_words) AS BIGINT)
+                 ELSE 0 END AS mean_word_len_x100
+  FROM s
+)
+SELECT id, n_chars, n_words, n_distinct_words, mean_word_len_x100, punct_count,
+       CAST((CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_distinct_words * 2 >= n_words THEN 1 ELSE 0 END)
+          + (CASE WHEN mean_word_len_x100 BETWEEN 300 AND 900 THEN 1 ELSE 0 END)
+          AS BIGINT) AS quality
+FROM m
+"""
+
+MULTIMODAL_META = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(1 + (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 4096
+            AS INTEGER) AS width,
+       CAST(1 + (CAST(octet_length(encode(text)) AS BIGINT) * 2246822519) % 4096
+            AS INTEGER) AS height
+FROM documents
+"""
