@@ -1,0 +1,77 @@
+"""Checkpoint/resume semantics: anti-join resume, lineage commit point,
+orphan invisibility, metrics accounting."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+from stirling_pdf_spark.operators.extract_pipeline import extract_spans
+from stirling_pdf_spark.runtime.checkpoint import (
+    read_committed_spans,
+    read_metrics,
+    run_extract_with_checkpoint,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return synth_docs_df(spark, 40, mega_pages=(40, 50), num_partitions=4)
+
+
+def test_resume_skips_committed(spark, docs, tmp_path):
+    out = str(tmp_path / "ckpt")
+    first_half = docs.filter(F.xxhash64("doc_id") % 2 == 0)
+    r1 = run_extract_with_checkpoint(spark, first_half, out, run_id="r1",
+                                     num_partitions=4)
+    assert r1["docs_done"] == first_half.count() > 0
+
+    r2 = run_extract_with_checkpoint(spark, docs, out, run_id="r2",
+                                     num_partitions=4)
+    assert r2["docs_done"] == 40 - r1["docs_done"]
+
+    committed = read_committed_spans(spark, out)
+    assert committed.count() == 40
+    # committed output == direct full extraction (same spans per doc)
+    direct = extract_spans(docs, num_partitions=4)
+    joined = committed.alias("a").join(direct.alias("b"), "doc_id")
+    assert joined.count() == 40
+    mismatches = joined.filter(F.col("a.spans") != F.col("b.spans")).count()
+    assert mismatches == 0
+
+    # a third run over the same corpus is a no-op
+    r3 = run_extract_with_checkpoint(spark, docs, out, run_id="r3",
+                                     num_partitions=4)
+    assert r3["docs_done"] == 0
+
+
+def test_orphan_spans_invisible(spark, docs, tmp_path):
+    out = str(tmp_path / "ckpt")
+    run_extract_with_checkpoint(spark, docs, out, run_id="r1",
+                                num_partitions=4)
+    # simulate a crash after the span write, before the lineage commit:
+    # span files exist under a run_id that lineage never recorded
+    orphan = extract_spans(docs.limit(3), num_partitions=2).withColumn(
+        "partition_id", F.spark_partition_id()
+    )
+    orphan.write.parquet(f"{out}/spans/run_id=orphan")
+    committed = read_committed_spans(spark, out)
+    assert committed.count() == 40  # orphans excluded
+    assert committed.select("doc_id").distinct().count() == 40
+
+
+def test_metrics_account_for_all_docs(spark, docs, tmp_path):
+    out = str(tmp_path / "ckpt")
+    summary = run_extract_with_checkpoint(spark, docs, out, run_id="r1",
+                                          num_partitions=4)
+    metrics = read_metrics(spark, out)
+    agg = metrics.agg(F.sum("doc_count").alias("d"),
+                      F.sum("span_count").alias("s")).collect()[0]
+    assert agg["d"] == 40 == summary["docs_done"]
+    direct_spans = (
+        extract_spans(docs, num_partitions=4)
+        .agg(F.sum(F.size("spans"))).collect()[0][0]
+    )
+    assert agg["s"] == direct_spans == summary["spans_done"]
+    assert metrics.filter(F.col("text_bytes") <= 0).count() == 0

@@ -1,0 +1,188 @@
+"""Unit tests for the training-data pipeline operators (dedup, ANN,
+text analysis, multimodal plumbing) on handcrafted fixtures with
+known-by-construction expectations."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from stirling_pdf_spark.operators import dedup as D
+from stirling_pdf_spark.operators import similarity as S
+from stirling_pdf_spark.operators import textstats as TS
+from stirling_pdf_spark.operators.multimodal import (
+    frame_sample,
+    media_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (4, "el rapido zorro marron salta sobre el perro y la zorra"),
+        (5, "completely different text about spark shuffles and joins"),
+        (6, "word"),                                           # single word
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs_df):
+    out = {r["id"]: r for r in D.exact_dedup(docs_df).collect()}
+    assert out[1]["canonical_id"] == 1 and out[1]["is_dup"] == 0
+    assert out[2]["canonical_id"] == 1 and out[2]["is_dup"] == 1
+    assert out[2]["group_size"] == 2
+    assert out[3]["canonical_id"] == 3 and out[3]["group_size"] == 1
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    # docs 1/2 identical bigram sets (J=1); 1/3 share 7 of 9 bigrams
+    # (J = 7/(8+8-7) = 7/9 ≈ 0.78)
+    pairs = {(r["id_a"], r["id_b"]): r
+             for r in D.ngram_jaccard_pairs(docs_df, threshold_pct=50).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["common"] == 8
+    assert (1, 3) in pairs and pairs[(1, 3)]["common"] == 7
+    assert (2, 3) in pairs
+    assert not any(5 in p or 4 in p for p in pairs)
+    # single-word doc has zero bigrams -> never pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_identical_and_near_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_lsh_pairs(docs_df, threshold_pct=50).collect()}
+    # identical docs share every band -> always candidates, J=1 verifies
+    assert (1, 2) in pairs
+    # minhash pairs are a subset of exact jaccard pairs (verify step)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.ngram_jaccard_pairs(docs_df, threshold_pct=50).collect()}
+    assert pairs <= exact
+
+
+def test_simhash_order_insensitive(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),   # permutation: same token multiset
+        (3, "alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
+    groups = {r["id"]: r["group_size"] for r in D.simhash_groups(df).collect()}
+    assert groups[1] == groups[2] >= 2
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # 8 vectors in 4-d: two tight clusters + one orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.95, 0.2, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.1, 0.99, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [-1.0, 0.0, 0.0, 0.0]),
+        (7, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_bruteforce(emb_df):
+    vecs = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+    out = S.cosine_topk(emb_df, query_ids=[0, 3], k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 3):
+        expected = sorted(
+            ((vec_id, _cos(vecs[qid], v)) for vec_id, v in vecs.items()
+             if vec_id != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        assert [n for _, n in sorted(got[qid])] == [e[0] for e in expected]
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_near_dup_pairs(emb_df, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (3, 4) in pairs
+    assert (0, 6) not in pairs and (0, 3) not in pairs
+
+
+def test_lsh_buckets_group_similar_vectors(emb_df):
+    planes = S.make_planes(7, 6, 4)
+    buckets = {r["id"]: r["bucket"] for r in
+               S.lsh_buckets(emb_df, planes).collect()}
+    assert buckets[0] == buckets[1]          # near-identical vectors
+    assert buckets[0] != buckets[6]          # antipodal vectors
+    # approximate topk returns only same-bucket neighbors at rank order
+    topk = S.lsh_topk(emb_df, [0], planes, k=3).collect()
+    assert all(buckets[r["neighbor_id"]] == buckets[0] for r in topk)
+    ranks = sorted(r["rank"] for r in topk)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog sat of the mat"),
+        (2, "el perro y la gata en el jardin de la casa"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["pred_lang"] for r in TS.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five."), (2, "a a a a")],
+        ["doc_id", "text"],
+    )
+    q = {r["id"]: r for r in TS.quality_stats(df).collect()}
+    assert q[1]["n_words"] == 5
+    assert q[1]["n_distinct_words"] == 5
+    assert q[2]["n_distinct_words"] == 1
+    assert q[2]["quality"] < q[1]["quality"]
+    t = {r["id"]: r for r in TS.token_counts(df).collect()}
+    assert t[1]["n_ws_tokens"] == 5
+    assert t[1]["n_regex_tokens"] == 6   # five words + '.'
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b d")], ["doc_id", "text"]
+    )
+    fp = {r["id"]: r["fp"] for r in TS.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert fp[1] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_media_metadata_and_frames(spark):
+    rows = [("m1", "png", b"\x89PNG" + b"x" * 100),
+            ("m2", "bin", b"")]
+    media = spark.createDataFrame(rows, ["media_ref", "fmt", "payload"])
+    meta = {r["media_ref"]: r for r in media_metadata(media).collect()}
+    assert meta["m1"]["n_bytes"] == 104
+    assert meta["m1"]["sha256"] == hashlib.sha256(b"\x89PNG" + b"x" * 100).hexdigest()
+    assert 1 <= meta["m1"]["width"] <= 4096 and not meta["m1"]["oversize"]
+    assert meta["m2"]["n_bytes"] == 0
+
+    frames = frame_sample(media, frame_bytes=32, every_n=2).collect()
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    # 104 bytes / 32 = 4 frames, every 2nd -> frames 0 and 2
+    assert sorted(r["frame_no"] for r in by_ref["m1"]) == [0, 2]
+    assert bytes(by_ref["m1"][0]["frame"])[:4] == b"\x89PNG"
+    assert "m2" not in by_ref  # empty payload -> no frames
