@@ -58,9 +58,20 @@ def shingles_expr(n: int = 2, words: str = "w"):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a (possibly single-partition) input across the cluster
+    before compute-heavy narrow stages. Small parquet inputs arrive as
+    ONE split (files.maxPartitionBytes), which would serialize every
+    downstream map — the kind of bug that's invisible at 60k rows and
+    fatal at 100 TB when one file/partition is hot."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(target)
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return (
-        df.select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
+        parallelize(df)
+        .select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
         .select("id", shingles_expr(n, "w").alias("shingles"))
     )
 
@@ -127,10 +138,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signature_cols(num_hashes: int):
     """num_hashes min-hash aggregate expressions over an exploded
-    shingle column ``sh``: mh_k = min(md5('k:' || sh)). String-min over
-    lowercase hex orders identically in Spark and DuckDB."""
+    shingle column ``sh``. Each md5 yields four independent 32-bit
+    (8-hex-char) slices, so hash k reads slice k%4 of md5('{k//4}:'||sh)
+    — 4x fewer digest computations than one md5 per hash function.
+    String-min over lowercase hex orders identically in Spark and
+    DuckDB."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k // 4}:"), F.col("sh"))),
+                (k % 4) * 8 + 1, 8,
+            )
+        ).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
 
@@ -179,24 +198,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = sh.select(F.col("id"), F.col("shingles"))
-    verified = (
-        cand.join(sets.withColumnRenamed("id", "id_a")
-                  .withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("shingles", "sh_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
-            F.size("sh_a").cast("long").alias("size_a"),
-            F.size("sh_b").cast("long").alias("size_b"),
-        )
+    # verify via the exploded inverted index rather than carrying whole
+    # shingle arrays through the join: candidate x shingle fan-out, then
+    # a hash join on (id_b, shingle) and a count — every stage stays
+    # key-partitioned and parallel (an array_intersect variant funnels
+    # the wide arrays through a few coalesced partitions)
+    ea = exploded.select(F.col("id").alias("id_a"), "sh")
+    eb = exploded.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "size_b"), "id_b")
         .filter(
             F.col("common") * 100
             >= F.lit(threshold_pct) * (F.col("size_a") + F.col("size_b") - F.col("common"))
         )
+        .select("id_a", "id_b", "common", "size_a", "size_b")
     )
-    return verified
 
 
 # ---------------------------------------------------------------- simhash
@@ -220,7 +246,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(id, simhash) — simhash as a '01...' bitstring of length ``bits``.
     Token multiplicity counts (term-frequency weighting), matching the
     classic Charikar construction. Bit = 1 iff vote sum > 0."""
-    toks = df.select(
+    toks = parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(words_col(text_col)).alias("tok"),
     ).select("id", F.md5("tok").alias("tok_md5"))
@@ -264,7 +290,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     baseline — correct at any scale but quadratic; the scale path
     pre-buckets with similarity.lsh_buckets and joins within buckets.
     Output: (id_a, id_b) — ids only, no float columns."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = parallelize(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (

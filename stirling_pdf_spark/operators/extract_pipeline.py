@@ -18,7 +18,8 @@ page-range sub-documents (salt = page bucket), extracted independently
 pages), and reassembled with the global 2000-text-chunk budget
 re-applied — bit-identical to the unsalted kernel output.
 
-All per-document work happens inside Arrow-batched mapInPandas (no
+All per-document work happens inside mapInArrow stages with columnar
+span decode/encode (no
 per-row Spark Python UDFs); the only shuffles are the repartition by
 doc_id and the (mega-doc-only) regroup, both on keys that are unique or
 salted — no hot keys by construction.
@@ -27,6 +28,7 @@ salted — no hot keys by construction.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,36 +60,60 @@ _HTML_BUCKET = (1 << 30) - 1   # html blocks read after all pages
 _ATTACH_BUCKET = 1 << 30       # attachments read last (kernel contract)
 
 
-def _to_tuples(spans) -> list[tuple]:
-    return [(d["kind"], d["text"], d["media_ref"], d["offset"]) for d in spans]
+def _decode_span_lists(col: "pa.Array") -> list[list[tuple]]:
+    """Columnar decode of array<struct<kind,text,media_ref,offset>>:
+    four flat to_pylist() calls (C speed) + one zip, instead of a dict
+    per span — the dominant cost of the UDF boundary at scale."""
+    lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    vals = lst.flatten()
+    flat = list(zip(
+        vals.field("kind").to_pylist(),
+        vals.field("text").to_pylist(),
+        vals.field("media_ref").to_pylist(),
+        vals.field("offset").to_pylist(),
+    ))
+    offs = lst.offsets.to_pylist()
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
 
 
-def _spans_to_dicts(spans) -> list[dict]:
-    return [
-        {"kind": k, "text": t, "media_ref": m, "order": o}
-        for k, t, m, o in spans
-    ]
+def _encode_span_lists(span_lists: list[list[tuple]]) -> "pa.ListArray":
+    """Columnar encode of the kernel output back to Arrow."""
+    kinds, texts, refs, orders, offs = [], [], [], [], [0]
+    for spans in span_lists:
+        for k, t, m, o in spans:
+            kinds.append(k); texts.append(t); refs.append(m); orders.append(o)
+        offs.append(len(kinds))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+         pa.array(refs, pa.string()), pa.array(orders, pa.int32())],
+        names=["kind", "text", "media_ref", "order"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
 
 
 def _extract_small(batches):
-    for pdf in batches:
-        out = [
-            _spans_to_dicts(extract_doc(_to_tuples(spans)))
-            for spans in pdf["spans"]
-        ]
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out})
+    for rb in batches:
+        raw = _decode_span_lists(rb.column(rb.schema.names.index("spans")))
+        out = [extract_doc(spans) for spans in raw]
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(rb.schema.names.index("doc_id")),
+             _encode_span_lists(out)],
+            names=["doc_id", "spans"],
+        )
 
 
 def _extract_sub(batches):
     # unbudgeted: the 2000-chunk cap is global per doc, applied at
     # reassembly (see module docstring)
-    for pdf in batches:
-        out = [
-            _spans_to_dicts(extract_doc(_to_tuples(spans), chunk_budget=None))
-            for spans in pdf["spans"]
-        ]
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "bucket": pdf["bucket"], "spans": out}
+    for rb in batches:
+        names = rb.schema.names
+        raw = _decode_span_lists(rb.column(names.index("spans")))
+        out = [extract_doc(spans, chunk_budget=None) for spans in raw]
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(names.index("doc_id")),
+             rb.column(names.index("bucket")),
+             _encode_span_lists(out)],
+            names=["doc_id", "bucket", "spans"],
         )
 
 
@@ -125,7 +151,7 @@ def extract_spans(
 
     small_out = (
         small.repartition(num_partitions, "doc_id")
-        .mapInPandas(_extract_small, SPANS_OUT_SCHEMA)
+        .mapInArrow(_extract_small, SPANS_OUT_SCHEMA)
     )
 
     # salted path: explode to raw spans, assign page-range buckets
@@ -145,7 +171,7 @@ def extract_spans(
         .groupBy("doc_id", bucket.alias("bucket"))
         # kernel sorts by offset, so collect_list order doesn't matter
         .agg(F.collect_list("s").alias("spans"))
-        .mapInPandas(_extract_sub, _SUB_SCHEMA)
+        .mapInArrow(_extract_sub, _SUB_SCHEMA)
     )
     big_out = sub.groupBy("doc_id").applyInPandas(_reassemble, SPANS_OUT_SCHEMA)
 

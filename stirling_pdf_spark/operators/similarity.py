@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_expr
+from .dedup import cosine_expr, parallelize
 
 
 def make_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
@@ -55,7 +55,7 @@ def lsh_buckets(df: DataFrame, planes: list[list[float]],
     """(id, bucket) — bucket is the concatenated sign-bit string of the
     vector against each hyperplane."""
     bits = [_plane_sign(vec_col, p) for p in planes]
-    return df.select(
+    return parallelize(df).select(
         F.col(id_col).alias("id"),
         F.concat(*bits).alias("bucket"),
     )
@@ -69,7 +69,7 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     neighbor id ascending; self excluded. The query side is tiny and
     broadcast; the corpus side is scanned once, no shuffle before the
     per-query top-k (a windowed rank over query_id partitions)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = parallelize(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     q = v.filter(F.col("id").isin([int(x) for x in query_ids])).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -93,7 +93,7 @@ def lsh_topk(df: DataFrame, query_ids: list[int], planes: list[list[float]],
     bucket; exact cosine rank within candidates. Output shape matches
     cosine_topk. Recall < 1 by construction — add tables/probes to
     raise it; at 100 TB the bucket join replaces the full cross join."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = parallelize(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     b = lsh_buckets(df, planes, id_col, vec_col)
     vb = v.join(b, "id")
     q = vb.filter(F.col("id").isin([int(x) for x in query_ids])).select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import words_col
+from .dedup import parallelize, words_col
 
 # small deterministic stopword sets; order of LANGS is the tie-break
 # precedence for lang_id (first wins on equal score)
@@ -46,7 +46,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     """(id, pred_lang, score) — argmax of per-language stopword hit
     counts over whitespace tokens; 'und' when no stopword hits at all.
     Ties resolved by LANGS order via a strict-> comparison chain."""
-    base = df.select(F.col(id_col).alias("id"),
+    base = parallelize(df).select(F.col(id_col).alias("id"),
                      words_col(text_col).alias("w"))
     scored = base.select(
         "id", *[_stopword_hits(lang).alias(f"s_{lang}") for lang in LANGS]
@@ -68,7 +68,7 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id",
     Quality buckets: +1 for >= 20 words, +1 for distinct ratio >= 50%,
     +1 for mean word length in [300, 900] x100."""
     t = F.col(text_col)
-    base = df.select(
+    base = parallelize(df).select(
         F.col(id_col).alias("id"),
         F.length(t).cast("long").alias("n_chars"),
         words_col(text_col).alias("w"),

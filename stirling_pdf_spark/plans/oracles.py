@@ -312,7 +312,8 @@ def _minhash_sql() -> str:
     k, bands = MINHASH_K, MINHASH_BANDS
     rpb = k // bands
     mh_cols = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(k)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT id, {b} AS band_id, md5({key}) AS key FROM sig".format(
