@@ -80,6 +80,66 @@ def q_extract_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("doc_id", "kind").agg(F.count("*").alias("n_spans"))
 
 
+def q_extract_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E8 structured elements — the /convert/pdf/json flagship
+    analogue: one row per drawable in mergeDrawables order with the
+    geometry the reference serializes (PdfJsonConversionService.java
+    :5533-5882, :5119-5300)."""
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    return extract_elements(docs_from_documents_table(spark, sf_dir))
+
+
+def q_e1_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 pdf->plain-text (ConvertPDFToOffice.java:78-100): whole-doc
+    text = extracted line spans joined by newlines in reading order."""
+    flat = explode_spans(_extracted(spark, sf_dir)).filter(
+        F.col("kind") == "text"
+    )
+    assembled = flat.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("full_text")
+    )
+    return assembled.select(
+        "doc_id", F.md5("full_text").alias("text_md5"),
+        F.length("full_text").cast("long").alias("n_chars"),
+    )
+
+
+def q_e17_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 get-info-on-pdf (GetInfoOnPDF.java:812-851) — the flagship
+    per-document aggregate: page count, text span/char counts, media and
+    attachment counts, all from the extraction outputs."""
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    flat = explode_spans(extract_spans(docs))
+    kinds = flat.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("long").alias("n_text_spans"),
+        F.sum(F.when(F.col("kind") == "text", F.length("text")).otherwise(0))
+        .cast("long").alias("n_text_chars"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("long").alias("n_media"),
+        F.sum(F.when(F.col("kind") == "attachment", 1).otherwise(0))
+        .cast("long").alias("n_attachments"),
+    )
+    pages = extract_elements(docs).groupBy("doc_id").agg(
+        F.countDistinct("page").cast("long").alias("n_pages")
+    )
+    return kinds.join(pages, "doc_id").select(
+        "doc_id", "n_pages", "n_text_spans", "n_text_chars",
+        "n_media", "n_attachments",
+    )
+
+
 def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: archetype corpus (two-column layouts, mixed
     media, HTML, mega-docs through the salted path) -> kind totals."""
@@ -162,6 +222,88 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_payload_metadata(read_table(spark, sf_dir, "documents"))
 
 
+# -------------------------------------------------- html / chunking / eml
+
+def q_h2_h3_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 script/style strip + H3 positioned-CSS strip
+    (EmlProcessingUtils.java:594-606, :238-247) over synthesized HTML."""
+    from stirling_pdf_spark.functions.html import (
+        strip_positioned_css, strip_scripts_styles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div><script type="text/js">ignore me</script>'
+              "<style>.x{position:fixed;}</style>"
+              '<p style="position:absolute;top:0">'),
+        F.col("text"), F.lit("</p></div>"),
+    )
+    cleaned = strip_positioned_css(strip_scripts_styles(html))
+    return docs.select(
+        "doc_id", F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
+def q_h5_autolink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 text->HTML: escape + autolink URLs/emails
+    (EmlProcessingUtils.java:256-284)."""
+    from stirling_pdf_spark.functions.html import text_to_html
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = F.concat(
+        F.lit("a<b & c>d "), F.substring("text", 1, 40),
+        F.lit(" visit https://example.com/"), F.col("doc_id").cast("string"),
+        F.lit(" or mail doc"), F.col("doc_id").cast("string"),
+        F.lit("@test.org now"),
+    )
+    return docs.select("doc_id", F.md5(text_to_html(src)).alias("html_md5"))
+
+
+def q_e10_has_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 has-text predicate over EXTRACTED spans
+    (PdfUtils.hasText :100-114) — exercises F.exists on the span array."""
+    from stirling_pdf_spark.operators.pageops import has_text
+
+    return has_text(_extracted(spark, sf_dir), "data").select("doc_id")
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 chunking, fixed-stride window variant (512 chars, 64 overlap;
+    caps from PdfTextChunkExtractor.java:28-31 / engine chunker)."""
+    from stirling_pdf_spark.kernel.chunker import chunk_text_windows
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_text_windows(F.col("text"))).alias("chunk_no", "chunk"),
+    ).select("doc_id", F.col("chunk_no").cast("long").alias("chunk_no"), "chunk")
+
+
+def q_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 EML parse (EmlParser.java) — MIME encode + stdlib parse round
+    trip in an Arrow-batched stage."""
+    from stirling_pdf_spark.operators.emlparse import eml_roundtrip
+
+    _ship_package(spark)
+    return eml_roundtrip(read_table(spark, sf_dir, "documents"))
+
+
+def q_s2_split_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 split-at-pages over the synthetic multi-page corpus, then
+    re-extract each part (rows-only: validates parts are valid docs)."""
+    from stirling_pdf_spark.operators.pageops import split_at_pages
+
+    _ship_package(spark)
+    docs = synth_docs_df(spark, 48, seed=42, mega_pages=(60, 80))
+    parts = split_at_pages(docs, [2, 5])
+    flat = explode_spans(extract_spans(parts, salt_threshold=100000))
+    return (
+        flat.withColumn("part", F.split_part("doc_id", F.lit("#"), F.lit(2)))
+        .groupBy("part", "kind").agg(F.count("*").alias("n_spans"))
+    )
+
+
 # ----------------------------------------------------------------- driver
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -176,6 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_spans": q_extract_text_spans,
         "extract_attachments": q_extract_attachments,
         "extract_span_counts": q_extract_span_counts,
+        "extract_elements": q_extract_elements,
+        "e17_doc_info": q_e17_doc_info,
+        "e1_full_text": q_e1_full_text,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         # relational analogues (SURVEY.md §2)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -210,6 +355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        # html / chunking / eml / page ops
+        "h2_h3_sanitize": q_h2_h3_sanitize,
+        "h5_autolink": q_h5_autolink,
+        "e10_has_text": q_e10_has_text,
+        "text_chunk_windows": q_text_chunk_windows,
+        "eml_roundtrip": q_eml_roundtrip,
+        "s2_split_synth": q_s2_split_synth,  # rows-only
     }
 
 
@@ -218,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,
         "extract_span_counts": O.EXTRACT_SPAN_COUNTS,
+        "extract_elements": O.EXTRACT_ELEMENTS,
+        "e17_doc_info": O.E17_DOC_INFO,
+        "e1_full_text": O.E1_FULL_TEXT,
         "q1_pricing_summary": O.Q1_PRICING_SUMMARY,
         "q3_shipping_priority": O.Q3_SHIPPING_PRIORITY,
         "q5_nation_volume": O.Q5_NATION_VOLUME,
@@ -248,4 +403,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": O.TEXT_TOKEN_COUNTS,
         "text_fingerprint": O.TEXT_FINGERPRINT,
         "multimodal_meta": O.MULTIMODAL_META,
+        "h2_h3_sanitize": O.H2_H3_SANITIZE,
+        "h5_autolink": O.H5_AUTOLINK,
+        "e10_has_text": O.E10_HAS_TEXT,
+        "text_chunk_windows": O.TEXT_CHUNK_WINDOWS,
+        "eml_roundtrip": O.EML_ROUNDTRIP,
     }

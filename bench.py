@@ -61,12 +61,10 @@ def main() -> None:
     timings["extract_synth"] = round(extract_s, 3)
     docs_per_sec = round(N_DOCS / extract_s, 1)
 
+    from stirling_pdf_spark.corpus.spark_synth import docs_from_documents_table
+
     t0 = time.time()
-    n_sf = extract_spans(
-        __import__("stirling_pdf_spark.corpus.spark_synth",
-                   fromlist=["docs_from_documents_table"])
-        .docs_from_documents_table(spark, SF_DIR)
-    ).count()
+    n_sf = extract_spans(docs_from_documents_table(spark, SF_DIR)).count()
     timings["extract_sf_corpus"] = round(time.time() - t0, 3)
 
     # --- headline relational / training queries at the bench sf

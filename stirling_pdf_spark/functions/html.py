@@ -1,0 +1,52 @@
+"""HTML column expressions (reference ops H2/H3/H5, SURVEY.md §2.2).
+
+Pure JVM-side regexp chains — no UDFs:
+  * strip_scripts_styles — remove <script>/<style> blocks
+    (EmlProcessingUtils.java:594-606)
+  * strip_positioned_css — remove position:fixed/absolute declarations
+    (EmlProcessingUtils.java:238-247)
+  * text_to_html — escape, newline -> <br>, URL/email autolinking
+    (EmlProcessingUtils.java:256-284)
+
+The H1 allowlist sanitizer needs a real parser and lives in
+kernel/sanitize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+POSITIONED_CSS_RE = r"(?i)position\s*:\s*(fixed|absolute)\s*;?"
+URL_RE = r"(https?://[^\s<]+)"
+EMAIL_RE = r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+
+
+def strip_scripts_styles(col: Column) -> Column:
+    out = F.regexp_replace(col, SCRIPT_RE, "")
+    return F.regexp_replace(out, STYLE_RE, "")
+
+
+def strip_positioned_css(col: Column) -> Column:
+    return F.regexp_replace(col, POSITIONED_CSS_RE, "")
+
+
+def escape_html(col: Column) -> Column:
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def autolink(col: Column) -> Column:
+    out = F.regexp_replace(col, URL_RE, '<a href="$1">$1</a>')
+    return F.regexp_replace(out, EMAIL_RE, '<a href="mailto:$1">$1</a>')
+
+
+def text_to_html(col: Column) -> Column:
+    """escape -> \\n to <br> -> autolink, the reference's text->HTML
+    conversion order."""
+    out = escape_html(col)
+    out = F.regexp_replace(out, r"\n", "<br>")
+    return autolink(out)

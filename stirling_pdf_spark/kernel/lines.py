@@ -15,9 +15,8 @@ previous fragment's average character width.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 from .model import (
+    CHAR_WIDTH_FACTOR,
     COLUMN_GAP_X,
     LINE_Y_TOLERANCE,
     WORD_SPACE_FACTOR,
@@ -25,29 +24,40 @@ from .model import (
 )
 
 
-@dataclass
 class Line:
-    runs: list[TextRun] = field(default_factory=list)
+    """A visual line with bbox cached incrementally on append — the
+    geometry is read many times per line by the column vote and the
+    reading-order sort keys (hot path at corpus scale)."""
 
-    @property
-    def y(self) -> float:
-        return self.runs[0].y
+    __slots__ = ("runs", "y", "x1", "x2", "y1", "y2", "_last_right")
 
-    @property
-    def x1(self) -> float:
-        return min(r.x for r in self.runs)
+    def __init__(self, runs: list[TextRun]):
+        first = runs[0]
+        self.runs = runs
+        self.y = first.y
+        w = len(first.content) * CHAR_WIDTH_FACTOR * first.font_size
+        self.x1 = first.x
+        self.x2 = first.x + w
+        self.y1 = first.y
+        self.y2 = first.y + first.font_size
+        self._last_right = self.x2
+        for run in runs[1:]:
+            self.append(run)
 
-    @property
-    def x2(self) -> float:
-        return max(r.right for r in self.runs)
-
-    @property
-    def y1(self) -> float:
-        return min(r.y for r in self.runs)
-
-    @property
-    def y2(self) -> float:
-        return max(r.y + r.font_size for r in self.runs)
+    def append(self, run: TextRun) -> None:
+        if self.runs[-1] is not run:
+            self.runs.append(run)
+        w = len(run.content) * CHAR_WIDTH_FACTOR * run.font_size
+        right = run.x + w
+        if run.x < self.x1:
+            self.x1 = run.x
+        if right > self.x2:
+            self.x2 = right
+        if run.y < self.y1:
+            self.y1 = run.y
+        if run.y + run.font_size > self.y2:
+            self.y2 = run.y + run.font_size
+        self._last_right = right
 
     @property
     def width(self) -> float:
@@ -88,12 +98,12 @@ def cluster_lines(runs: list[TextRun]) -> list[Line]:
             cur = Line([run])
             continue
         y_break = abs(run.y - cur.y) > LINE_Y_TOLERANCE
-        x_break = (run.x - cur.runs[-1].right) > COLUMN_GAP_X
+        x_break = (run.x - cur._last_right) > COLUMN_GAP_X
         if y_break or x_break:
             lines.append(cur)
             cur = Line([run])
         else:
-            cur.runs.append(run)
+            cur.append(run)
     if cur is not None:
         lines.append(cur)
     return lines

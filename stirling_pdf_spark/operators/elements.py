@@ -1,0 +1,91 @@
+"""Structured element extraction — the relational form of the
+reference's flagship ``POST /convert/pdf/json`` output (E7/E8,
+PdfJsonConversionService.java:5533-5882, 5119-5300).
+
+One row per drawable element in mergeDrawables order (per page: media
+in draw order at zOrder -1_000_000+i, then coalesced text elements at
++1_000_000+i — :5174, :5378-5421), with the geometry the reference
+serializes into PdfJsonTextElement/PdfJsonImageElement.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernel import wire
+from ..kernel.coalesce import coalesce_runs
+from ..kernel.model import IMAGE_Z_BASE, TEXT_Z_BASE
+from .extract_pipeline import _decode_span_lists
+
+ELEMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("page", T.IntegerType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("font", T.StringType(), True),
+    T.StructField("font_size", T.DoubleType(), True),
+    T.StructField("x", T.DoubleType(), False),
+    T.StructField("y", T.DoubleType(), False),
+    T.StructField("width", T.DoubleType(), True),
+    T.StructField("z_order", T.IntegerType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+])
+
+_COLS = [f.name for f in ELEMENTS_SCHEMA]
+
+
+def _doc_elements(doc_id: str, raw_spans: list[tuple]) -> list[tuple]:
+    runs_by_page: dict[int, list] = {}
+    media_by_page: dict[int, list] = {}
+    for kind, text, media_ref, _off in sorted(raw_spans, key=lambda s: s[3]):
+        if kind == "text":
+            run = wire.parse_text_run(text)
+            runs_by_page.setdefault(run.page, []).append(run)
+        elif kind == "media":
+            draw = wire.parse_media(text, media_ref)
+            media_by_page.setdefault(draw.page, []).append(draw)
+    rows: list[tuple] = []
+    for page in sorted(set(runs_by_page) | set(media_by_page)):
+        seq = 0
+        for i, d in enumerate(media_by_page.get(page, ())):
+            rows.append((doc_id, page, "media", None, d.media_ref, None,
+                         None, d.x, d.y, d.w, IMAGE_Z_BASE + i, seq))
+            seq += 1
+        for el in coalesce_runs(runs_by_page.get(page, []),
+                                z_base=TEXT_Z_BASE):
+            rows.append((doc_id, el.page, "text", el.text, None, el.font,
+                         el.font_size, el.x, el.y, el.width, el.z_order, seq))
+            seq += 1
+    return rows
+
+
+def extract_elements(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, spans raw) -> one row per element, mergeDrawables
+    order encoded by (page, z_order, seq)."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(rb.schema.names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(rb.schema.names.index("spans")))
+            rows: list[tuple] = []
+            for doc_id, spans in zip(ids, raw):
+                rows.extend(_doc_elements(doc_id, spans))
+            cols = list(zip(*rows)) if rows else [[] for _ in _COLS]
+            arrays = [
+                pa.array(cols[0], pa.string()), pa.array(cols[1], pa.int32()),
+                pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
+                pa.array(cols[4], pa.string()), pa.array(cols[5], pa.string()),
+                pa.array(cols[6], pa.float64()), pa.array(cols[7], pa.float64()),
+                pa.array(cols[8], pa.float64()), pa.array(cols[9], pa.float64()),
+                pa.array(cols[10], pa.int32()), pa.array(cols[11], pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=_COLS)
+
+    return docs.repartition(num_partitions, "doc_id").mapInArrow(
+        run, ELEMENTS_SCHEMA
+    )

@@ -1,0 +1,111 @@
+"""Page-structure operators over the interleaved docs table
+(reference ops S2 split-at-pages, S7 geometric transforms, E10
+span predicates — SURVEY.md §2.3/2.4).
+
+These operate on the RAW docs shape (wire headers carry page + geometry,
+kernel/wire.py), since page structure is erased from the final span
+table by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_FAR_PAGE = 1 << 30  # html/attachment spans sort after every real page
+
+
+def span_page(s: Column) -> Column:
+    """Page number of a raw span (from the wire header); html and
+    attachments belong to no page and map to _FAR_PAGE (they stay with
+    the last part on split, matching the kernel's read-after-pages
+    contract)."""
+    return (
+        F.when(
+            s["kind"].isin("text", "media"),
+            F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
+        )
+        .otherwise(F.lit(_FAR_PAGE))
+    )
+
+
+def split_at_pages(docs: DataFrame, cut_pages: list[int]) -> DataFrame:
+    """S2 (SplitPDFController.java:65-104): cut after each page in
+    cut_pages -> one output doc per part, doc_id suffixed '#pN'.
+    Span offsets are re-based per part (dense, order-preserving) so each
+    part is a valid standalone doc for extract_spans."""
+    cuts = sorted(set(int(p) for p in cut_pages))
+    s = F.col("s")
+    page = span_page(s)
+    part = F.lit(0)
+    for i, c in enumerate(cuts):
+        part = F.when(page > c, i + 1).otherwise(part)
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", part.alias("part"), "s"
+    )
+    return (
+        exploded.groupBy("doc_id", "part")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("s.offset").alias("o"), F.col("s").alias("s")
+        ))).alias("ordered"))
+        .select(
+            F.concat("doc_id", F.lit("#p"), F.col("part")).alias("doc_id"),
+            F.expr(
+                "transform(ordered, (x, i) -> named_struct("
+                "'kind', x.s.kind, 'text', x.s.text,"
+                "'media_ref', x.s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+
+
+def rotate_pages_90(docs: DataFrame, page_width: float = 612.0) -> DataFrame:
+    """S7 (RotationController): 90-degree clockwise rotation applied to
+    span geometry — in screen space (x, y) -> (W - y, x). Rewrites the
+    wire headers of text/media spans; pure column math over the nested
+    array (no UDF)."""
+    w = F.lit(float(page_width))
+
+    def rot(txt: Column) -> Column:
+        # wire: "{page}|{x}|{y}|..." with an optional "\t{body}" tail
+        header = F.substring_index(txt, "\t", 1)
+        p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+        x, y = p[1].cast("double"), p[2].cast("double")
+        head = F.concat_ws("|", p[0], (w - y).cast("string"),
+                           x.cast("string"), p[3], p[4])
+        body = F.substring_index(txt, "\t", -1)
+        return F.when(F.instr(txt, "\t") > 0,
+                      F.concat(head, F.lit("\t"), body)).otherwise(head)
+
+    return docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"].isin("text", "media"), rot(s["text"]))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def has_text(docs_out: DataFrame, phrase: str) -> DataFrame:
+    """E10/F1 predicate over EXTRACTED spans: keep docs where any text
+    span contains the phrase (PdfUtils.hasText semantics)."""
+    return docs_out.filter(
+        F.exists(
+            "spans",
+            lambda s: (s["kind"] == "text") & s["text"].contains(phrase),
+        )
+    )
+
+
+def has_media(docs_out: DataFrame) -> DataFrame:
+    """E10/F2: any media span present (PdfUtils.hasImagesOnPage)."""
+    return docs_out.filter(
+        F.exists("spans", lambda s: s["kind"] == "media")
+    )

@@ -499,6 +499,168 @@ SELECT id, n_chars, n_words, n_distinct_words, mean_word_len_x100, punct_count,
 FROM m
 """
 
+EXTRACT_ELEMENTS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM documents
+), l AS (
+  SELECT did, w, nl, unnest(range(0, nl)) AS i FROM d
+), t AS (
+  SELECT did AS doc_id,
+         CAST(i // 40 + 1 AS INTEGER) AS page,
+         'text' AS kind,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS text,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         'Helvetica' AS font,
+         CAST(11.0 AS DOUBLE) AS font_size,
+         CAST(72.0 AS DOUBLE) AS x,
+         CAST(72.0 + 14.0 * (i % 40) AS DOUBLE) AS y,
+         CAST(5.5 * length(array_to_string(
+           w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')) AS DOUBLE)
+           AS width,
+         CAST(1000000 + i % 40 AS INTEGER) AS z_order,
+         CAST(i % 40
+              + CASE WHEN (i // 40 + 1) % 3 = 0 AND nl >= (i // 40 + 1) * 40
+                     THEN 1 ELSE 0 END AS INTEGER) AS seq
+  FROM l
+), m AS (
+  SELECT did AS doc_id,
+         CAST(p AS INTEGER) AS page,
+         'media' AS kind,
+         CAST(NULL AS VARCHAR) AS text,
+         'media-' || substr(sha256(h || ':' || CAST(p AS VARCHAR)), 1, 8)
+           AS media_ref,
+         CAST(NULL AS VARCHAR) AS font,
+         CAST(NULL AS DOUBLE) AS font_size,
+         CAST(100.0 AS DOUBLE) AS x,
+         CAST(650.0 AS DOUBLE) AS y,
+         CAST(200.0 AS DOUBLE) AS width,
+         CAST(-1000000 AS INTEGER) AS z_order,
+         CAST(0 AS INTEGER) AS seq
+  FROM d, unnest(range(3, nl // 40 + 1, 3)) AS u(p)
+)
+SELECT * FROM t UNION ALL SELECT * FROM m
+"""
+
+E1_FULL_TEXT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM d
+), lines AS (
+  SELECT did,
+         i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS line
+  FROM l
+)
+SELECT did AS doc_id,
+       md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5,
+       CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS n_chars
+FROM lines GROUP BY did
+"""
+
+E17_DOC_INFO = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         CAST(length(text) AS BIGINT) AS chars,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST((nl - 1) // 40 + 1 AS BIGINT) AS n_pages,
+       nl AS n_text_spans,
+       chars - (nl - 1) AS n_text_chars,
+       (nl // 40) // 3 AS n_media,
+       CAST(CASE WHEN substr(h, 64, 1) = '0' THEN 1 ELSE 0 END AS BIGINT)
+         AS n_attachments
+FROM d
+WHERE nl > 0
+"""
+
+H2_H3_SANITIZE = r"""
+WITH built AS (
+  SELECT doc_id,
+         '<div><script type="text/js">ignore me</script>'
+         || '<style>.x{position:fixed;}</style>'
+         || '<p style="position:absolute;top:0">' || text || '</p></div>'
+           AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g'),
+           '(?i)position\s*:\s*(fixed|absolute)\s*;?', '', 'g') AS c
+  FROM built
+)
+SELECT doc_id, md5(c) AS clean_md5, CAST(length(c) AS BIGINT) AS clean_len
+FROM cleaned
+"""
+
+H5_AUTOLINK = r"""
+WITH built AS (
+  SELECT doc_id,
+         'a<b & c>d ' || substr(text, 1, 40)
+         || ' visit https://example.com/' || doc_id
+         || ' or mail doc' || doc_id || '@test.org now' AS src
+  FROM documents
+), esc AS (
+  SELECT doc_id,
+         replace(replace(replace(src, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           AS s
+  FROM built
+), linked AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(s, '(https?://[^\s<]+)',
+                          '<a href="\1">\1</a>', 'g'),
+           '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+           '<a href="mailto:\1">\1</a>', 'g') AS h
+  FROM esc
+)
+SELECT doc_id, md5(h) AS html_md5 FROM linked
+"""
+
+E10_HAS_TEXT = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents WHERE contains(text, 'data')
+"""
+
+TEXT_CHUNK_WINDOWS = """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(ceil(GREATEST(length(text) - 64, 1) / 448.0) AS BIGINT) AS n
+  FROM documents
+), x AS (
+  SELECT doc_id, text, unnest(range(0, n)) AS chunk_no FROM d
+)
+SELECT doc_id, chunk_no,
+       substr(text, CAST(chunk_no * 448 + 1 AS BIGINT), 512) AS chunk
+FROM x
+"""
+
+EML_ROUNDTRIP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) AS subject,
+       'sender@example.com' AS from_addr,
+       CAST(n_chars AS BIGINT) AS body_n_chars,
+       CAST(CASE WHEN substr(CAST(doc_id AS VARCHAR),
+                             length(CAST(doc_id AS VARCHAR)), 1) IN ('0','5')
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_attachments
+FROM documents
+"""
+
 MULTIMODAL_META = """
 SELECT doc_id AS id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -74,12 +74,20 @@ def run_extract_with_checkpoint(
     t0 = time.time()
 
     pending = pending_docs(spark, docs, out_dir)
+    if pending.isEmpty():
+        # nothing uncommitted — crucial for replayed run_ids (e.g. a
+        # re-triggered streaming micro-batch whose lineage already
+        # committed): we must NOT touch the committed span files
+        return {"run_id": run_id, "docs_done": 0, "spans_done": 0,
+                "wall_ms": int((time.time() - t0) * 1000)}
     out = (
         extract_spans(pending, **extract_kwargs)
         .withColumn("partition_id", F.spark_partition_id())
     )
     span_path = f"{out_dir}/spans/run_id={run_id}"
-    out.write.mode("errorifexists").parquet(span_path)
+    # overwrite: a crashed attempt under the same run_id left orphan
+    # files that lineage never committed — safe to replace
+    out.write.mode("overwrite").parquet(span_path)
 
     back = spark.read.parquet(span_path)
     wall_ms = int((time.time() - t0) * 1000)

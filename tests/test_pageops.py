@@ -1,0 +1,94 @@
+"""Page-structure operators (S2 split, S7 rotate, E10 predicates)
+over the interleaved docs table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+from stirling_pdf_spark.kernel import wire
+from stirling_pdf_spark.operators.extract_pipeline import extract_spans
+from stirling_pdf_spark.operators.pageops import (
+    has_media,
+    has_text,
+    rotate_pages_90,
+    split_at_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth_docs_df(spark, 24, seed=42, mega_pages=(6, 9),
+                         num_partitions=4)
+
+
+def test_split_preserves_spans_and_rebases_offsets(spark, docs):
+    parts = split_at_pages(docs, [2])
+    total_before = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+    total_after = parts.agg(F.sum(F.size("spans"))).collect()[0][0]
+    assert total_before == total_after
+    # offsets dense 0..n-1 per part
+    bad = parts.filter(
+        F.expr("exists(spans, s -> s.offset != array_position("
+               "transform(spans, x -> x.offset), s.offset) - 1)")
+    ).count()
+    assert bad == 0
+    # every part id has the #pN suffix and parts re-extract cleanly
+    assert parts.filter(~F.col("doc_id").contains("#p")).count() == 0
+    out = extract_spans(parts, num_partitions=4)
+    assert out.count() == parts.count()
+
+
+def test_split_page_routing(spark):
+    # handcrafted doc: pages 1..4, one line each; attachment sticks to
+    # the last part
+    spans = []
+    for p in range(1, 5):
+        run = wire.encode_text_run(
+            __import__("stirling_pdf_spark.kernel.model",
+                       fromlist=["TextRun"]).TextRun(p, 72.0, 72.0, 11.0,
+                                                     "Helvetica", f"page {p}")
+        )
+        spans.append(("text", run, "", len(spans)))
+    spans.append(("attachment", "a.bin", "media-deadbeef", len(spans)))
+    df = spark.createDataFrame(
+        [("doc-x", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                    for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    parts = {r["doc_id"]: r for r in split_at_pages(df, [2]).collect()}
+    assert set(parts) == {"doc-x#p0", "doc-x#p1"}
+    assert len(parts["doc-x#p0"]["spans"]) == 2          # pages 1-2
+    assert len(parts["doc-x#p1"]["spans"]) == 3          # pages 3-4 + attach
+    kinds = [s["kind"] for s in parts["doc-x#p1"]["spans"]]
+    assert kinds[-1] == "attachment"
+
+
+def test_rotate_90_transforms_geometry(spark, docs):
+    rotated = rotate_pages_90(docs, page_width=612.0)
+    row = docs.orderBy("doc_id").select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.kind") == "text").first()
+    rrow = rotate_pages_90(docs, page_width=612.0).orderBy("doc_id") \
+        .select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.kind") == "text").first()
+    orig = wire.parse_text_run(row["s"]["text"])
+    rot = wire.parse_text_run(rrow["s"]["text"])
+    assert rot.x == 612.0 - orig.y
+    assert rot.y == orig.x
+    assert rot.font_size == orig.font_size and rot.page == orig.page
+    # structure preserved
+    assert rotated.agg(F.sum(F.size("spans"))).collect()[0][0] == \
+        docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+
+def test_has_text_and_media_predicates(spark, docs):
+    out = extract_spans(docs, num_partitions=4)
+    n_media_docs = out.filter(
+        F.exists("spans", lambda s: s["kind"] == "media")).count()
+    assert has_media(out).count() == n_media_docs
+    # phrase from the lorem vocabulary appears in some docs
+    some = has_text(out, "lorem").count()
+    assert 0 < some <= out.count()
+    assert has_text(out, "zzz-not-present").count() == 0
