@@ -140,6 +140,33 @@ def q_e17_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e13_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 TextFinder with match bounding boxes (TextFinder.java:21-193)
+    over the structured elements table — extract once, search as a
+    DataFrame filter (SURVEY.md §3.2)."""
+    from stirling_pdf_spark.operators.elements import extract_elements
+    from stirling_pdf_spark.operators.search import text_search_elements
+
+    _ship_package(spark)
+    els = extract_elements(docs_from_documents_table(spark, sf_dir))
+    return text_search_elements(els, "data")
+
+
+def q_s12_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 redaction (RedactExecuteService): search matches masked in
+    the extracted text spans, offsets stable."""
+    from stirling_pdf_spark.operators.search import redact_spans
+
+    redacted = redact_spans(_extracted(spark, sf_dir), "data")
+    flat = explode_spans(redacted).filter(F.col("kind") == "text")
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("text_rank"),
+        "text",
+    )
+
+
 def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: archetype corpus (two-column layouts, mixed
     media, HTML, mega-docs through the salted path) -> kind totals."""
@@ -321,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_elements": q_extract_elements,
         "e17_doc_info": q_e17_doc_info,
         "e1_full_text": q_e1_full_text,
+        "e13_search_positions": q_e13_search_positions,
+        "s12_redact_text": q_s12_redact_text,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         # relational analogues (SURVEY.md §2)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -373,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_elements": O.EXTRACT_ELEMENTS,
         "e17_doc_info": O.E17_DOC_INFO,
         "e1_full_text": O.E1_FULL_TEXT,
+        "e13_search_positions": O.E13_SEARCH_POSITIONS,
+        "s12_redact_text": O.S12_REDACT_TEXT,
         "q1_pricing_summary": O.Q1_PRICING_SUMMARY,
         "q3_shipping_priority": O.Q3_SHIPPING_PRIORITY,
         "q5_nation_volume": O.Q5_NATION_VOLUME,

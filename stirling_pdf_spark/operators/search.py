@@ -1,0 +1,128 @@
+"""Positional text search (E13) and the redaction composition (S12).
+
+E13 (TextFinder.java:21-193): find a term in the extracted text, with
+the match bbox derived from glyph geometry. In this engine the search
+runs over the STRUCTURED ELEMENTS table (operators/elements.py), whose
+width model is uniform per element (width / len(text) per char — the
+same monospace-ish model the corpus encodes, kernel/model.py
+CHAR_WIDTH_FACTOR), so match bboxes are exact, not estimated:
+
+    x1 = el.x + off * cw;  x2 = el.x + (off + len(term)) * cw
+    y1 = el.y;             y2 = el.y + font_size
+
+Whole-word mode brackets the pattern with \\b exactly like the
+reference (TextFinder.java:79-88). Everything is column expressions —
+extract once, search many times without re-parsing (SURVEY.md §3.2:
+the reference re-runs TextFinder per request; the span table makes
+search a DataFrame filter).
+
+S12 (RedactController / RedactExecuteService.java:125,493-657): search
+matches -> remove/mask the matched text. Here redaction is a column
+transform over the extracted spans: matched substrings are replaced by
+a mask glyph run of equal length, so downstream consumers see stable
+offsets.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MASK_CHAR = "█"  # full block
+
+
+def _pattern(term: str, regex: bool, whole_word: bool) -> str:
+    pat = term if regex else re.escape(term)
+    if whole_word:
+        pat = rf"\b(?:{pat})\b"
+    return pat
+
+
+def text_search_elements(elements: DataFrame, term: str,
+                         regex: bool = False,
+                         whole_word: bool = False) -> DataFrame:
+    """(doc_id, page, n_matches, x1, y1, x2, y2) — one row per element
+    containing >= 1 match; bbox is the FIRST match's box (the all-match
+    fan-out is `posexplode` over the same offsets and is exercised in
+    tests). first offset = length of the lazy prefix group, the same
+    construction DuckDB reproduces for the oracle."""
+    pat = _pattern(term, regex, whole_word)
+    t = F.col("text")
+    n = F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+    first_match = F.regexp_extract(t, f"^(.*?)({pat})", 2)
+    first_off = F.length(F.regexp_extract(t, f"^(.*?)({pat})", 1))
+    cw = F.col("width") / F.length(t)
+    return (
+        elements.filter(F.col("kind") == "text")
+        .withColumn("n_matches", n)
+        .filter(F.col("n_matches") > 0)
+        .select(
+            "doc_id", "page", "n_matches",
+            (F.col("x") + first_off * cw).alias("x1"),
+            F.col("y").alias("y1"),
+            (F.col("x") + (first_off + F.length(first_match)) * cw).alias("x2"),
+            (F.col("y") + F.col("font_size")).alias("y2"),
+        )
+    )
+
+
+def match_offsets(elements: DataFrame, term: str, regex: bool = False,
+                  whole_word: bool = False) -> DataFrame:
+    """All matches: (doc_id, page, match_no, off, match_len) via an
+    iterative prefix-strip — one row per occurrence, pure column ops."""
+    pat = _pattern(term, regex, whole_word)
+    t = F.col("text")
+    # offsets of every match: split on the pattern, running sum of
+    # (part length + matched length); matched lengths from extract_all
+    parts = F.split(t, pat, -1)
+    matches = F.regexp_extract_all(t, F.lit(pat), 0)
+    base = (
+        elements.filter(F.col("kind") == "text")
+        .select("doc_id", "page", "x", "y", "width", "font_size", "text",
+                parts.alias("parts"), matches.alias("matches"))
+        .filter(F.size("matches") > 0)
+    )
+    # running offset: off_i = sum(len(parts[0..i])) + sum(len(matches[0..i-1]))
+    offs = F.expr("""
+      transform(sequence(0, size(matches) - 1), i ->
+        aggregate(slice(parts, 1, i + 1), 0, (a, p) -> a + length(p))
+        + aggregate(
+            CASE WHEN i = 0 THEN array() ELSE slice(matches, 1, i) END,
+            0, (a, m) -> a + length(m)))
+    """)
+    return base.select(
+        "doc_id", "page", "x", "y", "width", "font_size", "text", "matches",
+        F.posexplode(offs).alias("match_no", "off"),
+    ).select(
+        "doc_id", "page", "match_no",
+        F.col("off").cast("long").alias("off"),
+        F.length(F.element_at("matches", F.col("match_no") + 1))
+        .cast("long").alias("match_len"),
+        (F.col("x") + F.col("off") * F.col("width") / F.length("text"))
+        .alias("x1"),
+        F.col("y").alias("y1"),
+    )
+
+
+def redact_spans(spans_out: DataFrame, term: str,
+                 mask_char: str = MASK_CHAR) -> DataFrame:
+    """S12: replace every occurrence of `term` in text spans with an
+    equal-length run of the mask glyph (offsets stay stable for
+    downstream consumers). Media/attachment spans pass through."""
+    mask = mask_char * len(term)
+    return spans_out.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text",
+                       F.replace(s["text"], F.lit(term), F.lit(mask)))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].alias("order"),
+            ),
+        ).alias("spans"),
+    )

@@ -568,6 +568,49 @@ SELECT did AS doc_id,
 FROM lines GROUP BY did
 """
 
+_LINES_CTE = """
+d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM d
+), lines AS (
+  SELECT did, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS line
+  FROM l
+)"""
+
+E13_SEARCH_POSITIONS = f"""
+WITH {_LINES_CTE},
+m AS (
+  SELECT did, i, line,
+         len(regexp_extract_all(line, 'data')) AS nm,
+         length(regexp_extract(line, '^(.*?)(data)', 1)) AS off,
+         length(regexp_extract(line, '^(.*?)(data)', 2)) AS mlen
+  FROM lines
+)
+SELECT did AS doc_id,
+       CAST(i // 40 + 1 AS INTEGER) AS page,
+       CAST(nm AS BIGINT) AS n_matches,
+       72.0 + off * 5.5 AS x1,
+       CAST(72.0 + 14.0 * (i % 40) AS DOUBLE) AS y1,
+       72.0 + (off + mlen) * 5.5 AS x2,
+       CAST(72.0 + 14.0 * (i % 40) + 11.0 AS DOUBLE) AS y2
+FROM m WHERE nm > 0
+"""
+
+S12_REDACT_TEXT = f"""
+WITH {_LINES_CTE}
+SELECT did AS doc_id,
+       i AS text_rank,
+       replace(line, 'data', '{"█" * 4}') AS text
+FROM lines
+"""
+
 E17_DOC_INFO = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
