@@ -179,6 +179,24 @@ def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h4_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 media_ref resolution (rows-only): extract the synth corpus,
+    join every media/attachment span to the deterministic blob table,
+    count resolved payload bytes by format — no ref may dangle."""
+    from stirling_pdf_spark.corpus.media import media_table
+    from stirling_pdf_spark.operators.multimodal import resolve_media
+
+    _ship_package(spark)
+    docs = synth_docs_df(spark, 96, seed=42, mega_pages=(60, 80))
+    media = media_table(docs)
+    resolved = resolve_media(extract_spans(docs, salt_threshold=2000), media)
+    return resolved.groupBy("kind", "fmt").agg(
+        F.count("*").alias("n_refs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.when(F.col("fmt").isNull(), 1).otherwise(0)).alias("n_dangling"),
+    )
+
+
 # ---------------------------------------------------------- training ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": q_text_chunk_windows,
         "eml_roundtrip": q_eml_roundtrip,
         "s2_split_synth": q_s2_split_synth,  # rows-only
+        "h4_media_join": q_h4_media_join,  # rows-only
     }
 
 

@@ -1,0 +1,73 @@
+"""Deterministic media payloads + the media blob table.
+
+Media bytes never live in the hot span table — spans carry a
+``media_ref`` content hash and the payloads live in a side table
+(SURVEY.md §1.1: "never inline base64 in the hot table", mirroring how
+the reference base64-embeds images only in its JSON export,
+PdfJsonImageElement.java:15-33). In this sandbox payloads are derived
+deterministically from the ref itself (sha256 counter stream), so the
+blob table is reproducible from any docs table without external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+_FMTS = ("png", "jpg", "gif", "bin")
+
+
+def payload_for_ref(ref: str) -> bytes:
+    """Deterministic pseudo-random payload, 256..2303 bytes."""
+    h = hashlib.sha256(ref.encode()).digest()
+    size = 256 + int.from_bytes(h[:2], "big") % 2048
+    out = bytearray()
+    counter = 0
+    while len(out) < size:
+        out += hashlib.sha256(
+            ref.encode() + counter.to_bytes(4, "big")
+        ).digest()
+        counter += 1
+    return bytes(out[:size])
+
+
+def fmt_for_ref(ref: str) -> str:
+    return _FMTS[hashlib.sha256(ref.encode()).digest()[2] % len(_FMTS)]
+
+
+def media_refs(docs: DataFrame) -> DataFrame:
+    """Distinct media refs across media + attachment spans."""
+    s = F.explode("spans").alias("s")
+    return (
+        docs.select(s)
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref") != "")
+        .distinct()
+    )
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """media(media_ref, fmt, payload) for every ref in the corpus.
+    Generation is distributed (mapInArrow over the distinct refs)."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array([fmt_for_ref(r) for r in refs], pa.string()),
+                 pa.array([payload_for_ref(r) for r in refs], pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

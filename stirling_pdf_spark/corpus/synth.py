@@ -184,6 +184,13 @@ def _mixed_media(rng: random.Random, spans: list) -> None:
 
 def _attachments(rng: random.Random, spans: list) -> None:
     _single_col(rng, spans, pages=rng.randint(1, 3))
+    # bookmark/outline tree in walk order (E23): "depth|title" wire
+    if rng.random() < 0.7:
+        for depth, title_words in (
+            (0, 2), (1, 3), (2, 2), (1, 2), (0, 3),
+        )[: rng.randint(1, 5)]:
+            title = " ".join(_words(rng, title_words))
+            spans.append(("bookmark", f"{depth}|{title}", "", len(spans)))
     names = ["report.pdf", "report.pdf", "data.csv", "", "notes",
              "report.pdf", "data.csv", "image.png"]
     for _ in range(rng.randint(0, 5)):

@@ -53,6 +53,7 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
     media_by_page: dict[int, list[MediaDraw]] = defaultdict(list)
     attachments: list[tuple[str, str]] = []  # (raw name, media_ref)
     html_parts: list[str] = []
+    bookmarks: list[str] = []  # "depth|title" wire strings, tree order
 
     for kind, text, media_ref, _off in ordered:
         if kind == "text":
@@ -65,6 +66,8 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             attachments.append((text, media_ref))
         elif kind == "html":
             html_parts.append(text)
+        elif kind == "bookmark":
+            bookmarks.append(text)
         # unknown kinds are ignored (forward compatibility)
 
     out: list[Span] = []
@@ -89,6 +92,12 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
                 break
             out.append(Span("text", block[:MAX_CHARS_PER_CHUNK], "", len(out)))
             budget -= 1
+
+    # bookmarks: outline-tree walk order == raw offset order (E23,
+    # EditTableOfContentsController.java:56-134); depth stays encoded in
+    # the "depth|title" wire text, unaffected by the text-chunk budget
+    for bm in bookmarks:
+        out.append(Span("bookmark", bm, "", len(out)))
 
     names = unique_names([fallback_name(n, ref) for n, ref in attachments])
     for name, (_, ref) in zip(names, attachments):

@@ -57,7 +57,8 @@ _SUB_SCHEMA = T.StructType([
 DEFAULT_SALT_THRESHOLD = 4000
 PAGES_PER_BUCKET = 100
 _HTML_BUCKET = (1 << 30) - 1   # html blocks read after all pages
-_ATTACH_BUCKET = 1 << 30       # attachments read last (kernel contract)
+_BOOKMARK_BUCKET = 1 << 30     # bookmark tree after html (kernel contract)
+_ATTACH_BUCKET = (1 << 30) + 1  # attachments read last (kernel contract)
 
 
 def _decode_span_lists(col: "pa.Array") -> list[list[tuple]]:
@@ -162,6 +163,7 @@ def extract_spans(
     )
     bucket = (
         F.when(s["kind"] == "attachment", F.lit(_ATTACH_BUCKET))
+        .when(s["kind"] == "bookmark", F.lit(_BOOKMARK_BUCKET))
         .when(s["kind"] == "html", F.lit(_HTML_BUCKET))
         .when(page.isNotNull(), (page / F.lit(pages_per_bucket)).cast("long"))
         .otherwise(F.lit(0))

@@ -116,6 +116,25 @@ def frame_sample(media: DataFrame, frame_bytes: int = 4096, every_n: int = 10,
     return src.mapInPandas(sample, FRAME_SCHEMA)
 
 
+def resolve_media(spans_out: DataFrame, media: DataFrame) -> DataFrame:
+    """H4 cid:/media_ref resolution (EmlProcessingUtils.java:249-251,
+    PdfAttachmentHandler.processInlineImages): join span refs to the
+    blob table. The media side is the smaller/dimension side at typical
+    ratios — broadcast when it fits, else it's a plain shuffle equijoin
+    on the content hash (uniform by construction, no skew)."""
+    refs = (
+        spans_out.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.media_ref") != "")
+        .select("doc_id", F.col("s.kind").alias("kind"),
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.order").alias("order"))
+    )
+    return refs.join(media, "media_ref", "left").select(
+        "doc_id", "kind", "media_ref", "order", "fmt",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def text_payload_metadata(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Pure-SQL analogue of media_metadata with text bytes as the
