@@ -240,6 +240,27 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_buckets(read_table(spark, sf_dir, "embeddings"), O.LSH_PLANES)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only): deterministic k-means coarse quantizer,
+    nprobe=1 probe, exact cosine rank within the probed cell."""
+    from stirling_pdf_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, seed=42)
+    return ivf_topk(emb, cents, O.ANN_QUERY_IDS, k=O.ANN_K, nprobe=2)
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (rows-only): the scale path for
+    dedup_embedding_pairs — same threshold, bucket-restricted candidates."""
+    from stirling_pdf_spark.operators.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        read_table(spark, sf_dir, "embeddings"),
+        O.LSH_PLANES[:4], threshold=O.EMB_DUP_THRESHOLD,
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(
         read_table(spark, sf_dir, "embeddings"), O.ANN_QUERY_IDS,
@@ -397,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (approximate recall)
+        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate recall)
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,

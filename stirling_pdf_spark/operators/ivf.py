@@ -1,0 +1,110 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The coarse quantizer is a deterministic Lloyd's k-means trained
+driver-side on a corpus sample (standard IVF practice — the trained
+state is tiny: k x dim floats — then broadcast as literals). Vectors
+are assigned to their nearest centroid (the "inverted list"); a query
+probes its own centroid's list (nprobe=1) or the nearest few.
+
+At 100 TB the assignment is one narrow map over the corpus, the
+inverted lists are the partitioning key, and a top-k probe touches
+1/k-th of the data per probe — the same shape as the LSH variant
+(operators/similarity.py) but with data-adaptive cells instead of
+random hyperplanes.
+
+All distance math is float64 with sequential folds (bit-identical to
+the DuckDB oracle); centroids are rounded to 6 decimals so the same
+literals embed exactly in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr, parallelize
+
+
+def train_centroids(df: DataFrame, k: int = 8, iters: int = 5,
+                    sample: int = 2048, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a fixed sample (ordered by id,
+    so the same corpus always yields the same centroids). Empty cells
+    keep their previous centroid."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(sample).collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[round(float(v), 6) for v in c] for c in centroids]
+
+
+def _sq_dist(vec_col: str, centroid: list[float]):
+    arr = F.array(*[F.lit(x) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr,
+                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) — argmin of squared L2 distance to each centroid;
+    ties (exact fp equality) go to the lowest cluster index."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return parallelize(df).select(
+        F.col(id_col).alias("id"), cluster.alias("cluster")
+    )
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]],
+             query_ids: list[int], k: int = 3, nprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates come from the query's nprobe
+    nearest inverted lists; exact cosine rank within candidates.
+    Output: (query_id, rank, neighbor_id)."""
+    v = parallelize(df).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("v"))
+    dists = F.array(*[_sq_dist("v", c) for c in centroids])
+    assigned = v.withColumn(
+        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    probe_lists = F.slice(
+        F.expr("array_sort(transform(dists, (d, i) -> struct(d as d, i as i)))"),
+        1, nprobe,
+    )
+    q = (
+        assigned.withColumn("dists", dists)
+        .filter(F.col("id").isin([int(x) for x in query_ids]))
+        .select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.transform(probe_lists, lambda s: s["i"]).alias("probes"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, F.array_contains(F.col("probes"), F.col("cluster")))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )

@@ -61,6 +61,29 @@ def lsh_buckets(df: DataFrame, planes: list[list[float]],
     )
 
 
+def embedding_near_dup_lsh(df: DataFrame, planes: list[list[float]],
+                           threshold: float = 0.45,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup pairs: candidates share an LSH
+    bucket (O(sum bucket^2) instead of O(n^2)); exact cosine verifies.
+    Output (id_a, id_b) is a SUBSET of dedup.embedding_near_dup_pairs —
+    recall rises with fewer planes or more tables."""
+    v = parallelize(df).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("v"))
+    vb = v.join(lsh_buckets(df, planes, id_col, vec_col), "id")
+    a = vb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("bucket").alias("ba"))
+    b = vb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("bucket").alias("bb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
 def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors by cosine for each query id.
