@@ -140,6 +140,29 @@ def q_e17_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 per-page sorted text (PdfContentExtractor.java:262-313): page
+    text = that page's lines joined by newlines, in reading order."""
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    els = extract_elements(docs_from_documents_table(spark, sf_dir)).filter(
+        F.col("kind") == "text"
+    )
+    return els.groupBy("doc_id", "page").agg(
+        F.count("*").alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("z_order", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        ).alias("text_md5"),
+    )
+
+
 def q_e13_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 TextFinder with match bounding boxes (TextFinder.java:21-193)
     over the structured elements table — extract once, search as a
@@ -388,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_doc_info": q_e17_doc_info,
         "e1_full_text": q_e1_full_text,
         "e13_search_positions": q_e13_search_positions,
+        "e2_page_text": q_e2_page_text,
         "s12_redact_text": q_s12_redact_text,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         # relational analogues (SURVEY.md §2)
@@ -445,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "e17_doc_info": O.E17_DOC_INFO,
         "e1_full_text": O.E1_FULL_TEXT,
         "e13_search_positions": O.E13_SEARCH_POSITIONS,
+        "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "q1_pricing_summary": O.Q1_PRICING_SUMMARY,
         "q3_shipping_priority": O.Q3_SHIPPING_PRIORITY,

@@ -584,6 +584,15 @@ d AS (
   FROM l
 )"""
 
+E2_PAGE_TEXT = f"""
+WITH {_LINES_CTE}
+SELECT did AS doc_id,
+       CAST(i // 40 + 1 AS INTEGER) AS page,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5
+FROM lines GROUP BY did, i // 40
+"""
+
 E13_SEARCH_POSITIONS = f"""
 WITH {_LINES_CTE},
 m AS (
