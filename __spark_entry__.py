@@ -202,6 +202,35 @@ def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s5_split_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 split-by-sections (rows-only): 1x1 cuts -> 2x2 grid; every
+    section re-extracts as a standalone doc."""
+    from stirling_pdf_spark.operators.pageops import split_by_sections
+
+    _ship_package(spark)
+    docs = synth_docs_df(spark, 32, seed=42, mega_pages=(20, 30))
+    parts = split_by_sections(docs, 1, 1)
+    flat = explode_spans(extract_spans(parts, salt_threshold=100000))
+    return flat.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_section_docs"),
+    )
+
+
+def q_e19_blank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 blank-page detection (rows-only): per-page visible-text
+    counts over the synth corpus (edge archetype has whitespace-only
+    pages -> blank)."""
+    from stirling_pdf_spark.operators.pageops import blank_pages
+
+    _ship_package(spark)
+    docs = synth_docs_df(spark, 96, seed=42, mega_pages=(20, 30))
+    return blank_pages(docs).groupBy("is_blank").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_media").alias("total_media"),
+    )
+
+
 def q_h4_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 media_ref resolution (rows-only): extract the synth corpus,
     join every media/attachment span to the deterministic blob table,
@@ -428,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f5_filter_size_comparator": R.f5_filter_size_comparator,
+        "f4_size_class_filter": R.f4_size_class_filter,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "e13_regex_search": R.e13_regex_search,
         "e3_doc_classification": R.e3_doc_classification,
@@ -457,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_roundtrip": q_eml_roundtrip,
         "s2_split_synth": q_s2_split_synth,  # rows-only
         "h4_media_join": q_h4_media_join,  # rows-only
+        "s5_split_sections": q_s5_split_sections,  # rows-only
+        "e19_blank_pages": q_e19_blank_pages,  # rows-only
     }
 
 
@@ -484,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_filter_contains_text": O.F1_FILTER_CONTAINS_TEXT,
         "f3_filter_count_comparator": O.F3_FILTER_COUNT_COMPARATOR,
         "f5_filter_size_comparator": O.F5_FILTER_SIZE_COMPARATOR,
+        "f4_size_class_filter": O.F4_SIZE_CLASS,
         "f7_page_select_dsl": O.F7_PAGE_SELECT_DSL,
         "e13_regex_search": O.E13_REGEX_SEARCH,
         "e3_doc_classification": O.E3_DOC_CLASSIFICATION,

@@ -93,6 +93,89 @@ def rotate_pages_90(docs: DataFrame, page_width: float = 612.0) -> DataFrame:
     )
 
 
+def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
+                      page_w: float = 612.0, page_h: float = 792.0) -> DataFrame:
+    """S5 (SplitPdfBySectionsController; golden counts
+    testing/cucumber/features/general.feature:5-27 — h/v are CUT counts,
+    so 1x1 divisions turn each page into a 2x2 grid = 4 section pages).
+    Each section is scaled up to full page size, like the reference.
+    Output: one doc per (page, row, col) with id suffix '#p{P}r{R}c{C}',
+    spans re-based/scaled and offsets re-packed. Spans are assigned by
+    their anchor point; page numbers reset to 1 per section."""
+    cols, rows = h_div + 1, v_div + 1
+    cell_w, cell_h = page_w / cols, page_h / rows
+    s = F.col("s")
+    header = F.substring_index(s["text"], "\t", 1)
+    p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+    x, y = p[1].cast("double"), p[2].cast("double")
+    is_geo = s["kind"].isin("text", "media")
+    col_i = F.least(F.floor(x / cell_w).cast("int"), F.lit(cols - 1))
+    row_i = F.least(F.floor(y / cell_h).cast("int"), F.lit(rows - 1))
+    nx = (x - col_i * cell_w) * cols
+    ny = (y - row_i * cell_h) * rows
+    new_header = F.concat_ws("|", F.lit("1"), nx.cast("string"),
+                             ny.cast("string"), p[3], p[4])
+    body = F.substring_index(s["text"], "\t", -1)
+    new_text = F.when(
+        ~is_geo, s["text"]
+    ).when(F.instr(s["text"], "\t") > 0,
+           F.concat(new_header, F.lit("\t"), body)).otherwise(new_header)
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.when(is_geo, p[0].cast("long")).otherwise(F.lit(_FAR_PAGE)).alias("page"),
+        F.when(is_geo, row_i).otherwise(F.lit(0)).alias("r"),
+        F.when(is_geo, col_i).otherwise(F.lit(0)).alias("c"),
+        F.struct(
+            s["kind"].alias("kind"), new_text.alias("text"),
+            s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+        ).alias("s"),
+    )
+    return (
+        exploded.groupBy("doc_id", "page", "r", "c")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("s.offset").alias("o"), F.col("s").alias("s")
+        ))).alias("ordered"))
+        .select(
+            F.concat("doc_id", F.lit("#p"), F.col("page"),
+                     F.lit("r"), F.col("r"), F.lit("c"), F.col("c"))
+            .alias("doc_id"),
+            F.expr(
+                "transform(ordered, (x, i) -> named_struct("
+                "'kind', x.s.kind, 'text', x.s.text,"
+                "'media_ref', x.s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+
+
+def blank_pages(docs: DataFrame) -> DataFrame:
+    """E19 text-length blank-page detection (BlankPageController.java:
+    56-104, the non-raster path): a page is blank when it has no
+    visible text (whitespace-only glyph runs don't count, matching
+    AllTextLineExtractor.java:74-80). Output: (doc_id, page,
+    n_visible_lines, n_media, is_blank)."""
+    s = F.col("s")
+    is_geo = s["kind"].isin("text", "media")
+    page = F.split_part(F.substring_index(s["text"], "\t", 1),
+                        F.lit("|"), F.lit(1)).cast("long")
+    content = F.substring_index(s["text"], "\t", -1)
+    visible = (s["kind"] == "text") & (F.trim(content) != "") \
+        & (F.instr(s["text"], "\t") > 0)
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(is_geo)
+        .groupBy("doc_id", page.alias("page"))
+        .agg(
+            F.sum(F.when(visible, 1).otherwise(0)).cast("long")
+            .alias("n_visible_lines"),
+            F.sum(F.when(s["kind"] == "media", 1).otherwise(0)).cast("long")
+            .alias("n_media"),
+        )
+        .withColumn("is_blank", (F.col("n_visible_lines") == 0).cast("int"))
+    )
+
+
 def has_text(docs_out: DataFrame, phrase: str) -> DataFrame:
     """E10/F1 predicate over EXTRACTED spans: keep docs where any text
     span contains the phrase (PdfUtils.hasText semantics)."""

@@ -210,6 +210,24 @@ def s1_merge_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f4_size_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-page-size vs standard sizes (FilterController.java:160-181,
+    PdfUtils.textToPageSize :52-66): classify against a fixed size map,
+    count per class."""
+    part = read_table(spark, sf_dir, "part")
+    cls = (
+        F.when(F.col("p_size") <= 10, "A6")
+        .when(F.col("p_size") <= 20, "A5")
+        .when(F.col("p_size") <= 30, "A4")
+        .when(F.col("p_size") <= 40, "A3")
+        .otherwise("A2")
+    )
+    return part.groupBy(cls.alias("size_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(micro(F.col("p_retailprice"))).alias("total_price_micro"),
+    )
+
+
 # ------------------------------------------------------------ filters (F*)
 
 def f1_filter_contains_text(spark: SparkSession, sf_dir: str) -> DataFrame:

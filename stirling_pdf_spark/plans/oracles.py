@@ -216,6 +216,17 @@ SELECT source,
 FROM s
 """
 
+F4_SIZE_CLASS = f"""
+SELECT CASE WHEN p_size <= 10 THEN 'A6'
+            WHEN p_size <= 20 THEN 'A5'
+            WHEN p_size <= 30 THEN 'A4'
+            WHEN p_size <= 40 THEN 'A3'
+            ELSE 'A2' END AS size_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM({micro('p_retailprice')}) AS BIGINT) AS total_price_micro
+FROM part GROUP BY 1
+"""
+
 F1_FILTER_CONTAINS_TEXT = """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE contains(text, 'spark join')

@@ -92,3 +92,52 @@ def test_has_text_and_media_predicates(spark, docs):
     some = has_text(out, "lorem").count()
     assert 0 < some <= out.count()
     assert has_text(out, "zzz-not-present").count() == 0
+
+
+def test_split_by_sections_conserves_and_scales(spark, docs):
+    from stirling_pdf_spark.operators.pageops import split_by_sections
+
+    parts = split_by_sections(docs, 1, 1)  # 2x2 grid
+    total_before = docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+    total_after = parts.agg(F.sum(F.size("spans"))).collect()[0][0]
+    assert total_before == total_after
+    # geometry: every text/media span lands back inside the page box
+    s = F.explode("spans").alias("s")
+    geo = parts.select(s).filter(F.col("s.kind").isin("text", "media"))
+    xy = geo.select(
+        F.split_part(F.substring_index("s.text", "\t", 1), F.lit("|"),
+                     F.lit(2)).cast("double").alias("x"),
+        F.split_part(F.substring_index("s.text", "\t", 1), F.lit("|"),
+                     F.lit(3)).cast("double").alias("y"),
+    )
+    bad = xy.filter((F.col("x") < 0) | (F.col("x") > 612 * 2)
+                    | (F.col("y") < 0) | (F.col("y") > 792 * 2)).count()
+    assert bad == 0
+    # sections re-extract as standalone docs
+    from stirling_pdf_spark.operators.extract_pipeline import extract_spans
+    assert extract_spans(parts, num_partitions=4).count() == parts.count()
+
+
+def test_blank_pages_detects_whitespace_only(spark):
+    from stirling_pdf_spark.corpus.synth import synth_doc
+    from stirling_pdf_spark.operators.pageops import blank_pages
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.kernel import wire
+
+    spans = [
+        ("text", wire.encode_text_run(TextRun(1, 72.0, 72.0, 11.0, "F", "  ")), "", 0),
+        ("text", wire.encode_text_run(TextRun(2, 72.0, 72.0, 11.0, "F", "real")), "", 1),
+        ("media", wire.encode_media(
+            __import__("stirling_pdf_spark.kernel.model",
+                       fromlist=["MediaDraw"]).MediaDraw(3, 1.0, 1.0, 2.0, 2.0, "m-1")
+        ), "m-1", 2),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s)) for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = {r["page"]: r for r in blank_pages(df).collect()}
+    assert rows[1]["is_blank"] == 1          # whitespace-only
+    assert rows[2]["is_blank"] == 0          # visible text
+    assert rows[3]["is_blank"] == 1 and rows[3]["n_media"] == 1  # media only
