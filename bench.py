@@ -53,9 +53,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
-    # --- extraction headline (north rule): synthetic corpus incl. mega-docs
+    # --- extraction headline (north rule): synthetic corpus incl. mega-docs,
+    # materialized first so the two-branch pipeline scans parquet (the real
+    # deployment shape) instead of re-running synthesis per branch
+    corpus_path = f"/tmp/bench_docs_{N_DOCS}.parquet"
     t0 = time.time()
-    docs = synth_docs_df(spark, N_DOCS, seed=42, mega_pages=(300, 400))
+    synth_docs_df(spark, N_DOCS, seed=42, mega_pages=(300, 400)) \
+        .write.mode("overwrite").parquet(corpus_path)
+    timings["synth_corpus"] = round(time.time() - t0, 3)
+    docs = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
     n_out = extract_spans(docs, salt_threshold=4000).count()
     extract_s = time.time() - t0
     timings["extract_synth"] = round(extract_s, 3)

@@ -69,10 +69,13 @@ def parallelize(df: DataFrame, factor: int = 1) -> DataFrame:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (
-        parallelize(df)
-        .select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
-        .select("id", shingles_expr(n, "w").alias("shingles"))
+    # repartition AFTER tokenizing: the shuffle materializes the split
+    # word array, so Catalyst's project-collapse can't inline the regex
+    # split into the shingle lambda (which would re-split the text for
+    # every w[i] access — measured ~10x slower on long texts)
+    words = df.select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
+    return parallelize(words).select(
+        "id", shingles_expr(n, "w").alias("shingles")
     )
 
 
@@ -107,7 +110,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh = _shingled(df, id_col, text_col, n)
     sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
-    inv = sh.select("id", F.explode("shingles").alias("sh"))
+    # explode_outer + scalar post-filter instead of explode: a plain
+    # explode makes Catalyst infer `size(shingles) > 0` and push it to
+    # the SCAN with the whole shingle expression inlined — the regex
+    # split then re-executes per lambda element on the unparallelized
+    # input split (measured 11s vs 0.5s on sf0.1)
+    inv = (
+        sh.select("id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
     if max_df is not None:
         dfreq = inv.groupBy("sh").agg(F.count("*").alias("df_"))
         inv = (
@@ -168,8 +179,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
-    sh = _shingled(df, id_col, text_col, n).filter(F.size("shingles") > 0)
-    exploded = sh.select("id", F.explode("shingles").alias("sh"))
+    sh = _shingled(df, id_col, text_col, n)
+    exploded = (
+        sh.select("id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
     sig = exploded.groupBy("id").agg(*minhash_signature_cols(num_hashes))
 
     band_keys = [
