@@ -139,6 +139,12 @@ def _col_line(rng: random.Random, page: int, x: float, y: float) -> list[TextRun
 # --- archetype builders ------------------------------------------------
 
 def _single_col(rng: random.Random, spans: list, pages: int | None = None) -> None:
+    # ~30%% of docs carry Info-dict metadata (E15), emitted as
+    # kind='meta' "key|value" raw spans ahead of the content
+    if rng.random() < 0.3:
+        for key in ("title", "author", "producer")[: rng.randint(1, 3)]:
+            spans.append(("meta", f"{key}|{' '.join(_words(rng, 2))}",
+                          "", len(spans)))
     for page in range(1, (pages or rng.randint(1, 20)) + 1):
         y = TOP_Y
         for _ in range(rng.randint(5, 40)):

@@ -54,6 +54,7 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
     attachments: list[tuple[str, str]] = []  # (raw name, media_ref)
     html_parts: list[str] = []
     bookmarks: list[str] = []  # "depth|title" wire strings, tree order
+    metas: list[str] = []      # "key|value" wire strings (E15)
 
     for kind, text, media_ref, _off in ordered:
         if kind == "text":
@@ -68,10 +69,17 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             html_parts.append(text)
         elif kind == "bookmark":
             bookmarks.append(text)
+        elif kind == "meta":
+            metas.append(text)
         # unknown kinds are ignored (forward compatibility)
 
     out: list[Span] = []
     budget = float("inf") if chunk_budget is None else chunk_budget
+
+    # document metadata first (E15: Info-dict key/value pairs precede
+    # content, PdfJsonConversionService.java:2781-2810)
+    for m in metas:
+        out.append(Span("meta", m, "", len(out)))
 
     for page in sorted(set(runs_by_page) | set(media_by_page)):
         # images first, draw order (zOrder -1_000_000 + i)

@@ -61,7 +61,7 @@ MIN_BLOCK_CHARS = 25       # keep blocks with at least this much text
 MAX_LINK_DENSITY = 0.33    # drop blocks where link chars / chars exceeds
 MIN_HEADING_CHARS = 5      # headings kept from this length if link-free
 
-SPAN_KINDS = ("text", "media", "attachment", "html", "table", "bookmark")
+SPAN_KINDS = ("text", "media", "attachment", "html", "table", "bookmark", "meta")
 
 
 class Span(NamedTuple):

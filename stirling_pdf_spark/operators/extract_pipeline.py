@@ -162,7 +162,8 @@ def extract_spans(
         F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
     )
     bucket = (
-        F.when(s["kind"] == "attachment", F.lit(_ATTACH_BUCKET))
+        F.when(s["kind"] == "meta", F.lit(-1))
+        .when(s["kind"] == "attachment", F.lit(_ATTACH_BUCKET))
         .when(s["kind"] == "bookmark", F.lit(_BOOKMARK_BUCKET))
         .when(s["kind"] == "html", F.lit(_HTML_BUCKET))
         .when(page.isNotNull(), (page / F.lit(pages_per_bucket)).cast("long"))
@@ -191,6 +192,19 @@ def explode_spans(spans_out: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.order").alias("order"),
+    )
+
+
+def extract_metadata(spans_out: DataFrame) -> DataFrame:
+    """E15 document metadata (PdfJsonConversionService.java:2781-2810,
+    AnalysisController.java:76-99): the Info-dict key/value pairs the
+    kernel emitted as leading kind='meta' spans, as a flat
+    (doc_id, key, value) table."""
+    flat = explode_spans(spans_out).filter(F.col("kind") == "meta")
+    return flat.select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).alias("key"),
+        F.substring_index("text", "|", -1).alias("value"),
     )
 
 

@@ -149,6 +149,93 @@ def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
     )
 
 
+def add_page_stamps(docs: DataFrame, stamp: str, x: float = 280.0,
+                    y: float = 760.0, font_size: float = 9.0,
+                    number_pages: bool = False) -> DataFrame:
+    """S9 stamps / page numbers (StampController, PageNumbersController):
+    append one synthetic text span per page at a fixed position. With
+    ``number_pages`` the page number is appended to the stamp text.
+    Offsets are re-packed so the result is a valid docs table."""
+    s = F.col("s")
+    page_of = F.when(
+        s["kind"].isin("text", "media"),
+        F.split_part(F.substring_index(s["text"], "\t", 1),
+                     F.lit("|"), F.lit(1)).cast("long"),
+    )
+    pages = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", page_of.alias("page"))
+        .filter(F.col("page").isNotNull())
+        .distinct()
+    )
+    text = F.concat(F.lit(stamp), F.when(
+        F.lit(number_pages),
+        F.concat(F.lit(" "), F.col("page").cast("string"))
+    ).otherwise(F.lit("")))
+    stamp_spans = pages.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.col("page").cast("string"),
+                    F.lit(f"|{x!r}|{y!r}|{font_size!r}|Helvetica\t"),
+                    text,
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("stamps")
+    )
+    return (
+        docs.join(stamp_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(concat(spans, coalesce(stamps, array())),"
+                " (s, i) -> named_struct('kind', s.kind, 'text', s.text,"
+                " 'media_ref', s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+
+
+def scale_pages(docs: DataFrame, factor: float) -> DataFrame:
+    """S7 scale (ScalePagesController): multiply all span geometry —
+    x, y and font size for text (so line widths scale with it), the
+    full bbox for media. Pure column math over the nested array."""
+    fct = F.lit(float(factor))
+
+    def scaled(txt: Column, kind: Column) -> Column:
+        header = F.substring_index(txt, "\t", 1)
+        p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+        nx = (p[1].cast("double") * fct).cast("string")
+        ny = (p[2].cast("double") * fct).cast("string")
+        f4_text = (p[3].cast("double") * fct).cast("string")   # font size
+        f4_media = (p[3].cast("double") * fct).cast("string")  # width
+        f5_media = (p[4].cast("double") * fct).cast("string")  # height
+        head = F.when(
+            kind == "text", F.concat_ws("|", p[0], nx, ny, f4_text, p[4])
+        ).otherwise(F.concat_ws("|", p[0], nx, ny, f4_media, f5_media))
+        body = F.substring_index(txt, "\t", -1)
+        return F.when(F.instr(txt, "\t") > 0,
+                      F.concat(head, F.lit("\t"), body)).otherwise(head)
+
+    return docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"].isin("text", "media"),
+                       scaled(s["text"], s["kind"]))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
 def blank_pages(docs: DataFrame) -> DataFrame:
     """E19 text-length blank-page detection (BlankPageController.java:
     56-104, the non-raster path): a page is blank when it has no

@@ -141,3 +141,56 @@ def test_blank_pages_detects_whitespace_only(spark):
     assert rows[1]["is_blank"] == 1          # whitespace-only
     assert rows[2]["is_blank"] == 0          # visible text
     assert rows[3]["is_blank"] == 1 and rows[3]["n_media"] == 1  # media only
+
+
+def test_add_page_stamps(spark, docs):
+    from stirling_pdf_spark.operators.pageops import add_page_stamps
+
+    stamped = add_page_stamps(docs, "CONFIDENTIAL", number_pages=True)
+    out = extract_spans(stamped, num_partitions=4)
+    n_stamped_docs = out.filter(
+        F.exists("spans", lambda s: s["text"].contains("CONFIDENTIAL"))
+    ).count()
+    n_page_docs = docs.filter(F.expr(
+        "exists(spans, s -> s.kind in ('text', 'media'))")).count()
+    assert n_stamped_docs == n_page_docs
+    # page-numbered: stamp on page 2 carries ' 2'
+    flat = out.select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.text").startswith("CONFIDENTIAL"))
+    assert flat.filter(F.col("s.text") == "CONFIDENTIAL 2").count() > 0
+
+
+def test_scale_pages_geometry(spark, docs):
+    from stirling_pdf_spark.operators.pageops import scale_pages
+
+    scaled = scale_pages(docs, 2.0)
+    orig = docs.orderBy("doc_id").select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.kind") == "text").first()
+    new = scaled.orderBy("doc_id").select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.kind") == "text").first()
+    o = wire.parse_text_run(orig["s"]["text"])
+    n = wire.parse_text_run(new["s"]["text"])
+    assert n.x == 2 * o.x and n.y == 2 * o.y and n.font_size == 2 * o.font_size
+    assert n.content == o.content
+    # scaled docs still extract (structure intact; y-gaps scale up so
+    # line separation is preserved)
+    out_o = extract_spans(docs, num_partitions=4)
+    out_s = extract_spans(scaled, num_partitions=4)
+    assert out_s.count() == out_o.count()
+
+
+def test_metadata_extraction(spark, docs):
+    from stirling_pdf_spark.operators.extract_pipeline import extract_metadata
+
+    out = extract_spans(docs, num_partitions=4)
+    meta = extract_metadata(out)
+    rows = meta.collect()
+    assert rows, "synth corpus must contain meta-bearing docs"
+    keys = {r["key"] for r in rows}
+    assert keys <= {"title", "author", "producer"}
+    assert all(r["value"] for r in rows)
+    # meta spans come first in the output span array
+    first_kinds = out.filter(
+        F.exists("spans", lambda s: s["kind"] == "meta")
+    ).select(F.col("spans")[0]["kind"].alias("k")).distinct().collect()
+    assert {r["k"] for r in first_kinds} == {"meta"}
