@@ -9,7 +9,7 @@ table by design.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _FAR_PAGE = 1 << 30  # html/attachment spans sort after every real page
@@ -260,6 +260,114 @@ def blank_pages(docs: DataFrame) -> DataFrame:
             .alias("n_media"),
         )
         .withColumn("is_blank", (F.col("n_visible_lines") == 0).cast("int"))
+    )
+
+
+REARRANGE_MODES = ("REVERSE", "DUPLEX_SORT", "BOOKLET_SORT",
+                   "ODD_EVEN_SPLIT", "REMOVE_FIRST", "REMOVE_LAST",
+                   "REMOVE_FIRST_AND_LAST", "DUPLICATE")
+
+
+def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
+    """S6 page rearrangement (RearrangePagesPDFController.java:212-220
+    mode set) as a deterministic page-number permutation computed in
+    closed form per document (n = max page):
+
+      REVERSE         p -> n - p + 1
+      DUPLEX_SORT     fronts 1..h interleave with reversed backs:
+                      front p -> 2p-1; back p -> 2(n-p+1)
+      BOOKLET_SORT    signature order [n,1,2,n-1,n-2,3,4,...]:
+                      p<=h: odd p -> 2p, even p -> 2p-1;
+                      q=n-p+1<=h: odd q -> 2q-1, even q -> 2q
+      ODD_EVEN_SPLIT  odd pages first, then evens
+      REMOVE_*        drop page(s), renumber densely
+      DUPLICATE       every page twice: p -> 2p-1 and 2p
+
+    Non-page spans (meta/html/bookmark/attachment) pass through. The
+    whole transform is column math over the nested array — no UDF."""
+    if mode not in REARRANGE_MODES:
+        raise ValueError(f"unknown mode {mode!r}; one of {REARRANGE_MODES}")
+    s = F.col("s")
+    header = F.substring_index(s["text"], "\t", 1)
+    is_geo = s["kind"].isin("text", "media")
+    p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
+    n = F.col("n")
+    h = F.ceil(n / 2).cast("long")
+
+    if mode == "REVERSE":
+        new_p = n - p + 1
+    elif mode == "DUPLEX_SORT":
+        new_p = F.when(p <= h, 2 * p - 1).otherwise(2 * (n - p + 1))
+    elif mode == "BOOKLET_SORT":
+        q = n - p + 1
+        new_p = F.when(
+            p <= h, F.when(p % 2 == 1, 2 * p).otherwise(2 * p - 1)
+        ).otherwise(F.when(q % 2 == 1, 2 * q - 1).otherwise(2 * q))
+    elif mode == "ODD_EVEN_SPLIT":
+        n_odd = F.ceil(n / 2).cast("long")
+        new_p = F.when(p % 2 == 1, (p + 1) / F.lit(2.0)).otherwise(
+            n_odd + p / F.lit(2.0)
+        ).cast("long")
+    elif mode == "REMOVE_FIRST":
+        new_p = F.when(p == 1, F.lit(None)).otherwise(p - 1)
+    elif mode == "REMOVE_LAST":
+        new_p = F.when(p == n, F.lit(None)).otherwise(p)
+    elif mode == "REMOVE_FIRST_AND_LAST":
+        new_p = F.when((p == 1) | (p == n), F.lit(None)).otherwise(p - 1)
+    else:  # DUPLICATE — handled below via explode of two positions
+        new_p = p
+
+    exploded = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .withColumn("n", F.max(F.when(is_geo, p)).over(
+            Window.partitionBy("doc_id")))
+    )
+    if mode == "DUPLICATE":
+        positions = F.when(is_geo, F.array(2 * p - 1, 2 * p)) \
+            .otherwise(F.array(F.lit(-1).cast("long")))
+        mapped = exploded.select(
+            "doc_id", "s",
+            F.explode(positions).alias("np"),
+        ).withColumn("np", F.when(F.col("np") == -1, F.lit(None)).otherwise(
+            F.col("np")))
+        keep = mapped
+    else:
+        keep = exploded.select(
+            "doc_id", "s", F.when(is_geo, new_p).otherwise(F.lit(None))
+            .cast("long").alias("np"),
+        )
+        if mode.startswith("REMOVE"):
+            keep = keep.filter(~is_geo | F.col("np").isNotNull())
+
+    body = F.substring_index(s["text"], "\t", -1)
+    rest = F.substring_index(header, "|", -4)  # fields 2..5 unchanged
+    new_text = F.when(
+        ~is_geo | F.col("np").isNull(), s["text"]
+    ).when(F.instr(s["text"], "\t") > 0,
+           F.concat(F.col("np").cast("string"), F.lit("|"), rest,
+                    F.lit("\t"), body)
+    ).otherwise(F.concat(F.col("np").cast("string"), F.lit("|"), rest))
+
+    return (
+        keep.select(
+            "doc_id",
+            F.struct(
+                s["kind"].alias("kind"), new_text.alias("text"),
+                s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("s.offset").alias("o"), F.col("s").alias("s")
+        ))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(ordered, (x, i) -> named_struct("
+                "'kind', x.s.kind, 'text', x.s.text,"
+                "'media_ref', x.s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
     )
 
 

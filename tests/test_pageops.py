@@ -194,3 +194,69 @@ def test_metadata_extraction(spark, docs):
         F.exists("spans", lambda s: s["kind"] == "meta")
     ).select(F.col("spans")[0]["kind"].alias("k")).distinct().collect()
     assert {r["k"] for r in first_kinds} == {"meta"}
+
+
+@pytest.fixture(scope="module")
+def six_page_doc(spark):
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    spans = []
+    for p in range(1, 7):
+        run = TextRun(p, 72.0, 72.0, 11.0, "F", f"page{p}")
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+    return spark.createDataFrame(
+        [("d6", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                 for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def _page_order(df):
+    """Content words in extracted reading order."""
+    out = extract_spans(df, num_partitions=2).collect()[0]["spans"]
+    return [s["text"] for s in out if s["kind"] == "text"]
+
+
+def test_rearrange_modes(spark, six_page_doc):
+    from stirling_pdf_spark.operators.pageops import rearrange_pages
+
+    cases = {
+        "REVERSE": ["page6", "page5", "page4", "page3", "page2", "page1"],
+        # fronts 1-3 interleaved with reversed backs 6,5,4
+        "DUPLEX_SORT": ["page1", "page6", "page2", "page5", "page3", "page4"],
+        # booklet signature [6,1,2,5,4,3]
+        "BOOKLET_SORT": ["page6", "page1", "page2", "page5", "page4", "page3"],
+        "ODD_EVEN_SPLIT": ["page1", "page3", "page5", "page2", "page4", "page6"],
+        "REMOVE_FIRST": ["page2", "page3", "page4", "page5", "page6"],
+        "REMOVE_LAST": ["page1", "page2", "page3", "page4", "page5"],
+        "REMOVE_FIRST_AND_LAST": ["page2", "page3", "page4", "page5"],
+        "DUPLICATE": ["page1", "page1", "page2", "page2", "page3", "page3",
+                      "page4", "page4", "page5", "page5", "page6", "page6"],
+    }
+    for mode, expected in cases.items():
+        got = _page_order(rearrange_pages(six_page_doc, mode))
+        assert got == expected, f"{mode}: {got}"
+
+
+def test_rearrange_passes_non_page_spans(spark):
+    from stirling_pdf_spark.operators.pageops import rearrange_pages
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    spans = [
+        ("meta", "title|t", "", 0),
+        ("text", wire.encode_text_run(TextRun(1, 72.0, 72.0, 11.0, "F", "a")), "", 1),
+        ("text", wire.encode_text_run(TextRun(2, 72.0, 72.0, 11.0, "F", "b")), "", 2),
+        ("attachment", "x.bin", "media-ff", 3),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans(rearrange_pages(df, "REVERSE"),
+                        num_partitions=2).collect()[0]["spans"]
+    kinds = [s["kind"] for s in out]
+    assert kinds == ["meta", "text", "text", "attachment"]
+    assert [s["text"] for s in out if s["kind"] == "text"] == ["b", "a"]
