@@ -29,6 +29,82 @@ def span_page(s: Column) -> Column:
     )
 
 
+def _regroup(exploded: DataFrame, id_col: str = "doc_id",
+             order_cols: tuple = ()) -> DataFrame:
+    """Collect exploded (id, s) rows back into a docs table with dense,
+    order-preserving offsets. ``order_cols`` sort before s.offset."""
+    key = F.struct(
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)],
+        F.col("s.offset").alias("o"), F.col("s").alias("s"),
+    )
+    return (
+        exploded.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(key)).alias("ordered"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                "transform(ordered, (x, i) -> named_struct("
+                "'kind', x.s.kind, 'text', x.s.text,"
+                "'media_ref', x.s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+
+
+def merge_docs(docs: DataFrame, merged_id: str = "merged") -> DataFrame:
+    """S1 merge (MergeController.java:69-85): concatenate all documents
+    into ONE, in numeric-aware doc_id order (the reference's filename
+    comparator, :115-162). Page numbers shift by the running page count
+    of preceding docs; non-page spans keep their source-doc position in
+    the concatenation order."""
+    s = F.col("s")
+    is_geo = s["kind"].isin("text", "media")
+    header = F.substring_index(s["text"], "\t", 1)
+    p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
+    num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    n_pages = exploded.groupBy("doc_id").agg(
+        F.max(F.when(is_geo, p)).alias("np")
+    ).fillna(0, ["np"])
+    w = (Window.orderBy(num, F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    shifted = n_pages.select(
+        "doc_id", F.coalesce(F.sum("np").over(w), F.lit(0)).alias("page_shift"),
+        F.row_number().over(Window.orderBy(num, F.col("doc_id"))).alias("doc_pos"),
+    )
+    body = F.substring_index(s["text"], "\t", -1)
+    rest = F.substring_index(header, "|", -4)
+    new_text = F.when(~is_geo, s["text"]).when(
+        F.instr(s["text"], "\t") > 0,
+        F.concat((p + F.col("page_shift")).cast("string"), F.lit("|"), rest,
+                 F.lit("\t"), body),
+    ).otherwise(
+        F.concat((p + F.col("page_shift")).cast("string"), F.lit("|"), rest)
+    )
+    joined = exploded.join(shifted, "doc_id").select(
+        F.lit(merged_id).alias("doc_id"),
+        F.col("doc_pos"),
+        F.struct(
+            s["kind"].alias("kind"), new_text.alias("text"),
+            s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+        ).alias("s"),
+    )
+    return _regroup(joined, order_cols=("doc_pos",))
+
+
+def overlay_docs(base: DataFrame, overlay: DataFrame) -> DataFrame:
+    """S8 overlay (PdfOverlayController, PdfUtils.overlayImage:533-575):
+    stack the overlay doc's spans onto the base doc page-wise (pages
+    align by number; the pairing key is doc_id). Base content keeps
+    emission precedence; overlay spans append after."""
+    b = base.select("doc_id", F.explode("spans").alias("s")) \
+        .withColumn("layer", F.lit(0))
+    o = overlay.select("doc_id", F.explode("spans").alias("s")) \
+        .withColumn("layer", F.lit(1))
+    return _regroup(b.unionByName(o), order_cols=("layer",))
+
+
 def split_at_pages(docs: DataFrame, cut_pages: list[int]) -> DataFrame:
     """S2 (SplitPDFController.java:65-104): cut after each page in
     cut_pages -> one output doc per part, doc_id suffixed '#pN'.

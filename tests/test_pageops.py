@@ -260,3 +260,49 @@ def test_rearrange_passes_non_page_spans(spark):
     kinds = [s["kind"] for s in out]
     assert kinds == ["meta", "text", "text", "attachment"]
     assert [s["text"] for s in out if s["kind"] == "text"] == ["b", "a"]
+
+
+def test_merge_docs_numeric_order_and_page_shift(spark):
+    from stirling_pdf_spark.operators.pageops import merge_docs
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    def mk(doc_id, pages, word):
+        spans = []
+        for p in range(1, pages + 1):
+            run = TextRun(p, 72.0, 72.0, 11.0, "F", f"{word}{p}")
+            spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                         for s in spans])
+
+    # numeric-aware: doc2 before doc10
+    df = spark.createDataFrame(
+        [mk("doc10", 1, "b"), mk("doc2", 2, "a")],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    merged = merge_docs(df)
+    assert merged.count() == 1
+    out = extract_spans(merged, num_partitions=2).collect()[0]["spans"]
+    assert [s["text"] for s in out] == ["a1", "a2", "b1"]
+    # pages shifted: b's page 1 became global page 3
+    raw = merged.collect()[0]["spans"]
+    pages = [int(s["text"].split("|")[0]) for s in raw]
+    assert sorted(pages) == [1, 2, 3]
+
+
+def test_overlay_docs_page_wise(spark):
+    from stirling_pdf_spark.operators.pageops import overlay_docs
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    def mk(doc_id, word, y):
+        run = TextRun(1, 72.0, y, 11.0, "F", word)
+        return (doc_id, [{"kind": "text", "text": wire.encode_text_run(run),
+                          "media_ref": "", "offset": 0}])
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    base = spark.createDataFrame([mk("d1", "base", 72.0)], schema)
+    over = spark.createDataFrame([mk("d1", "stamp", 172.0)], schema)
+    out = extract_spans(overlay_docs(base, over), num_partitions=2).collect()
+    texts = [s["text"] for s in out[0]["spans"]]
+    assert texts == ["base", "stamp"]  # same page, reading order by y
