@@ -68,6 +68,25 @@ def q_extract_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_twocol_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column reading-order reconstruction (E5/E6, the XY-cut
+    analogue): the corpus emits columns interleaved right-then-left in
+    content-stream order; the kernel's column vote + reading order must
+    restore the logical sequence, checked against a closed-form model
+    of the vote (a line votes iff width >= 100 pt <=> len >= 19)."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_twocol_from_documents
+
+    _ship_package(spark)
+    out = extract_spans(docs_twocol_from_documents(spark, sf_dir))
+    flat = explode_spans(out).filter(F.col("kind") == "text")
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("text_rank"),
+        "text",
+    )
+
+
 def q_extract_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = explode_spans(_extracted(spark, sf_dir))
     return flat.filter(F.col("kind") == "attachment").select(
@@ -434,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction core (north rule)
         "extract_text_spans": q_extract_text_spans,
+        "extract_twocol_text_spans": q_extract_twocol_text_spans,
         "extract_attachments": q_extract_attachments,
         "extract_span_counts": q_extract_span_counts,
         "extract_elements": q_extract_elements,
@@ -495,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
+        "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,
         "extract_span_counts": O.EXTRACT_SPAN_COUNTS,
         "extract_elements": O.EXTRACT_ELEMENTS,

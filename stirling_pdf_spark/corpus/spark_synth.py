@@ -14,6 +14,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..kernel import wire
+from ..kernel.model import TextRun
 from ..sources.tables import DOCS_SCHEMA, read_table
 from .synth import synth_doc, synth_from_text
 
@@ -48,6 +50,51 @@ def synth_docs_df(
         spark.range(0, n_docs, numPartitions=num_partitions)
         .mapInPandas(gen, DOCS_SCHEMA)
     )
+
+
+def twocol_from_text(doc_id: str, text: str):
+    """Derive a TWO-COLUMN interleaved document from plain text:
+    5 words per line; page = line//20; within a page lines 0-9 fill the
+    left column (x=72) top-down and lines 10-19 the right column
+    (x=352), rows at y = 72 + 14*row. EMISSION order interleaves
+    right-then-left per row (content-stream order != reading order), so
+    the kernel's column vote + reading-order reconstruction must
+    restore the original line sequence. All geometry is chosen so the
+    vote outcome is a closed-form function of line lengths (a line
+    votes iff len >= 19, i.e. width 5.5*len >= 100; max word length 8
+    keeps every line under the full-width threshold)."""
+    words = text.split()
+    lines = [" ".join(words[i:i + 5]) for i in range(0, len(words), 5)]
+    per_page: dict[int, list[tuple[int, str]]] = {}
+    for j, line in enumerate(lines):
+        per_page.setdefault(j // 20, []).append((j % 20, line))
+    spans: list[tuple[str, str, str, int]] = []
+    for pg in sorted(per_page):
+        slots = dict(per_page[pg])
+        for row in range(10):
+            # right first, then left: scrambled emission
+            for m, x in ((row + 10, 352.0), (row, 72.0)):
+                if m in slots:
+                    run = TextRun(pg + 1, x, 72.0 + 14.0 * row, 11.0,
+                                  "Helvetica", slots[m])
+                    spans.append(("text", wire.encode_text_run(run),
+                                  "", len(spans)))
+    return doc_id, spans
+
+
+def docs_twocol_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids, out_spans = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did, spans = twocol_from_text(f"doc-{doc_id}", text or "")
+                out_ids.append(did)
+                out_spans.append(_raw_dicts(spans))
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return docs.mapInPandas(gen, DOCS_SCHEMA)
 
 
 def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,6 +97,50 @@ WITH d AS (
 SELECT did AS doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM k
 """
 
+EXTRACT_TWOCOL_TEXT_SPANS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS j
+  FROM d
+), ln AS (
+  SELECT did, j,
+         array_to_string(w[CAST(j*5+1 AS BIGINT):CAST(j*5+5 AS BIGINT)], ' ')
+           AS line,
+         j // 20 AS pg, j % 20 AS m
+  FROM l
+), pages AS (
+  SELECT did, pg,
+         SUM(CASE WHEN m < 10 AND length(line) >= 19 THEN 1 ELSE 0 END) AS lv,
+         SUM(CASE WHEN m >= 10 AND length(line) >= 19 THEN 1 ELSE 0 END) AS rv,
+         SUM(CASE WHEN m < 10 THEN 1 ELSE 0 END) AS lc,
+         SUM(CASE WHEN m >= 10 THEN 1 ELSE 0 END) AS rc,
+         count(*) AS cnt
+  FROM ln GROUP BY did, pg
+), ranked AS (
+  SELECT ln.did, ln.pg, ln.line,
+         CASE WHEN p.lv >= 3 AND p.rv >= 3 THEN
+                -- two-column page: left column top-down, then right
+                CASE WHEN ln.m < 10 THEN ln.m ELSE p.lc + (ln.m - 10) END
+              -- single-column fallback: rows interleave left,right
+              WHEN ln.m < 10 THEN ln.m + LEAST(ln.m, p.rc)
+              ELSE (ln.m - 10) + LEAST(ln.m - 10, p.rc) + 1 END AS rip
+  FROM ln JOIN pages p USING (did, pg)
+), offs AS (
+  SELECT did, pg,
+         COALESCE(SUM(cnt) OVER (PARTITION BY did ORDER BY pg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page_off
+  FROM pages
+)
+SELECT r.did AS doc_id,
+       CAST(o.page_off + r.rip AS BIGINT) AS text_rank,
+       r.line AS text
+FROM ranked r JOIN offs o USING (did, pg)
+"""
+
 # --------------------------------------------------------------- relational
 
 Q1_PRICING_SUMMARY = f"""
