@@ -19,10 +19,15 @@ pages), and reassembled with the global 2000-text-chunk budget
 re-applied — bit-identical to the unsalted kernel output.
 
 All per-document work happens inside mapInArrow stages with columnar
-span decode/encode (no
-per-row Spark Python UDFs); the only shuffles are the repartition by
-doc_id and the (mega-doc-only) regroup, both on keys that are unique or
-salted — no hot keys by construction.
+span decode/encode (no per-row Spark Python UDFs); the only shuffles
+are the repartition by doc_id and the (mega-doc-only) regroup, both on
+keys that are unique or salted — no hot keys by construction.
+
+Known trade-off: the small/big routing scans the source twice (two
+complementary filters). Against Parquet/Iceberg that is two cheap
+pruned scans; when the source is an expensive derivation (corpus
+synthesis), materialize it first (bench.py does) — a cache() here
+would pin the whole corpus for every caller instead.
 """
 
 from __future__ import annotations

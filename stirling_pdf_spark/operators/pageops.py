@@ -140,7 +140,8 @@ def rotate_pages_90(docs: DataFrame, page_width: float = 612.0) -> DataFrame:
     """S7 (RotationController): 90-degree clockwise rotation applied to
     span geometry — in screen space (x, y) -> (W - y, x). Rewrites the
     wire headers of text/media spans; pure column math over the nested
-    array (no UDF)."""
+    array (no UDF). Anchor-point rotation: media width/height are kept
+    as stored (swap them here if a renderer consumes the boxes)."""
     w = F.lit(float(page_width))
 
     def rot(txt: Column) -> Column:
