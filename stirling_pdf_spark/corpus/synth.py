@@ -176,7 +176,10 @@ def _two_col(rng: random.Random, spans: list) -> None:
 
 
 def _mixed_media(rng: random.Random, spans: list) -> None:
+    from ..kernel.tables import Rule, encode_rule
+
     refs = [_media_ref(rng) for _ in range(rng.randint(1, 3))]
+    add_table = rng.random() < 0.4
     for page in range(1, rng.randint(1, 6) + 1):
         y = TOP_Y
         for _ in range(rng.randint(3, 12)):
@@ -186,6 +189,25 @@ def _mixed_media(rng: random.Random, spans: list) -> None:
             ref = rng.choice(refs)  # repeats exercise dedup (E9)
             _emit_media(spans, MediaDraw(page, round(rng.uniform(72, 400), 2),
                                          round(y + 10, 2), 120.0, 80.0, ref))
+        if add_table and page == 1:
+            # ruled 2x3 lattice below the text (E14): 3 h-rules, 4
+            # v-rules; one word per cell, anchored inside the cell
+            ty = round(y + 120, 2)
+            xs = [300.0, 400.0, 500.0, 600.0]
+            ys = [ty, ty + 20.0, ty + 40.0]
+            for ry in ys:
+                spans.append(("rule", encode_rule(Rule(page, xs[0], ry,
+                                                       xs[-1], ry)),
+                              "", len(spans)))
+            for rx in xs:
+                spans.append(("rule", encode_rule(Rule(page, rx, ys[0],
+                                                       rx, ys[-1])),
+                              "", len(spans)))
+            for r in range(2):
+                for c in range(3):
+                    cell = TextRun(page, xs[c] + 5.0, ys[r] + 5.0, 9.0,
+                                   FONT, rng.choice(_WORDS))
+                    _emit_text(spans, [cell])
 
 
 def _attachments(rng: random.Random, spans: list) -> None:

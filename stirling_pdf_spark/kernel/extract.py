@@ -27,6 +27,7 @@ from collections import defaultdict
 from . import wire
 from .attachments import fallback_name, unique_names
 from .html_extract import extract_main_blocks
+from .tables import extract_table_csv, parse_rule
 from .lines import cluster_lines
 from .columns import reading_order
 from .model import (
@@ -55,6 +56,7 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
     html_parts: list[str] = []
     bookmarks: list[str] = []  # "depth|title" wire strings, tree order
     metas: list[str] = []      # "key|value" wire strings (E15)
+    rules_by_page: dict[int, list] = defaultdict(list)  # E14 lattice rules
 
     for kind, text, media_ref, _off in ordered:
         if kind == "text":
@@ -71,6 +73,9 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             bookmarks.append(text)
         elif kind == "meta":
             metas.append(text)
+        elif kind == "rule":
+            rule = parse_rule(text)
+            rules_by_page[rule.page].append(rule)
         # unknown kinds are ignored (forward compatibility)
 
     out: list[Span] = []
@@ -81,7 +86,7 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
     for m in metas:
         out.append(Span("meta", m, "", len(out)))
 
-    for page in sorted(set(runs_by_page) | set(media_by_page)):
+    for page in sorted(set(runs_by_page) | set(media_by_page) | set(rules_by_page)):
         # images first, draw order (zOrder -1_000_000 + i)
         for draw in media_by_page.get(page, ()):  # already in offset order
             out.append(Span("media", "", draw.media_ref, len(out)))
@@ -93,6 +98,13 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             text = line.text()[:MAX_CHARS_PER_CHUNK]
             out.append(Span("text", text, "", len(out)))
             budget -= 1
+        # lattice table (E14): derived from ruled lines, emitted after
+        # the page's text (unbudgeted — a summary object, not a chunk)
+        if page in rules_by_page:
+            csv = extract_table_csv(rules_by_page[page],
+                                    runs_by_page.get(page, []))
+            if csv is not None:
+                out.append(Span("table", csv, "", len(out)))
 
     for html in html_parts:
         for block in extract_main_blocks(html):

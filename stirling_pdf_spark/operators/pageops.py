@@ -22,7 +22,7 @@ def span_page(s: Column) -> Column:
     contract)."""
     return (
         F.when(
-            s["kind"].isin("text", "media"),
+            s["kind"].isin("text", "media", "rule"),
             F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
         )
         .otherwise(F.lit(_FAR_PAGE))
@@ -303,7 +303,7 @@ def scale_pages(docs: DataFrame, factor: float) -> DataFrame:
             "spans",
             lambda s: F.struct(
                 s["kind"].alias("kind"),
-                F.when(s["kind"].isin("text", "media"),
+                F.when(s["kind"].isin("text", "media", "rule"),
                        scaled(s["text"], s["kind"]))
                 .otherwise(s["text"]).alias("text"),
                 s["media_ref"].alias("media_ref"),
