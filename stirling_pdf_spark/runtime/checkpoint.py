@@ -146,3 +146,33 @@ def read_committed_spans(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/metrics")
+
+
+def expire_orphan_runs(spark: SparkSession, out_dir: str) -> list[str]:
+    """Garbage-collect span directories whose run_id never committed to
+    lineage (crashed attempts) — the analogue of Iceberg's
+    remove-orphan-files maintenance. Committed data is never touched;
+    returns the removed run_ids. Safe to run any time EXCEPT
+    concurrently with an in-flight run (its files look orphaned until
+    the lineage commit)."""
+    import os
+    import shutil
+
+    spans_root = f"{out_dir}/spans"
+    if not os.path.isdir(spans_root):
+        return []
+    lineage = _try_read(spark, f"{out_dir}/lineage")
+    committed = set()
+    if lineage is not None:
+        committed = {
+            r["run_id"] for r in lineage.select("run_id").distinct().collect()
+        }
+    removed = []
+    for entry in os.listdir(spans_root):
+        if not entry.startswith("run_id="):
+            continue
+        run_id = entry.split("=", 1)[1]
+        if run_id not in committed:
+            shutil.rmtree(os.path.join(spans_root, entry))
+            removed.append(run_id)
+    return removed

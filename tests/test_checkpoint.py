@@ -75,3 +75,19 @@ def test_metrics_account_for_all_docs(spark, docs, tmp_path):
     )
     assert agg["s"] == direct_spans == summary["spans_done"]
     assert metrics.filter(F.col("text_bytes") <= 0).count() == 0
+
+
+def test_expire_orphan_runs(spark, docs, tmp_path):
+    from stirling_pdf_spark.runtime.checkpoint import expire_orphan_runs
+
+    out = str(tmp_path / "ckpt")
+    run_extract_with_checkpoint(spark, docs, out, run_id="good",
+                                num_partitions=4)
+    orphan = extract_spans(docs.limit(2), num_partitions=2).withColumn(
+        "partition_id", F.spark_partition_id())
+    orphan.write.parquet(f"{out}/spans/run_id=crashed")
+    removed = expire_orphan_runs(spark, out)
+    assert removed == ["crashed"]
+    assert read_committed_spans(spark, out).count() == 40
+    # committed data untouched, second GC is a no-op
+    assert expire_orphan_runs(spark, out) == []
