@@ -69,16 +69,25 @@ class Line:
 
     def text(self) -> str:
         """Fragments in append order; word-space rule per
-        PdfModels.java:59-73."""
-        parts: list[str] = []
-        prev: TextRun | None = None
-        for run in self.runs:
-            if prev is not None:
-                gap = run.x - prev.right
-                if gap > WORD_SPACE_FACTOR * prev.avg_char_width:
-                    parts.append(" ")
+        PdfModels.java:59-73. Geometry computed locally once per run
+        (the property path recomputes width three times per fragment —
+        measured hot at corpus scale)."""
+        runs = self.runs
+        first = runs[0]
+        if len(runs) == 1:
+            return first.content
+        parts = [first.content]
+        prev_n = len(first.content)
+        prev_w = prev_n * CHAR_WIDTH_FACTOR * first.font_size
+        prev_right = first.x + prev_w
+        for run in runs[1:]:
+            avg_cw = (prev_w / prev_n) if prev_n else 0.0
+            if (run.x - prev_right) > WORD_SPACE_FACTOR * avg_cw:
+                parts.append(" ")
             parts.append(run.content)
-            prev = run
+            prev_n = len(run.content)
+            prev_w = prev_n * CHAR_WIDTH_FACTOR * run.font_size
+            prev_right = run.x + prev_w
         return "".join(parts)
 
 
