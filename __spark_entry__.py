@@ -250,6 +250,25 @@ def q_e19_blank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 filter-page-rotation (FilterController.java:229-245 reads the
+    first page's rotation; generic comparator :256-265): per-doc
+    rotation state written through the pagemeta wire
+    (set_page_rotation), then filtered GREATER 90 — the rotation must
+    round-trip the wire format, not shortcut through a column."""
+    from stirling_pdf_spark.operators.pageops import (
+        filter_page_rotation, set_page_rotation,
+    )
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    rot = (F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long") % 4) * 90
+    rotated = set_page_rotation(docs, rot)
+    return filter_page_rotation(rotated, 90, "GREATER").select(
+        "doc_id", "rotation"
+    )
+
+
 def q_h4_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 media_ref resolution (rows-only): extract the synth corpus,
     join every media/attachment span to the deterministic blob table,
@@ -478,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f5_filter_size_comparator": R.f5_filter_size_comparator,
         "f4_size_class_filter": R.f4_size_class_filter,
+        "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "e13_regex_search": R.e13_regex_search,
         "e3_doc_classification": R.e3_doc_classification,
@@ -538,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_filter_count_comparator": O.F3_FILTER_COUNT_COMPARATOR,
         "f5_filter_size_comparator": O.F5_FILTER_SIZE_COMPARATOR,
         "f4_size_class_filter": O.F4_SIZE_CLASS,
+        "f6_filter_rotation": O.F6_FILTER_ROTATION,
         "f7_page_select_dsl": O.F7_PAGE_SELECT_DSL,
         "e13_regex_search": O.E13_REGEX_SEARCH,
         "e3_doc_classification": O.E3_DOC_CLASSIFICATION,

@@ -30,8 +30,11 @@ import re
 _ALLOWED_NODES = (
     ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
     ast.Load, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
-    ast.Pow, ast.USub, ast.UAdd,
+    ast.USub, ast.UAdd,
 )
+# NOTE: ast.Pow is deliberately NOT allowed — the reference DSL only
+# needs +-*/ (GeneralUtils.java:735-795), and '9**9**9**9' evaluated
+# per n would be an unbounded-compute DoS in the driver.
 
 
 def _sanitize_expr(expr: str) -> str:

@@ -33,7 +33,10 @@ class Line:
 
     def __init__(self, runs: list[TextRun]):
         first = runs[0]
-        self.runs = runs
+        # start from the first run only; the loop below appends the rest
+        # exactly once (appending the caller's list wholesale and then
+        # re-appending in the loop would duplicate intermediate runs)
+        self.runs = [first]
         self.y = first.y
         w = len(first.content) * CHAR_WIDTH_FACTOR * first.font_size
         self.x1 = first.x
@@ -45,8 +48,7 @@ class Line:
             self.append(run)
 
     def append(self, run: TextRun) -> None:
-        if self.runs[-1] is not run:
-            self.runs.append(run)
+        self.runs.append(run)
         w = len(run.content) * CHAR_WIDTH_FACTOR * run.font_size
         right = run.x + w
         if run.x < self.x1:

@@ -10,8 +10,16 @@ origin top-left; reference: PdfTextChunkExtractor.java:100-112).
 
     text run : "{page}|{x}|{y}|{font_size}|{font}\t{content}"
     media    : "{page}|{x}|{y}|{w}|{h}"            (media_ref set)
+    rule     : "{page}|{x1}|{y1}|{x2}|{y2}"        (kernel/tables.py)
+    pagemeta : "{page}|{width}|{height}|{rotation}|{label}"
+               (page state — the reference's PdfJsonPage.java:18-33
+               carries width/height/rotation per page; rotation is what
+               FilterController.java:229-245 filters on)
     attach   : "{filename-or-empty}"               (media_ref set)
     html     : raw markup
+
+All page-scoped kinds share the 5-field "{page}|f1|f2|f3|f4" header so
+page-rewriting operators (merge/split/rearrange) treat them uniformly.
 
 Coordinates are formatted with repr(float) so parse(format(v)) == v
 exactly — determinism of the span-equality contract depends on it.
@@ -37,6 +45,16 @@ def parse_text_run(text: str) -> TextRun:
 
 def encode_media(draw: MediaDraw) -> str:
     return f"{draw.page}|{draw.x!r}|{draw.y!r}|{draw.w!r}|{draw.h!r}"
+
+
+def encode_pagemeta(page: int, width: float, height: float,
+                    rotation: int, label: str = "") -> str:
+    return f"{page}|{width!r}|{height!r}|{rotation}|{label}"
+
+
+def parse_pagemeta(text: str) -> tuple[int, float, float, int, str]:
+    page_s, w_s, h_s, rot_s, label = text.split("|", 4)
+    return int(page_s), float(w_s), float(h_s), int(rot_s), label
 
 
 def parse_media(text: str, media_ref: str) -> MediaDraw:

@@ -163,7 +163,7 @@ def extract_spans(
     # salted path: explode to raw spans, assign page-range buckets
     s = F.col("s")
     page = F.when(
-        s["kind"].isin("text", "media", "rule"),
+        s["kind"].isin("text", "media", "rule", "pagemeta"),
         F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
     )
     bucket = (

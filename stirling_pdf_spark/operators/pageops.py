@@ -14,6 +14,15 @@ from pyspark.sql import functions as F
 
 _FAR_PAGE = 1 << 30  # html/attachment spans sort after every real page
 
+# every kind whose wire text starts with the "{page}|f1|f2|f3|f4" header
+# (kernel/wire.py); ALL of them must be remapped together whenever a
+# page-rewriting operator shifts/permutes/removes page numbers
+PAGE_KINDS = ("text", "media", "rule", "pagemeta")
+
+
+def _is_page_kind(s: Column) -> Column:
+    return s["kind"].isin(*PAGE_KINDS)
+
 
 def span_page(s: Column) -> Column:
     """Page number of a raw span (from the wire header); html and
@@ -22,7 +31,7 @@ def span_page(s: Column) -> Column:
     contract)."""
     return (
         F.when(
-            s["kind"].isin("text", "media", "rule"),
+            _is_page_kind(s),
             F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
         )
         .otherwise(F.lit(_FAR_PAGE))
@@ -58,7 +67,7 @@ def merge_docs(docs: DataFrame, merged_id: str = "merged") -> DataFrame:
     of preceding docs; non-page spans keep their source-doc position in
     the concatenation order."""
     s = F.col("s")
-    is_geo = s["kind"].isin("text", "media")
+    is_geo = _is_page_kind(s)
     header = F.substring_index(s["text"], "\t", 1)
     p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
     num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
@@ -136,21 +145,63 @@ def split_at_pages(docs: DataFrame, cut_pages: list[int]) -> DataFrame:
     )
 
 
-def rotate_pages_90(docs: DataFrame, page_width: float = 612.0) -> DataFrame:
-    """S7 (RotationController): 90-degree clockwise rotation applied to
-    span geometry — in screen space (x, y) -> (W - y, x). Rewrites the
-    wire headers of text/media spans; pure column math over the nested
-    array (no UDF). Anchor-point rotation: media width/height are kept
-    as stored (swap them here if a renderer consumes the boxes)."""
-    w = F.lit(float(page_width))
+def rotate_pages_90(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
+    """S7 physical rotation: 90-degree clockwise rotation of the page
+    CONTENT in screen space about the page box. Point map:
+    (x, y) -> (H - y, x) with H the page HEIGHT (Letter default 792 —
+    using the width here would send the 40th text line to negative x).
+    Per span kind:
 
-    def rot(txt: Column) -> Column:
-        # wire: "{page}|{x}|{y}|..." with an optional "\t{body}" tail
+      text     anchor rotated (width follows the glyphs);
+      media    bbox rotated: top-left (x,y,w,h) -> (H-y-h, x, h, w);
+      rule     both endpoints rotated, then normalized so x1<=x2/y1<=y2
+               (horizontal rules become vertical and vice versa — the
+               lattice grid (E14) stays consistent);
+      pagemeta width/height swap, rotation := (rotation + 90) % 360
+               (PdfJsonPage.java:18-33 carries exactly this state).
+
+    Pure column math over the nested array — no UDF, no shuffle.
+
+    NOTE: the reference's RotationController only sets the /Rotate page
+    attribute (state, not geometry) — that is ``set_page_rotation``;
+    extraction output is rotation-invariant there because PDFBox
+    coordinates are dir-adjusted. This operator is the physical variant
+    (content rewritten); applying it four times is the identity up to
+    float rounding."""
+    h = F.lit(float(page_height))
+
+    def rot(kind: Column, txt: Column) -> Column:
+        # wire: "{page}|f1|f2|f3|f4" with an optional "\t{body}" tail
         header = F.substring_index(txt, "\t", 1)
         p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
-        x, y = p[1].cast("double"), p[2].cast("double")
-        head = F.concat_ws("|", p[0], (w - y).cast("string"),
-                           x.cast("string"), p[3], p[4])
+        f1, f2 = p[1].cast("double"), p[2].cast("double")
+        f3, f4 = p[3].cast("double"), p[4].cast("double")
+        text_head = F.concat_ws(
+            "|", p[0], (h - f2).cast("string"), f1.cast("string"), p[3], p[4]
+        )
+        media_head = F.concat_ws(
+            "|", p[0], (h - f2 - f4).cast("string"), f1.cast("string"),
+            p[4], p[3],
+        )
+        # rule endpoints (x1,y1),(x2,y2) -> (H-y1,x1),(H-y2,x2), normalized
+        rx1, ry1 = h - f2, f1
+        rx2, ry2 = h - f4, f3
+        rule_head = F.concat_ws(
+            "|", p[0],
+            F.least(rx1, rx2).cast("string"), F.least(ry1, ry2).cast("string"),
+            F.greatest(rx1, rx2).cast("string"),
+            F.greatest(ry1, ry2).cast("string"),
+        )
+        meta_head = F.concat_ws(
+            "|", p[0], p[2], p[1],
+            ((p[3].cast("long") + 90) % 360).cast("string"), p[4],
+        )
+        head = (
+            F.when(kind == "text", text_head)
+            .when(kind == "media", media_head)
+            .when(kind == "rule", rule_head)
+            .otherwise(meta_head)
+        )
         body = F.substring_index(txt, "\t", -1)
         return F.when(F.instr(txt, "\t") > 0,
                       F.concat(head, F.lit("\t"), body)).otherwise(head)
@@ -161,13 +212,106 @@ def rotate_pages_90(docs: DataFrame, page_width: float = 612.0) -> DataFrame:
             "spans",
             lambda s: F.struct(
                 s["kind"].alias("kind"),
-                F.when(s["kind"].isin("text", "media"), rot(s["text"]))
+                F.when(_is_page_kind(s), rot(s["kind"], s["text"]))
                 .otherwise(s["text"]).alias("text"),
                 s["media_ref"].alias("media_ref"),
                 s["offset"].alias("offset"),
             ),
         ).alias("spans"),
     )
+
+
+# ------------------------------------------------- rotation state (F6/S7)
+
+def set_page_rotation(docs: DataFrame, rotation: Column | int,
+                      page: int = 1, page_width: float = 612.0,
+                      page_height: float = 792.0) -> DataFrame:
+    """S7 logical rotation (RotationController semantics: the reference
+    sets the /Rotate page attribute, leaving content untouched). Writes
+    a kind='pagemeta' span for ``page`` carrying the rotation state
+    (replacing any existing pagemeta for that page). ``rotation`` may be
+    a literal or a Column (per-doc rotation). Extraction output is
+    unaffected — the kernel's coordinates are already dir-adjusted, the
+    same reason PDFBox text extraction is rotation-invariant."""
+    rot = rotation if isinstance(rotation, Column) else F.lit(int(rotation))
+    prefix = f"{int(page)}|"
+    meta_text = F.concat(
+        F.lit(f"{int(page)}|{float(page_width)!r}|{float(page_height)!r}|"),
+        rot.cast("long").cast("string"), F.lit("|"),
+    )
+    kept = F.filter(
+        "spans",
+        lambda s: (s["kind"] != "pagemeta")
+        | ~s["text"].startswith(prefix),
+    )
+    appended = F.concat(
+        kept,
+        F.array(F.struct(
+            F.lit("pagemeta").alias("kind"),
+            meta_text.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )),
+    )
+    return docs.select(
+        "doc_id",
+        F.transform(
+            appended,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def page_rotations(docs: DataFrame) -> DataFrame:
+    """(doc_id, page, width, height, rotation) from pagemeta spans —
+    the per-page state GetInfoOnPDF.java:812-851 reports."""
+    s = F.col("s")
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(s["kind"] == "pagemeta")
+        .select(
+            "doc_id",
+            F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long")
+            .alias("page"),
+            F.split_part(s["text"], F.lit("|"), F.lit(2)).cast("double")
+            .alias("width"),
+            F.split_part(s["text"], F.lit("|"), F.lit(3)).cast("double")
+            .alias("height"),
+            F.split_part(s["text"], F.lit("|"), F.lit(4)).cast("long")
+            .alias("rotation"),
+        )
+    )
+
+
+ROTATION_COMPARATORS = ("GREATER", "EQUAL", "LESS")
+
+
+def filter_page_rotation(docs: DataFrame, rotation: int,
+                         comparator: str = "EQUAL") -> DataFrame:
+    """F6 filter-page-rotation (FilterController.java:229-245 reads the
+    FIRST page's rotation; the generic comparator is :256-265
+    {GREATER, EQUAL, LESS}). Pages without pagemeta default to
+    rotation 0, like a PDF page without /Rotate."""
+    if comparator not in ROTATION_COMPARATORS:
+        raise ValueError(
+            f"unknown comparator {comparator!r}; one of {ROTATION_COMPARATORS}")
+    first = (
+        page_rotations(docs)
+        .groupBy("doc_id")
+        .agg(F.min_by("rotation", "page").alias("rotation"))
+    )
+    rotated = docs.join(first, "doc_id", "left").select(
+        "doc_id", "spans",
+        F.coalesce("rotation", F.lit(0)).alias("rotation"),
+    )
+    col = F.col("rotation")
+    cond = {"GREATER": col > rotation, "EQUAL": col == rotation,
+            "LESS": col < rotation}[comparator]
+    return rotated.filter(cond)
 
 
 def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
@@ -178,27 +322,46 @@ def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
     Each section is scaled up to full page size, like the reference.
     Output: one doc per (page, row, col) with id suffix '#p{P}r{R}c{C}',
     spans re-based/scaled and offsets re-packed. Spans are assigned by
-    their anchor point; page numbers reset to 1 per section."""
+    their anchor point (rules spanning several cells go to their
+    anchor's cell); media boxes and rule extents scale with the section;
+    pagemeta is dropped — sections are fresh full-size unrotated
+    pages."""
     cols, rows = h_div + 1, v_div + 1
     cell_w, cell_h = page_w / cols, page_h / rows
     s = F.col("s")
     header = F.substring_index(s["text"], "\t", 1)
     p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
     x, y = p[1].cast("double"), p[2].cast("double")
-    is_geo = s["kind"].isin("text", "media")
+    is_geo = s["kind"].isin("text", "media", "rule")
     col_i = F.least(F.floor(x / cell_w).cast("int"), F.lit(cols - 1))
     row_i = F.least(F.floor(y / cell_h).cast("int"), F.lit(rows - 1))
     nx = (x - col_i * cell_w) * cols
     ny = (y - row_i * cell_h) * rows
+    # per-kind trailing fields: text keeps (font_size, font); media w/h
+    # and rule endpoints scale with the section blow-up
+    f3_scaled = F.when(
+        s["kind"] == "media", (p[3].cast("double") * cols).cast("string")
+    ).when(
+        s["kind"] == "rule",
+        ((p[3].cast("double") - col_i * cell_w) * cols).cast("string"),
+    ).otherwise(p[3])
+    f4_scaled = F.when(
+        s["kind"] == "media", (p[4].cast("double") * rows).cast("string")
+    ).when(
+        s["kind"] == "rule",
+        ((p[4].cast("double") - row_i * cell_h) * rows).cast("string"),
+    ).otherwise(p[4])
     new_header = F.concat_ws("|", F.lit("1"), nx.cast("string"),
-                             ny.cast("string"), p[3], p[4])
+                             ny.cast("string"), f3_scaled, f4_scaled)
     body = F.substring_index(s["text"], "\t", -1)
     new_text = F.when(
         ~is_geo, s["text"]
     ).when(F.instr(s["text"], "\t") > 0,
            F.concat(new_header, F.lit("\t"), body)).otherwise(new_header)
 
-    exploded = docs.select("doc_id", F.explode("spans").alias("s")).select(
+    exploded = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(s["kind"] != "pagemeta").select(
         "doc_id",
         F.when(is_geo, p[0].cast("long")).otherwise(F.lit(_FAR_PAGE)).alias("page"),
         F.when(is_geo, row_i).otherwise(F.lit(0)).alias("r"),
@@ -235,7 +398,7 @@ def add_page_stamps(docs: DataFrame, stamp: str, x: float = 280.0,
     Offsets are re-packed so the result is a valid docs table."""
     s = F.col("s")
     page_of = F.when(
-        s["kind"].isin("text", "media"),
+        _is_page_kind(s),
         F.split_part(F.substring_index(s["text"], "\t", 1),
                      F.lit("|"), F.lit(1)).cast("long"),
     )
@@ -288,10 +451,13 @@ def scale_pages(docs: DataFrame, factor: float) -> DataFrame:
         nx = (p[1].cast("double") * fct).cast("string")
         ny = (p[2].cast("double") * fct).cast("string")
         f4_text = (p[3].cast("double") * fct).cast("string")   # font size
-        f4_media = (p[3].cast("double") * fct).cast("string")  # width
-        f5_media = (p[4].cast("double") * fct).cast("string")  # height
+        f4_media = (p[3].cast("double") * fct).cast("string")  # width / x2
+        f5_media = (p[4].cast("double") * fct).cast("string")  # height / y2
         head = F.when(
             kind == "text", F.concat_ws("|", p[0], nx, ny, f4_text, p[4])
+        ).when(
+            # pagemeta: page box scales, rotation/label don't
+            kind == "pagemeta", F.concat_ws("|", p[0], nx, ny, p[3], p[4])
         ).otherwise(F.concat_ws("|", p[0], nx, ny, f4_media, f5_media))
         body = F.substring_index(txt, "\t", -1)
         return F.when(F.instr(txt, "\t") > 0,
@@ -303,8 +469,7 @@ def scale_pages(docs: DataFrame, factor: float) -> DataFrame:
             "spans",
             lambda s: F.struct(
                 s["kind"].alias("kind"),
-                F.when(s["kind"].isin("text", "media", "rule"),
-                       scaled(s["text"], s["kind"]))
+                F.when(_is_page_kind(s), scaled(s["text"], s["kind"]))
                 .otherwise(s["text"]).alias("text"),
                 s["media_ref"].alias("media_ref"),
                 s["offset"].alias("offset"),
@@ -318,9 +483,10 @@ def blank_pages(docs: DataFrame) -> DataFrame:
     56-104, the non-raster path): a page is blank when it has no
     visible text (whitespace-only glyph runs don't count, matching
     AllTextLineExtractor.java:74-80). Output: (doc_id, page,
-    n_visible_lines, n_media, is_blank)."""
+    n_visible_lines, n_media, is_blank). Pages carrying only rules or
+    pagemeta state still enumerate (as blank)."""
     s = F.col("s")
-    is_geo = s["kind"].isin("text", "media")
+    is_geo = _is_page_kind(s)
     page = F.split_part(F.substring_index(s["text"], "\t", 1),
                         F.lit("|"), F.lit(1)).cast("long")
     content = F.substring_index(s["text"], "\t", -1)
@@ -366,7 +532,7 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
         raise ValueError(f"unknown mode {mode!r}; one of {REARRANGE_MODES}")
     s = F.col("s")
     header = F.substring_index(s["text"], "\t", 1)
-    is_geo = s["kind"].isin("text", "media")
+    is_geo = _is_page_kind(s)
     p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
     n = F.col("n")
     h = F.ceil(n / 2).cast("long")

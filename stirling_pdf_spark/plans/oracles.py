@@ -71,6 +71,7 @@ SELECT did AS doc_id,
        i AS text_rank,
        array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ') AS text
 FROM l
+WHERE i < 2000  -- MAX_CHUNKS_PER_DOC text-chunk budget (kernel/model.py)
 """
 
 EXTRACT_ATTACHMENTS = """
@@ -139,6 +140,7 @@ SELECT r.did AS doc_id,
        CAST(o.page_off + r.rip AS BIGINT) AS text_rank,
        r.line AS text
 FROM ranked r JOIN offs o USING (did, pg)
+WHERE o.page_off + r.rip < 2000  -- MAX_CHUNKS_PER_DOC budget
 """
 
 # --------------------------------------------------------------- relational
@@ -269,6 +271,13 @@ SELECT CASE WHEN p_size <= 10 THEN 'A6'
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(SUM({micro('p_retailprice')}) AS BIGINT) AS total_price_micro
 FROM part GROUP BY 1
+"""
+
+F6_FILTER_ROTATION = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST((doc_id % 4) * 90 AS BIGINT) AS rotation
+FROM documents
+WHERE (doc_id % 4) * 90 > 90
 """
 
 F1_FILTER_CONTAINS_TEXT = """
@@ -616,6 +625,7 @@ WITH d AS (
          array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
            AS line
   FROM l
+  WHERE i < 2000  -- MAX_CHUNKS_PER_DOC budget
 )
 SELECT did AS doc_id,
        md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5,
@@ -673,24 +683,35 @@ SELECT did AS doc_id,
        i AS text_rank,
        replace(line, 'data', '{"█" * 4}') AS text
 FROM lines
+WHERE i < 2000  -- MAX_CHUNKS_PER_DOC budget
 """
 
 E17_DOC_INFO = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
-         CAST(length(text) AS BIGINT) AS chars,
          sha256(text) AS h
   FROM documents
+), capped AS (
+  -- text spans/chars honor the MAX_CHUNKS_PER_DOC = 2000 budget
+  SELECT did, w, unnest(range(0, LEAST(nl, 2000))) AS i FROM d
+), agg AS (
+  SELECT did,
+         CAST(count(*) AS BIGINT) AS n_text_spans,
+         CAST(SUM(length(array_to_string(
+           w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))) AS BIGINT)
+           AS n_text_chars
+  FROM capped GROUP BY did
 )
-SELECT did AS doc_id,
+SELECT d.did AS doc_id,
        CAST((nl - 1) // 40 + 1 AS BIGINT) AS n_pages,
-       nl AS n_text_spans,
-       chars - (nl - 1) AS n_text_chars,
+       a.n_text_spans,
+       a.n_text_chars,
        (nl // 40) // 3 AS n_media,
        CAST(CASE WHEN substr(h, 64, 1) = '0' THEN 1 ELSE 0 END AS BIGINT)
          AS n_attachments
-FROM d
+FROM d JOIN agg a USING (did)
 WHERE nl > 0
 """
 

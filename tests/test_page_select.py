@@ -35,7 +35,10 @@ def test_mixed_parts():
 def test_out_of_range_and_garbage():
     assert parse_page_selection("0,99,-3", 5) == []
     assert parse_page_selection("import os", 5) == []
-    assert parse_page_selection("n**n", 3) == [1]  # 1**1=1; 4, 27 out of range
+    # Pow is rejected outright (unbounded-compute DoS guard — the
+    # reference DSL only supports +-*/, GeneralUtils.java:735-795)
+    assert parse_page_selection("n**n", 3) == []
+    assert parse_page_selection("9**9**9**9", 3) == []
 
 
 def test_cap():

@@ -67,20 +67,119 @@ def test_split_page_routing(spark):
 
 
 def test_rotate_90_transforms_geometry(spark, docs):
-    rotated = rotate_pages_90(docs, page_width=612.0)
+    rotated = rotate_pages_90(docs, page_height=792.0)
     row = docs.orderBy("doc_id").select(F.explode("spans").alias("s")) \
         .filter(F.col("s.kind") == "text").first()
-    rrow = rotate_pages_90(docs, page_width=612.0).orderBy("doc_id") \
+    rrow = rotated.orderBy("doc_id") \
         .select(F.explode("spans").alias("s")) \
         .filter(F.col("s.kind") == "text").first()
     orig = wire.parse_text_run(row["s"]["text"])
     rot = wire.parse_text_run(rrow["s"]["text"])
-    assert rot.x == 612.0 - orig.y
+    assert rot.x == 792.0 - orig.y  # rotation is about the page HEIGHT
     assert rot.y == orig.x
     assert rot.font_size == orig.font_size and rot.page == orig.page
     # structure preserved
     assert rotated.agg(F.sum(F.size("spans"))).collect()[0][0] == \
         docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+    # no negative coordinates anywhere (the page-width bug produced them
+    # for y > 612 on 792pt Letter pages)
+    geo = rotated.select(F.explode("spans").alias("s")).filter(
+        F.col("s.kind").isin("text", "media", "rule"))
+    neg = geo.filter(
+        (F.split_part(F.substring_index("s.text", "\t", 1), F.lit("|"),
+                      F.lit(2)).cast("double") < 0)
+        | (F.split_part(F.substring_index("s.text", "\t", 1), F.lit("|"),
+                        F.lit(3)).cast("double") < 0)
+    ).count()
+    assert neg == 0
+
+
+def test_rotate_media_and_rule_extents(spark):
+    from stirling_pdf_spark.kernel.model import MediaDraw
+    from stirling_pdf_spark.kernel.tables import Rule, encode_rule
+
+    spans = [
+        ("media", wire.encode_media(MediaDraw(1, 100.0, 650.0, 200.0, 120.0,
+                                              "m-1")), "m-1", 0),
+        # horizontal rule y=700 from x=300..600
+        ("rule", encode_rule(Rule(1, 300.0, 700.0, 600.0, 700.0)), "", 1),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = rotate_pages_90(df, page_height=792.0).collect()[0]["spans"]
+    m = wire.parse_media(out[0]["text"], out[0]["media_ref"])
+    # bbox (100,650,w=200,h=120) -> top-left (792-650-120, 100), dims swap
+    assert (m.x, m.y, m.w, m.h) == (22.0, 100.0, 120.0, 200.0)
+    from stirling_pdf_spark.kernel.tables import parse_rule
+    r = parse_rule(out[1]["text"])
+    # horizontal rule becomes vertical at x = 792-700 = 92, y 300..600
+    assert (r.x1, r.y1, r.x2, r.y2) == (92.0, 300.0, 92.0, 600.0)
+
+
+def test_rotation_state_roundtrip_and_filter(spark, docs):
+    from stirling_pdf_spark.operators.pageops import (
+        filter_page_rotation, page_rotations, set_page_rotation,
+    )
+
+    rotated = set_page_rotation(docs, 90)
+    rows = page_rotations(rotated)
+    n_docs = docs.count()
+    assert rows.count() == n_docs
+    assert rows.filter(F.col("rotation") == 90).count() == n_docs
+    assert filter_page_rotation(rotated, 90, "EQUAL").count() == n_docs
+    assert filter_page_rotation(rotated, 90, "GREATER").count() == 0
+    assert filter_page_rotation(rotated, 100, "LESS").count() == n_docs
+    # docs without pagemeta default to rotation 0
+    assert filter_page_rotation(docs, 0, "EQUAL").count() == n_docs
+    # setting again replaces, not duplicates
+    twice = set_page_rotation(rotated, 180)
+    assert page_rotations(twice).count() == n_docs
+    assert page_rotations(twice).filter(
+        F.col("rotation") == 180).count() == n_docs
+
+
+def test_set_rotation_extraction_invariant(spark, docs):
+    """RotationController only sets /Rotate — PDFBox dir-adjusted text
+    extraction is rotation-invariant, and so is the kernel."""
+    from stirling_pdf_spark.operators.pageops import set_page_rotation
+
+    base = extract_spans(docs, num_partitions=4)
+    rot = extract_spans(set_page_rotation(docs, 270), num_partitions=4)
+    a = base.select("doc_id", F.expr(
+        "transform(spans, s -> struct(s.kind, s.text, s.media_ref, s.order))"
+    ).alias("spans"))
+    assert a.exceptAll(rot.select("doc_id", F.expr(
+        "transform(spans, s -> struct(s.kind, s.text, s.media_ref, s.order))"
+    ).alias("spans"))).count() == 0
+
+
+def test_physical_rotate_four_times_identity(spark):
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    # integral coordinates so float arithmetic stays exact
+    spans = [
+        ("text", wire.encode_text_run(
+            TextRun(1, 72.0, 618.0, 11.0, "F", "deep line")), "", 0),
+        ("pagemeta", wire.encode_pagemeta(1, 612.0, 792.0, 0), "", 1),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = df
+    for i in range(4):
+        # page box swaps each quarter turn: H, W, H, W
+        h = 792.0 if i % 2 == 0 else 612.0
+        out = rotate_pages_90(out, page_height=h)
+    got = out.collect()[0]["spans"]
+    orig = df.collect()[0]["spans"]
+    assert [s["text"] for s in got] == [s["text"] for s in orig]
 
 
 def test_has_text_and_media_predicates(spark, docs):
