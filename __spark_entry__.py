@@ -237,17 +237,33 @@ def q_s5_split_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e19_blank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E19 blank-page detection (rows-only): per-page visible-text
-    counts over the synth corpus (edge archetype has whitespace-only
-    pages -> blank)."""
+    """E19 blank-page detection (BlankPageController.java:56-104, text
+    rule: whitespace-only glyph runs don't count): every corpus doc gets
+    an extra trailing page carrying one whitespace-only run; the
+    detector must flag exactly those pages blank and report per-page
+    visible-line/media counts for the rest."""
     from stirling_pdf_spark.operators.pageops import blank_pages
 
     _ship_package(spark)
-    docs = synth_docs_df(spark, 96, seed=42, mega_pages=(20, 30))
-    return blank_pages(docs).groupBy("is_blank").agg(
-        F.count("*").alias("n_pages"),
-        F.sum("n_media").alias("total_media"),
+    docs = docs_from_documents_table(spark, sf_dir)
+    pages = F.transform(
+        F.filter("spans", lambda s: s["kind"].isin("text", "media")),
+        lambda s: F.split_part(
+            F.substring_index(s["text"], "\t", 1), F.lit("|"), F.lit(1)
+        ).cast("long"),
     )
+    maxp = F.coalesce(F.array_max(pages), F.lit(0).cast("long"))
+    blank_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat((maxp + 1).cast("string"),
+                 F.lit("|72.0|72.0|11.0|Helvetica\t   ")).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.size("spans").alias("offset"),
+    )
+    with_blank = docs.select(
+        "doc_id", F.concat("spans", F.array(blank_span)).alias("spans")
+    )
+    return blank_pages(with_blank)
 
 
 def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,17 +347,19 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only): deterministic k-means coarse quantizer,
-    nprobe=1 probe, exact cosine rank within the probed cell."""
-    from stirling_pdf_spark.operators.ivf import ivf_topk, train_centroids
+    """IVF ANN with deterministic literal centroids (hash-gated against
+    the DuckDB oracle; the data-trained k-means quantizer is covered by
+    tests/test_ivf.py): nprobe nearest cells, exact cosine rank within
+    the probed cells."""
+    from stirling_pdf_spark.operators.ivf import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, k=8, seed=42)
-    return ivf_topk(emb, cents, O.ANN_QUERY_IDS, k=O.ANN_K, nprobe=2)
+    return ivf_topk(emb, O.IVF_CENTROIDS, O.ANN_QUERY_IDS,
+                    k=O.ANN_K, nprobe=O.IVF_NPROBE)
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (rows-only): the scale path for
+    """LSH-bucketed embedding near-dup: the scale path for
     dedup_embedding_pairs — same threshold, bucket-restricted candidates."""
     from stirling_pdf_spark.operators.similarity import embedding_near_dup_lsh
 
@@ -511,9 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (approximate recall)
-        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate recall)
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,  # rows-only
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -528,7 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_split_synth": q_s2_split_synth,  # rows-only
         "h4_media_join": q_h4_media_join,  # rows-only
         "s5_split_sections": q_s5_split_sections,  # rows-only
-        "e19_blank_pages": q_e19_blank_pages,  # rows-only
+        "e19_blank_pages": q_e19_blank_pages,
     }
 
 
@@ -571,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,
         "ann_cosine_topk": O.ANN_COSINE_TOPK,
         "ann_lsh_buckets": O.ANN_LSH_BUCKETS,
+        "ann_lsh_topk": O.ANN_LSH_TOPK,
+        "ann_ivf_topk": O.ANN_IVF_TOPK,
+        "emb_near_dup_lsh": O.EMB_NEAR_DUP_LSH,
         "text_lang_id": O.TEXT_LANG_ID,
         "text_quality": O.TEXT_QUALITY,
         "text_token_counts": O.TEXT_TOKEN_COUNTS,
@@ -581,4 +602,5 @@ def oracle_sql() -> dict[str, str]:
         "e10_has_text": O.E10_HAS_TEXT,
         "text_chunk_windows": O.TEXT_CHUNK_WINDOWS,
         "eml_roundtrip": O.EML_ROUNDTRIP,
+        "e19_blank_pages": O.E19_BLANK_PAGES,
     }

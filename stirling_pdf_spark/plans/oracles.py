@@ -480,19 +480,116 @@ SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
 """
 
 
-def _lsh_buckets_sql() -> str:
+def _bucket_bits(planes: list[list[float]]) -> str:
+    """The same sign-bit construction the Spark side uses
+    (similarity._plane_sign): left-associative term sum, so float64
+    results are bit-identical across engines."""
     bit_exprs = []
-    for plane in LSH_PLANES:
+    for plane in planes:
         terms = " + ".join(f"v[{i + 1}] * ({w!r})" for i, w in enumerate(plane))
         bit_exprs.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
-    bits = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def _lsh_buckets_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT id, {bits} AS bucket FROM e
+SELECT id, {_bucket_bits(LSH_PLANES)} AS bucket FROM e
 """
 
 
 ANN_LSH_BUCKETS = _lsh_buckets_sql()
+
+
+def _lsh_topk_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT id, v, {_bucket_bits(LSH_PLANES)} AS bucket FROM e),
+q AS (SELECT id AS query_id, v AS qv, bucket AS qbucket FROM b
+      WHERE id IN ({ids})),
+s AS (
+  SELECT query_id, b.id,
+         list_dot_product(qv, b.v) / (sqrt(list_dot_product(qv, qv))
+           * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM q JOIN b ON b.bucket = q.qbucket AND b.id <> q.query_id
+),
+r AS (
+  SELECT query_id, id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ANN_LSH_TOPK = _lsh_topk_sql()
+
+
+def _emb_near_dup_lsh_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT id, v, {_bucket_bits(LSH_PLANES[:4])} AS bucket FROM e)
+SELECT a.id AS id_a, b2.id AS id_b
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+WHERE list_dot_product(a.v, b2.v) / (sqrt(list_dot_product(a.v, a.v))
+      * sqrt(list_dot_product(b2.v, b2.v))) >= {EMB_DUP_THRESHOLD}
+"""
+
+
+EMB_NEAR_DUP_LSH = _emb_near_dup_lsh_sql()
+
+# Deterministic literal IVF centroids for the GATED query (same
+# literal-embedding trick as LSH_PLANES, so the DuckDB oracle is exact;
+# the data-trained k-means quantizer stays covered by tests/test_ivf.py)
+IVF_K = 8
+IVF_NPROBE = 2
+IVF_SEED = 7
+IVF_CENTROIDS = make_planes(IVF_SEED, IVF_K, LSH_DIM)
+
+
+def _ivf_topk_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    # squared L2 distance to each centroid as a left-associative term
+    # sum — same fold order as ivf._sq_dist, bit-identical float64
+    dists = ", ".join(
+        " + ".join(
+            f"(v[{i + 1}] - ({w!r})) * (v[{i + 1}] - ({w!r}))"
+            for i, w in enumerate(c)
+        )
+        for c in IVF_CENTROIDS
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT id, v, [{dists}] AS dl FROM e),
+a AS (SELECT id, v, dl, list_indexof(dl, list_min(dl)) AS cluster FROM c),
+q0 AS (SELECT id AS query_id, v AS qv, dl AS qdl FROM a
+       WHERE id IN ({ids})),
+qp AS (
+  SELECT query_id, qv, i AS probe,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdl[i] ASC, i ASC) AS pr
+  FROM q0, unnest(range(1, {IVF_K} + 1)) AS t(i)
+),
+s AS (
+  SELECT qp.query_id, a.id,
+         list_dot_product(qp.qv, a.v) / (sqrt(list_dot_product(qp.qv, qp.qv))
+           * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM qp JOIN a ON a.cluster = qp.probe
+  WHERE qp.pr <= {IVF_NPROBE} AND a.id <> qp.query_id
+),
+r AS (
+  SELECT query_id, id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ANN_IVF_TOPK = _ivf_topk_sql()
 
 TEXT_FINGERPRINT = """
 SELECT doc_id AS id,
@@ -713,6 +810,30 @@ SELECT d.did AS doc_id,
          AS n_attachments
 FROM d JOIN agg a USING (did)
 WHERE nl > 0
+"""
+
+E19_BLANK_PAGES = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), pp AS (
+  SELECT did, nl,
+         CAST(CASE WHEN nl = 0 THEN 0 ELSE (nl - 1) // 40 + 1 END AS BIGINT)
+           AS np
+  FROM d
+), pages AS (
+  SELECT did, nl, np, unnest(range(1, np + 2)) AS page FROM pp
+)
+SELECT did AS doc_id,
+       CAST(page AS BIGINT) AS page,
+       CAST(CASE WHEN page > np THEN 0
+                 WHEN page < np THEN 40
+                 ELSE nl - 40 * (np - 1) END AS BIGINT) AS n_visible_lines,
+       CAST(CASE WHEN page <= np AND page % 3 = 0 AND nl >= page * 40
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_media,
+       CAST(CASE WHEN page > np THEN 1 ELSE 0 END AS INTEGER) AS is_blank
+FROM pages
 """
 
 H2_H3_SANITIZE = r"""
