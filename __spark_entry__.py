@@ -266,6 +266,37 @@ def q_e19_blank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blank_pages(with_blank)
 
 
+def q_e14_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 lattice tables (TabulaTableParser.java:53-110 LATTICE mode;
+    CSV dialect PdfContentExtractor.java:110-129 quote-all): two
+    disjoint ruled grids per page, segmented into separate tables by
+    rule-component clustering and emitted top-to-bottom."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_tables_from_documents
+
+    _ship_package(spark)
+    docs = docs_tables_from_documents(spark, sf_dir)
+    flat = explode_spans(extract_spans(docs)).filter(F.col("kind") == "table")
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("table_no"),
+        F.col("text").alias("csv"),
+    )
+
+
+def q_e14_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 STREAM mode (TabulaTableParser.java:56-75 whitespace-column
+    algorithm): unruled 4x3 grid pages, columns detected from the
+    vertical whitespace gaps."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_stream_table_from_documents,
+    )
+    from stirling_pdf_spark.operators.tables import tables_stream
+
+    _ship_package(spark)
+    return tables_stream(docs_stream_table_from_documents(spark, sf_dir))
+
+
 def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 filter-page-rotation (FilterController.java:229-245 reads the
     first page's rotation; generic comparator :256-265): per-doc
@@ -500,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_page_text": q_e2_page_text,
         "s12_redact_text": q_s12_redact_text,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
+        "e14_lattice_tables": q_e14_lattice_tables,
+        "e14_stream_table": q_e14_stream_table,
         # relational analogues (SURVEY.md §2)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -562,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "e13_search_positions": O.E13_SEARCH_POSITIONS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
+        "e14_lattice_tables": O.E14_LATTICE_TABLES,
+        "e14_stream_table": O.E14_STREAM_TABLE,
         "q1_pricing_summary": O.Q1_PRICING_SUMMARY,
         "q3_shipping_priority": O.Q3_SHIPPING_PRIORITY,
         "q5_nation_volume": O.Q5_NATION_VOLUME,

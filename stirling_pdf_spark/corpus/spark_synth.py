@@ -82,31 +82,40 @@ def twocol_from_text(doc_id: str, text: str):
     return doc_id, spans
 
 
-def docs_twocol_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derive_docs(spark: SparkSession, sf_dir: str, derive) -> DataFrame:
+    """documents(doc_id, text) -> docs(doc_id, spans) via a pure
+    (doc_id, text) -> (doc_id, raw_spans) derivation, distributed."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def gen(batches):
         for pdf in batches:
             out_ids, out_spans = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                did, spans = twocol_from_text(f"doc-{doc_id}", text or "")
+                did, spans = derive(f"doc-{doc_id}", text or "")
                 out_ids.append(did)
                 out_spans.append(_raw_dicts(spans))
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
     return docs.mapInPandas(gen, DOCS_SCHEMA)
+
+
+def docs_twocol_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derive_docs(spark, sf_dir, twocol_from_text)
 
 
 def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _derive_docs(spark, sf_dir, synth_from_text)
 
-    def gen(batches):
-        for pdf in batches:
-            out_ids, out_spans = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                did, spans = synth_from_text(f"doc-{doc_id}", text or "")
-                out_ids.append(did)
-                out_spans.append(_raw_dicts(spans))
-            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
-    return docs.mapInPandas(gen, DOCS_SCHEMA)
+def docs_tables_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two lattice tables per doc (E14 multi-table gate)."""
+    from .synth import tables_from_text
+
+    return _derive_docs(spark, sf_dir, tables_from_text)
+
+
+def docs_stream_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One whitespace-column table page per doc (E14 stream gate)."""
+    from .synth import stream_table_from_text
+
+    return _derive_docs(spark, sf_dir, stream_table_from_text)

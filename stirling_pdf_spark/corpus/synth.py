@@ -305,6 +305,64 @@ def synth_corpus(n: int, seed: int = 42,
         yield synth_doc(idx, seed, mega_pages)
 
 
+TABLE_CELL_MAX_CHARS = 16  # cell words clipped so cell width stays
+                           # inside the grid / whitespace-gap geometry
+
+
+def tables_from_text(doc_id: str, text: str):
+    """Derive a TWO-LATTICE-TABLE page deterministically from a plain
+    text (E14 multi-table gate): table A is a 2x3 grid at y 100..140,
+    table B a 3x2 grid at y 300..360 (disjoint rule components). Cell
+    (r, c) holds the doc's word[(base + r*ncols + c) % n_words],
+    clipped to TABLE_CELL_MAX_CHARS. Empty texts yield empty docs."""
+    from ..kernel.tables import Rule, encode_rule
+
+    words = text.split()
+    spans: list[tuple[str, str, str, int]] = []
+    if not words:
+        return doc_id, spans
+
+    def emit_grid(xs: list[float], ys: list[float], base: int) -> None:
+        for ry in ys:
+            spans.append(("rule", encode_rule(Rule(1, xs[0], ry, xs[-1], ry)),
+                          "", len(spans)))
+        for rx in xs:
+            spans.append(("rule", encode_rule(Rule(1, rx, ys[0], rx, ys[-1])),
+                          "", len(spans)))
+        n_cols = len(xs) - 1
+        for r in range(len(ys) - 1):
+            for c in range(n_cols):
+                w = words[(base + r * n_cols + c) % len(words)]
+                run = TextRun(1, xs[c] + 5.0, ys[r] + 5.0, 9.0, FONT,
+                              w[:TABLE_CELL_MAX_CHARS])
+                spans.append(("text", wire.encode_text_run(run), "",
+                              len(spans)))
+
+    emit_grid([100.0, 200.0, 300.0, 400.0], [100.0, 120.0, 140.0], 0)
+    emit_grid([100.0, 200.0, 300.0], [300.0, 320.0, 340.0, 360.0], 6)
+    return doc_id, spans
+
+
+def stream_table_from_text(doc_id: str, text: str):
+    """Derive a STREAM-mode table page (E14 whitespace columns): 4 rows
+    x 3 columns at x = 72/272/472, y = 100 + 20r; cell (r, c) holds
+    word[(r*3 + c) % n_words] clipped to TABLE_CELL_MAX_CHARS (so the
+    widest cell, 16 chars * 5.5 pt, ends well before the next column —
+    the whitespace gap always exceeds STREAM_COL_GAP)."""
+    words = text.split()
+    spans: list[tuple[str, str, str, int]] = []
+    if not words:
+        return doc_id, spans
+    xs = (72.0, 272.0, 472.0)
+    for r in range(4):
+        y = 100.0 + 20.0 * r
+        for c in range(3):
+            w = words[(r * 3 + c) % len(words)]
+            run = TextRun(1, xs[c], y, FS, FONT, w[:TABLE_CELL_MAX_CHARS])
+            spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+    return doc_id, spans
+
+
 def synth_from_text(doc_id: str, text: str):
     """Derive an interleaved raw document deterministically from a plain
     text (used to build the corpus from the driver's read-only

@@ -27,7 +27,7 @@ from collections import defaultdict
 from . import wire
 from .attachments import fallback_name, unique_names
 from .html_extract import extract_main_blocks
-from .tables import extract_table_csv, parse_rule
+from .tables import extract_table_csvs, parse_rule
 from .lines import cluster_lines
 from .columns import reading_order
 from .model import (
@@ -98,12 +98,12 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             text = line.text()[:MAX_CHARS_PER_CHUNK]
             out.append(Span("text", text, "", len(out)))
             budget -= 1
-        # lattice table (E14): derived from ruled lines, emitted after
-        # the page's text (unbudgeted — a summary object, not a chunk)
+        # lattice tables (E14): derived from ruled lines, one span per
+        # rule component in (top, left) order, emitted after the page's
+        # text (unbudgeted — summary objects, not chunks)
         if page in rules_by_page:
-            csv = extract_table_csv(rules_by_page[page],
-                                    runs_by_page.get(page, []))
-            if csv is not None:
+            for csv in extract_table_csvs(rules_by_page[page],
+                                          runs_by_page.get(page, [])):
                 out.append(Span("table", csv, "", len(out)))
 
     for html in html_parts:

@@ -1,0 +1,67 @@
+"""Table extraction operators (reference op E14).
+
+Lattice mode runs inside ``extract_doc`` (ruled pages emit kind='table'
+spans automatically — the PDF carries the grid). STREAM mode is
+user-selected in the reference (TabulaTableParser.java:56-75 picks the
+mode per request), so it is a standalone Arrow stage over the RAW docs
+table here: one output row per page that forms a whitespace-column
+table.
+
+Scale shape: repartition by doc_id then a single mapInArrow pass — the
+same no-shuffle-inside contract as the extraction pipeline; pages
+cluster locally per document, nothing is collected driver-side.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernel import wire
+from ..kernel.tables import stream_table_csv
+from .extract_pipeline import _decode_span_lists
+
+STREAM_TABLES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("page", T.LongType(), False),
+    T.StructField("csv", T.StringType(), False),
+])
+
+
+def tables_stream(docs: DataFrame,
+                  num_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, spans raw) -> (doc_id, page, csv) — Tabula STREAM
+    (whitespace-column) tables, one row per detected table page."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out_id, out_page, out_csv = [], [], []
+            for did, spans in zip(ids, raw):
+                runs_by_page: dict[int, list] = {}
+                for kind, text, _ref, _off in sorted(spans, key=lambda s: s[3]):
+                    if kind == "text":
+                        r = wire.parse_text_run(text)
+                        runs_by_page.setdefault(r.page, []).append(r)
+                for page in sorted(runs_by_page):
+                    csv = stream_table_csv(runs_by_page[page])
+                    if csv is not None:
+                        out_id.append(did)
+                        out_page.append(page)
+                        out_csv.append(csv)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.string()),
+                 pa.array(out_page, pa.int64()),
+                 pa.array(out_csv, pa.string())],
+                names=["doc_id", "page", "csv"],
+            )
+
+    return (
+        docs.repartition(num_partitions, "doc_id")
+        .mapInArrow(run, STREAM_TABLES_SCHEMA)
+    )

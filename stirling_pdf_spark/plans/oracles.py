@@ -836,6 +836,66 @@ SELECT did AS doc_id,
 FROM pages
 """
 
+# ------------------------------------------------------------- E14 tables
+
+_TABLE_DOCS_CTE = """
+d AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+             string_split(text, ' ') AS w0
+      FROM documents),
+v AS (SELECT did, list_transform(w0, x -> substr(x, 1, 16)) AS wv,
+             len(w0) AS n
+      FROM d WHERE len(w0) > 0)"""
+
+
+def _csv_cell(i: int) -> str:
+    # word[(i % n) + 1] clipped (already clipped in wv), quotes doubled
+    return f"replace(wv[(({i}) % n) + 1], '\"', '\"\"')"
+
+
+def _csv_row(idxs: list[int]) -> str:
+    parts = ["'\"'"]
+    for k, i in enumerate(idxs):
+        if k:
+            parts.append("'\",\"'")
+        parts.append(_csv_cell(i))
+    parts.append("'\"'")
+    return " || ".join(parts)
+
+
+def _csv_grid(base: int, n_rows: int, n_cols: int) -> str:
+    rows = [
+        _csv_row([base + r * n_cols + c for c in range(n_cols)])
+        for r in range(n_rows)
+    ]
+    return " || chr(10) || ".join(rows)
+
+
+def _e14_lattice_sql() -> str:
+    return f"""
+WITH {_TABLE_DOCS_CTE},
+t AS (
+  SELECT did, 1 AS tno, {_csv_grid(0, 2, 3)} AS csv FROM v
+  UNION ALL
+  SELECT did, 2 AS tno, {_csv_grid(6, 3, 2)} AS csv FROM v
+)
+SELECT did AS doc_id, CAST(tno AS BIGINT) AS table_no, csv FROM t
+"""
+
+
+E14_LATTICE_TABLES = _e14_lattice_sql()
+
+
+def _e14_stream_sql() -> str:
+    return f"""
+WITH {_TABLE_DOCS_CTE}
+SELECT did AS doc_id, CAST(1 AS BIGINT) AS page,
+       {_csv_grid(0, 4, 3)} AS csv
+FROM v
+"""
+
+
+E14_STREAM_TABLE = _e14_stream_sql()
+
 H2_H3_SANITIZE = r"""
 WITH built AS (
   SELECT doc_id,

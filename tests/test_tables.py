@@ -58,6 +58,80 @@ def test_kernel_emits_table_span_after_page_text():
     assert out[1].text == "cell"
 
 
+def test_multi_table_page_segments_by_component():
+    from stirling_pdf_spark.kernel.tables import extract_table_csvs
+
+    def grid(x0, y0):
+        return [
+            Rule(1, x0, y0, x0 + 200.0, y0),
+            Rule(1, x0, y0 + 20.0, x0 + 200.0, y0 + 20.0),
+            Rule(1, x0, y0, x0, y0 + 20.0),
+            Rule(1, x0 + 100.0, y0, x0 + 100.0, y0 + 20.0),
+            Rule(1, x0 + 200.0, y0, x0 + 200.0, y0 + 20.0),
+        ]
+
+    # two disjoint 1x2 grids; second one higher on the page AND a third
+    # degenerate component (single rule) that must be ignored
+    rules = grid(50.0, 300.0) + grid(50.0, 100.0) + [Rule(1, 0, 700, 10, 700)]
+    runs = [
+        TextRun(1, 55.0, 305.0, 9.0, "F", "low1"),
+        TextRun(1, 155.0, 305.0, 9.0, "F", "low2"),
+        TextRun(1, 55.0, 105.0, 9.0, "F", "top1"),
+        TextRun(1, 155.0, 105.0, 9.0, "F", "top2"),
+    ]
+    csvs = extract_table_csvs(rules, runs)
+    # (top, left) emission order: the y=100 grid first
+    assert csvs == ['"top1","top2"', '"low1","low2"']
+    # kernel emits one table span per grid
+    spans = [("rule", encode_rule(r), "", i) for i, r in enumerate(rules)]
+    spans += [("text", wire.encode_text_run(r), "", len(spans) + i)
+              for i, r in enumerate(runs)]
+    out = extract_doc(spans)
+    assert [s.text for s in out if s.kind == "table"] == csvs
+
+
+def test_stream_mode_whitespace_columns():
+    from stirling_pdf_spark.kernel.tables import stream_table_csv
+
+    runs = [
+        TextRun(1, 72.0, 100.0, 11.0, "F", "name"),
+        TextRun(1, 272.0, 100.0, 11.0, "F", "qty"),
+        TextRun(1, 72.0, 120.0, 11.0, "F", "apple"),
+        TextRun(1, 272.0, 120.0, 11.0, "F", "3"),
+        # two runs in one cell join with a space
+        TextRun(1, 72.0, 140.0, 11.0, "F", "green"),
+        TextRun(1, 110.0, 140.0, 11.0, "F", "pear"),
+        TextRun(1, 272.0, 140.0, 11.0, "F", "7"),
+    ]
+    csv = stream_table_csv(runs)
+    assert csv == '"name","qty"\n"apple","3"\n"green pear","7"'
+    # single column -> no table; single row -> no table
+    assert stream_table_csv([runs[0], runs[2]]) is None
+    assert stream_table_csv(runs[:2]) is None
+
+
+def test_stream_mode_spark_operator(spark):
+    from stirling_pdf_spark.corpus.synth import stream_table_from_text
+    from stirling_pdf_spark.operators.tables import tables_stream
+
+    rows = [stream_table_from_text(f"doc-{i}", f"alpha{i} beta gamma delta")
+            for i in range(12)]
+    df = spark.createDataFrame(
+        [(d, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+              for s in spans]) for d, spans in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r for r in tables_stream(df, num_partitions=4).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        r = got[f"doc-{i}"]
+        assert r["page"] == 1
+        lines = r["csv"].split("\n")
+        assert len(lines) == 4 and all(len(l.split('","')) == 3 for l in lines)
+        assert lines[0] == f'"alpha{i}","beta","gamma"'
+
+
 def test_tables_through_spark_pipeline(spark):
     docs = synth_docs_df(spark, 120, seed=42, mega_pages=(10, 15),
                          num_partitions=4)
