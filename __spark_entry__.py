@@ -266,6 +266,62 @@ def q_e19_blank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blank_pages(with_blank)
 
 
+def q_e18_title_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 direct title inference over extracted elements
+    (AutoRenameController.java:106-138): merge adjacent same-font-size
+    lines, stable-sort by font size desc, take the top candidate."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_rich_from_documents
+    from stirling_pdf_spark.operators.autoname import infer_titles
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    els = extract_elements(docs_rich_from_documents(spark, sf_dir))
+    return infer_titles(els)
+
+
+def q_s4_split_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 chapter split driven by bookmark spans
+    (SplitPdfByChaptersController.java:62-90, maxLevel=0): chapter
+    ranges via lead(), last chapter ends at the doc's last page."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_rich_from_documents
+    from stirling_pdf_spark.operators.pageops import split_by_chapters
+
+    _ship_package(spark)
+    return split_by_chapters(docs_rich_from_documents(spark, sf_dir),
+                             max_level=0)
+
+
+def q_e17_full_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 get-info-on-pdf, full shape (GetInfoOnPDF.java:812-851 +
+    per-page deduped font sets :943-985): page/span/char counts plus
+    the document's sorted font set and bookmark count, over the rich
+    corpus."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_rich_from_documents
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    docs = docs_rich_from_documents(spark, sf_dir)
+    flat = explode_spans(extract_spans(docs))
+    kinds = flat.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("long").alias("n_text_spans"),
+        F.sum(F.when(F.col("kind") == "text", F.length("text")).otherwise(0))
+        .cast("long").alias("n_text_chars"),
+        F.sum(F.when(F.col("kind") == "bookmark", 1).otherwise(0))
+        .cast("long").alias("n_bookmarks"),
+    )
+    els = extract_elements(docs).filter(F.col("kind") == "text")
+    pages_fonts = els.groupBy("doc_id").agg(
+        F.countDistinct("page").cast("long").alias("n_pages"),
+        F.countDistinct("font").cast("long").alias("n_fonts"),
+        F.array_join(F.array_sort(F.collect_set("font")), ",").alias("fonts"),
+    )
+    return kinds.join(pages_fonts, "doc_id").select(
+        "doc_id", "n_pages", "n_text_spans", "n_text_chars",
+        "n_fonts", "fonts", "n_bookmarks",
+    )
+
+
 def q_e14_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 lattice tables (TabulaTableParser.java:53-110 LATTICE mode;
     CSV dialect PdfContentExtractor.java:110-129 quote-all): two
@@ -533,6 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         "e14_lattice_tables": q_e14_lattice_tables,
         "e14_stream_table": q_e14_stream_table,
+        "e18_title_inference": q_e18_title_inference,
+        "s4_split_chapters": q_s4_split_chapters,
+        "e17_full_info": q_e17_full_info,
         # relational analogues (SURVEY.md §2)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -597,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,
         "e14_stream_table": O.E14_STREAM_TABLE,
+        "e18_title_inference": O.E18_TITLE_INFERENCE,
+        "s4_split_chapters": O.S4_SPLIT_CHAPTERS,
+        "e17_full_info": O.E17_FULL_INFO,
         "q1_pricing_summary": O.Q1_PRICING_SUMMARY,
         "q3_shipping_priority": O.Q3_SHIPPING_PRIORITY,
         "q5_nation_volume": O.Q5_NATION_VOLUME,

@@ -119,3 +119,10 @@ def docs_stream_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFr
     from .synth import stream_table_from_text
 
     return _derive_docs(spark, sf_dir, stream_table_from_text)
+
+
+def docs_rich_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Titled, multi-font, bookmarked corpus (E18/S4/E17 gates)."""
+    from .synth import rich_from_text
+
+    return _derive_docs(spark, sf_dir, rich_from_text)

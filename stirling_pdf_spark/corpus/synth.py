@@ -309,6 +309,46 @@ TABLE_CELL_MAX_CHARS = 16  # cell words clipped so cell width stays
                            # inside the grid / whitespace-gap geometry
 
 
+def rich_from_text(doc_id: str, text: str):
+    """Derive a 'rich' interleaved document deterministically from plain
+    text — the corpus for the direct-form E18/S4/E17 gates:
+
+      * a TITLE line (first 6 words) on page 1 at y=40, 16 pt
+        Helvetica-Bold — the top candidate AutoRenameController.java:
+        106-138 must find;
+      * body: 8 words/line, 40 lines/page at y = 72 + 14*(line%40),
+        font Courier on every 5th line (else Helvetica) so per-doc font
+        sets (GetInfoOnPDF.java:943-985) are non-trivial;
+      * bookmarks in outline-walk order, wire 'depth|page|title':
+        depth-0 'ch {p}' on every odd page, plus depth-1 's {p}' on
+        pages ≡ 3 (mod 4) — drives split-by-chapters
+        (SplitPdfByChaptersController.java:62-90, maxLevel filter).
+    """
+    words = text.split()
+    spans: list[tuple[str, str, str, int]] = []
+    if not words:
+        return doc_id, spans
+    title = TextRun(1, LEFT_X, 40.0, 16.0, "Helvetica-Bold",
+                    " ".join(words[:6]))
+    spans.append(("text", wire.encode_text_run(title), "", len(spans)))
+    n_lines = 0
+    for i in range(0, len(words), 8):
+        content = " ".join(words[i : i + 8])
+        line_no = i // 8
+        font = "Courier" if line_no % 5 == 4 else FONT
+        run = TextRun(line_no // 40 + 1, LEFT_X,
+                      round(TOP_Y + LINE_STEP * (line_no % 40), 2),
+                      FS, font, content)
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        n_lines += 1
+    n_pages = (n_lines - 1) // 40 + 1
+    for p in range(1, n_pages + 1, 2):
+        spans.append(("bookmark", f"0|{p}|ch {p}", "", len(spans)))
+        if p % 4 == 3:
+            spans.append(("bookmark", f"1|{p}|s {p}", "", len(spans)))
+    return doc_id, spans
+
+
 def tables_from_text(doc_id: str, text: str):
     """Derive a TWO-LATTICE-TABLE page deterministically from a plain
     text (E14 multi-table gate): table A is a 2x3 grid at y 100..140,

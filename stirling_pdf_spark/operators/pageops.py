@@ -614,6 +614,47 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
     )
 
 
+def split_by_chapters(docs: DataFrame, max_level: int = 0) -> DataFrame:
+    """S4 split-by-chapters driven by BOOKMARK spans
+    (SplitPdfByChaptersController.java:62-90): bookmarks with depth <=
+    max_level become chapter starts; a chapter ends where the next one
+    starts (lead window), the last chapter at the document's last page.
+
+    Bookmark wire: 'depth|page|title' (3 fields; E23's page-less
+    'depth|title' spans are skipped — they carry no split point).
+    Output: (doc_id, chapter_no, title, start_page, end_page). Feed the
+    ranges to ``split_at_pages`` to materialize the chapter docs."""
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    n_pages = (
+        exploded.filter(_is_page_kind(s))
+        .groupBy("doc_id")
+        .agg(F.max(span_page(s)).alias("np"))
+    )
+    parts = F.split(s["text"], r"\|", 3)
+    bm = (
+        exploded.filter(s["kind"] == "bookmark")
+        .filter(F.size(parts) >= 3)
+        .filter(F.element_at(parts, 1).cast("int") <= max_level)
+        .select(
+            "doc_id",
+            F.element_at(parts, 2).cast("long").alias("start_page"),
+            F.element_at(parts, 3).alias("title"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_page")
+    return (
+        bm.withColumn("chapter_no", F.row_number().over(w).cast("long"))
+        .withColumn("next_start", F.lead("start_page").over(w))
+        .join(n_pages, "doc_id")
+        .select(
+            "doc_id", "chapter_no", "title", "start_page",
+            F.coalesce(F.col("next_start") - 1, F.col("np"))
+            .alias("end_page"),
+        )
+    )
+
+
 def has_text(docs_out: DataFrame, phrase: str) -> DataFrame:
     """E10/F1 predicate over EXTRACTED spans: keep docs where any text
     span contains the phrase (PdfUtils.hasText semantics)."""

@@ -836,6 +836,72 @@ SELECT did AS doc_id,
 FROM pages
 """
 
+# ---------------------------------------------------- rich corpus (E18/S4)
+
+E18_TITLE_INFERENCE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT did AS doc_id,
+       array_to_string(w[1:6], ' ') AS title,
+       CAST(1600 AS BIGINT) AS title_fs_x100,
+       CAST(CASE WHEN length(array_to_string(w[1:6], ' ')) < 255
+                 THEN 1 ELSE 0 END AS INTEGER) AS usable
+FROM d WHERE len(w) > 0
+"""
+
+S4_SPLIT_CHAPTERS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), pp AS (
+  SELECT did, (nl - 1) // 40 + 1 AS np FROM d WHERE nl > 0
+), ch AS (
+  SELECT did, np, unnest(range(1, (np + 1) // 2 + 1)) AS k FROM pp
+)
+SELECT did AS doc_id,
+       CAST(k AS BIGINT) AS chapter_no,
+       'ch ' || CAST(2*k - 1 AS VARCHAR) AS title,
+       CAST(2*k - 1 AS BIGINT) AS start_page,
+       CAST(CASE WHEN 2*k >= np THEN np ELSE 2*k END AS BIGINT) AS end_page
+FROM ch
+"""
+
+E17_FULL_INFO = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), base AS (
+  SELECT did, w, nl,
+         (nl - 1) // 40 + 1 AS np,
+         length(array_to_string(w[1:6], ' ')) AS title_len
+  FROM d WHERE nl > 0
+), capped AS (
+  -- budget 2000 chunks total; the title takes the first slot
+  SELECT did, w, unnest(range(0, LEAST(nl, 1999))) AS i FROM base
+), agg AS (
+  SELECT did,
+         CAST(SUM(length(array_to_string(
+           w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))) AS BIGINT)
+           AS body_chars
+  FROM capped GROUP BY did
+)
+SELECT b.did AS doc_id,
+       CAST(b.np AS BIGINT) AS n_pages,
+       CAST(LEAST(b.nl + 1, 2000) AS BIGINT) AS n_text_spans,
+       CAST(b.title_len + a.body_chars AS BIGINT) AS n_text_chars,
+       CAST(CASE WHEN b.nl >= 5 THEN 3 ELSE 2 END AS BIGINT) AS n_fonts,
+       CASE WHEN b.nl >= 5 THEN 'Courier,Helvetica,Helvetica-Bold'
+            ELSE 'Helvetica,Helvetica-Bold' END AS fonts,
+       CAST((b.np + 1) // 2 + (b.np + 1) // 4 AS BIGINT) AS n_bookmarks
+FROM base b JOIN agg a USING (did)
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """
