@@ -177,12 +177,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exact integer-threshold Jaccard on distinct shingle sets.
     Output: (id_a, id_b, common, size_a, size_b).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
     sh = _shingled(df, id_col, text_col, n)
+    # the exploded inverted index feeds FOUR consumers (signatures,
+    # sizes, and both sides of the verify join); without staging it the
+    # regex tokenization + shingle transform re-runs per consumer —
+    # persist is the intermediate-table shape, spill-safe
     exploded = (
         sh.select("id", F.explode_outer("shingles").alias("sh"))
         .filter(F.col("sh").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = exploded.groupBy("id").agg(*minhash_signature_cols(num_hashes))
 
@@ -212,6 +219,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # size-ratio prune BEFORE the expensive shingle-join verify:
+    # common <= min(size_a, size_b), so Jaccard >= t/100 requires
+    # 100*min >= t*max — candidates failing that can never pass, and
+    # dropping them here cuts the verify fan-out (candidates x shingles)
+    # without changing the result. Sizes come off the staged index
+    # (shingles are distinct per doc), one tiny row per doc.
+    sizes = exploded.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    cand_sized = (
+        cand.join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "size_b"), "id_b")
+        .filter(
+            F.least("size_a", "size_b") * 100
+            >= F.lit(threshold_pct) * F.greatest("size_a", "size_b")
+        )
+    )
     # verify via the exploded inverted index rather than carrying whole
     # shingle arrays through the join: candidate x shingle fan-out, then
     # a hash join on (id_b, shingle) and a count — every stage stays
@@ -220,18 +244,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ea = exploded.select(F.col("id").alias("id_a"), "sh")
     eb = exploded.select(F.col("id").alias("id_b"), "sh")
     common = (
-        cand.join(ea, "id_a")
+        cand_sized.join(ea, "id_a")
         .join(eb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("common"))
     )
-    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
     return (
-        common.join(sizes.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("sz", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sz", "size_b"), "id_b")
-        .filter(
+        common.filter(
             F.col("common") * 100
             >= F.lit(threshold_pct) * (F.col("size_a") + F.col("size_b") - F.col("common"))
         )

@@ -2,11 +2,15 @@
 
 Shape (SURVEY.md §3.1 "Spark equivalent"):
 
-    read docs -> split by size -> [small] repartition(hash(doc_id))
-                                  -> mapInPandas(kernel)            (no shuffle inside)
-                               -> [mega]  explode -> bucket by page-range (salt)
-                                  -> groupBy(doc_id, bucket) -> mapInPandas(kernel, unbudgeted)
-                                  -> groupBy(doc_id) applyInPandas(reassemble+budget)
+    read docs -> repartition(hash(doc_id))
+              -> mapInArrow(route):                       ONE source scan
+                   small doc -> extracted spans (final)
+                   mega doc  -> raw page-range bucket rows (salt)
+              -> persist (spill-safe staging of the routed stage)
+              -> [final] project                           (no more work)
+                 [mega]   repartition(doc_id, bucket)
+                          -> mapInArrow(kernel, unbudgeted)
+                          -> groupBy(doc_id) applyInPandas(reassemble+budget)
     -> unionByName -> write spans_out + metrics + lineage
 
 Why salting: one 1500-page PDF in a hash-partitioned batch of 1-page
@@ -20,14 +24,18 @@ re-applied — bit-identical to the unsalted kernel output.
 
 All per-document work happens inside mapInArrow stages with columnar
 span decode/encode (no per-row Spark Python UDFs); the only shuffles
-are the repartition by doc_id and the (mega-doc-only) regroup, both on
-keys that are unique or salted — no hot keys by construction.
+are the repartition by doc_id and the (mega-doc-only) bucket shuffle +
+regroup, both on keys that are unique or salted — no hot keys by
+construction.
 
-Known trade-off: the small/big routing scans the source twice (two
-complementary filters). Against Parquet/Iceberg that is two cheap
-pruned scans; when the source is an expensive derivation (corpus
-synthesis), materialize it first (bench.py does) — a cache() here
-would pin the whole corpus for every caller instead.
+Why the persist: the routed stage feeds two branches (final docs and
+mega-doc buckets). Without it Catalyst computes each branch as its own
+subtree, re-running the SOURCE and the extraction for both — twice the
+scan and twice the kernel work whenever the input is an expensive
+derivation (corpus synthesis, a joined table). Persisting the routed
+output stages it once, exactly like writing an intermediate table
+between jobs; MEMORY_AND_DISK spills instead of OOMing, and the
+ContextCleaner drops the cache when the DataFrame goes out of scope.
 """
 
 from __future__ import annotations
@@ -56,6 +64,14 @@ _SUB_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
     T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
 ])
+# routed stage: final docs carry extracted spans; mega-doc bucket rows
+# carry RAW spans (the struct's 4th field then holds the raw offset)
+_ROUTED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+    T.StructField("final", T.BooleanType(), False),
+])
 
 # spans-per-doc threshold above which a doc takes the salted path; a
 # mega-doc per FIXTURES.md has >= 3000 raw spans, normal docs < 1200
@@ -66,8 +82,8 @@ _BOOKMARK_BUCKET = 1 << 30     # bookmark tree after html (kernel contract)
 _ATTACH_BUCKET = (1 << 30) + 1  # attachments read last (kernel contract)
 
 
-def _decode_span_lists(col: "pa.Array") -> list[list[tuple]]:
-    """Columnar decode of array<struct<kind,text,media_ref,offset>>:
+def _decode_span_lists(col: "pa.Array", off_field: str = "offset") -> list[list[tuple]]:
+    """Columnar decode of array<struct<kind,text,media_ref,{off_field}>>:
     four flat to_pylist() calls (C speed) + one zip, instead of a dict
     per span — the dominant cost of the UDF boundary at scale."""
     lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
@@ -76,7 +92,7 @@ def _decode_span_lists(col: "pa.Array") -> list[list[tuple]]:
         vals.field("kind").to_pylist(),
         vals.field("text").to_pylist(),
         vals.field("media_ref").to_pylist(),
-        vals.field("offset").to_pylist(),
+        vals.field(off_field).to_pylist(),
     ))
     offs = lst.offsets.to_pylist()
     return [flat[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
@@ -97,23 +113,68 @@ def _encode_span_lists(span_lists: list[list[tuple]]) -> "pa.ListArray":
     return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
 
 
-def _extract_small(batches):
-    for rb in batches:
-        raw = _decode_span_lists(rb.column(rb.schema.names.index("spans")))
-        out = [extract_doc(spans) for spans in raw]
-        yield pa.RecordBatch.from_arrays(
-            [rb.column(rb.schema.names.index("doc_id")),
-             _encode_span_lists(out)],
-            names=["doc_id", "spans"],
-        )
+def _bucket_of(kind: str, text: str, pages_per_bucket: int) -> int:
+    """Salt bucket of one raw span — the Python mirror of the routing
+    the kernel's reading order implies (meta first, pages ascending,
+    html -> bookmarks -> attachments last)."""
+    if kind == "meta":
+        return -1
+    if kind == "attachment":
+        return _ATTACH_BUCKET
+    if kind == "bookmark":
+        return _BOOKMARK_BUCKET
+    if kind == "html":
+        return _HTML_BUCKET
+    if kind in ("text", "media", "rule", "pagemeta"):
+        return int(text.split("|", 1)[0]) // pages_per_bucket
+    return 0
+
+
+def _route_factory(salt_threshold: int, pages_per_bucket: int):
+    def route(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out_ids: list[str] = []
+            out_buckets: list[int] = []
+            out_spans: list[list[tuple]] = []
+            out_final: list[bool] = []
+            for did, spans in zip(ids, raw):
+                if len(spans) <= salt_threshold:
+                    out_ids.append(did)
+                    out_buckets.append(0)
+                    out_spans.append(extract_doc(spans))
+                    out_final.append(True)
+                else:
+                    by_bucket: dict[int, list[tuple]] = {}
+                    for s in spans:
+                        by_bucket.setdefault(
+                            _bucket_of(s[0], s[1], pages_per_bucket), []
+                        ).append(s)
+                    for b, sub in by_bucket.items():
+                        out_ids.append(did)
+                        out_buckets.append(b)
+                        out_spans.append(sub)
+                        out_final.append(False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.string()),
+                 pa.array(out_buckets, pa.int64()),
+                 _encode_span_lists(out_spans),
+                 pa.array(out_final, pa.bool_())],
+                names=["doc_id", "bucket", "spans", "final"],
+            )
+
+    return route
 
 
 def _extract_sub(batches):
     # unbudgeted: the 2000-chunk cap is global per doc, applied at
-    # reassembly (see module docstring)
+    # reassembly (see module docstring). The raw offsets of the bucket
+    # rows travel in the struct's 'order' field.
     for rb in batches:
         names = rb.schema.names
-        raw = _decode_span_lists(rb.column(names.index("spans")))
+        raw = _decode_span_lists(rb.column(names.index("spans")), "order")
         out = [extract_doc(spans, chunk_budget=None) for spans in raw]
         yield pa.RecordBatch.from_arrays(
             [rb.column(names.index("doc_id")),
@@ -148,37 +209,22 @@ def extract_spans(
 ) -> DataFrame:
     """docs(doc_id, spans: array<raw span struct>) ->
     spans_out(doc_id, spans: array<(kind,text,media_ref,order)>)."""
+    from pyspark import StorageLevel
+
     if num_partitions is None:
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
 
-    n_spans = F.size("spans")
-    small = docs.filter(n_spans <= salt_threshold)
-    big = docs.filter(n_spans > salt_threshold)
-
-    small_out = (
-        small.repartition(num_partitions, "doc_id")
-        .mapInArrow(_extract_small, SPANS_OUT_SCHEMA)
+    routed = (
+        docs.repartition(num_partitions, "doc_id")
+        .mapInArrow(_route_factory(salt_threshold, pages_per_bucket),
+                    _ROUTED_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    # salted path: explode to raw spans, assign page-range buckets
-    s = F.col("s")
-    page = F.when(
-        s["kind"].isin("text", "media", "rule", "pagemeta"),
-        F.split_part(s["text"], F.lit("|"), F.lit(1)).cast("long"),
-    )
-    bucket = (
-        F.when(s["kind"] == "meta", F.lit(-1))
-        .when(s["kind"] == "attachment", F.lit(_ATTACH_BUCKET))
-        .when(s["kind"] == "bookmark", F.lit(_BOOKMARK_BUCKET))
-        .when(s["kind"] == "html", F.lit(_HTML_BUCKET))
-        .when(page.isNotNull(), (page / F.lit(pages_per_bucket)).cast("long"))
-        .otherwise(F.lit(0))
-    )
+    small_out = routed.filter(F.col("final")).select("doc_id", "spans")
     sub = (
-        big.select("doc_id", F.explode("spans").alias("s"))
-        .groupBy("doc_id", bucket.alias("bucket"))
-        # kernel sorts by offset, so collect_list order doesn't matter
-        .agg(F.collect_list("s").alias("spans"))
+        routed.filter(~F.col("final"))
+        .select("doc_id", "bucket", "spans")
+        .repartition(num_partitions, "doc_id", "bucket")
         .mapInArrow(_extract_sub, _SUB_SCHEMA)
     )
     big_out = sub.groupBy("doc_id").applyInPandas(_reassemble, SPANS_OUT_SCHEMA)
