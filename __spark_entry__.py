@@ -372,6 +372,31 @@ def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f4_page_size_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 filter-page-size over the REAL page state
+    (FilterController.java:160-181 compares first-page area against a
+    standard size, PdfUtils.textToPageSize:52-66 defines the nine
+    sizes): per-doc page boxes round-trip the pagemeta wire, then
+    filter GREATER than A4's area."""
+    from stirling_pdf_spark.operators.pageops import (
+        STANDARD_PAGE_SIZES, filter_page_size, set_page_rotation,
+    )
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    names = list(STANDARD_PAGE_SIZES)
+    idx = ((F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long") % 9) + 1
+           ).cast("int")
+    w = F.element_at(
+        F.array(*[F.lit(STANDARD_PAGE_SIZES[n][0]) for n in names]), idx)
+    h = F.element_at(
+        F.array(*[F.lit(STANDARD_PAGE_SIZES[n][1]) for n in names]), idx)
+    sized = set_page_rotation(docs, 0, page_width=w, page_height=h)
+    out = filter_page_size(sized, "A4", "GREATER")
+    name_col = F.element_at(F.array(*[F.lit(n) for n in names]), idx)
+    return out.select("doc_id", name_col.alias("size_class"))
+
+
 def q_h4_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 media_ref resolution (rows-only): extract the synth corpus,
     join every media/attachment span to the deterministic blob table,
@@ -506,6 +531,59 @@ def q_h2_h3_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h1_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 allowlist sanitize (CustomHtmlSanitizer.java:45-67): attrs
+    outside the allowlist drop, script+content drops, unknown tags
+    unwrap, img src with an unsafe scheme drops — checked by md5 of the
+    sanitized markup."""
+    from stirling_pdf_spark.functions.html import sanitize_html_udf
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div onclick="x()"><p style="color:red">'), F.col("text"),
+        F.lit('</p><script>bad()</script><img src="javascript:x" alt="pic"/>'
+              "<blink>keep this text</blink>"
+              '<a href="https://e.x/" title="t">link</a></div>'),
+    )
+    cleaned = sanitize_html_udf()(html)
+    return docs.select(
+        "doc_id", F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
+def q_h7_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 boilerplate strip (link-density/text-length scoring à la
+    Readability/jusText over H1-H3 semantics): nav/footer boilerplate
+    drops, the article heading + paragraphs survive in document
+    order."""
+    from stirling_pdf_spark.functions.html import main_blocks_udf
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    # ltrim: a slice boundary can land on a space, which the block
+    # scorer's whitespace collapse would merge with the template space
+    p1 = F.concat(F.lit("the quick brown fox paragraph one "),
+                  F.ltrim(F.substring("text", 1, 200)))
+    p2 = F.concat(F.lit("the quick brown fox paragraph two "),
+                  F.ltrim(F.substring("text", 201, 200)))
+    html = F.concat(
+        F.lit('<html><body><nav><ul><li><a href="/home">home</a></li></ul>'
+              "</nav><article><h1>Heading "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), p1, F.lit("</p><p>"), p2,
+        F.lit('</p></article><footer>fine print <a href="/tos">tos</a>'
+              "</footer></body></html>"),
+    )
+    blocks = main_blocks_udf()(html)
+    return docs.select(
+        "doc_id",
+        F.size(blocks).alias("n_blocks"),
+        F.md5(F.array_join(blocks, "\n")).alias("blocks_md5"),
+    )
+
+
 def q_h5_autolink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 text->HTML: escape + autolink URLs/emails
     (EmlProcessingUtils.java:256-284)."""
@@ -607,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f5_filter_size_comparator": R.f5_filter_size_comparator,
         "f4_size_class_filter": R.f4_size_class_filter,
+        "f4_page_size_wire": q_f4_page_size_wire,
         "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "e13_regex_search": R.e13_regex_search,
@@ -631,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         # html / chunking / eml / page ops
         "h2_h3_sanitize": q_h2_h3_sanitize,
+        "h1_sanitize": q_h1_sanitize,
+        "h7_boilerplate": q_h7_boilerplate,
         "h5_autolink": q_h5_autolink,
         "e10_has_text": q_e10_has_text,
         "text_chunk_windows": q_text_chunk_windows,
@@ -673,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_filter_count_comparator": O.F3_FILTER_COUNT_COMPARATOR,
         "f5_filter_size_comparator": O.F5_FILTER_SIZE_COMPARATOR,
         "f4_size_class_filter": O.F4_SIZE_CLASS,
+        "f4_page_size_wire": O.F4_PAGE_SIZE_WIRE,
         "f6_filter_rotation": O.F6_FILTER_ROTATION,
         "f7_page_select_dsl": O.F7_PAGE_SELECT_DSL,
         "e13_regex_search": O.E13_REGEX_SEARCH,
@@ -695,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": O.TEXT_FINGERPRINT,
         "multimodal_meta": O.MULTIMODAL_META,
         "h2_h3_sanitize": O.H2_H3_SANITIZE,
+        "h1_sanitize": O.H1_SANITIZE,
+        "h7_boilerplate": O.H7_BOILERPLATE,
         "h5_autolink": O.H5_AUTOLINK,
         "e10_has_text": O.E10_HAS_TEXT,
         "text_chunk_windows": O.TEXT_CHUNK_WINDOWS,

@@ -14,6 +14,7 @@ kernel/sanitize.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -50,3 +51,33 @@ def text_to_html(col: Column) -> Column:
     out = escape_html(col)
     out = F.regexp_replace(out, r"\n", "<br>")
     return autolink(out)
+
+
+def sanitize_html_udf():
+    """H1 allowlist sanitizer (CustomHtmlSanitizer.java:45-67) as an
+    Arrow-batched pandas UDF over kernel/sanitize.py — the parser needs
+    real HTML tokenization, so this is UDF territory by design."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel.sanitize import sanitize_html
+
+    @pandas_udf("string")
+    def _san(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: sanitize_html(v or ""))
+
+    return _san
+
+
+def main_blocks_udf():
+    """H7 boilerplate strip (kernel/html_extract.py, Readability/jusText
+    heuristics) as an Arrow-batched pandas UDF returning the kept block
+    texts in document order."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel.html_extract import extract_main_blocks
+
+    @pandas_udf("array<string>")
+    def _blocks(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: extract_main_blocks(v or ""))
+
+    return _blocks

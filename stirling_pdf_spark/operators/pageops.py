@@ -224,19 +224,27 @@ def rotate_pages_90(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
 # ------------------------------------------------- rotation state (F6/S7)
 
 def set_page_rotation(docs: DataFrame, rotation: Column | int,
-                      page: int = 1, page_width: float = 612.0,
-                      page_height: float = 792.0) -> DataFrame:
+                      page: int = 1,
+                      page_width: Column | float = 612.0,
+                      page_height: Column | float = 792.0) -> DataFrame:
     """S7 logical rotation (RotationController semantics: the reference
     sets the /Rotate page attribute, leaving content untouched). Writes
-    a kind='pagemeta' span for ``page`` carrying the rotation state
-    (replacing any existing pagemeta for that page). ``rotation`` may be
-    a literal or a Column (per-doc rotation). Extraction output is
-    unaffected — the kernel's coordinates are already dir-adjusted, the
-    same reason PDFBox text extraction is rotation-invariant."""
+    a kind='pagemeta' span for ``page`` carrying the page box +
+    rotation state (replacing any existing pagemeta for that page).
+    ``rotation``/``page_width``/``page_height`` may be literals or
+    Columns (per-doc state). Extraction output is unaffected — the
+    kernel's coordinates are already dir-adjusted, the same reason
+    PDFBox text extraction is rotation-invariant."""
     rot = rotation if isinstance(rotation, Column) else F.lit(int(rotation))
+    w = (page_width if isinstance(page_width, Column)
+         else F.lit(float(page_width)))
+    h = (page_height if isinstance(page_height, Column)
+         else F.lit(float(page_height)))
     prefix = f"{int(page)}|"
     meta_text = F.concat(
-        F.lit(f"{int(page)}|{float(page_width)!r}|{float(page_height)!r}|"),
+        F.lit(prefix),
+        w.cast("double").cast("string"), F.lit("|"),
+        h.cast("double").cast("string"), F.lit("|"),
         rot.cast("long").cast("string"), F.lit("|"),
     )
     kept = F.filter(
@@ -288,6 +296,51 @@ def page_rotations(docs: DataFrame) -> DataFrame:
 
 
 ROTATION_COMPARATORS = ("GREATER", "EQUAL", "LESS")
+
+# PdfUtils.textToPageSize:52-66 — the nine standard sizes the reference
+# accepts, as PDFBox PDRectangle dimensions in points (ISO sizes are
+# mm * 72/25.4; LETTER/LEGAL are US points)
+_PPM = 72.0 / 25.4
+STANDARD_PAGE_SIZES: dict[str, tuple[float, float]] = {
+    "A0": (841 * _PPM, 1189 * _PPM),
+    "A1": (594 * _PPM, 841 * _PPM),
+    "A2": (420 * _PPM, 594 * _PPM),
+    "A3": (297 * _PPM, 420 * _PPM),
+    "A4": (210 * _PPM, 297 * _PPM),
+    "A5": (148 * _PPM, 210 * _PPM),
+    "A6": (105 * _PPM, 148 * _PPM),
+    "LETTER": (612.0, 792.0),
+    "LEGAL": (612.0, 1008.0),
+}
+
+
+def filter_page_size(docs: DataFrame, size_name: str,
+                     comparator: str = "EQUAL") -> DataFrame:
+    """F4 filter-page-size (FilterController.java:160-181): the FIRST
+    page's area (width*height from its pagemeta box) compared against a
+    standard size's area with {GREATER, EQUAL, LESS} (:256-265). Docs
+    without pagemeta default to the Letter box, like the synthetic
+    corpus geometry."""
+    if comparator not in ROTATION_COMPARATORS:
+        raise ValueError(
+            f"unknown comparator {comparator!r}; one of {ROTATION_COMPARATORS}")
+    std_w, std_h = STANDARD_PAGE_SIZES[size_name.upper()]
+    std_area = std_w * std_h
+    first = (
+        page_rotations(docs)
+        .groupBy("doc_id")
+        .agg(F.min_by(F.struct("width", "height"), "page").alias("fp"))
+        .select("doc_id",
+                (F.col("fp.width") * F.col("fp.height")).alias("area"))
+    )
+    sized = docs.join(first, "doc_id", "left").select(
+        "doc_id", "spans",
+        F.coalesce("area", F.lit(612.0 * 792.0)).alias("area"),
+    )
+    col = F.col("area")
+    cond = {"GREATER": col > std_area, "EQUAL": col == std_area,
+            "LESS": col < std_area}[comparator]
+    return sized.filter(cond)
 
 
 def filter_page_rotation(docs: DataFrame, rotation: int,

@@ -212,15 +212,20 @@ def s1_merge_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f4_size_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter-page-size vs standard sizes (FilterController.java:160-181,
-    PdfUtils.textToPageSize :52-66): classify against a fixed size map,
-    count per class."""
+    PdfUtils.textToPageSize :52-66): classify against the FULL nine-size
+    map (A0-A6, LETTER, LEGAL), count per class. The wire-level area
+    comparator is q_f4_page_size_wire."""
     part = read_table(spark, sf_dir, "part")
     cls = (
-        F.when(F.col("p_size") <= 10, "A6")
-        .when(F.col("p_size") <= 20, "A5")
-        .when(F.col("p_size") <= 30, "A4")
-        .when(F.col("p_size") <= 40, "A3")
-        .otherwise("A2")
+        F.when(F.col("p_size") <= 5, "A6")
+        .when(F.col("p_size") <= 11, "A5")
+        .when(F.col("p_size") <= 17, "A4")
+        .when(F.col("p_size") <= 22, "A3")
+        .when(F.col("p_size") <= 28, "A2")
+        .when(F.col("p_size") <= 33, "A1")
+        .when(F.col("p_size") <= 39, "A0")
+        .when(F.col("p_size") <= 44, "LETTER")
+        .otherwise("LEGAL")
     )
     return part.groupBy(cls.alias("size_class")).agg(
         F.count("*").alias("n_parts"),

@@ -263,15 +263,43 @@ FROM s
 """
 
 F4_SIZE_CLASS = f"""
-SELECT CASE WHEN p_size <= 10 THEN 'A6'
-            WHEN p_size <= 20 THEN 'A5'
-            WHEN p_size <= 30 THEN 'A4'
-            WHEN p_size <= 40 THEN 'A3'
-            ELSE 'A2' END AS size_class,
+SELECT CASE WHEN p_size <= 5 THEN 'A6'
+            WHEN p_size <= 11 THEN 'A5'
+            WHEN p_size <= 17 THEN 'A4'
+            WHEN p_size <= 22 THEN 'A3'
+            WHEN p_size <= 28 THEN 'A2'
+            WHEN p_size <= 33 THEN 'A1'
+            WHEN p_size <= 39 THEN 'A0'
+            WHEN p_size <= 44 THEN 'LETTER'
+            ELSE 'LEGAL' END AS size_class,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(SUM({micro('p_retailprice')}) AS BIGINT) AS total_price_micro
 FROM part GROUP BY 1
 """
+
+
+def _f4_page_size_wire_sql() -> str:
+    from ..operators.pageops import STANDARD_PAGE_SIZES
+
+    names = list(STANDARD_PAGE_SIZES)
+    a4w, a4h = STANDARD_PAGE_SIZES["A4"]
+    rows = ", ".join(
+        f"({i}, '{n}', {STANDARD_PAGE_SIZES[n][0]!r}, "
+        f"{STANDARD_PAGE_SIZES[n][1]!r})"
+        for i, n in enumerate(names)
+    )
+    return f"""
+WITH sizes(idx, name, w, h) AS (VALUES {rows}),
+d AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+             doc_id % 9 AS idx
+      FROM documents)
+SELECT did AS doc_id, s.name AS size_class
+FROM d JOIN sizes s USING (idx)
+WHERE s.w * s.h > {a4w!r} * {a4h!r}
+"""
+
+
+F4_PAGE_SIZE_WIRE = _f4_page_size_wire_sql()
 
 F6_FILTER_ROTATION = """
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
@@ -981,6 +1009,34 @@ WITH built AS (
 )
 SELECT doc_id, md5(c) AS clean_md5, CAST(length(c) AS BIGINT) AS clean_len
 FROM cleaned
+"""
+
+H1_SANITIZE = """
+WITH cleaned AS (
+  SELECT doc_id,
+         '<div><p>' || text
+         || '</p><img alt="pic" />keep this text'
+         || '<a href="https://e.x/" title="t">link</a></div>' AS c
+  FROM documents
+)
+SELECT doc_id, md5(c) AS clean_md5, CAST(length(c) AS BIGINT) AS clean_len
+FROM cleaned
+"""
+
+H7_BOILERPLATE = """
+WITH b AS (
+  SELECT doc_id,
+         'Heading ' || CAST(doc_id AS VARCHAR) AS h,
+         rtrim('the quick brown fox paragraph one '
+               || ltrim(substr(text, 1, 200))) AS p1,
+         rtrim('the quick brown fox paragraph two '
+               || ltrim(substr(text, 201, 200))) AS p2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(3 AS INTEGER) AS n_blocks,
+       md5(h || chr(10) || p1 || chr(10) || p2) AS blocks_md5
+FROM b
 """
 
 H5_AUTOLINK = r"""

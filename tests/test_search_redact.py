@@ -64,3 +64,64 @@ def test_redact_spans_masks_text_only(spark):
     assert out[1]["text"] == "data"          # media wire untouched
     assert out[2]["text"] == "data.bin"      # attachment name untouched
     assert [s["order"] for s in out] == [0, 1, 2]
+
+
+def test_textfind_glyph_union_and_fallback():
+    """TextFinder.java:115-158 semantics: bbox = glyph union; a match
+    landing entirely on an inserted separator uses the FIRST nearby
+    glyph (±5) alone."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.kernel.textfind import assemble_page, find_matches
+
+    # one line, two runs, gap 10 > 0.5*avg_char_width (5.5) -> a word
+    # space is INSERTED between them (separator null position)
+    a = TextRun(1, 72.0, 100.0, 11.0, "F", "alpha")
+    b = TextRun(1, 72.0 + 5 * 5.5 + 10.0, 100.0, 11.0, "F", "beta")
+    text, boxes = assemble_page([a, b])
+    assert text == "alpha beta"
+    assert boxes[5] is None  # the inserted space carries no glyph
+
+    # cross-separator match: union of real glyphs on both sides
+    [m] = find_matches([a, b], "a b")
+    assert m.text == "a b"
+    assert m.x1 == 72.0 + 4 * 5.5            # 'a' of alpha (index 4)
+    assert m.x2 == b.x + 5.5                 # 'b' of beta
+    assert (m.y1, m.y2) == (100.0, 111.0)
+
+    # separator-only match: the ±5 fallback picks ONE nearby glyph
+    [sp] = find_matches([a, b], " ")
+    assert sp.text == " "
+    assert sp.x2 - sp.x1 == 5.5              # exactly one glyph's box
+
+    # multi-line: newline separator, fallback still resolves
+    c = TextRun(2, 72.0, 100.0, 11.0, "F", "x")
+    d = TextRun(2, 72.0, 130.0, 11.0, "F", "y")
+    [nl] = find_matches([c, d], "\n", regex=False)
+    assert nl.x2 - nl.x1 == 5.5
+
+
+def test_text_search_pages_operator(spark):
+    from stirling_pdf_spark.kernel import wire
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.search import text_search_pages
+
+    spans = []
+    for p in (1, 2):
+        run = TextRun(p, 72.0, 72.0, 11.0, "F", f"needle here needle p{p}")
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = text_search_pages(df, "needle", num_partitions=2).collect()
+    assert len(rows) == 4  # 2 per page
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r["page"], []).append(r)
+    for p, ms in by_page.items():
+        assert [m["match_no"] for m in sorted(ms, key=lambda r: r["match_no"])] \
+            == [0, 1]
+        for m in ms:
+            assert m["x2"] > m["x1"] and m["y2"] == m["y1"] + 11.0
