@@ -372,6 +372,73 @@ def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 split-at-pages, exact gate (SplitPDFController.java:65-104):
+    cut the documents-derived corpus after pages 2 and 5, re-extract
+    every part as a standalone doc, count spans per (part, kind) —
+    page routing, attachment stickiness and the re-applied chunk budget
+    all hash-checked."""
+    from stirling_pdf_spark.operators.pageops import split_at_pages
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    parts = split_at_pages(docs, [2, 5])
+    flat = explode_spans(extract_spans(parts))
+    return flat.groupBy("doc_id", "kind").agg(F.count("*").alias("n_spans"))
+
+
+def q_h4_media_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 media_ref resolution, exact gate (EmlProcessingUtils.java:
+    249-251): one media draw + one attachment per doc (refs derived
+    from the text hash) flow through extraction and join the
+    deterministic blob table; format and payload size are pure
+    functions of the ref hash, re-derived independently by the
+    oracle."""
+    from stirling_pdf_spark.corpus.media import media_table
+    from stirling_pdf_spark.operators.multimodal import resolve_media
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    media_ref = F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+    attach_ref = F.concat(F.lit("media-"), F.substring(sha, 9, 8))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                media_ref.alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("attachment").alias("kind"),
+                F.lit("blob.bin").alias("text"),
+                attach_ref.alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    resolved = resolve_media(extract_spans(docs), media_table(docs))
+    return resolved.select("doc_id", "kind", "media_ref", "fmt", "n_bytes")
+
+
+def q_s5_split_sections_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 split-by-sections, exact gate (SplitPdfBySectionsController;
+    1x1 cuts -> 2x2 grid): every page of the documents-derived corpus
+    splits into sections assigned by span anchors, each section
+    re-extracts standalone; span counts per (section, kind) are
+    hash-checked against the closed-form cell-assignment model."""
+    from stirling_pdf_spark.operators.pageops import split_by_sections
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    parts = split_by_sections(docs, 1, 1)
+    flat = explode_spans(extract_spans(parts))
+    return flat.groupBy("doc_id", "kind").agg(F.count("*").alias("n_spans"))
+
+
 def q_f4_page_size_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 filter-page-size over the REAL page state
     (FilterController.java:160-181 compares first-page area against a
@@ -717,8 +784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_windows": q_text_chunk_windows,
         "eml_roundtrip": q_eml_roundtrip,
         "s2_split_synth": q_s2_split_synth,  # rows-only
+        "s2_split_pages": q_s2_split_pages,
         "h4_media_join": q_h4_media_join,  # rows-only
+        "h4_media_resolve": q_h4_media_resolve,
         "s5_split_sections": q_s5_split_sections,  # rows-only
+        "s5_split_sections_exact": q_s5_split_sections_exact,
         "e19_blank_pages": q_e19_blank_pages,
     }
 
@@ -784,4 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_windows": O.TEXT_CHUNK_WINDOWS,
         "eml_roundtrip": O.EML_ROUNDTRIP,
         "e19_blank_pages": O.E19_BLANK_PAGES,
+        "s2_split_pages": O.S2_SPLIT_PAGES,
+        "h4_media_resolve": O.H4_MEDIA_RESOLVE,
+        "s5_split_sections_exact": O.S5_SPLIT_SECTIONS_EXACT,
     }

@@ -840,6 +840,89 @@ FROM d JOIN agg a USING (did)
 WHERE nl > 0
 """
 
+S2_SPLIT_PAGES = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM documents
+), parts AS (
+  -- cuts after pages 2 and 5: part0 = pages 1-2 (<= 80 lines),
+  -- part1 = pages 3-5 (lines 81..200), part2 = pages 6+; attachments
+  -- stick to the last part; media on every completed 3rd page
+  SELECT did || '#p0' AS doc_id, 'text' AS kind, LEAST(nl, 80) AS n
+  FROM d WHERE nl > 0
+  UNION ALL
+  SELECT did || '#p1', 'text', LEAST(nl, 200) - 80 FROM d WHERE nl > 80
+  UNION ALL
+  SELECT did || '#p2', 'text', LEAST(nl - 200, 2000) FROM d WHERE nl > 200
+  UNION ALL
+  SELECT did || '#p1', 'media', 1 FROM d WHERE nl >= 120
+  UNION ALL
+  SELECT did || '#p2', 'media', (nl // 40) // 3 - 1
+  FROM d WHERE (nl // 40) // 3 > 1
+  UNION ALL
+  SELECT did || '#p2', 'attachment', 1 FROM d WHERE substr(h, 64, 1) = '0'
+)
+SELECT doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM parts
+"""
+
+H4_MEDIA_RESOLVE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents
+), refs AS (
+  SELECT did, 'media' AS kind, 'media-' || substr(h, 1, 8) AS ref FROM d
+  UNION ALL
+  SELECT did, 'attachment', 'media-' || substr(h, 9, 8) FROM d
+), typed AS (
+  -- corpus/media.py: fmt from digest byte[2], size from bytes[0:2]
+  SELECT did, kind, ref,
+         CAST(concat('0x', substr(sha256(ref), 5, 2)) AS INTEGER) % 4 AS fi,
+         256 + CAST(concat('0x', substr(sha256(ref), 1, 4)) AS INTEGER) % 2048
+           AS nb
+  FROM refs
+)
+SELECT did AS doc_id, kind, ref AS media_ref,
+       (['png', 'jpg', 'gif', 'bin'])[fi + 1] AS fmt,
+       CAST(nb AS BIGINT) AS n_bytes
+FROM typed
+"""
+
+S5_SPLIT_SECTIONS_EXACT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM documents
+), pages AS (
+  SELECT did, nl, unnest(range(1, (nl - 1) // 40 + 2)) AS p
+  FROM d WHERE nl > 0
+), pl AS (
+  SELECT did, nl, p,
+         CASE WHEN p * 40 <= nl THEN 40 ELSE nl - (p - 1) * 40 END AS lines
+  FROM pages
+), secs AS (
+  -- 2x2 grid on 612x792: row boundary y=396 -> page lines 0..23 (y =
+  -- 72+14m <= 394) land in r0, 24..39 in r1; all text anchors x=72 ->
+  -- c0; media anchor (100, 650) -> r1c0; attachments go to the
+  -- far-page section
+  SELECT did || '#p' || CAST(p AS VARCHAR) || 'r0c0' AS doc_id,
+         'text' AS kind, LEAST(lines, 24) AS n
+  FROM pl
+  UNION ALL
+  SELECT did || '#p' || CAST(p AS VARCHAR) || 'r1c0', 'text', lines - 24
+  FROM pl WHERE lines > 24
+  UNION ALL
+  SELECT did || '#p' || CAST(p AS VARCHAR) || 'r1c0', 'media', 1
+  FROM pl WHERE p % 3 = 0 AND nl >= p * 40
+  UNION ALL
+  SELECT did || '#p1073741824r0c0', 'attachment', 1
+  FROM d WHERE substr(h, 64, 1) = '0'
+)
+SELECT doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM secs
+"""
+
 E19_BLANK_PAGES = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
