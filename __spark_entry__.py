@@ -372,6 +372,123 @@ def q_f6_filter_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_ranks(out: DataFrame) -> DataFrame:
+    flat = explode_spans(out).filter(F.col("kind") == "text")
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("text_rank"),
+        "text",
+    )
+
+
+def q_s7_scale_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 scale (ScalePagesController): scaling multiplies every
+    coordinate, gap and font size together, so the word-space and
+    line-break decisions — and therefore the extracted text — are
+    EXACTLY those of the unscaled corpus (oracle reuse proves it)."""
+    from stirling_pdf_spark.operators.pageops import scale_pages
+
+    _ship_package(spark)
+    docs = scale_pages(docs_from_documents_table(spark, sf_dir), 2.0)
+    return _text_ranks(extract_spans(docs))
+
+
+def q_s6_reverse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 REVERSE rearrangement through the real pipeline
+    (RearrangePagesPDFController:212-220): pages permuted in the wire,
+    then extracted — reading order must equal the closed-form reversed
+    page sequence."""
+    from stirling_pdf_spark.operators.pageops import rearrange_pages
+
+    _ship_package(spark)
+    docs = rearrange_pages(docs_from_documents_table(spark, sf_dir),
+                           "REVERSE")
+    return _text_ranks(extract_spans(docs))
+
+
+def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 stamps (StampController/PageNumbersController): one synthetic
+    stamp span per page at y=760 (below the 40-line text block), so
+    each page's reading order ends with the stamp."""
+    from stirling_pdf_spark.operators.pageops import add_page_stamps
+
+    _ship_package(spark)
+    docs = add_page_stamps(docs_from_documents_table(spark, sf_dir),
+                           "STAMP", number_pages=True)
+    return _text_ranks(extract_spans(docs))
+
+
+def q_e15_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 document metadata (PdfJsonConversionService.java:2781-2810,
+    AnalysisController.java:76-99): Info-dict key|value meta spans pass
+    the kernel ahead of content and project to (doc_id, key, value)."""
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("meta").alias("kind"),
+                F.concat(F.lit("title|"), F.substring("text", 1, 30))
+                .alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("meta").alias("kind"),
+                F.concat(F.lit("author|writer "),
+                         F.col("doc_id").cast("string")).alias("text"),
+                F.lit("").alias("media_ref"), F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("1|72.0|72.0|11.0|Helvetica\tbody line").alias("text"),
+                F.lit("").alias("media_ref"), F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    from stirling_pdf_spark.operators.extract_pipeline import extract_metadata
+
+    return extract_metadata(extract_spans(docs))
+
+
+def q_e9_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 image resource dedup (ExtractImagesController.java:123-128,
+    PdfJsonConversionService.java:5256-5278): repeated draws of the same
+    resource dedup by content hash — media spans grouped by media_ref
+    across pages AND documents (refs bucketed to 2 hex chars so
+    cross-doc collisions actually occur)."""
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    ref_a = F.concat(F.lit("media-"), F.substring(sha, 1, 2))
+    ref_b = F.concat(F.lit("media-"), F.substring(sha, 3, 2))
+
+    def media_span(page: int, x: float, ref, off: int):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(f"{page}|{x!r}|10.0|50.0|50.0").alias("text"),
+            ref.alias("media_ref"), F.lit(off).alias("offset"),
+        )
+
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            media_span(1, 10.0, ref_a, 0),   # same resource drawn
+            media_span(2, 10.0, ref_a, 1),   # on two pages
+            media_span(1, 80.0, ref_b, 2),
+        ).alias("spans"),
+    )
+    flat = explode_spans(extract_spans(docs)).filter(F.col("kind") == "media")
+    return flat.groupBy("media_ref").agg(
+        F.count("*").alias("n_draws"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
 def q_s2_split_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 split-at-pages, exact gate (SplitPDFController.java:65-104):
     cut the documents-derived corpus after pages 2 and 5, re-extract
@@ -785,6 +902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_roundtrip": q_eml_roundtrip,
         "s2_split_synth": q_s2_split_synth,  # rows-only
         "s2_split_pages": q_s2_split_pages,
+        "e15_metadata": q_e15_metadata,
+        "e9_image_dedup": q_e9_image_dedup,
+        "s7_scale_extract": q_s7_scale_extract,
+        "s6_reverse_extract": q_s6_reverse_extract,
+        "s9_stamp_extract": q_s9_stamp_extract,
         "h4_media_join": q_h4_media_join,  # rows-only
         "h4_media_resolve": q_h4_media_resolve,
         "s5_split_sections": q_s5_split_sections,  # rows-only
@@ -857,4 +979,10 @@ def oracle_sql() -> dict[str, str]:
         "s2_split_pages": O.S2_SPLIT_PAGES,
         "h4_media_resolve": O.H4_MEDIA_RESOLVE,
         "s5_split_sections_exact": O.S5_SPLIT_SECTIONS_EXACT,
+        "e15_metadata": O.E15_METADATA,
+        "e9_image_dedup": O.E9_IMAGE_DEDUP,
+        # scaling preserves every layout decision -> same text oracle
+        "s7_scale_extract": O.EXTRACT_TEXT_SPANS,
+        "s6_reverse_extract": O.S6_REVERSE_EXTRACT,
+        "s9_stamp_extract": O.S9_STAMP_EXTRACT,
     }

@@ -40,6 +40,11 @@ BENCH_QUERIES = (
     "text_quality",
     "text_lang_id",
     "multimodal_meta",
+    # round-2 additions: new operator families
+    "e14_stream_table",
+    "e17_full_info",
+    "e18_title_inference",
+    "f6_filter_rotation",
 )
 
 

@@ -65,7 +65,14 @@ def merge_docs(docs: DataFrame, merged_id: str = "merged") -> DataFrame:
     into ONE, in numeric-aware doc_id order (the reference's filename
     comparator, :115-162). Page numbers shift by the running page count
     of preceding docs; non-page spans keep their source-doc position in
-    the concatenation order."""
+    the concatenation order.
+
+    Scale bound: the page-shift prefix sum runs over the tiny per-doc
+    ``n_pages`` aggregate (ONE row per input document), so the global
+    unpartitioned window sorts #docs rows, not spans — fine to ~10^6
+    merge inputs. Merging everything into one output document is
+    inherently a total order; for 10^9-input merges, two-phase it
+    (prefix sums per doc_id range, then a broadcast of range offsets)."""
     s = F.col("s")
     is_geo = _is_page_kind(s)
     header = F.substring_index(s["text"], "\t", 1)

@@ -840,6 +840,81 @@ FROM d JOIN agg a USING (did)
 WHERE nl > 0
 """
 
+S6_REVERSE_EXTRACT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), l AS (
+  SELECT did, w, nl, unnest(range(0, nl)) AS i FROM d
+)
+SELECT did AS doc_id,
+       CAST(GREATEST(nl - 40 * (i // 40 + 1), 0) + i % 40 AS BIGINT)
+         AS text_rank,
+       array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+         AS text
+FROM l
+WHERE GREATEST(nl - 40 * (i // 40 + 1), 0) + i % 40 < 2000
+"""
+
+S9_STAMP_EXTRACT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), l AS (
+  SELECT did, w, nl, unnest(range(0, nl)) AS i FROM d
+), lines AS (
+  -- one stamp precedes every later page: rank = i + page_index
+  SELECT did, CAST(i + i // 40 AS BIGINT) AS text_rank,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS text
+  FROM l
+), pages AS (
+  SELECT did, nl, unnest(range(1, (nl - 1) // 40 + 2)) AS p
+  FROM d WHERE nl > 0
+), stamps AS (
+  SELECT did,
+         CAST(41 * (p - 1)
+              + CASE WHEN p * 40 <= nl THEN 40 ELSE nl - (p - 1) * 40 END
+              AS BIGINT) AS text_rank,
+         'STAMP ' || CAST(p AS VARCHAR) AS text
+  FROM pages
+)
+SELECT did AS doc_id, text_rank, text FROM lines WHERE text_rank < 2000
+UNION ALL
+SELECT did, text_rank, text FROM stamps WHERE text_rank < 2000
+"""
+
+E15_METADATA = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS VARCHAR) AS ids, text
+  FROM documents
+)
+SELECT did AS doc_id, 'title' AS key, substr(text, 1, 30) AS value FROM d
+UNION ALL
+SELECT did, 'author', 'writer ' || ids FROM d
+"""
+
+E9_IMAGE_DEDUP = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents
+), refs AS (
+  SELECT did, 'media-' || substr(h, 1, 2) AS ref, 2 AS cnt FROM d
+  UNION ALL
+  SELECT did, 'media-' || substr(h, 3, 2), 1 FROM d
+)
+SELECT ref AS media_ref,
+       CAST(SUM(cnt) AS BIGINT) AS n_draws,
+       CAST(COUNT(DISTINCT did) AS BIGINT) AS n_docs,
+       MIN(did) AS canonical_doc
+FROM refs GROUP BY ref
+"""
+
 S2_SPLIT_PAGES = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
