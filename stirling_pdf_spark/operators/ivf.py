@@ -61,11 +61,30 @@ def _sq_dist(vec_col: str, centroid: list[float]):
     )
 
 
+def _dists_expr(vec_col: str, centroids: list[list[float]]):
+    """Distances to ALL centroids as one transform over an
+    array<array<double>> literal — same sequential float64 folds as
+    _sq_dist, but the generated code is one generic loop instead of
+    k x dim inlined terms (k=8, dim=64 inlined was ~10x slower to
+    codegen/optimize than to execute)."""
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, cluster) — argmin of squared L2 distance to each centroid;
     ties (exact fp equality) go to the lowest cluster index."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    dists = _dists_expr(vec_col, centroids)
     cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return parallelize(df).select(
         F.col(id_col).alias("id"), cluster.alias("cluster")
@@ -80,17 +99,21 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     Output: (query_id, rank, neighbor_id)."""
     v = parallelize(df).select(F.col(id_col).alias("id"),
                                F.col(vec_col).alias("v"))
-    dists = F.array(*[_sq_dist("v", c) for c in centroids])
-    assigned = v.withColumn(
-        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    # materialize the distance array ONCE as a column; cluster and the
+    # probe list both derive from it (inlining the 8x64-term expression
+    # into each consumer doubles codegen size and optimizer time)
+    with_d = v.withColumn("dists", _dists_expr("v", centroids))
+    assigned = with_d.select(
+        "id", "v",
+        (F.array_position("dists", F.array_min("dists")) - 1).cast("int")
+        .alias("cluster"),
     )
     probe_lists = F.slice(
         F.expr("array_sort(transform(dists, (d, i) -> struct(d as d, i as i)))"),
         1, nprobe,
     )
     q = (
-        assigned.withColumn("dists", dists)
-        .filter(F.col("id").isin([int(x) for x in query_ids]))
+        with_d.filter(F.col("id").isin([int(x) for x in query_ids]))
         .select(
             F.col("id").alias("query_id"), F.col("v").alias("qv"),
             F.transform(probe_lists, lambda s: s["i"]).alias("probes"),

@@ -50,14 +50,34 @@ def _plane_sign(vec_col: str, plane: list[float]):
     return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
 
+def bucket_expr(vec_col: str, planes: list[list[float]]):
+    """All sign bits as one transform over an array<array<double>>
+    literal joined to the bucket string — identical float64 folds to
+    _plane_sign, but one generic codegen loop instead of n_planes x dim
+    inlined terms (the inline form cost seconds of optimizer time)."""
+    arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    bits = F.transform(
+        arr,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), p,
+                           lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ) > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
 def lsh_buckets(df: DataFrame, planes: list[list[float]],
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, bucket) — bucket is the concatenated sign-bit string of the
     vector against each hyperplane."""
-    bits = [_plane_sign(vec_col, p) for p in planes]
     return parallelize(df).select(
         F.col(id_col).alias("id"),
-        F.concat(*bits).alias("bucket"),
+        bucket_expr(vec_col, planes).alias("bucket"),
     )
 
 
