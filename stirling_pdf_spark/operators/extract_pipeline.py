@@ -28,14 +28,20 @@ are the repartition by doc_id and the (mega-doc-only) bucket shuffle +
 regroup, both on keys that are unique or salted — no hot keys by
 construction.
 
-Why the persist: the routed stage feeds two branches (final docs and
-mega-doc buckets). Without it Catalyst computes each branch as its own
-subtree, re-running the SOURCE and the extraction for both — twice the
-scan and twice the kernel work whenever the input is an expensive
-derivation (corpus synthesis, a joined table). Persisting the routed
-output stages it once, exactly like writing an intermediate table
-between jobs; MEMORY_AND_DISK spills instead of OOMing, and the
-ContextCleaner drops the cache when the DataFrame goes out of scope.
+Why the staging persist is CONDITIONAL: the routed stage feeds two
+branches (final docs and mega-doc buckets). Without a persist Catalyst
+computes each branch as its own subtree — twice the source scan and
+twice the kernel work, which is disastrous when the input is an
+expensive derivation (corpus synthesis, a join). But when the input is
+a plain Parquet/Iceberg scan, two pruned scans are CHEAPER than writing
+the whole routed output through the memory store (measured: the
+unconditional persist cost ~40% wall at local[8] on a
+memory-bandwidth-bound box). So ``stage=None`` auto-detects: inputs
+whose plan contains a Python stage (mapInPandas/mapInArrow/UDF) are
+staged once (persist MEMORY_AND_DISK — spills instead of OOMing, and
+the ContextCleaner drops the cache when the DataFrame is collected);
+plain scans take the two-branch filter shape where each branch reads
+the source directly.
 """
 
 from __future__ import annotations
@@ -168,6 +174,17 @@ def _route_factory(salt_threshold: int, pages_per_bucket: int):
     return route
 
 
+def _extract_small(batches):
+    for rb in batches:
+        names = rb.schema.names
+        raw = _decode_span_lists(rb.column(names.index("spans")))
+        out = [extract_doc(spans) for spans in raw]
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(names.index("doc_id")), _encode_span_lists(out)],
+            names=["doc_id", "spans"],
+        )
+
+
 def _extract_sub(batches):
     # unbudgeted: the 2000-chunk cap is global per doc, applied at
     # reassembly (see module docstring). The raw offsets of the bucket
@@ -201,30 +218,69 @@ def _reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "spans": [merged]})
 
 
+_PY_STAGE_MARKERS = ("MapInPandas", "MapInArrow", "PythonMapInArrow",
+                     "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+
+
+def _has_python_stage(df: DataFrame) -> bool:
+    """True when the input plan contains a Python evaluation stage —
+    i.e. re-computing it per consumer would re-run user code, not just
+    re-scan files. Conservative (stage) if the plan can't be read."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return any(m in plan for m in _PY_STAGE_MARKERS)
+
+
 def extract_spans(
     docs: DataFrame,
     num_partitions: int | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     pages_per_bucket: int = PAGES_PER_BUCKET,
+    stage: bool | None = None,
 ) -> DataFrame:
     """docs(doc_id, spans: array<raw span struct>) ->
-    spans_out(doc_id, spans: array<(kind,text,media_ref,order)>)."""
-    from pyspark import StorageLevel
+    spans_out(doc_id, spans: array<(kind,text,media_ref,order)>).
 
+    ``stage``: None = auto (persist the routed stage iff the input plan
+    contains a Python stage); True/False force. Both paths are
+    bit-identical (pinned in tests)."""
     if num_partitions is None:
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if stage is None:
+        stage = _has_python_stage(docs)
 
-    routed = (
-        docs.repartition(num_partitions, "doc_id")
-        .mapInArrow(_route_factory(salt_threshold, pages_per_bucket),
-                    _ROUTED_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    small_out = routed.filter(F.col("final")).select("doc_id", "spans")
+    if stage:
+        from pyspark import StorageLevel
+
+        routed = (
+            docs.repartition(num_partitions, "doc_id")
+            .mapInArrow(_route_factory(salt_threshold, pages_per_bucket),
+                        _ROUTED_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        small_out = routed.filter(F.col("final")).select("doc_id", "spans")
+        sub_src = routed.filter(~F.col("final")).select(
+            "doc_id", "bucket", "spans")
+    else:
+        # plain-scan input: two pruned scans beat a full memory-store
+        # write; route only the (rare) mega docs through the splitter
+        n_spans = F.size("spans")
+        small_out = (
+            docs.filter(n_spans <= salt_threshold)
+            .repartition(num_partitions, "doc_id")
+            .mapInArrow(_extract_small, SPANS_OUT_SCHEMA)
+        )
+        sub_src = (
+            docs.filter(n_spans > salt_threshold)
+            .repartition(num_partitions, "doc_id")
+            .mapInArrow(_route_factory(0, pages_per_bucket), _ROUTED_SCHEMA)
+            .select("doc_id", "bucket", "spans")
+        )
+
     sub = (
-        routed.filter(~F.col("final"))
-        .select("doc_id", "bucket", "spans")
-        .repartition(num_partitions, "doc_id", "bucket")
+        sub_src.repartition(num_partitions, "doc_id", "bucket")
         .mapInArrow(_extract_sub, _SUB_SCHEMA)
     )
     big_out = sub.groupBy("doc_id").applyInPandas(_reassemble, SPANS_OUT_SCHEMA)

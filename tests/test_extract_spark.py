@@ -65,3 +65,23 @@ def test_salted_path_was_exercised(spark_result):
 def test_order_is_array_index(spark_result):
     for spans in spark_result.values():
         assert [s[3] for s in spans] == list(range(len(spans)))
+
+
+def test_stage_paths_bit_identical(spark, tmp_path):
+    """The staged (persist) and plain-scan routing paths must produce
+    identical spans; auto-detection picks by input plan shape."""
+    from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+    from stirling_pdf_spark.operators.extract_pipeline import (
+        _has_python_stage, extract_spans,
+    )
+
+    docs = synth_docs_df(spark, 60, seed=42, mega_pages=(30, 40),
+                         num_partitions=4)
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    pq = spark.read.parquet(path)
+    a = extract_spans(pq, num_partitions=4, salt_threshold=150, stage=False)
+    b = extract_spans(pq, num_partitions=4, salt_threshold=150, stage=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert _has_python_stage(pq) is False      # plain scan: no persist
+    assert _has_python_stage(docs) is True     # derivation: staged once
