@@ -419,6 +419,29 @@ def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_ranks(extract_spans(docs))
 
 
+def q_e20_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 QR auto-split shape (AutoSplitPdfController.java:320-352; the
+    QR decode itself is raster and out of scope — a divider media_ref
+    stands in): a divider marker lands on page 3 of every doc, the
+    split drops the divider page and re-extracts the parts."""
+    from stirling_pdf_spark.operators.pageops import auto_split_at_markers
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    marker = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("3|50.0|50.0|20.0|20.0").alias("text"),
+        F.lit("qr-divider").alias("media_ref"),
+        F.size("spans").alias("offset"),
+    )
+    with_m = docs.select(
+        "doc_id", F.concat("spans", F.array(marker)).alias("spans")
+    )
+    parts = auto_split_at_markers(with_m, ["qr-divider"])
+    flat = explode_spans(extract_spans(parts)).filter(F.col("kind") == "text")
+    return flat.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+
+
 def q_e15_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15 document metadata (PdfJsonConversionService.java:2781-2810,
     AnalysisController.java:76-99): Info-dict key|value meta spans pass
@@ -904,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_split_pages": q_s2_split_pages,
         "e15_metadata": q_e15_metadata,
         "e9_image_dedup": q_e9_image_dedup,
+        "e20_auto_split": q_e20_auto_split,
         "s7_scale_extract": q_s7_scale_extract,
         "s6_reverse_extract": q_s6_reverse_extract,
         "s9_stamp_extract": q_s9_stamp_extract,
@@ -981,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_split_sections_exact": O.S5_SPLIT_SECTIONS_EXACT,
         "e15_metadata": O.E15_METADATA,
         "e9_image_dedup": O.E9_IMAGE_DEDUP,
+        "e20_auto_split": O.E20_AUTO_SPLIT,
         # scaling preserves every layout decision -> same text oracle
         "s7_scale_extract": O.EXTRACT_TEXT_SPANS,
         "s6_reverse_extract": O.S6_REVERSE_EXTRACT,

@@ -674,6 +674,45 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
     )
 
 
+def auto_split_at_markers(docs: DataFrame,
+                          divider_refs: list[str]) -> DataFrame:
+    """E20 auto-split shape (AutoSplitPdfController.java:320-352): a
+    page carrying a divider marker (here: a media span whose media_ref
+    is in ``divider_refs`` — the QR decode stands in for the raster
+    path this sandbox can't run) starts a new output document; divider
+    pages themselves are dropped. Reference edge semantics kept: a
+    divider on the FIRST page creates no document, so content before
+    the next divider is dropped (:334-344), and empty parts never
+    materialize. Output doc ids get a '#q{part}' suffix with the raw
+    part index (renaming to dense _1.._n is presentation, not data).
+    Non-page spans stick to the last part, as in split_at_pages."""
+    s = F.col("s")
+    page = span_page(s)
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    div_arr = (
+        exploded.filter((s["kind"] == "media")
+                        & s["media_ref"].isin(list(divider_refs)))
+        .select("doc_id", page.alias("dp"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("dp")).alias("dps"))
+    )
+    tagged = exploded.join(div_arr, "doc_id", "left").withColumn(
+        "dps", F.coalesce("dps", F.array().cast("array<long>"))
+    )
+    p = span_page(s)
+    is_div_page = F.array_contains("dps", p)
+    # dividers at pages 2..p each start a new doc; one at page 1 doesn't
+    n_div = F.size(F.filter("dps", lambda d: (d <= p) & (d >= 2)))
+    first_is_div = F.array_contains("dps", F.lit(1).cast("long"))
+    kept = ~is_div_page & (~first_is_div | (n_div >= 1))
+    part = F.when(first_is_div, n_div - 1).otherwise(n_div)
+    out = tagged.filter(kept).select(
+        F.concat("doc_id", F.lit("#q"), part.cast("string")).alias("doc_id"),
+        "s",
+    )
+    return _regroup(out)
+
+
 def split_by_chapters(docs: DataFrame, max_level: int = 0) -> DataFrame:
     """S4 split-by-chapters driven by BOOKMARK spans
     (SplitPdfByChaptersController.java:62-90): bookmarks with depth <=

@@ -888,6 +888,21 @@ UNION ALL
 SELECT did, text_rank, text FROM stamps WHERE text_rank < 2000
 """
 
+E20_AUTO_SPLIT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+)
+-- divider on page 3: part 0 = pages 1-2 (page 3 dropped),
+-- part 1 = pages 4+
+SELECT did || '#q0' AS doc_id, CAST(LEAST(nl, 80) AS BIGINT) AS n_lines
+FROM d WHERE nl > 0
+UNION ALL
+SELECT did || '#q1', CAST(LEAST(nl - 120, 2000) AS BIGINT)
+FROM d WHERE nl > 120
+"""
+
 E15_METADATA = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,

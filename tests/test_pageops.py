@@ -405,3 +405,42 @@ def test_overlay_docs_page_wise(spark):
     out = extract_spans(overlay_docs(base, over), num_partitions=2).collect()
     texts = [s["text"] for s in out[0]["spans"]]
     assert texts == ["base", "stamp"]  # same page, reading order by y
+
+
+def test_auto_split_at_markers_semantics(spark):
+    """AutoSplitPdfController.java:320-352: divider pages dropped; a
+    divider on page 1 creates no doc, so content before the next
+    divider is dropped; empty parts never materialize."""
+    from stirling_pdf_spark.kernel.model import MediaDraw, TextRun
+    from stirling_pdf_spark.operators.pageops import auto_split_at_markers
+
+    def doc(doc_id, page_kinds):
+        spans = []
+        for p, k in enumerate(page_kinds, start=1):
+            if k == "div":
+                spans.append(("media", wire.encode_media(
+                    MediaDraw(p, 1.0, 1.0, 2.0, 2.0, "qr-divider")),
+                    "qr-divider", len(spans)))
+            else:
+                spans.append(("text", wire.encode_text_run(
+                    TextRun(p, 72.0, 72.0, 11.0, "F", f"pg{p}")), "",
+                    len(spans)))
+        return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                         for s in spans])
+
+    df = spark.createDataFrame(
+        [doc("a", ["t", "div", "t", "t", "div", "t"]),
+         doc("b", ["div", "t", "div", "t"])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    parts = {r["doc_id"]: [s["text"].split("\t")[-1]
+                           for s in r["spans"] if s["kind"] == "text"]
+             for r in auto_split_at_markers(df, ["qr-divider"]).collect()}
+    # a: [p1][div][p3,p4][div][p6] -> three parts
+    assert parts["a#q0"] == ["pg1"]
+    assert parts["a#q1"] == ["pg3", "pg4"]
+    assert parts["a#q2"] == ["pg6"]
+    # b: div on page 1 -> page 2 dropped; page 4 lands in part 0
+    assert set(k for k in parts if k.startswith("b")) == {"b#q0"}
+    assert parts["b#q0"] == ["pg4"]
