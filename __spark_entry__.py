@@ -407,6 +407,17 @@ def q_s6_reverse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_ranks(extract_spans(docs))
 
 
+def q_s7_single_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 to-single-page (ToSinglePageController): pages concatenated
+    vertically keep the global page-major reading order, so extracted
+    text equals the multi-page document's (oracle reuse proves it)."""
+    from stirling_pdf_spark.operators.pageops import to_single_page
+
+    _ship_package(spark)
+    docs = to_single_page(docs_from_documents_table(spark, sf_dir))
+    return _text_ranks(extract_spans(docs))
+
+
 def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 stamps (StampController/PageNumbersController): one synthetic
     stamp span per page at y=760 (below the 40-line text block), so
@@ -929,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_image_dedup": q_e9_image_dedup,
         "e20_auto_split": q_e20_auto_split,
         "s7_scale_extract": q_s7_scale_extract,
+        "s7_single_page_extract": q_s7_single_page_extract,
         "s6_reverse_extract": q_s6_reverse_extract,
         "s9_stamp_extract": q_s9_stamp_extract,
         "h4_media_join": q_h4_media_join,  # rows-only
@@ -1008,6 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         "e20_auto_split": O.E20_AUTO_SPLIT,
         # scaling preserves every layout decision -> same text oracle
         "s7_scale_extract": O.EXTRACT_TEXT_SPANS,
+        # vertical page concatenation preserves reading order
+        "s7_single_page_extract": O.EXTRACT_TEXT_SPANS,
         "s6_reverse_extract": O.S6_REVERSE_EXTRACT,
         "s9_stamp_extract": O.S9_STAMP_EXTRACT,
     }

@@ -674,6 +674,88 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
     )
 
 
+def crop_pages(docs: DataFrame, x1: float, y1: float,
+               x2: float, y2: float) -> DataFrame:
+    """S7 crop (CropController): keep spans whose ANCHOR lies inside the
+    crop box and re-base coordinates to the box origin. Media/rule
+    extents shift with the anchor (clipping partially-inside boxes is a
+    renderer concern, anchor semantics match split_by_sections).
+    Non-page spans pass through; pagemeta boxes become the crop box."""
+    s = F.col("s")
+    header = F.substring_index(s["text"], "\t", 1)
+    p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+    ax, ay = p[1].cast("double"), p[2].cast("double")
+    geo = s["kind"].isin("text", "media", "rule")
+    inside = (ax >= x1) & (ax < x2) & (ay >= y1) & (ay < y2)
+    f3 = F.when(s["kind"] == "rule",
+                (p[3].cast("double") - x1).cast("string")).otherwise(p[3])
+    f4 = F.when(s["kind"] == "rule",
+                (p[4].cast("double") - y1).cast("string")).otherwise(p[4])
+    new_header = F.concat_ws(
+        "|", p[0], (ax - x1).cast("string"), (ay - y1).cast("string"), f3, f4)
+    meta_header = F.concat_ws(
+        "|", p[0], F.lit(repr(float(x2 - x1))), F.lit(repr(float(y2 - y1))),
+        p[3], p[4])
+    body = F.substring_index(s["text"], "\t", -1)
+    new_text = (
+        F.when(s["kind"] == "pagemeta", meta_header)
+        .when(~geo, s["text"])
+        .when(F.instr(s["text"], "\t") > 0,
+              F.concat(new_header, F.lit("\t"), body))
+        .otherwise(new_header)
+    )
+    exploded = docs.select("doc_id", F.explode("spans").alias("s")).filter(
+        ~geo | inside
+    ).select(
+        "doc_id",
+        F.struct(
+            s["kind"].alias("kind"), new_text.alias("text"),
+            s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+        ).alias("s"),
+    )
+    return _regroup(exploded)
+
+
+def to_single_page(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
+    """S7 to-single-page (ToSinglePageController): concatenate all pages
+    vertically onto page 1 — y += (page-1) * page_height, page := 1.
+    Reading order is preserved exactly (the y offsets keep the global
+    page-major order), so extraction output text equals the multi-page
+    document's. Pagemeta is dropped (the merged page box is synthetic).
+    """
+    h = F.lit(float(page_height))
+
+    def shifted(kind: Column, txt: Column) -> Column:
+        header = F.substring_index(txt, "\t", 1)
+        p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+        off = (p[0].cast("long") - 1).cast("double") * h
+        ny = (p[2].cast("double") + off).cast("string")
+        f4 = F.when(kind == "rule",
+                    (p[4].cast("double") + off).cast("string")).otherwise(p[4])
+        head = F.concat_ws("|", F.lit("1"), p[1], ny, p[3], f4)
+        body = F.substring_index(txt, "\t", -1)
+        return F.when(F.instr(txt, "\t") > 0,
+                      F.concat(head, F.lit("\t"), body)).otherwise(head)
+
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                "spans",
+                lambda sp: F.struct(
+                    sp["kind"].alias("kind"),
+                    F.when(sp["kind"].isin("text", "media", "rule"),
+                           shifted(sp["kind"], sp["text"]))
+                    .otherwise(sp["text"]).alias("text"),
+                    sp["media_ref"].alias("media_ref"),
+                    sp["offset"].alias("offset"),
+                ),
+            ),
+            lambda sp: sp["kind"] != "pagemeta",
+        ).alias("spans"),
+    )
+
+
 def auto_split_at_markers(docs: DataFrame,
                           divider_refs: list[str]) -> DataFrame:
     """E20 auto-split shape (AutoSplitPdfController.java:320-352): a

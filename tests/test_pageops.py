@@ -444,3 +444,51 @@ def test_auto_split_at_markers_semantics(spark):
     # b: div on page 1 -> page 2 dropped; page 4 lands in part 0
     assert set(k for k in parts if k.startswith("b")) == {"b#q0"}
     assert parts["b#q0"] == ["pg4"]
+
+
+def test_crop_shifts_and_filters(spark):
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import crop_pages
+
+    spans = [
+        ("text", wire.encode_text_run(
+            TextRun(1, 72.0, 100.0, 11.0, "F", "inside")), "", 0),
+        ("text", wire.encode_text_run(
+            TextRun(1, 5.0, 100.0, 11.0, "F", "left-of-box")), "", 1),
+        ("pagemeta", wire.encode_pagemeta(1, 612.0, 792.0, 0), "", 2),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = crop_pages(df, 50.0, 80.0, 400.0, 500.0).collect()[0]["spans"]
+    kinds = [s["kind"] for s in out]
+    assert kinds == ["text", "pagemeta"]  # out-of-box span dropped
+    run = wire.parse_text_run(out[0]["text"])
+    assert (run.x, run.y) == (22.0, 20.0)  # re-based to the box origin
+    pm = wire.parse_pagemeta(out[1]["text"])
+    assert (pm[1], pm[2]) == (350.0, 420.0)  # box dims become the page
+
+
+def test_to_single_page_preserves_text_order(spark, docs):
+    from stirling_pdf_spark.operators.pageops import to_single_page
+
+    base = extract_spans(docs, num_partitions=4)
+    single = extract_spans(to_single_page(docs), num_partitions=4)
+
+    def texts(df):
+        return df.select(
+            "doc_id",
+            F.expr("filter(spans, s -> s.kind = 'text')").alias("t"),
+        ).select(
+            "doc_id", F.expr("transform(t, s -> s.text)").alias("texts"))
+
+    assert texts(base).exceptAll(texts(single)).count() == 0
+    # everything landed on page 1 in the raw table
+    pages = to_single_page(docs).select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.kind").isin("text", "media", "rule")) \
+        .select(F.split_part(F.substring_index("s.text", "\t", 1),
+                             F.lit("|"), F.lit(1)).cast("long").alias("p"))
+    assert pages.filter(F.col("p") != 1).count() == 0
