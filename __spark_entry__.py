@@ -161,24 +161,16 @@ def q_e17_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e2_page_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 per-page sorted text (PdfContentExtractor.java:262-313): page
-    text = that page's lines joined by newlines, in reading order."""
-    from stirling_pdf_spark.operators.elements import extract_elements
+    text = that page's lines joined by newlines, in reading order,
+    through the budgeted page_text operator (4,000-char/page cap — the
+    binding case is pinned in pytest; corpus pages stay under it so the
+    oracle is the uncapped md5)."""
+    from stirling_pdf_spark.operators.elements import extract_elements, page_text
 
     _ship_package(spark)
-    els = extract_elements(docs_from_documents_table(spark, sf_dir)).filter(
-        F.col("kind") == "text"
-    )
-    return els.groupBy("doc_id", "page").agg(
-        F.count("*").alias("n_lines"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("z_order", "text"))),
-                    lambda s: s["text"],
-                ),
-                "\n",
-            )
-        ).alias("text_md5"),
+    pages = page_text(extract_elements(docs_from_documents_table(spark, sf_dir)))
+    return pages.select(
+        "doc_id", "page", "n_lines", F.md5("text").alias("text_md5")
     )
 
 

@@ -62,6 +62,33 @@ def _doc_elements(doc_id: str, raw_spans: list[tuple]) -> list[tuple]:
     return rows
 
 
+def page_text(elements: DataFrame, budget: int | None = None) -> DataFrame:
+    """E2 per-page sorted text (PdfContentExtractor.java:262-313) with
+    the 4,000-char/page budget (:50 MAX_CHARS_PER_PAGE). Output:
+    (doc_id, page, n_lines, text)."""
+    from pyspark.sql import functions as F
+
+    from ..kernel.model import MAX_CHARS_PER_PAGE
+
+    if budget is None:
+        budget = MAX_CHARS_PER_PAGE
+    txt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("z_order", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return (
+        elements.filter(F.col("kind") == "text")
+        .groupBy("doc_id", "page")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.substring(txt, 1, int(budget)).alias("text"),
+        )
+    )
+
+
 def extract_elements(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """docs(doc_id, spans raw) -> one row per element, mergeDrawables
     order encoded by (page, z_order, seq)."""

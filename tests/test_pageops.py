@@ -492,3 +492,26 @@ def test_to_single_page_preserves_text_order(spark, docs):
         .select(F.split_part(F.substring_index("s.text", "\t", 1),
                              F.lit("|"), F.lit(1)).cast("long").alias("p"))
     assert pages.filter(F.col("p") != 1).count() == 0
+
+
+def test_page_text_budget_binds(spark):
+    """E2's 4,000-char/page budget (PdfContentExtractor.java:50)."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.elements import extract_elements, page_text
+
+    spans = []
+    for m in range(30):  # 30 lines x 200 chars ~ 6,000 chars > 4,000
+        run = TextRun(1, 72.0, 72.0 + 14.0 * m, 11.0, "F", "x" * 200)
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    row = page_text(extract_elements(df, num_partitions=2)).collect()[0]
+    assert row["n_lines"] == 30
+    assert len(row["text"]) == 4000
+    row2 = page_text(extract_elements(df, num_partitions=2),
+                     budget=100).collect()[0]
+    assert len(row2["text"]) == 100
