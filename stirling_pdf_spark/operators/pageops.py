@@ -756,6 +756,68 @@ def to_single_page(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
     )
 
 
+def n_up(docs: DataFrame, cols: int = 2, rows: int = 1,
+         page_w: float = 612.0, page_h: float = 792.0) -> DataFrame:
+    """S7 N-up imposition (MultiPageLayoutController): k = cols*rows
+    source pages per output sheet, each scaled into its cell in
+    row-major order. Text font size scales with the horizontal factor
+    (widths track it in the monospace model); media boxes and rule
+    extents scale per axis. Pagemeta is dropped (sheet boxes are
+    synthetic)."""
+    k = cols * rows
+    cell_w, cell_h = page_w / cols, page_h / rows
+    s = F.col("s")
+    header = F.substring_index(s["text"], "\t", 1)
+    p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+    pg = p[0].cast("long")
+    sheet = F.floor((pg - 1) / k) + 1
+    idx = (pg - 1) % k
+    c, r = idx % cols, F.floor(idx / cols)
+    nx = (p[1].cast("double") / cols + c * cell_w).cast("string")
+    ny = (p[2].cast("double") / rows + r * cell_h).cast("string")
+    f3 = (
+        F.when(s["kind"] == "text",
+               (p[3].cast("double") / cols).cast("string"))     # font size
+        .when(s["kind"] == "media",
+              (p[3].cast("double") / cols).cast("string"))      # width
+        .otherwise((p[3].cast("double") / cols + c * cell_w)
+                   .cast("string"))                              # rule x2
+    )
+    f4 = (
+        F.when(s["kind"] == "text", p[4])                        # font name
+        .when(s["kind"] == "media",
+              (p[4].cast("double") / rows).cast("string"))       # height
+        .otherwise((p[4].cast("double") / rows + r * cell_h)
+                   .cast("string"))                              # rule y2
+    )
+    head = F.concat_ws("|", sheet.cast("string"), nx, ny, f3, f4)
+    body = F.substring_index(s["text"], "\t", -1)
+    new_text = F.when(
+        ~s["kind"].isin("text", "media", "rule"), s["text"]
+    ).when(F.instr(s["text"], "\t") > 0,
+           F.concat(head, F.lit("\t"), body)).otherwise(head)
+    exploded = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(s["kind"] != "pagemeta")
+        .select(
+            "doc_id",
+            F.struct(
+                s["kind"].alias("kind"), new_text.alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ).alias("s"),
+        )
+    )
+    return _regroup(exploded)
+
+
+def booklet_impose(docs: DataFrame) -> DataFrame:
+    """S7 booklet imposition (BookletImpositionController): the booklet
+    signature page order (S6 BOOKLET_SORT) composed with 2-up side-by-
+    side placement — print, fold, staple."""
+    return n_up(rearrange_pages(docs, "BOOKLET_SORT"), cols=2, rows=1)
+
+
 def auto_split_at_markers(docs: DataFrame,
                           divider_refs: list[str]) -> DataFrame:
     """E20 auto-split shape (AutoSplitPdfController.java:320-352): a

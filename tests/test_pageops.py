@@ -515,3 +515,35 @@ def test_page_text_budget_binds(spark):
     row2 = page_text(extract_elements(df, num_partitions=2),
                      budget=100).collect()[0]
     assert len(row2["text"]) == 100
+
+
+def test_n_up_and_booklet_imposition(spark):
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import booklet_impose, n_up
+
+    spans = []
+    for p in range(1, 7):
+        run = TextRun(p, 72.0, 100.0, 11.0, "F", f"pg{p}")
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = n_up(df, cols=2, rows=1).collect()[0]["spans"]
+    runs = [wire.parse_text_run(s["text"]) for s in out]
+    # 6 pages -> 3 sheets; odd pages left (x=36), even pages right (342)
+    assert [r.page for r in runs] == [1, 1, 2, 2, 3, 3]
+    assert [r.x for r in runs] == [36.0, 342.0] * 3
+    assert all(r.font_size == 5.5 for r in runs)
+    assert all(0 <= r.x <= 612 and 0 <= r.y <= 792 for r in runs)
+
+    # booklet: signature order [6,1,2,5,4,3] then 2-up ->
+    # sheets (6,1), (2,5), (4,3)
+    book = booklet_impose(df).collect()[0]["spans"]
+    bruns = sorted((wire.parse_text_run(s["text"]) for s in book),
+                   key=lambda r: (r.page, r.x))
+    assert [(r.page, r.content) for r in bruns] == [
+        (1, "pg6"), (1, "pg1"), (2, "pg2"), (2, "pg5"), (3, "pg4"), (3, "pg3"),
+    ]
