@@ -89,3 +89,64 @@ def test_page_select_never_crashes_and_stays_in_range(spec, total):
     pages = parse_page_selection(spec, total)
     assert len(pages) == len(set(pages))
     assert all(1 <= p <= total for p in pages)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=8), min_size=1,
+                max_size=15),
+       st.sampled_from([0, 90, 180, 270]))
+def test_pagemeta_is_extraction_invariant(lines_words, rotation):
+    """Logical rotation state (pagemeta spans) must never change
+    extraction output — PDFBox dir-adjusted semantics."""
+    spans = []
+    y = 72.0
+    for words in lines_words:
+        run = TextRun(1, 72.0, round(y, 2), 11.0, "F", " ".join(words))
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        y += 14.0
+    with_meta = spans + [
+        ("pagemeta", wire.encode_pagemeta(1, 612.0, 792.0, rotation), "",
+         len(spans)),
+    ]
+    assert [tuple(s) for s in extract_doc(spans)] == \
+        [tuple(s) for s in extract_doc(with_meta)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.floats(1, 600, allow_nan=False),
+                          st.floats(1, 780, allow_nan=False)),
+                min_size=1, max_size=12))
+def test_textfind_matches_cover_extracted_text(points):
+    """Searching for a term present in every run finds >= one match per
+    run-bearing page, and every bbox is well-formed."""
+    from stirling_pdf_spark.kernel.textfind import assemble_page, find_matches
+
+    runs = [TextRun(1, round(x, 2), round(y, 2), 11.0, "F", "needle")
+            for x, y in points]
+    text, boxes = assemble_page(runs)
+    assert text.count("needle") == len(runs)
+    matches = find_matches(runs, "needle")
+    assert len(matches) == len(runs)
+    for m in matches:
+        assert m.x2 >= m.x1 and m.y2 >= m.y1 and m.text == "needle"
+    # per-char boxes: every non-separator char has one
+    assert sum(1 for b in boxes if b is not None) == \
+        sum(len(r.content) for r in runs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(["t", "div"]), min_size=1, max_size=8))
+def test_rule_components_never_lose_rules(pattern):
+    """Every rule lands in exactly one component."""
+    from stirling_pdf_spark.kernel.tables import Rule, _rule_components
+
+    rules = []
+    y = 0.0
+    for i, k in enumerate(pattern):
+        # alternate separated horizontal rules; 'div' jumps far away
+        y += 100.0 if k == "div" else 0.2
+        rules.append(Rule(1, 0.0, y, 50.0, y))
+    comps = _rule_components(rules)
+    assert sum(len(c) for c in comps) == len(rules)
+    flat = [r for c in comps for r in c]
+    assert sorted(flat) == sorted(rules)
