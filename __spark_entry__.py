@@ -445,6 +445,20 @@ def q_e20_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
 
 
+def q_s3_split_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 split-by-page-count through the wire
+    (SplitPdfBySizeController, page-count mode, n=2): every part
+    re-extracts standalone; span counts per (part, kind) hash-checked
+    against the closed-form paging model."""
+    from stirling_pdf_spark.operators.pageops import split_every_n_pages
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    parts = split_every_n_pages(docs, 2)
+    flat = explode_spans(extract_spans(parts))
+    return flat.groupBy("doc_id", "kind").agg(F.count("*").alias("n_spans"))
+
+
 def q_e15_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15 document metadata (PdfJsonConversionService.java:2781-2810,
     AnalysisController.java:76-99): Info-dict key|value meta spans pass
@@ -931,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_metadata": q_e15_metadata,
         "e9_image_dedup": q_e9_image_dedup,
         "e20_auto_split": q_e20_auto_split,
+        "s3_split_count": q_s3_split_count,
         "s7_scale_extract": q_s7_scale_extract,
         "s7_single_page_extract": q_s7_single_page_extract,
         "s6_reverse_extract": q_s6_reverse_extract,
@@ -1010,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "e15_metadata": O.E15_METADATA,
         "e9_image_dedup": O.E9_IMAGE_DEDUP,
         "e20_auto_split": O.E20_AUTO_SPLIT,
+        "s3_split_count": O.S3_SPLIT_COUNT,
         # scaling preserves every layout decision -> same text oracle
         "s7_scale_extract": O.EXTRACT_TEXT_SPANS,
         # vertical page concatenation preserves reading order

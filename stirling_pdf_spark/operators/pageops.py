@@ -374,6 +374,31 @@ def filter_page_rotation(docs: DataFrame, rotation: int,
     return rotated.filter(cond)
 
 
+def split_every_n_pages(docs: DataFrame, n: int) -> DataFrame:
+    """S3 split-by-page-count (SplitPdfBySizeController, page-count
+    mode): cut after every ``n`` pages — part k holds pages
+    kn+1..(k+1)n. Non-page spans stick to the LAST part (the same
+    read-after-pages contract as split_at_pages). Output doc ids get a
+    '#p{k}' suffix; offsets re-packed per part."""
+    s = F.col("s")
+    page = span_page(s)
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    last_part = (
+        exploded.filter(_is_page_kind(s))
+        .groupBy("doc_id")
+        .agg(F.floor((F.max(span_page(s)) - 1) / n).alias("lp"))
+    )
+    tagged = exploded.join(last_part, "doc_id", "left")
+    part = F.when(_is_page_kind(s), F.floor((page - 1) / n)) \
+        .otherwise(F.coalesce(F.col("lp"), F.lit(0)))
+    out = tagged.select(
+        F.concat("doc_id", F.lit("#p"), part.cast("long").cast("string"))
+        .alias("doc_id"),
+        "s",
+    )
+    return _regroup(out)
+
+
 def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
                       page_w: float = 612.0, page_h: float = 792.0) -> DataFrame:
     """S5 (SplitPdfBySectionsController; golden counts

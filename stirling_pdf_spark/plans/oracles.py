@@ -888,6 +888,34 @@ UNION ALL
 SELECT did, text_rank, text FROM stamps WHERE text_rank < 2000
 """
 
+S3_SPLIT_COUNT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM documents
+), pp AS (
+  SELECT did, nl, h, (nl - 1) // 40 + 1 AS np FROM d WHERE nl > 0
+), parts AS (
+  SELECT did, nl, np, unnest(range(0, (np - 1) // 2 + 1)) AS k FROM pp
+), rows_ AS (
+  SELECT did || '#p' || CAST(k AS VARCHAR) AS doc_id, 'text' AS kind,
+         LEAST(nl - 80 * k, 80) AS n
+  FROM parts
+  UNION ALL
+  SELECT did || '#p' || CAST(k AS VARCHAR), 'media',
+         (CASE WHEN (2*k + 1) % 3 = 0 AND nl >= 40 * (2*k + 1)
+               THEN 1 ELSE 0 END
+          + CASE WHEN (2*k + 2) % 3 = 0 AND nl >= 40 * (2*k + 2)
+                 THEN 1 ELSE 0 END)
+  FROM parts
+  UNION ALL
+  SELECT did || '#p' || CAST((np - 1) // 2 AS VARCHAR), 'attachment', 1
+  FROM pp WHERE substr(h, 64, 1) = '0'
+)
+SELECT doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM rows_ WHERE n > 0
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
