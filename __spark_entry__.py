@@ -660,6 +660,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — pairwise
+    dedup to keep-lists (component = min doc id; singletons keep their
+    own id). Iterative min-label propagation, log(diameter) rounds."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, n=O.NGRAM_N, num_hashes=O.MINHASH_K, bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT,
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return D.connected_components(pairs, nodes)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_groups(
         read_table(spark, sf_dir, "documents"), bits=O.SIMHASH_BITS
@@ -920,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
@@ -999,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": O.DEDUP_EXACT_GROUPS,
         "dedup_ngram_jaccard": O.DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": O.DEDUP_MINHASH_LSH,
+        "dedup_components": O.DEDUP_COMPONENTS,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,
         "ann_cosine_topk": O.ANN_COSINE_TOPK,

@@ -299,6 +299,64 @@ def simhash_groups(df: DataFrame, id_col: str = "doc_id",
     return sh.withColumn("group_size", F.count("*").over(w))
 
 
+# ------------------------------------------------- components / clustering
+
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
+                         max_iter: int = 12) -> DataFrame:
+    """Connected components over near-duplicate pairs — the stage that
+    turns pairwise dedup output into keep-lists: (id, component) with
+    component = min id in the component.
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min label among itself and its neighbors), which halves
+    the longest label-distance per round — ceil(log2(diameter)) rounds
+    suffice, with an early stop when a round changes nothing. Each
+    round is one join + one groupBy (all shuffles on the node id); no
+    driver-side state beyond the convergence counter. This is the
+    simple variant of the large-star/small-star map-reduce CC — at
+    100 TB the same loop runs with the edge list bucketed by src.
+
+    ``pairs``: (id_a, id_b). ``nodes``: optional (id) universe so
+    singletons appear in the output; defaults to ids present in pairs.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp")))
+                .alias("comp"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the initial unpersisted frame
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 # ------------------------------------------------------------- embeddings
 
 def cosine_expr(a: str, b: str):

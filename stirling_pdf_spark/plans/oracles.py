@@ -448,6 +448,29 @@ WHERE common * 100 >= {JACCARD_THRESHOLD_PCT} * (size_a + size_b - common)
 DEDUP_MINHASH_LSH = _minhash_sql()
 
 
+def _components_sql() -> str:
+    """Transitive closure over the MinHash pairs via a recursive CTE
+    (UNION dedup terminates on cycles): component = min reachable id,
+    singletons from the full documents universe."""
+    return f"""
+WITH RECURSIVE p AS ({DEDUP_MINHASH_LSH}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+)
+SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+
+DEDUP_COMPONENTS = _components_sql()
+
+
 def _simhash_sql() -> str:
     high = "('8','9','a','b','c','d','e','f')"
     votes = ",\n         ".join(

@@ -186,3 +186,21 @@ def test_media_metadata_and_frames(spark):
     assert sorted(r["frame_no"] for r in by_ref["m1"]) == [0, 2]
     assert bytes(by_ref["m1"][0]["frame"])[:4] == b"\x89PNG"
     assert "m2" not in by_ref  # empty payload -> no frames
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from stirling_pdf_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a int, id_b int",
+    )
+    nodes = spark.createDataFrame([(i,) for i in
+                                   [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+                                  "id int")
+    comp = {r["id"]: r["component"] for r in
+            connected_components(pairs, nodes).collect()}
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4))      # chain collapses
+    assert comp[10] == comp[11] == 10
+    assert all(comp[i] == 20 for i in (20, 21, 22))     # triangle
+    assert comp[99] == 99                                # singleton
