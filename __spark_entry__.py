@@ -660,6 +660,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the max_df prefix filter engaged — the
+    100 TB knob that drops stop-shingles before the inverted-index
+    self-join. With a cap the common counts (and thus the accepted
+    pair set) legitimately change; the oracle applies the same cap."""
+    return D.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        n=O.NGRAM_N, threshold_pct=O.JACCARD_THRESHOLD_PCT,
+        max_df=O.JACCARD_MAX_DF,
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs — pairwise
     dedup to keep-lists (component = min doc id; singletons keep their
@@ -934,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
         "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
@@ -1014,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": O.DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": O.DEDUP_MINHASH_LSH,
         "dedup_components": O.DEDUP_COMPONENTS,
+        "dedup_jaccard_maxdf": O.DEDUP_NGRAM_JACCARD_MAXDF,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,
         "ann_cosine_topk": O.ANN_COSINE_TOPK,

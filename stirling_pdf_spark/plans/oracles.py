@@ -42,6 +42,7 @@ F7_SPEC = "2n+1"
 F7_TOTAL = 7
 F7_PAGES = parse_page_selection(F7_SPEC, F7_TOTAL)
 JACCARD_THRESHOLD_PCT = 50
+JACCARD_MAX_DF = 35
 NGRAM_N = 2
 MINHASH_K = 8
 MINHASH_BANDS = 4
@@ -390,6 +391,28 @@ x AS (SELECT id, unnest(s) AS shingle FROM sh),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS common
   FROM x a JOIN x b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b
+FROM p
+JOIN sz sa ON id_a = sa.id
+JOIN sz sb ON id_b = sb.id
+WHERE common * 100 >= {JACCARD_THRESHOLD_PCT} * (sa.n + sb.n - common)
+"""
+
+
+DEDUP_NGRAM_JACCARD_MAXDF = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+x AS (SELECT id, unnest(s) AS shingle FROM sh),
+keep AS (
+  SELECT shingle FROM x GROUP BY shingle
+  HAVING count(*) <= {JACCARD_MAX_DF}
+),
+xf AS (SELECT x.id, x.shingle FROM x JOIN keep USING (shingle)),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM xf a JOIN xf b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, common, sa.n AS size_a, sb.n AS size_b
