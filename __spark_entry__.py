@@ -753,6 +753,18 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-bigram repetition share (public MassiveText
+    filtering heuristics)."""
+    return TS.repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep filter: word count, max token length, mean word
+    length bounds as column predicates."""
+    return TS.c4_filter(read_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_payload_metadata(read_table(spark, sf_dir, "documents"))
 
@@ -958,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_c4_filter": q_text_c4_filter,
         "multimodal_meta": q_multimodal_meta,
         # html / chunking / eml / page ops
         "h2_h3_sanitize": q_h2_h3_sanitize,
@@ -1039,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": O.TEXT_QUALITY,
         "text_token_counts": O.TEXT_TOKEN_COUNTS,
         "text_fingerprint": O.TEXT_FINGERPRINT,
+        "text_repetition": O.TEXT_REPETITION,
+        "text_c4_filter": O.TEXT_C4_FILTER,
         "multimodal_meta": O.MULTIMODAL_META,
         "h2_h3_sanitize": O.H2_H3_SANITIZE,
         "h1_sanitize": O.H1_SANITIZE,

@@ -120,3 +120,60 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.md5(F.array_join(sorted_words, " ")).alias("fp"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher/MassiveText-style repetition signal (public filtering
+    literature): the share of the text's word n-grams taken by the
+    single most frequent one. Highly repetitive documents (boilerplate,
+    keyword stuffing) show rep_x1000 near 1000.
+
+    Output: (id, n_grams, top_count, rep_x1000) — all integers;
+    rep_x1000 = top_count * 1000 DIV n_grams (exact on both engines).
+    Docs with fewer than n words emit no row. One explode + two
+    aggregations, all shuffles on the doc id."""
+    from .dedup import parallelize, words_col
+
+    w = (
+        parallelize(df)
+        .select(F.col(id_col).alias("id"), words_col(text_col).alias("w"))
+        .filter(F.size("w") >= n)
+    )
+    joined = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    grams = F.expr(f"transform(sequence(0, size(w) - {n}), i -> {joined})")
+    g = w.select("id", F.explode(grams).alias("gm"))
+    cnt = g.groupBy("id", "gm").agg(F.count("*").alias("cnt"))
+    return (
+        cnt.groupBy("id")
+        .agg(F.sum("cnt").cast("long").alias("n_grams"),
+             F.max("cnt").cast("long").alias("top_count"))
+        .withColumn("rep_x1000",
+                    F.expr("CAST(top_count * 1000 DIV n_grams AS BIGINT)"))
+    )
+
+
+def c4_filter(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", min_words: int = 20,
+              max_word_len: int = 20) -> DataFrame:
+    """C4-style document keep filter (public C4/RealNews filtering
+    rules re-expressed as column predicates): enough words, no
+    pathologically long token, sane mean word length. Output:
+    (id, n_words, max_word_len, mean_word_len_x100, keep)."""
+    from .dedup import words_col
+
+    w = words_col(text_col)
+    n_words = F.size(w).cast("long")
+    max_wl = F.array_max(F.transform(w, lambda x: F.length(x))).cast("long")
+    n_nonspace = F.length(
+        F.regexp_replace(F.col(text_col), r"\s", "")).cast("long")
+    mean_x100 = F.when(n_words > 0,
+                       F.floor(n_nonspace * 100 / n_words)).otherwise(0) \
+        .cast("long")
+    keep = ((n_words >= min_words) & (max_wl <= max_word_len)
+            & mean_x100.between(200, 1000)).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"), n_words.alias("n_words"),
+        max_wl.alias("max_word_len"), mean_x100.alias("mean_word_len_x100"),
+        keep.alias("keep"),
+    )

@@ -672,6 +672,45 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+TEXT_REPETITION = """
+WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+           AS gm
+  FROM d WHERE len(w) >= 2
+),
+c AS (SELECT id, gm, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(MAX(cnt) AS BIGINT) AS top_count,
+       CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT) AS rep_x1000
+FROM c GROUP BY id
+"""
+
+TEXT_C4_FILTER = r"""
+WITH d AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+           AS n_nonspace
+  FROM documents
+), s AS (
+  SELECT id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT)
+           AS max_word_len,
+         CASE WHEN len(w) > 0
+              THEN CAST(FLOOR(n_nonspace * 100 / len(w)) AS BIGINT)
+              ELSE 0 END AS mean_word_len_x100
+  FROM d
+)
+SELECT id, n_words, max_word_len, mean_word_len_x100,
+       CAST(CASE WHEN n_words >= 20 AND max_word_len <= 20
+                  AND mean_word_len_x100 BETWEEN 200 AND 1000
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM s
+"""
+
 TEXT_TOKEN_COUNTS = f"""
 SELECT doc_id AS id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
