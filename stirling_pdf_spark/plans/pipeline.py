@@ -28,10 +28,17 @@ from ..operators.search import redact_spans
 # docs -> docs steps (raw interleaved shape in and out)
 _DOC_OPS: dict[str, Callable] = {
     "rotate90": pageops.rotate_pages_90,
+    "set_rotation": pageops.set_page_rotation,
     "scale": pageops.scale_pages,
+    "crop": pageops.crop_pages,
+    "single_page": pageops.to_single_page,
+    "n_up": pageops.n_up,
+    "booklet": pageops.booklet_impose,
     "stamp": pageops.add_page_stamps,
     "split_at_pages": pageops.split_at_pages,
+    "split_every_n_pages": pageops.split_every_n_pages,
     "split_by_sections": pageops.split_by_sections,
+    "auto_split": pageops.auto_split_at_markers,
     "rearrange": pageops.rearrange_pages,
     "merge": pageops.merge_docs,
 }
@@ -52,12 +59,26 @@ def _filter_contains_text(docs: DataFrame, phrase: str) -> DataFrame:
     )
 
 
+def _filter_rotation(docs: DataFrame, rotation: int,
+                     comparator: str = "EQUAL") -> DataFrame:
+    return pageops.filter_page_rotation(docs, rotation, comparator) \
+        .select("doc_id", "spans")
+
+
+def _filter_page_size(docs: DataFrame, size_name: str,
+                      comparator: str = "EQUAL") -> DataFrame:
+    return pageops.filter_page_size(docs, size_name, comparator) \
+        .select("doc_id", "spans")
+
+
 # filter steps: empty result drops the doc from the working set (F8,
 # PipelineProcessor.java:150-156)
 _FILTER_OPS: dict[str, Callable] = {
     "filter_min_spans": _filter_min_spans,
     "filter_has_kind": _filter_has_kind,
     "filter_contains_text": _filter_contains_text,
+    "filter_rotation": _filter_rotation,
+    "filter_page_size": _filter_page_size,
 }
 
 # terminal steps: docs -> spans_out (and spans_out -> spans_out)

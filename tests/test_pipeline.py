@@ -50,3 +50,26 @@ def test_unknown_op_fails_eagerly(docs):
 def test_doc_op_after_extract_rejected(docs):
     with pytest.raises(ValueError, match="raw docs"):
         run_pipeline(docs, [("extract", {}), ("rotate90", {})])
+
+
+def test_pipeline_round2_ops_chain(spark):
+    """The round-2 operators compose through the pipeline registry:
+    set rotation state -> filter on it (F8 drop) -> crop -> extract."""
+    from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+    from stirling_pdf_spark.plans.pipeline import run_pipeline
+
+    docs = synth_docs_df(spark, 16, seed=42, mega_pages=(5, 8),
+                         num_partitions=4)
+    out = run_pipeline(docs, [
+        ("set_rotation", {"rotation": 90}),
+        ("filter_rotation", {"rotation": 90, "comparator": "EQUAL"}),
+        ("single_page", {}),
+        ("extract", {"num_partitions": 4}),
+    ])
+    assert out.count() == docs.count()  # every doc passed the filter
+    dropped = run_pipeline(docs, [
+        ("set_rotation", {"rotation": 90}),
+        ("filter_rotation", {"rotation": 180, "comparator": "EQUAL"}),
+        ("extract", {"num_partitions": 4}),
+    ])
+    assert dropped.count() == 0  # F8: filters drop docs mid-chain
