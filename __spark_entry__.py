@@ -880,6 +880,31 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("chunk_no").cast("long").alias("chunk_no"), "chunk")
 
 
+def q_e24_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 sentence-packing chunker (engine chunker semantics: greedy
+    sentence packing to 512 chars with a 64-char overlap tail).
+    Sentences are normalized to EXACTLY 20 chars (word prefix
+    x-padded + '.'), which makes the greedy packing closed-form:
+    24 sentences per chunk, 3-sentence overlap tail, so chunk j covers
+    sentences [21j, 21j+24) — the oracle re-derives exactly that."""
+    from stirling_pdf_spark.functions.text import chunk_text_udf
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sents = F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.concat(F.rpad(F.substring(w, 1, 10), 19, "x"),
+                           F.lit(".")),
+    )
+    body = F.array_join(sents, " ")
+    chunks = chunk_text_udf()(body)
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    ).select("doc_id", F.col("chunk_no").cast("long").alias("chunk_no"),
+             "chunk")
+
+
 def q_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6 EML parse (EmlParser.java) — MIME encode + stdlib parse round
     trip in an Arrow-batched stage."""
@@ -980,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h5_autolink": q_h5_autolink,
         "e10_has_text": q_e10_has_text,
         "text_chunk_windows": q_text_chunk_windows,
+        "e24_sentence_chunks": q_e24_sentence_chunks,
         "eml_roundtrip": q_eml_roundtrip,
         "s2_split_synth": q_s2_split_synth,  # rows-only
         "s2_split_pages": q_s2_split_pages,
@@ -1062,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "h5_autolink": O.H5_AUTOLINK,
         "e10_has_text": O.E10_HAS_TEXT,
         "text_chunk_windows": O.TEXT_CHUNK_WINDOWS,
+        "e24_sentence_chunks": O.E24_SENTENCE_CHUNKS,
         "eml_roundtrip": O.EML_ROUNDTRIP,
         "e19_blank_pages": O.E19_BLANK_PAGES,
         "s2_split_pages": O.S2_SPLIT_PAGES,

@@ -1367,6 +1367,31 @@ SELECT doc_id, chunk_no,
 FROM x
 """
 
+E24_SENTENCE_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(w, x -> rpad(substr(x, 1, 10), 19, 'x') || '.') AS sn,
+         CAST(len(w) AS BIGINT) AS n
+  FROM d
+), j AS (
+  -- 20-char sentences: 24 per chunk, 3-sentence overlap tail ->
+  -- chunk j covers sentences [21j, 21j+24)
+  SELECT doc_id, sn, n,
+         unnest(range(0, CASE WHEN n <= 24 THEN 1
+                       ELSE CAST(ceil((n - 24) / 21.0) AS BIGINT) + 1 END))
+           AS cj
+  FROM s
+)
+SELECT doc_id,
+       CAST(cj AS BIGINT) AS chunk_no,
+       array_to_string(
+         sn[CAST(21*cj + 1 AS BIGINT):CAST(LEAST(21*cj + 24, n) AS BIGINT)],
+         ' ') AS chunk
+FROM j
+"""
+
 EML_ROUNDTRIP = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        'doc ' || CAST(doc_id AS VARCHAR) AS subject,
