@@ -425,20 +425,26 @@ def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_e20_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E20 QR auto-split shape (AutoSplitPdfController.java:320-352; the
     QR decode itself is raster and out of scope — a divider media_ref
-    stands in): a divider marker lands on page 3 of every doc, the
-    split drops the divider page and re-extracts the parts."""
+    stands in): divider markers land on pages 1 AND 3 of every doc.
+    Page 3 starts a new part and is dropped; the page-1 divider is the
+    reference's `page == 0` edge — that page stays as content of the
+    FIRST part (:340-345), so part 0 = pages 1-2, part 1 = pages 4+."""
     from stirling_pdf_spark.operators.pageops import auto_split_at_markers
 
     _ship_package(spark)
     docs = docs_from_documents_table(spark, sf_dir)
-    marker = F.struct(
-        F.lit("media").alias("kind"),
-        F.lit("3|50.0|50.0|20.0|20.0").alias("text"),
-        F.lit("qr-divider").alias("media_ref"),
-        F.size("spans").alias("offset"),
-    )
+
+    def marker(page: int):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(f"{page}|50.0|50.0|20.0|20.0").alias("text"),
+            F.lit("qr-divider").alias("media_ref"),
+            F.size("spans").alias("offset"),
+        )
+
     with_m = docs.select(
-        "doc_id", F.concat("spans", F.array(marker)).alias("spans")
+        "doc_id",
+        F.concat("spans", F.array(marker(1), marker(3))).alias("spans"),
     )
     parts = auto_split_at_markers(with_m, ["qr-divider"])
     flat = explode_spans(extract_spans(parts)).filter(F.col("kind") == "text")

@@ -81,11 +81,14 @@ def main() -> None:
     timings["extract_sf_corpus"] = round(time.time() - t0, 3)
 
     # --- headline relational / training queries at the bench sf
+    from stirling_pdf_spark.runtime.staging import release_staged
+
     qs = E.queries()
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        release_staged()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -47,6 +47,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
 
+    from stirling_pdf_spark.runtime.staging import release_staged
+
     qs = E.queries()
     sqls = E.oracle_sql()
     names = args.names or list(qs)
@@ -55,6 +57,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf).toPandas()
+            release_staged()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             failed.append(name)

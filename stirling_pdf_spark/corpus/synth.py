@@ -322,7 +322,12 @@ def rich_from_text(doc_id: str, text: str):
       * bookmarks in outline-walk order, wire 'depth|page|title':
         depth-0 'ch {p}' on every odd page, plus depth-1 's {p}' on
         pages ≡ 3 (mod 4) — drives split-by-chapters
-        (SplitPdfByChaptersController.java:62-90, maxLevel filter).
+        (SplitPdfByChaptersController.java:62-90, maxLevel filter);
+      * annotations (PdfJsonConversionService.java:2553-2610 subtype/
+        contents/rect): a 'Text' note on every page ≡ 0 (mod 3) and a
+        contents-less 'Highlight' on every page ≡ 0 (mod 5), so the
+        per-doc subtype vs contents counts (GetInfoOnPDF.java:865-879)
+        differ.
     """
     words = text.split()
     spans: list[tuple[str, str, str, int]] = []
@@ -346,6 +351,15 @@ def rich_from_text(doc_id: str, text: str):
         spans.append(("bookmark", f"0|{p}|ch {p}", "", len(spans)))
         if p % 4 == 3:
             spans.append(("bookmark", f"1|{p}|s {p}", "", len(spans)))
+    for p in range(1, n_pages + 1):
+        if p % 3 == 0:
+            spans.append(("annotation",
+                          f"{p}|100.0|500.0|80.0|40.0\tText|note {p}||",
+                          "", len(spans)))
+        if p % 5 == 0:
+            spans.append(("annotation",
+                          f"{p}|200.0|520.0|60.0|30.0\tHighlight|||",
+                          "", len(spans)))
     return doc_id, spans
 
 

@@ -18,6 +18,13 @@ Output contract (SURVEY.md §2.1.6, the reference's reading order):
   6. HTML raw spans -> boilerplate-stripped kind='text' blocks in
      document order;
   7. attachments last, name-tree order, fallback + unique-suffix names.
+
+Annotations (kind='annotation', PdfJsonConversionService.java:
+2553-2610) pass through per page AFTER the page's content, re-keyed to
+"{page}|{subtype}|{contents}|{author}|{subject}" — a page-scoped side
+list like the reference's annotationsByPage, not a drawable. AcroForm
+fields (kind='formfield', AnalysisController.java /form-fields) are
+document state and follow the metadata block, offset order.
 """
 
 from __future__ import annotations
@@ -57,6 +64,8 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
     bookmarks: list[str] = []  # "depth|title" wire strings, tree order
     metas: list[str] = []      # "key|value" wire strings (E15)
     rules_by_page: dict[int, list] = defaultdict(list)  # E14 lattice rules
+    annots_by_page: dict[int, list[str]] = defaultdict(list)  # E17 side list
+    formfields: list[str] = []  # "name|type|value" wire strings (E16)
 
     for kind, text, media_ref, _off in ordered:
         if kind == "text":
@@ -76,17 +85,27 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
         elif kind == "rule":
             rule = parse_rule(text)
             rules_by_page[rule.page].append(rule)
+        elif kind == "annotation":
+            head, _, body = text.partition("\t")
+            page_s = head.split("|", 1)[0]
+            annots_by_page[int(page_s)].append(f"{page_s}|{body}")
+        elif kind == "formfield":
+            formfields.append(text)
         # unknown kinds are ignored (forward compatibility)
 
     out: list[Span] = []
     budget = float("inf") if chunk_budget is None else chunk_budget
 
     # document metadata first (E15: Info-dict key/value pairs precede
-    # content, PdfJsonConversionService.java:2781-2810)
+    # content, PdfJsonConversionService.java:2781-2810), then AcroForm
+    # fields (document state, AnalysisController.java /form-fields)
     for m in metas:
         out.append(Span("meta", m, "", len(out)))
+    for ff in formfields:
+        out.append(Span("formfield", ff, "", len(out)))
 
-    for page in sorted(set(runs_by_page) | set(media_by_page) | set(rules_by_page)):
+    for page in sorted(set(runs_by_page) | set(media_by_page)
+                       | set(rules_by_page) | set(annots_by_page)):
         # images first, draw order (zOrder -1_000_000 + i)
         for draw in media_by_page.get(page, ()):  # already in offset order
             out.append(Span("media", "", draw.media_ref, len(out)))
@@ -105,6 +124,10 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
             for csv in extract_table_csvs(rules_by_page[page],
                                           runs_by_page.get(page, [])):
                 out.append(Span("table", csv, "", len(out)))
+        # annotations close the page (side list, offset order —
+        # GetInfoOnPDF.java:865-879 reads them per page after content)
+        for ann in annots_by_page.get(page, ()):
+            out.append(Span("annotation", ann, "", len(out)))
 
     for html in html_parts:
         for block in extract_main_blocks(html):

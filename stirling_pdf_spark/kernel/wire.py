@@ -15,6 +15,14 @@ origin top-left; reference: PdfTextChunkExtractor.java:100-112).
                (page state — the reference's PdfJsonPage.java:18-33
                carries width/height/rotation per page; rotation is what
                FilterController.java:229-245 filters on)
+    annot    : "{page}|{x}|{y}|{w}|{h}\t{subtype}|{contents}|{author}|{subject}"
+               (PdfJsonAnnotation: subtype/contents/rect/author/subject,
+               PdfJsonConversionService.java:2553-2610; rect stored
+               media-style as top-left + extent so geometry operators
+               share the media code path)
+    formfld  : "{name}|{type}|{value}"              (AcroForm field —
+               AnalysisController.java /form-fields: name, field type,
+               value; type 'signature' marks a signature field)
     attach   : "{filename-or-empty}"               (media_ref set)
     html     : raw markup
 

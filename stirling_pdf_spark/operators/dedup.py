@@ -177,7 +177,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exact integer-threshold Jaccard on distinct shingle sets.
     Output: (id_a, id_b, common, size_a, size_b).
     """
-    from pyspark import StorageLevel
+    from ..runtime.staging import stage
 
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -185,11 +185,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # the exploded inverted index feeds FOUR consumers (signatures,
     # sizes, and both sides of the verify join); without staging it the
     # regex tokenization + shingle transform re-runs per consumer —
-    # persist is the intermediate-table shape, spill-safe
-    exploded = (
+    # persist is the intermediate-table shape, spill-safe. Registered
+    # with runtime.staging so long-lived sessions can release it
+    # between queries instead of leaking to the ContextCleaner.
+    exploded = stage(
         sh.select("id", F.explode_outer("shingles").alias("sh"))
         .filter(F.col("sh").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = exploded.groupBy("id").agg(*minhash_signature_cols(num_hashes))
 
@@ -307,14 +308,21 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     turns pairwise dedup output into keep-lists: (id, component) with
     component = min id in the component.
 
-    Algorithm: iterative min-label propagation (each round every node
-    takes the min label among itself and its neighbors), which halves
-    the longest label-distance per round — ceil(log2(diameter)) rounds
-    suffice, with an early stop when a round changes nothing. Each
-    round is one join + one groupBy (all shuffles on the node id); no
-    driver-side state beyond the convergence counter. This is the
-    simple variant of the large-star/small-star map-reduce CC — at
-    100 TB the same loop runs with the edge list bucketed by src.
+    Algorithm: min-label propagation WITH pointer jumping. Each round
+    every node takes the min label among itself and its neighbors
+    (reach +1 hop), then replaces its label by its label's label
+    (comp := comp[comp] — path halving). The jump step doubles how far
+    the component minimum has effectively propagated, so O(log
+    diameter) rounds suffice (plain propagation alone is O(diameter)).
+    Each round is two shuffles-on-id joins + one groupBy; no
+    driver-side state beyond the convergence counter (the per-round
+    ``count()`` is inherent to convergence detection). At 100 TB the
+    same loop runs with the edge list bucketed by src.
+
+    Raises RuntimeError when ``max_iter`` rounds pass without reaching
+    a fixed point — a silent fall-through would return SPLIT
+    components; with pointer jumping, 12 rounds cover diameters to
+    ~2^12, far beyond any near-dup cluster.
 
     ``pairs``: (id_a, id_b). ``nodes``: optional (id) universe so
     singletons appear in the output; defaults to ids present in pairs.
@@ -329,17 +337,30 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     if nodes is None:
         nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("comp"))
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        prop = (
             labels.join(neigh_min, labels.id == neigh_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp")))
+                .alias("comp"),
+            )
+        )
+        # pointer jump: comp := comp[comp] (labels are node ids, so the
+        # label table doubles as the parent pointer table)
+        parent = prop.select(F.col("id").alias("pid"),
+                             F.col("comp").alias("pcomp"))
+        new_labels = (
+            prop.join(parent, prop.comp == parent.pid, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("pcomp", F.col("comp")))
                 .alias("comp"),
             )
         )
@@ -353,7 +374,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         labels.unpersist()  # no-op on the initial unpersisted frame
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components would be split otherwise)")
+    from ..runtime.staging import _STAGED
+
+    _STAGED.append(labels)  # release via runtime.staging.release_staged()
     return labels.select("id", F.col("comp").alias("component"))
 
 

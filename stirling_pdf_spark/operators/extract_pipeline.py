@@ -252,13 +252,12 @@ def extract_spans(
         stage = _has_python_stage(docs)
 
     if stage:
-        from pyspark import StorageLevel
+        from ..runtime.staging import stage as stage_df
 
-        routed = (
+        routed = stage_df(
             docs.repartition(num_partitions, "doc_id")
             .mapInArrow(_route_factory(salt_threshold, pages_per_bucket),
                         _ROUTED_SCHEMA)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         small_out = routed.filter(F.col("final")).select("doc_id", "spans")
         sub_src = routed.filter(~F.col("final")).select(

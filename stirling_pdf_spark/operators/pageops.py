@@ -16,8 +16,15 @@ _FAR_PAGE = 1 << 30  # html/attachment spans sort after every real page
 
 # every kind whose wire text starts with the "{page}|f1|f2|f3|f4" header
 # (kernel/wire.py); ALL of them must be remapped together whenever a
-# page-rewriting operator shifts/permutes/removes page numbers
-PAGE_KINDS = ("text", "media", "rule", "pagemeta")
+# page-rewriting operator shifts/permutes/removes page numbers.
+# 'annotation' carries a media-style (x, y, w, h) header + a
+# "subtype|contents|author|subject" body, so geometry ops treat it
+# like a media bbox (PdfJsonAnnotation rect semantics).
+PAGE_KINDS = ("text", "media", "rule", "pagemeta", "annotation")
+
+# kinds with a real on-page anchor/extent (annotation rects transform
+# with the page like media boxes; pagemeta is page STATE, not geometry)
+GEO_KINDS = ("text", "media", "rule", "annotation")
 
 
 def _is_page_kind(s: Column) -> Column:
@@ -205,7 +212,7 @@ def rotate_pages_90(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
         )
         head = (
             F.when(kind == "text", text_head)
-            .when(kind == "media", media_head)
+            .when(kind.isin("media", "annotation"), media_head)
             .when(kind == "rule", rule_head)
             .otherwise(meta_head)
         )
@@ -302,7 +309,10 @@ def page_rotations(docs: DataFrame) -> DataFrame:
     )
 
 
-ROTATION_COMPARATORS = ("GREATER", "EQUAL", "LESS")
+# FilterController.java:256-265 — shared by the rotation, page-size,
+# page-count and file-size filters
+COMPARATORS = ("GREATER", "EQUAL", "LESS")
+ROTATION_COMPARATORS = COMPARATORS  # backwards-compat alias
 
 # PdfUtils.textToPageSize:52-66 — the nine standard sizes the reference
 # accepts, as PDFBox PDRectangle dimensions in points (ISO sizes are
@@ -328,9 +338,13 @@ def filter_page_size(docs: DataFrame, size_name: str,
     standard size's area with {GREATER, EQUAL, LESS} (:256-265). Docs
     without pagemeta default to the Letter box, like the synthetic
     corpus geometry."""
-    if comparator not in ROTATION_COMPARATORS:
+    if comparator not in COMPARATORS:
         raise ValueError(
-            f"unknown comparator {comparator!r}; one of {ROTATION_COMPARATORS}")
+            f"unknown comparator {comparator!r}; one of {COMPARATORS}")
+    if size_name.upper() not in STANDARD_PAGE_SIZES:
+        raise ValueError(
+            f"unknown page size {size_name!r}; one of "
+            f"{tuple(STANDARD_PAGE_SIZES)}")
     std_w, std_h = STANDARD_PAGE_SIZES[size_name.upper()]
     std_area = std_w * std_h
     first = (
@@ -356,9 +370,9 @@ def filter_page_rotation(docs: DataFrame, rotation: int,
     FIRST page's rotation; the generic comparator is :256-265
     {GREATER, EQUAL, LESS}). Pages without pagemeta default to
     rotation 0, like a PDF page without /Rotate."""
-    if comparator not in ROTATION_COMPARATORS:
+    if comparator not in COMPARATORS:
         raise ValueError(
-            f"unknown comparator {comparator!r}; one of {ROTATION_COMPARATORS}")
+            f"unknown comparator {comparator!r}; one of {COMPARATORS}")
     first = (
         page_rotations(docs)
         .groupBy("doc_id")
@@ -417,7 +431,7 @@ def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
     header = F.substring_index(s["text"], "\t", 1)
     p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
     x, y = p[1].cast("double"), p[2].cast("double")
-    is_geo = s["kind"].isin("text", "media", "rule")
+    is_geo = s["kind"].isin(*GEO_KINDS)
     col_i = F.least(F.floor(x / cell_w).cast("int"), F.lit(cols - 1))
     row_i = F.least(F.floor(y / cell_h).cast("int"), F.lit(rows - 1))
     nx = (x - col_i * cell_w) * cols
@@ -425,13 +439,15 @@ def split_by_sections(docs: DataFrame, h_div: int = 1, v_div: int = 1,
     # per-kind trailing fields: text keeps (font_size, font); media w/h
     # and rule endpoints scale with the section blow-up
     f3_scaled = F.when(
-        s["kind"] == "media", (p[3].cast("double") * cols).cast("string")
+        s["kind"].isin("media", "annotation"),
+        (p[3].cast("double") * cols).cast("string"),
     ).when(
         s["kind"] == "rule",
         ((p[3].cast("double") - col_i * cell_w) * cols).cast("string"),
     ).otherwise(p[3])
     f4_scaled = F.when(
-        s["kind"] == "media", (p[4].cast("double") * rows).cast("string")
+        s["kind"].isin("media", "annotation"),
+        (p[4].cast("double") * rows).cast("string"),
     ).when(
         s["kind"] == "rule",
         ((p[4].cast("double") - row_i * cell_h) * rows).cast("string"),
@@ -710,7 +726,7 @@ def crop_pages(docs: DataFrame, x1: float, y1: float,
     header = F.substring_index(s["text"], "\t", 1)
     p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
     ax, ay = p[1].cast("double"), p[2].cast("double")
-    geo = s["kind"].isin("text", "media", "rule")
+    geo = s["kind"].isin(*GEO_KINDS)
     inside = (ax >= x1) & (ax < x2) & (ay >= y1) & (ay < y2)
     f3 = F.when(s["kind"] == "rule",
                 (p[3].cast("double") - x1).cast("string")).otherwise(p[3])
@@ -769,7 +785,7 @@ def to_single_page(docs: DataFrame, page_height: float = 792.0) -> DataFrame:
                 "spans",
                 lambda sp: F.struct(
                     sp["kind"].alias("kind"),
-                    F.when(sp["kind"].isin("text", "media", "rule"),
+                    F.when(sp["kind"].isin(*GEO_KINDS),
                            shifted(sp["kind"], sp["text"]))
                     .otherwise(sp["text"]).alias("text"),
                     sp["media_ref"].alias("media_ref"),
@@ -803,14 +819,14 @@ def n_up(docs: DataFrame, cols: int = 2, rows: int = 1,
     f3 = (
         F.when(s["kind"] == "text",
                (p[3].cast("double") / cols).cast("string"))     # font size
-        .when(s["kind"] == "media",
+        .when(s["kind"].isin("media", "annotation"),
               (p[3].cast("double") / cols).cast("string"))      # width
         .otherwise((p[3].cast("double") / cols + c * cell_w)
                    .cast("string"))                              # rule x2
     )
     f4 = (
         F.when(s["kind"] == "text", p[4])                        # font name
-        .when(s["kind"] == "media",
+        .when(s["kind"].isin("media", "annotation"),
               (p[4].cast("double") / rows).cast("string"))       # height
         .otherwise((p[4].cast("double") / rows + r * cell_h)
                    .cast("string"))                              # rule y2
@@ -818,7 +834,7 @@ def n_up(docs: DataFrame, cols: int = 2, rows: int = 1,
     head = F.concat_ws("|", sheet.cast("string"), nx, ny, f3, f4)
     body = F.substring_index(s["text"], "\t", -1)
     new_text = F.when(
-        ~s["kind"].isin("text", "media", "rule"), s["text"]
+        ~s["kind"].isin(*GEO_KINDS), s["text"]
     ).when(F.instr(s["text"], "\t") > 0,
            F.concat(head, F.lit("\t"), body)).otherwise(head)
     exploded = (
@@ -849,12 +865,15 @@ def auto_split_at_markers(docs: DataFrame,
     page carrying a divider marker (here: a media span whose media_ref
     is in ``divider_refs`` — the QR decode stands in for the raster
     path this sandbox can't run) starts a new output document; divider
-    pages themselves are dropped. Reference edge semantics kept: a
-    divider on the FIRST page creates no document, so content before
-    the next divider is dropped (:334-344), and empty parts never
-    materialize. Output doc ids get a '#q{part}' suffix with the raw
-    part index (renaming to dense _1.._n is presentation, not data).
-    Non-page spans stick to the last part, as in split_at_pages."""
+    pages themselves are dropped. Reference edge semantics kept: page 1
+    ALWAYS lands in the first output document, divider or not — the
+    controller's ``page == 0`` branch (:340-345) adds it before any
+    split document exists, and only dividers at page > 1 trigger the
+    new-document branch (:335-337). Empty parts never materialize
+    (:353 removeIf). Output doc ids get a '#q{part}' suffix with the
+    raw part index (renaming to dense _1.._n is presentation, not
+    data). Non-page spans stick to the last part, as in
+    split_at_pages."""
     s = F.col("s")
     page = span_page(s)
     exploded = docs.select("doc_id", F.explode("spans").alias("s"))
@@ -870,11 +889,11 @@ def auto_split_at_markers(docs: DataFrame,
     )
     p = span_page(s)
     is_div_page = F.array_contains("dps", p)
-    # dividers at pages 2..p each start a new doc; one at page 1 doesn't
+    # dividers at pages 2..p each started a new doc; a page-1 divider
+    # does NOT (it stays as content of part 0, the `page == 0` branch)
     n_div = F.size(F.filter("dps", lambda d: (d <= p) & (d >= 2)))
-    first_is_div = F.array_contains("dps", F.lit(1).cast("long"))
-    kept = ~is_div_page & (~first_is_div | (n_div >= 1))
-    part = F.when(first_is_div, n_div - 1).otherwise(n_div)
+    kept = ~is_div_page | (p == 1)
+    part = n_div
     out = tagged.filter(kept).select(
         F.concat("doc_id", F.lit("#q"), part.cast("string")).alias("doc_id"),
         "s",
@@ -890,8 +909,12 @@ def split_by_chapters(docs: DataFrame, max_level: int = 0) -> DataFrame:
 
     Bookmark wire: 'depth|page|title' (3 fields; E23's page-less
     'depth|title' spans are skipped — they carry no split point).
-    Output: (doc_id, chapter_no, title, start_page, end_page). Feed the
-    ranges to ``split_at_pages`` to materialize the chapter docs."""
+    Two chapter-start bookmarks on the same page collapse to ONE
+    chapter (deterministically: the lexicographically-least title), so
+    ranges never invert; end_page is additionally clamped to
+    >= start_page. Output: (doc_id, chapter_no, title, start_page,
+    end_page). Feed the ranges to ``split_at_pages`` to materialize
+    the chapter docs."""
     s = F.col("s")
     exploded = docs.select("doc_id", F.explode("spans").alias("s"))
     n_pages = (
@@ -909,6 +932,8 @@ def split_by_chapters(docs: DataFrame, max_level: int = 0) -> DataFrame:
             F.element_at(parts, 2).cast("long").alias("start_page"),
             F.element_at(parts, 3).alias("title"),
         )
+        .groupBy("doc_id", "start_page")
+        .agg(F.min("title").alias("title"))
     )
     w = Window.partitionBy("doc_id").orderBy("start_page")
     return (
@@ -917,8 +942,10 @@ def split_by_chapters(docs: DataFrame, max_level: int = 0) -> DataFrame:
         .join(n_pages, "doc_id")
         .select(
             "doc_id", "chapter_no", "title", "start_page",
-            F.coalesce(F.col("next_start") - 1, F.col("np"))
-            .alias("end_page"),
+            F.greatest(
+                F.coalesce(F.col("next_start") - 1, F.col("np")),
+                F.col("start_page"),
+            ).alias("end_page"),
         )
     )
 

@@ -1007,8 +1007,10 @@ WITH d AS (
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
   FROM documents
 )
--- divider on page 3: part 0 = pages 1-2 (page 3 dropped),
--- part 1 = pages 4+
+-- dividers on pages 1 AND 3: the page-1 divider stays as content of
+-- part 0 (AutoSplitPdfController's page==0 branch; it is a media span,
+-- invisible to this text-line count), page 3 is dropped and starts
+-- part 1 -> part 0 = pages 1-2, part 1 = pages 4+
 SELECT did || '#q0' AS doc_id, CAST(LEAST(nl, 80) AS BIGINT) AS n_lines
 FROM d WHERE nl > 0
 UNION ALL

@@ -408,9 +408,10 @@ def test_overlay_docs_page_wise(spark):
 
 
 def test_auto_split_at_markers_semantics(spark):
-    """AutoSplitPdfController.java:320-352: divider pages dropped; a
-    divider on page 1 creates no doc, so content before the next
-    divider is dropped; empty parts never materialize."""
+    """AutoSplitPdfController.java:320-352: dividers at page > 1 start
+    a new doc and are dropped; page 1 ALWAYS lands in the first doc,
+    divider or not (the `page == 0` branch :340-345); empty parts
+    never materialize."""
     from stirling_pdf_spark.kernel.model import MediaDraw, TextRun
     from stirling_pdf_spark.operators.pageops import auto_split_at_markers
 
@@ -434,16 +435,21 @@ def test_auto_split_at_markers_semantics(spark):
         "doc_id string, spans array<struct<kind:string,text:string,"
         "media_ref:string,offset:int>>",
     )
+    rows = auto_split_at_markers(df, ["qr-divider"]).collect()
     parts = {r["doc_id"]: [s["text"].split("\t")[-1]
                            for s in r["spans"] if s["kind"] == "text"]
-             for r in auto_split_at_markers(df, ["qr-divider"]).collect()}
+             for r in rows}
     # a: [p1][div][p3,p4][div][p6] -> three parts
     assert parts["a#q0"] == ["pg1"]
     assert parts["a#q1"] == ["pg3", "pg4"]
     assert parts["a#q2"] == ["pg6"]
-    # b: div on page 1 -> page 2 dropped; page 4 lands in part 0
-    assert set(k for k in parts if k.startswith("b")) == {"b#q0"}
-    assert parts["b#q0"] == ["pg4"]
+    # b: page-1 divider stays as content of part 0 (with page 2);
+    # the page-3 divider starts part 1
+    assert set(k for k in parts if k.startswith("b")) == {"b#q0", "b#q1"}
+    assert parts["b#q0"] == ["pg2"]
+    assert parts["b#q1"] == ["pg4"]
+    b0 = next(r for r in rows if r["doc_id"] == "b#q0")
+    assert [s["kind"] for s in b0["spans"]] == ["media", "text"]
 
 
 def test_crop_shifts_and_filters(spark):

@@ -83,6 +83,30 @@ def test_split_by_chapters_levels_and_ranges(spark):
         == (2, 4, 9)
 
 
+def test_split_by_chapters_same_page_ties(spark):
+    """Two chapter starts on one page collapse to one chapter (least
+    title) and never produce an inverted range; adjacent-page starts
+    clamp to end_page >= start_page."""
+    from stirling_pdf_spark.operators.pageops import split_by_chapters
+
+    spans = [
+        _text(1, 72.0, 11.0, "p1"), _text(4, 72.0, 11.0, "p4"),
+        ("bookmark", "0|1|zeta", "", 0),
+        ("bookmark", "0|1|alpha", "", 0),   # same-page duplicate start
+        ("bookmark", "0|2|beta", "", 0),    # next page: 1-page chapter
+        ("bookmark", "0|2|beta", "", 0),    # exact duplicate
+    ]
+    spans = [(k, t, m, i) for i, (k, t, m, _o) in enumerate(spans)]
+    df = spark.createDataFrame([_doc("d", spans)], SCHEMA)
+    ch = {r["chapter_no"]: r for r in
+          split_by_chapters(df, max_level=0).collect()}
+    assert len(ch) == 2
+    assert (ch[1]["title"], ch[1]["start_page"], ch[1]["end_page"]) \
+        == ("alpha", 1, 1)
+    assert (ch[2]["title"], ch[2]["start_page"], ch[2]["end_page"]) \
+        == ("beta", 2, 4)
+
+
 def test_chapter_ranges_materialize_via_split(spark):
     """Chapter ranges compose with split_at_pages to produce the actual
     chapter documents (the reference's zip-of-PDFs output)."""

@@ -204,3 +204,22 @@ def test_connected_components_chain_and_singletons(spark):
     assert comp[10] == comp[11] == 10
     assert all(comp[i] == 20 for i in (20, 21, 22))     # triangle
     assert comp[99] == 99                                # singleton
+
+
+def test_connected_components_deep_chain_pointer_jumping(spark):
+    """A 40-node chain has diameter 39 — plain min-label propagation
+    would need 39 rounds; pointer jumping converges within the default
+    12. And exhausting max_iter raises instead of silently returning
+    split components."""
+    import pytest
+
+    from stirling_pdf_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)],
+                                  "id_a int, id_b int")
+    comp = {r["id"]: r["component"] for r in
+            connected_components(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(40))
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
