@@ -294,6 +294,8 @@ def q_e17_full_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     docs = docs_rich_from_documents(spark, sf_dir)
     flat = explode_spans(extract_spans(docs))
+    is_ann = F.col("kind") == "annotation"
+    ann_contents = F.split_part("text", F.lit("|"), F.lit(3))
     kinds = flat.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
         .cast("long").alias("n_text_spans"),
@@ -301,6 +303,12 @@ def q_e17_full_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_text_chars"),
         F.sum(F.when(F.col("kind") == "bookmark", 1).otherwise(0))
         .cast("long").alias("n_bookmarks"),
+        # per-doc annotation totals (GetInfoOnPDF.java:865-879 counts
+        # subtype and contents presence separately)
+        F.sum(F.when(is_ann, 1).otherwise(0))
+        .cast("long").alias("n_annotations"),
+        F.sum(F.when(is_ann & (ann_contents != ""), 1).otherwise(0))
+        .cast("long").alias("n_annot_contents"),
     )
     els = extract_elements(docs).filter(F.col("kind") == "text")
     pages_fonts = els.groupBy("doc_id").agg(
@@ -310,8 +318,98 @@ def q_e17_full_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kinds.join(pages_fonts, "doc_id").select(
         "doc_id", "n_pages", "n_text_spans", "n_text_chars",
-        "n_fonts", "fonts", "n_bookmarks",
+        "n_fonts", "fonts", "n_bookmarks", "n_annotations",
+        "n_annot_contents",
     )
+
+
+def q_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation spans end-to-end (PdfJsonConversionService.java:
+    2553-2610 subtype/contents/rect): raw annotation spans ride the
+    page wire through the REAL pipeline and come out re-keyed to
+    '{page}|{subtype}|{contents}|{author}|{subject}' per page."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_rich_from_documents
+
+    _ship_package(spark)
+    flat = explode_spans(
+        extract_spans(docs_rich_from_documents(spark, sf_dir)))
+    return flat.filter(F.col("kind") == "annotation").select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).cast("long").alias("page"),
+        F.split_part("text", F.lit("|"), F.lit(2)).alias("subtype"),
+        F.split_part("text", F.lit("|"), F.lit(3)).alias("contents"),
+    )
+
+
+def q_e16_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 document analysis, direct form (AnalysisController.java
+    /form-fields: fieldCount, hasXFA, isSignaturesExist; plus the
+    GetInfoOnPDF.java:487-501 encryption block) — all read from
+    EXTRACTED formfield/meta spans, not a column shortcut."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+
+    _ship_package(spark)
+    flat = explode_spans(
+        extract_spans(docs_analysis_from_documents(spark, sf_dir)))
+    ftype = F.split_part("text", F.lit("|"), F.lit(2))
+    ff = flat.filter(F.col("kind") == "formfield").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("field_count"),
+        F.max(F.when(ftype == "signature", 1).otherwise(0))
+        .cast("int").alias("has_signature"),
+    )
+    val = F.substring_index("text", "|", -1)
+    meta = flat.filter(F.col("kind") == "meta").groupBy("doc_id").agg(
+        F.max(F.when(F.col("text") == "acroform_xfa|true", 1).otherwise(0))
+        .cast("int").alias("has_xfa"),
+        F.max(F.when(F.col("text") == "is_encrypted|true", 1).otherwise(0))
+        .cast("int").alias("is_encrypted"),
+        F.max(F.when(F.col("text").startswith("encrypt_algorithm|"), val))
+        .alias("algo"),
+        F.max(F.when(F.col("text").startswith("encrypt_keylen|"),
+                     val.cast("long"))).alias("keylen"),
+    )
+    return meta.join(ff, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("field_count", F.lit(0).cast("long")).alias("field_count"),
+        "has_xfa",
+        F.coalesce("has_signature", F.lit(0)).cast("int")
+        .alias("has_signature"),
+        "is_encrypted",
+        F.coalesce("algo", F.lit("none")).alias("encrypt_algorithm"),
+        F.coalesce("keylen", F.lit(0).cast("long")).alias("encrypt_keylen"),
+    )
+
+
+def _merge_order_gate(spark: SparkSession, sf_dir: str,
+                      comparator: str) -> DataFrame:
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import merge_order
+
+    _ship_package(spark)
+    docs = docs_analysis_from_documents(spark, sf_dir)
+    out = merge_order(docs, comparator)
+    return out.select(
+        "doc_id",
+        F.col("doc_pos").cast("long").alias("doc_pos"),
+        F.col("page_shift").cast("long").alias("page_shift"),
+    )
+
+
+def q_s1_merge_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 byDateModified comparator (MergeController.java:124-135,
+    newest first): merge positions + page shifts driven by the
+    'modified' Info-dict meta span each doc carries in the wire."""
+    return _merge_order_gate(spark, sf_dir, "byDateModified")
+
+
+def q_s1_merge_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 byPDFTitle comparator (MergeController.java:136-152,
+    case-insensitive, null titles last)."""
+    return _merge_order_gate(spark, sf_dir, "byPDFTitle")
 
 
 def q_e14_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_split_sections": q_s5_split_sections,  # rows-only
         "s5_split_sections_exact": q_s5_split_sections_exact,
         "e19_blank_pages": q_e19_blank_pages,
+        # round-3 direct-form gates
+        "extract_annotations": q_extract_annotations,
+        "e16_form_fields": q_e16_form_fields,
+        "s1_merge_by_date": q_s1_merge_by_date,
+        "s1_merge_by_title": q_s1_merge_by_title,
     }
 
 
@@ -1110,4 +1213,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_single_page_extract": O.EXTRACT_TEXT_SPANS,
         "s6_reverse_extract": O.S6_REVERSE_EXTRACT,
         "s9_stamp_extract": O.S9_STAMP_EXTRACT,
+        "extract_annotations": O.EXTRACT_ANNOTATIONS,
+        "e16_form_fields": O.E16_FORM_FIELDS,
+        "s1_merge_by_date": O.S1_MERGE_BY_DATE,
+        "s1_merge_by_title": O.S1_MERGE_BY_TITLE,
     }

@@ -122,7 +122,16 @@ def docs_stream_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def docs_rich_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Titled, multi-font, bookmarked corpus (E18/S4/E17 gates)."""
+    """Titled, multi-font, bookmarked, annotated corpus
+    (E18/S4/E17 gates)."""
     from .synth import rich_from_text
 
     return _derive_docs(spark, sf_dir, rich_from_text)
+
+
+def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Info-dict dates/title + encryption block + AcroForm fields
+    (E16 form-field analysis, E17 security info, S1 comparators)."""
+    from .synth import analysis_from_text
+
+    return _derive_docs(spark, sf_dir, analysis_from_text)

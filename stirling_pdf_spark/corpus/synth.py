@@ -324,10 +324,12 @@ def rich_from_text(doc_id: str, text: str):
         pages ≡ 3 (mod 4) — drives split-by-chapters
         (SplitPdfByChaptersController.java:62-90, maxLevel filter);
       * annotations (PdfJsonConversionService.java:2553-2610 subtype/
-        contents/rect): a 'Text' note on every page ≡ 0 (mod 3) and a
-        contents-less 'Highlight' on every page ≡ 0 (mod 5), so the
-        per-doc subtype vs contents counts (GetInfoOnPDF.java:865-879)
-        differ.
+        contents/rect): every doc gets a 'Text' note on page 1; docs
+        whose sha256 leads with an even hex digit also get a
+        contents-LESS 'Highlight' there, so the per-doc subtype vs
+        contents counts (GetInfoOnPDF.java:865-879) differ; multi-page
+        docs add a 'Text' on every page ≡ 0 (mod 3) and a 'Highlight'
+        on every page ≡ 0 (mod 5).
     """
     words = text.split()
     spans: list[tuple[str, str, str, int]] = []
@@ -351,12 +353,13 @@ def rich_from_text(doc_id: str, text: str):
         spans.append(("bookmark", f"0|{p}|ch {p}", "", len(spans)))
         if p % 4 == 3:
             spans.append(("bookmark", f"1|{p}|s {p}", "", len(spans)))
+    h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
     for p in range(1, n_pages + 1):
-        if p % 3 == 0:
+        if p == 1 or p % 3 == 0:
             spans.append(("annotation",
                           f"{p}|100.0|500.0|80.0|40.0\tText|note {p}||",
                           "", len(spans)))
-        if p % 5 == 0:
+        if (p == 1 and int(h[0], 16) % 2 == 0) or (p > 1 and p % 5 == 0):
             spans.append(("annotation",
                           f"{p}|200.0|520.0|60.0|30.0\tHighlight|||",
                           "", len(spans)))
@@ -443,3 +446,62 @@ def synth_from_text(doc_id: str, text: str):
         spans.append(("attachment", "extra.dat",
                       "media-" + h[:8], len(spans)))
     return doc_id, spans
+
+
+def analysis_from_text(doc_id: str, text: str):
+    """Layer deterministic DOCUMENT-ANALYSIS state onto the
+    synth_from_text body — the corpus for the direct E16/E17-security
+    and S1-comparator gates. Everything is a pure function of
+    sha256(text), re-derived independently by the DuckDB oracles:
+
+      * Info-dict metadata (AnalysisController.java /document-
+        properties): title = first 4 words; created/modified as epoch
+        seconds from hash prefixes (drives the byDateCreated/
+        byDateModified merge comparators, MergeController.java:124-135);
+      * encryption block (GetInfoOnPDF.java:487-501): docs with an even
+        hex digit 13 are 'encrypted' with AESV3/256/rev 6 or
+        AESV2/128/rev 4 by digit 14's parity; revision-6 docs also
+        restrict printing (:116-124);
+      * AcroForm fields (AnalysisController.java /form-fields):
+        digit 15 mod 3 fields (text/checkbox alternating, value =
+        word i); digit 16 mod 4 == 0 adds a signature field, == 1 sets
+        the XFA flag.
+    """
+    did, spans = synth_from_text(doc_id, text)
+    words = text.split()
+    h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
+
+    def hx(i: int) -> int:  # value of hex digit i (0-based)
+        return int(h[i], 16)
+
+    title = " ".join(words[:4])
+    created = 1_600_000_000 + int(h[:8], 16) % 10_000_000
+    modified = created + int(h[8:12], 16)
+    for key, val in (("title", title), ("created", str(created)),
+                     ("modified", str(modified))):
+        spans.append(("meta", f"{key}|{val}", "", len(spans)))
+
+    if hx(12) % 2 == 0:
+        aes3 = hx(13) % 2 == 0
+        algo, keylen, rev = (("AESV3", 256, 6) if aes3
+                             else ("AESV2", 128, 4))
+        spans.append(("meta", "is_encrypted|true", "", len(spans)))
+        spans.append(("meta", f"encrypt_algorithm|{algo}", "", len(spans)))
+        spans.append(("meta", f"encrypt_keylen|{keylen}", "", len(spans)))
+        spans.append(("meta", f"encrypt_revision|{rev}", "", len(spans)))
+        spans.append(("meta",
+                      f"perm_can_print|{'false' if rev == 6 else 'true'}",
+                      "", len(spans)))
+    else:
+        spans.append(("meta", "is_encrypted|false", "", len(spans)))
+
+    for i in range(hx(14) % 3):
+        ftype = "text" if i % 2 == 0 else "checkbox"
+        val = words[i] if i < len(words) else ""
+        spans.append(("formfield", f"field{i}|{ftype}|{val}", "",
+                      len(spans)))
+    if hx(15) % 4 == 0:
+        spans.append(("formfield", "sig0|signature|", "", len(spans)))
+    elif hx(15) % 4 == 1:
+        spans.append(("meta", "acroform_xfa|true", "", len(spans)))
+    return did, spans

@@ -67,35 +67,127 @@ def _regroup(exploded: DataFrame, id_col: str = "doc_id",
     )
 
 
-def merge_docs(docs: DataFrame, merged_id: str = "merged") -> DataFrame:
-    """S1 merge (MergeController.java:69-85): concatenate all documents
-    into ONE, in numeric-aware doc_id order (the reference's filename
-    comparator, :115-162). Page numbers shift by the running page count
-    of preceding docs; non-page spans keep their source-doc position in
-    the concatenation order.
+MERGE_COMPARATORS = ("byFileName", "byDateModified", "byDateCreated",
+                     "byPDFTitle", "orderProvided")
 
-    Scale bound: the page-shift prefix sum runs over the tiny per-doc
-    ``n_pages`` aggregate (ONE row per input document), so the global
-    unpartitioned window sorts #docs rows, not spans — fine to ~10^6
-    merge inputs. Merging everything into one output document is
-    inherently a total order; for 10^9-input merges, two-phase it
-    (prefix sums per doc_id range, then a broadcast of range offsets)."""
+
+def _raw_meta_value(key: str) -> Column:
+    """Value of the first kind='meta' "key|value" raw span for ``key``
+    (null when absent) — how the merge comparators read Info-dict state
+    the way MergeController reads PDDocumentInformation."""
+    vals = F.filter(
+        "spans",
+        lambda s: (s["kind"] == "meta") & s["text"].startswith(key + "|"),
+    )
+    return F.when(
+        F.size(vals) > 0,
+        F.substring(F.element_at(vals, 1)["text"], len(key) + 2, 1 << 20),
+    )
+
+
+def _merge_sort_keys(comparator: str,
+                     provided_order: list[str] | None) -> list[Column]:
+    """Per-document sort keys for MergeController.getSortComparator
+    (:115-162), evaluated against docs(doc_id, spans):
+
+      byFileName      numeric-aware doc_id ascending;
+      byDateModified/ newest first (Long.compare(t2, t1)) from the
+      byDateCreated   'modified'/'created' Info-dict meta span, epoch
+                      seconds; docs without one sort last (t = 0);
+      byPDFTitle      title case-insensitive ascending, null titles
+                      LAST (:146-152);
+      orderProvided   the caller-provided doc_id order (:162, no-op
+                      comparator over the upload order); unlisted docs
+                      follow.
+
+    Java's sort is stable on input order; here every comparator
+    tie-breaks deterministically by (numeric doc_id, doc_id).
+
+    Returns PLAIN value columns (projectable); the direction of key 0
+    (date DESC, title NULLS LAST) is re-applied by ``merge_order``."""
+    if comparator not in MERGE_COMPARATORS:
+        raise ValueError(
+            f"unknown comparator {comparator!r}; one of {MERGE_COMPARATORS}")
+    num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
+    tie = [num, F.col("doc_id")]
+    if comparator in ("byDateModified", "byDateCreated"):
+        key = "modified" if comparator == "byDateModified" else "created"
+        ts = F.coalesce(_raw_meta_value(key).cast("long"), F.lit(0))
+        return [ts] + tie
+    if comparator == "byPDFTitle":
+        return [F.lower(_raw_meta_value("title"))] + tie
+    if comparator == "orderProvided":
+        order = list(provided_order or [])
+        pos = F.array_position(
+            F.array(*[F.lit(d) for d in order]), F.col("doc_id"))
+        return [F.when(pos > 0, pos).otherwise(F.lit(1 << 30))] + tie
+    return tie  # byFileName
+
+
+def merge_order(docs: DataFrame, comparator: str = "byFileName",
+                provided_order: list[str] | None = None) -> DataFrame:
+    """The merge plan: (doc_id, doc_pos, page_shift, np) — each input
+    document's 1-based position in the merged output and the page
+    offset its pages shift by. ``merge_docs`` consumes this; gating it
+    directly pins the comparator semantics.
+
+    Scale bound: the prefix sum runs over the tiny per-doc ``n_pages``
+    aggregate (ONE row per input document), so the global unpartitioned
+    window sorts #docs rows, not spans — fine to ~10^6 merge inputs;
+    for 10^9-input merges, two-phase it (range-partitioned prefix sums
+    + a broadcast of range offsets)."""
     s = F.col("s")
     is_geo = _is_page_kind(s)
     header = F.substring_index(s["text"], "\t", 1)
     p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
-    num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
 
+    keyed = docs.select(
+        "doc_id",
+        *[k.alias(f"sk{i}")
+          for i, k in enumerate(_merge_sort_keys(comparator, provided_order))],
+    )
     exploded = docs.select("doc_id", F.explode("spans").alias("s"))
     n_pages = exploded.groupBy("doc_id").agg(
         F.max(F.when(is_geo, p)).alias("np")
     ).fillna(0, ["np"])
-    w = (Window.orderBy(num, F.col("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    shifted = n_pages.select(
-        "doc_id", F.coalesce(F.sum("np").over(w), F.lit(0)).alias("page_shift"),
-        F.row_number().over(Window.orderBy(num, F.col("doc_id"))).alias("doc_pos"),
+    # sort-key columns lose their asc/desc when re-selected off the
+    # join; re-apply the direction to the materialized key columns
+    n_keys = len(_merge_sort_keys(comparator, provided_order))
+    order_cols = [F.col(f"sk{i}") for i in range(n_keys)]
+    if comparator in ("byDateModified", "byDateCreated"):
+        order_cols[0] = order_cols[0].desc()
+    elif comparator == "byPDFTitle":
+        order_cols[0] = order_cols[0].asc_nulls_last()
+    w_order = Window.orderBy(*order_cols)
+    return (
+        n_pages.join(keyed, "doc_id")
+        .select(
+            "doc_id", "np",
+            F.row_number().over(w_order).alias("doc_pos"),
+            F.coalesce(
+                F.sum("np").over(
+                    w_order.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("page_shift"),
+        )
     )
+
+
+def merge_docs(docs: DataFrame, merged_id: str = "merged",
+               comparator: str = "byFileName",
+               provided_order: list[str] | None = None) -> DataFrame:
+    """S1 merge (MergeController.java:69-85): concatenate all documents
+    into ONE, ordered by ``comparator`` (the reference's sort set,
+    :115-162 — see ``_merge_sort_keys``). Page numbers shift by the
+    running page count of preceding docs; non-page spans keep their
+    source-doc position in the concatenation order."""
+    s = F.col("s")
+    is_geo = _is_page_kind(s)
+    header = F.substring_index(s["text"], "\t", 1)
+    p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    shifted = merge_order(docs, comparator, provided_order)
     body = F.substring_index(s["text"], "\t", -1)
     rest = F.substring_index(header, "|", -4)
     new_text = F.when(~is_geo, s["text"]).when(

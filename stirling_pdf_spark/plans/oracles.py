@@ -1186,14 +1186,17 @@ SELECT did AS doc_id,
 FROM ch
 """
 
-E17_FULL_INFO = """
+_HEX_EVEN = "('0','2','4','6','8','a','c','e')"
+
+E17_FULL_INFO = f"""
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
          string_split(text, ' ') AS w,
+         sha256(text) AS h,
          CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
   FROM documents
 ), base AS (
-  SELECT did, w, nl,
+  SELECT did, w, nl, h,
          (nl - 1) // 40 + 1 AS np,
          length(array_to_string(w[1:6], ' ')) AS title_len
   FROM d WHERE nl > 0
@@ -1214,8 +1217,109 @@ SELECT b.did AS doc_id,
        CAST(CASE WHEN b.nl >= 5 THEN 3 ELSE 2 END AS BIGINT) AS n_fonts,
        CASE WHEN b.nl >= 5 THEN 'Courier,Helvetica,Helvetica-Bold'
             ELSE 'Helvetica,Helvetica-Bold' END AS fonts,
-       CAST((b.np + 1) // 2 + (b.np + 1) // 4 AS BIGINT) AS n_bookmarks
+       CAST((b.np + 1) // 2 + (b.np + 1) // 4 AS BIGINT) AS n_bookmarks,
+       -- annotations: 'Text' on page 1 + every p%3==0 (has contents);
+       -- 'Highlight' (no contents) on page 1 for even-leading-hash
+       -- docs + every p%5==0
+       CAST(1 + b.np // 3 + b.np // 5
+            + CASE WHEN substr(b.h, 1, 1) IN {_HEX_EVEN}
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_annotations,
+       CAST(1 + b.np // 3 AS BIGINT) AS n_annot_contents
 FROM base b JOIN agg a USING (did)
+"""
+
+EXTRACT_ANNOTATIONS = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         sha256(text) AS h,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), pp AS (
+  SELECT did, h, (nl - 1) // 40 + 1 AS np FROM d WHERE nl > 0
+), pg AS (
+  SELECT did, h, unnest(range(1, np + 1)) AS p FROM pp
+)
+SELECT did AS doc_id, CAST(p AS BIGINT) AS page, 'Text' AS subtype,
+       'note ' || CAST(p AS VARCHAR) AS contents
+FROM pg WHERE p = 1 OR p % 3 = 0
+UNION ALL
+SELECT did, CAST(p AS BIGINT), 'Highlight', ''
+FROM pg
+WHERE (p = 1 AND substr(h, 1, 1) IN {_HEX_EVEN}) OR (p > 1 AND p % 5 = 0)
+"""
+
+
+def _hexv(pos: int) -> str:
+    """SQL for the value of 1-based hex digit ``pos`` of sha256 hex
+    column h — the oracle-side mirror of analysis_from_text's hx()."""
+    return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+
+# analysis corpus (corpus.synth.analysis_from_text): every feature is a
+# pure function of sha256(text), re-derived here digit by digit
+E16_FORM_FIELDS = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST({_hexv(15)} % 3
+            + CASE WHEN {_hexv(16)} % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS field_count,
+       CAST(CASE WHEN {_hexv(16)} % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+         AS has_xfa,
+       CAST(CASE WHEN {_hexv(16)} % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS has_signature,
+       CAST(CASE WHEN {_hexv(13)} % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_encrypted,
+       CASE WHEN {_hexv(13)} % 2 <> 0 THEN 'none'
+            WHEN {_hexv(14)} % 2 = 0 THEN 'AESV3' ELSE 'AESV2' END
+         AS encrypt_algorithm,
+       CAST(CASE WHEN {_hexv(13)} % 2 <> 0 THEN 0
+                 WHEN {_hexv(14)} % 2 = 0 THEN 256 ELSE 128 END AS BIGINT)
+         AS encrypt_keylen
+FROM d
+"""
+
+_MERGE_KEYS_CTE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS BIGINT) AS num,
+         sha256(text) AS h,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), k AS (
+  SELECT did, num,
+         1600000000 + CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+           % 10000000
+           + CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) AS modified,
+         lower(array_to_string(w[1:4], ' ')) AS title_ci,
+         CASE WHEN nl = 0 THEN 0 ELSE (nl - 1) // 40 + 1 END AS np
+  FROM d
+)
+"""
+
+S1_MERGE_BY_DATE = _MERGE_KEYS_CTE + """
+SELECT did AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY modified DESC, num, did)
+            AS BIGINT) AS doc_pos,
+       CAST(COALESCE(SUM(np) OVER (
+              ORDER BY modified DESC, num, did
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS page_shift
+FROM k
+"""
+
+S1_MERGE_BY_TITLE = _MERGE_KEYS_CTE + """
+SELECT did AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY title_ci ASC, num, did)
+            AS BIGINT) AS doc_pos,
+       CAST(COALESCE(SUM(np) OVER (
+              ORDER BY title_ci ASC, num, did
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS page_shift
+FROM k
 """
 
 # ------------------------------------------------------------- E14 tables
