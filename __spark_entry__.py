@@ -508,6 +508,40 @@ def q_s7_single_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_ranks(extract_spans(docs))
 
 
+def q_s6_side_stitch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 SIDE_STITCH_BOOKLET_SORT through the real pipeline
+    (RearrangePagesPDFController.java:152-163): groups of 4 pages emit
+    [4,1,2,3]; past-the-end sources clamp to the LAST page, so it
+    repeats when n % 4 != 0 — a one-to-many page map. Runs over the
+    repeated (multi-page, 1-10 pp) corpus so several groups and the
+    clamp both exercise."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import rearrange_pages
+
+    _ship_package(spark)
+    docs = rearrange_pages(docs_repeat_from_documents(spark, sf_dir, 32),
+                           "SIDE_STITCH_BOOKLET_SORT")
+    return _text_ranks(extract_spans(docs))
+
+
+def q_s6_custom_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 custom page-order DSL through the real pipeline
+    (RearrangePagesPDFController.java:304-306 ->
+    GeneralUtils.parsePageList, the F7 grammar): order '2n-1' keeps the
+    odd pages ascending; evens (and their spans) drop."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import rearrange_pages_custom
+
+    _ship_package(spark)
+    docs = rearrange_pages_custom(
+        docs_repeat_from_documents(spark, sf_dir, 32), "2n-1")
+    return _text_ranks(extract_spans(docs))
+
+
 def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 stamps (StampController/PageNumbersController): one synthetic
     stamp span per page at y=760 (below the 40-line text block), so
@@ -1131,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_form_fields": q_e16_form_fields,
         "s1_merge_by_date": q_s1_merge_by_date,
         "s1_merge_by_title": q_s1_merge_by_title,
+        "s6_side_stitch_extract": q_s6_side_stitch_extract,
+        "s6_custom_order_extract": q_s6_custom_order_extract,
     }
 
 
@@ -1217,4 +1253,6 @@ def oracle_sql() -> dict[str, str]:
         "e16_form_fields": O.E16_FORM_FIELDS,
         "s1_merge_by_date": O.S1_MERGE_BY_DATE,
         "s1_merge_by_title": O.S1_MERGE_BY_TITLE,
+        "s6_side_stitch_extract": O.S6_SIDE_STITCH_EXTRACT,
+        "s6_custom_order_extract": O.S6_CUSTOM_ORDER_EXTRACT,
     }

@@ -129,6 +129,21 @@ def docs_rich_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derive_docs(spark, sf_dir, rich_from_text)
 
 
+def docs_repeat_from_documents(spark: SparkSession, sf_dir: str,
+                               times: int = 32) -> DataFrame:
+    """Multi-page variant of docs_from_documents_table: the document
+    text repeated ``times`` over (space-joined) before synthesis, so
+    sf docs span 1-10 pages — the corpus for page-permutation gates
+    that need several groups of pages (S6 side-stitch / custom order).
+    32 repeats of 8-words-per-line text give EXACTLY 4*n_words lines,
+    which keeps the oracle's line arithmetic closed-form."""
+    def derive(doc_id: str, text: str):
+        return synth_from_text(doc_id, " ".join([text] * times)
+                               if text else "")
+
+    return _derive_docs(spark, sf_dir, derive)
+
+
 def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Info-dict dates/title + encryption block + AcroForm fields
     (E16 form-field analysis, E17 security info, S1 comparators)."""

@@ -700,7 +700,8 @@ def blank_pages(docs: DataFrame) -> DataFrame:
 
 
 REARRANGE_MODES = ("REVERSE", "DUPLEX_SORT", "BOOKLET_SORT",
-                   "ODD_EVEN_SPLIT", "REMOVE_FIRST", "REMOVE_LAST",
+                   "SIDE_STITCH_BOOKLET_SORT", "ODD_EVEN_SPLIT",
+                   "REMOVE_FIRST", "REMOVE_LAST",
                    "REMOVE_FIRST_AND_LAST", "DUPLICATE")
 
 
@@ -718,6 +719,12 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
       ODD_EVEN_SPLIT  odd pages first, then evens
       REMOVE_*        drop page(s), renumber densely
       DUPLICATE       every page twice: p -> 2p-1 and 2p
+      SIDE_STITCH_    groups of 4, slot order [4,1,2,3] per group,
+      BOOKLET_SORT    sources past the end clamped to the LAST page
+                      (RearrangePagesPDFController.java:152-163
+                      sideStitchBooklet with Math.min), so the last
+                      page repeats when n % 4 != 0 — a one-to-many
+                      page map like DUPLICATE
 
     Non-page spans (meta/html/bookmark/attachment) pass through. The
     whole transform is column math over the nested array — no UDF."""
@@ -758,8 +765,28 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
         .withColumn("n", F.max(F.when(is_geo, p)).over(
             Window.partitionBy("doc_id")))
     )
-    if mode == "DUPLICATE":
-        positions = F.when(is_geo, F.array(2 * p - 1, 2 * p)) \
+    if mode in ("DUPLICATE", "SIDE_STITCH_BOOKLET_SORT"):
+        if mode == "DUPLICATE":
+            page_slots = F.array(2 * p - 1, 2 * p)
+        else:
+            # slot occupied by source page s: within its group of 4 the
+            # emit order is [begin+4, begin+1, begin+2, begin+3]
+            def slot_of(src):
+                g = F.floor((src - 1) / 4).cast("long")
+                r = (src - 1) % 4
+                return F.when(r == 3, 4 * g + 1).otherwise(4 * g + r + 2)
+
+            last_begin = 4 * (F.ceil(n / F.lit(4.0)).cast("long") - 1)
+            # sources the reference clamps to the last page (> n) all
+            # resolve to page n; only the final group can clamp
+            clamped = F.filter(
+                F.sequence(last_begin + 1, last_begin + 4),
+                lambda src: src > n,
+            )
+            extra = F.when(p == n, F.transform(clamped, slot_of)) \
+                .otherwise(F.array().cast("array<long>"))
+            page_slots = F.concat(F.array(slot_of(p)), extra)
+        positions = F.when(is_geo, page_slots) \
             .otherwise(F.array(F.lit(-1).cast("long")))
         mapped = exploded.select(
             "doc_id", "s",
@@ -805,6 +832,71 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
             ).alias("spans"),
         )
     )
+
+
+def rearrange_pages_custom(docs: DataFrame, page_order: str) -> DataFrame:
+    """S6 custom mode (RearrangePagesPDFController.java:304-306 routes
+    non-mode sorts through GeneralUtils.parsePageList — the SAME parser
+    as the F7 page-select DSL): the selection spec evaluated against
+    each document's page count gives the new page order. parsePageList
+    collects into a LinkedHashSet, so the order is deduped
+    first-occurrence; unselected pages drop (with their pagemeta);
+    non-page spans pass through; selected docs renumber densely by
+    slot.
+
+    Scale shape: the DSL parses driver-side ONCE PER DISTINCT PAGE
+    COUNT (the same literal-embedding rationale as F7 — evaluating the
+    n-expression grammar per row would be pointless work), then the
+    (n, page) -> slot table broadcasts into the span join. The
+    distinct-count aggregate is bounded by the longest document's page
+    count, not the corpus size."""
+    from ..functions.page_select import parse_page_selection
+
+    s = F.col("s")
+    is_geo = _is_page_kind(s)
+    header = F.substring_index(s["text"], "\t", 1)
+    p = F.split_part(header, F.lit("|"), F.lit(1)).cast("long")
+
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    n_pages = exploded.groupBy("doc_id").agg(
+        F.max(F.when(is_geo, p)).alias("n")
+    ).fillna(0, ["n"])
+    distinct_ns = sorted(
+        int(r["n"]) for r in n_pages.select("n").distinct().collect())
+    rows = [
+        (n, pg, slot)
+        for n in distinct_ns if n > 0
+        for slot, pg in enumerate(parse_page_selection(page_order, n), 1)
+    ]
+    spark = docs.sparkSession
+    schema = "mn long, mp long, np long"
+    slot_df = (spark.createDataFrame(rows, schema) if rows
+               else spark.createDataFrame([], schema))
+
+    tagged = exploded.join(n_pages, "doc_id")
+    geo = tagged.filter(is_geo).join(
+        F.broadcast(slot_df),
+        (F.col("n") == F.col("mn")) & (p == F.col("mp")),
+    ).select("doc_id", "s", F.col("np"))
+    passthrough = tagged.filter(~is_geo).select(
+        "doc_id", "s", F.lit(None).cast("long").alias("np"))
+
+    body = F.substring_index(s["text"], "\t", -1)
+    rest = F.substring_index(header, "|", -4)
+    new_text = F.when(
+        F.col("np").isNull(), s["text"]
+    ).when(F.instr(s["text"], "\t") > 0,
+           F.concat(F.col("np").cast("string"), F.lit("|"), rest,
+                    F.lit("\t"), body)
+    ).otherwise(F.concat(F.col("np").cast("string"), F.lit("|"), rest))
+    out = geo.unionByName(passthrough).select(
+        "doc_id",
+        F.struct(
+            s["kind"].alias("kind"), new_text.alias("text"),
+            s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+        ).alias("s"),
+    )
+    return _regroup(out)
 
 
 def crop_pages(docs: DataFrame, x1: float, y1: float,

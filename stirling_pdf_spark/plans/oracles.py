@@ -1322,6 +1322,65 @@ SELECT did AS doc_id,
 FROM k
 """
 
+# repeat corpus (docs_repeat_from_documents, times=32): text repeated
+# 32x space-joined == repeat(text || ' ', 32) rtrimmed; 8 words/line
+# makes the line count EXACTLY 4 * n_words
+_REPEAT_DOCS_CTE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(rtrim(repeat(text || ' ', 32)), ' ') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nl,
+         (CAST(ceil(len(w) / 8.0) AS BIGINT) - 1) // 40 + 1 AS np
+  FROM d
+)
+"""
+
+# slot q's source page, then that page's lines at the slot's running
+# line offset — the model of extraction reading the permuted doc
+_SLOT_LINES = """
+, cnt AS (
+  SELECT did, w, nl, q, sp,
+         LEAST(40, nl - (sp - 1) * 40) AS lines_in,
+         COALESCE(SUM(LEAST(40, nl - (sp - 1) * 40)) OVER (
+             PARTITION BY did ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM src
+), lines AS (
+  SELECT did, w, base, sp, unnest(range(0, lines_in)) AS j FROM cnt
+)
+SELECT did AS doc_id, CAST(base + j AS BIGINT) AS text_rank,
+       array_to_string(
+         w[CAST(((sp-1)*40 + j)*8 + 1 AS BIGINT)
+           :CAST(((sp-1)*40 + j)*8 + 8 AS BIGINT)], ' ') AS text
+FROM lines WHERE base + j < 2000
+"""
+
+S6_SIDE_STITCH_EXTRACT = _REPEAT_DOCS_CTE + """
+, slots AS (
+  SELECT did, w, nl, np, unnest(range(1, 4 * ((np + 3) // 4) + 1)) AS q
+  FROM b
+), src AS (
+  -- group emit order [begin+4, begin+1, begin+2, begin+3], sources
+  -- past np clamped to the last page (sideStitchBooklet Math.min)
+  SELECT did, w, nl, q,
+         LEAST(4 * ((q - 1) // 4)
+               + CASE WHEN (q - 1) % 4 = 0 THEN 4 ELSE (q - 1) % 4 END,
+               np) AS sp
+  FROM slots
+)
+""" + _SLOT_LINES
+
+S6_CUSTOM_ORDER_EXTRACT = _REPEAT_DOCS_CTE + """
+, slots AS (
+  SELECT did, w, nl, np, unnest(range(1, (np + 1) // 2 + 1)) AS q FROM b
+), src AS (
+  -- page order '2n-1': odd pages ascending, evens dropped
+  SELECT did, w, nl, q, 2 * q - 1 AS sp FROM slots
+)
+""" + _SLOT_LINES
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """

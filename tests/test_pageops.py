@@ -553,3 +553,72 @@ def test_n_up_and_booklet_imposition(spark):
     assert [(r.page, r.content) for r in bruns] == [
         (1, "pg6"), (1, "pg1"), (2, "pg2"), (2, "pg5"), (3, "pg4"), (3, "pg3"),
     ]
+
+
+def test_side_stitch_booklet_sort(spark):
+    """RearrangePagesPDFController.java:152-163: groups of 4 emit
+    [begin+4, begin+1, begin+2, begin+3]; past-the-end sources clamp to
+    the last page, so it repeats when n % 4 != 0."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import rearrange_pages
+
+    def doc(doc_id, n):
+        spans = [("text", wire.encode_text_run(
+            TextRun(p, 72.0, 72.0, 11.0, "F", f"pg{p}")), "", p - 1)
+            for p in range(1, n + 1)]
+        return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                         for s in spans])
+
+    df = spark.createDataFrame(
+        [doc("six", 6), doc("four", 4), doc("one", 1)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = rearrange_pages(df, "SIDE_STITCH_BOOKLET_SORT")
+    order = {}
+    for r in out.collect():
+        seq = sorted(
+            (int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+            for s in r["spans"]
+        )
+        order[r["doc_id"]] = [t for _, t in seq]
+    assert order["six"] == ["pg4", "pg1", "pg2", "pg3",
+                            "pg6", "pg5", "pg6", "pg6"]
+    assert order["four"] == ["pg4", "pg1", "pg2", "pg3"]
+    assert order["one"] == ["pg1", "pg1", "pg1", "pg1"]
+
+
+def test_rearrange_custom_page_order(spark):
+    """Custom mode = the F7 parsePageList DSL per document page count;
+    dedup first-occurrence, unselected pages drop."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import rearrange_pages_custom
+
+    def doc(doc_id, n):
+        spans = [("text", wire.encode_text_run(
+            TextRun(p, 72.0, 72.0, 11.0, "F", f"pg{p}")), "", p - 1)
+            for p in range(1, n + 1)]
+        spans.append(("meta", "title|t", "", n))
+        return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                         for s in spans])
+
+    df = spark.createDataFrame(
+        [doc("a", 5), doc("b", 2)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r["spans"]
+           for r in rearrange_pages_custom(df, "3,1,3").collect()}
+    a = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+               for s in out["a"] if s["kind"] == "text")
+    assert [t for _, t in a] == ["pg3", "pg1"]  # deduped, listed order
+    assert any(s["kind"] == "meta" for s in out["a"])  # passthrough
+    b = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+               for s in out["b"] if s["kind"] == "text")
+    assert [t for _, t in b] == ["pg1"]  # page 3 out of range for n=2
+
+    nfun = {r["doc_id"]: r["spans"]
+            for r in rearrange_pages_custom(df, "2n-1").collect()}
+    a2 = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+                for s in nfun["a"] if s["kind"] == "text")
+    assert [t for _, t in a2] == ["pg1", "pg3", "pg5"]
