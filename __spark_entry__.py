@@ -542,6 +542,49 @@ def q_s6_custom_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_ranks(extract_spans(docs))
 
 
+def q_s8_overlay_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 overlay, SequentialOverlay mode through the real pipeline
+    (PdfOverlayController.java:144-176): a 2-page overlay doc cycles
+    over the multi-page base corpus — base page p takes overlay page
+    ((p-1) % 2) + 1, whose y=760 line closes the page's reading
+    order."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import overlay_docs_multi
+    from stirling_pdf_spark.sources.tables import DOCS_SCHEMA
+
+    _ship_package(spark)
+    base = docs_repeat_from_documents(spark, sf_dir, 32)
+    ov = spark.createDataFrame(
+        [("ov-0", [
+            {"kind": "text",
+             "text": "1|280.0|760.0|9.0|Helvetica\tOVERLAY A",
+             "media_ref": "", "offset": 0},
+            {"kind": "text",
+             "text": "2|280.0|760.0|9.0|Helvetica\tOVERLAY B",
+             "media_ref": "", "offset": 1},
+        ])],
+        DOCS_SCHEMA,
+    )
+    out = overlay_docs_multi(base, ov, "SequentialOverlay")
+    return _text_ranks(extract_spans(out))
+
+
+def q_s7_poster_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 poster (PosterPdfController.java:102-214): 2x2 tiling splits
+    every page into 4 target-size pages (row 0 = top), contents scaled
+    uniformly 2x. Tile numbering is page-major and row-major, so the
+    extracted reading order — and therefore the full text — EXACTLY
+    equals the untiled document's (oracle reuse proves it; flipped row
+    order or wrong uniform scale would reorder or re-chunk lines)."""
+    from stirling_pdf_spark.operators.pageops import poster_pages
+
+    _ship_package(spark)
+    docs = poster_pages(docs_from_documents_table(spark, sf_dir), 2, 2)
+    return _text_ranks(extract_spans(docs))
+
+
 def q_s9_stamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 stamps (StampController/PageNumbersController): one synthetic
     stamp span per page at y=760 (below the 40-line text block), so
@@ -1167,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_merge_by_title": q_s1_merge_by_title,
         "s6_side_stitch_extract": q_s6_side_stitch_extract,
         "s6_custom_order_extract": q_s6_custom_order_extract,
+        "s8_overlay_extract": q_s8_overlay_extract,
+        "s7_poster_extract": q_s7_poster_extract,
     }
 
 
@@ -1255,4 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_merge_by_title": O.S1_MERGE_BY_TITLE,
         "s6_side_stitch_extract": O.S6_SIDE_STITCH_EXTRACT,
         "s6_custom_order_extract": O.S6_CUSTOM_ORDER_EXTRACT,
+        "s8_overlay_extract": O.S8_OVERLAY_EXTRACT,
+        # page-major row-major tiling preserves reading order exactly
+        "s7_poster_extract": O.EXTRACT_TEXT_SPANS,
     }

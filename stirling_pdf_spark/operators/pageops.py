@@ -220,6 +220,130 @@ def overlay_docs(base: DataFrame, overlay: DataFrame) -> DataFrame:
     return _regroup(b.unionByName(o), order_cols=("layer",))
 
 
+OVERLAY_MODES = ("SequentialOverlay", "InterleavedOverlay",
+                 "FixedRepeatOverlay")
+
+
+def overlay_docs_multi(base: DataFrame, overlays: DataFrame,
+                       mode: str = "SequentialOverlay",
+                       counts: list[int] | None = None,
+                       position: str = "FOREGROUND") -> DataFrame:
+    """S8 overlay with the reference's three page-assignment modes
+    (PdfOverlayController.java:123-139 prepareOverlayGuide) over a
+    SMALL overlay-docs table (the reference takes an upload array):
+
+      SequentialOverlay   (:144-176) base page p takes the p-th page of
+                          the overlay files' concatenated page run —
+                          starting at file index (0+1) %% L (the
+                          controller advances before first use) and
+                          cycling with period = total overlay pages;
+      InterleavedOverlay  (:184-199) base page p takes the FIRST page
+                          of file (p-1) %% L (PDFBox Overlay's
+                          specific-page map always uses a document's
+                          first page);
+      FixedRepeatOverlay  (:201-227) file i covers the next
+                          counts[i] * pages_i base pages (first page
+                          again, per PDFBox), runs truncated at the
+                          base page count; later pages get no overlay.
+
+    ``position`` FOREGROUND appends overlay content after the base
+    span run (layer +1), BACKGROUND prepends it (layer -1) — the
+    Overlay.Position switch (:88-92). Overlay file order is
+    numeric-aware doc_id order. The guide is computed driver-side from
+    the per-file page counts (one tiny aggregate over the handful of
+    overlay docs) and joined back as a broadcast literal — base-side
+    work stays one scan + one broadcast join however many base pages
+    exist."""
+    if mode not in OVERLAY_MODES:
+        raise ValueError(f"unknown mode {mode!r}; one of {OVERLAY_MODES}")
+    s = F.col("s")
+    ov = overlays.select(F.col("doc_id").alias("ov_id"),
+                         F.explode("spans").alias("s"))
+    ov_geo = ov.filter(s["kind"].isin(*GEO_KINDS))
+    ov_page = F.split_part(F.substring_index(s["text"], "\t", 1),
+                           F.lit("|"), F.lit(1)).cast("long")
+    file_pages = {
+        r["ov_id"]: r["np"]
+        for r in ov_geo.groupBy("ov_id").agg(F.max(ov_page).alias("np"))
+        .collect()
+    }
+
+    def file_key(fid: str):
+        import re
+
+        m = re.search(r"([0-9]+)", fid)
+        return (int(m.group(1)) if m else 0, fid)
+
+    files = sorted(file_pages, key=file_key)
+    L = len(files)
+    if L == 0:
+        return base
+    # guide: base page p -> (overlay file, overlay page)
+    if mode == "SequentialOverlay":
+        rot = files[1 % L:] + files[:1 % L]
+        seq = [(fid, pg) for fid in rot
+               for pg in range(1, file_pages[fid] + 1)]
+        T = len(seq)
+        idx = ((F.col("page") - 1) % T).cast("int")
+        ov_id = F.element_at(F.array(*[F.lit(f) for f, _ in seq]), idx + 1)
+        ov_pg = F.element_at(
+            F.array(*[F.lit(pg).cast("long") for _, pg in seq]), idx + 1)
+    elif mode == "InterleavedOverlay":
+        fidx = ((F.col("page") - 1) % L).cast("int")
+        ov_id = F.element_at(F.array(*[F.lit(f) for f in files]), fidx + 1)
+        ov_pg = F.lit(1).cast("long")
+    else:  # FixedRepeatOverlay
+        if counts is None or len(counts) != L:
+            raise ValueError("FixedRepeatOverlay needs one count per "
+                             "overlay doc (:204-210)")
+        ov_id, ov_pg = F.lit(None).cast("string"), F.lit(None).cast("long")
+        start = 1
+        for fid, cnt in zip(files, counts):
+            run = cnt * file_pages[fid]
+            cond = (F.col("page") >= start) & (F.col("page") < start + run)
+            ov_id = F.when(cond, F.lit(fid)).otherwise(ov_id)
+            ov_pg = F.when(cond, F.lit(1).cast("long")).otherwise(ov_pg)
+            start += run
+
+    b = base.select("doc_id", F.explode("spans").alias("s"))
+    b_page = F.when(s["kind"].isin(*PAGE_KINDS), ov_page)
+    base_pages = (
+        b.select("doc_id", b_page.alias("page"))
+        .filter(F.col("page").isNotNull())
+        .distinct()
+        .select("doc_id", "page", ov_id.alias("ov_id"),
+                ov_pg.alias("ov_pg"))
+        .filter(F.col("ov_id").isNotNull())
+    )
+    # re-page overlay content to the base page it lands on
+    header = F.substring_index(s["text"], "\t", 1)
+    body = F.substring_index(s["text"], "\t", -1)
+    rest = F.substring_index(header, "|", -4)
+    repaged = F.when(
+        F.instr(s["text"], "\t") > 0,
+        F.concat(F.col("page").cast("string"), F.lit("|"), rest,
+                 F.lit("\t"), body),
+    ).otherwise(F.concat(F.col("page").cast("string"), F.lit("|"), rest))
+    layer = -1 if position == "BACKGROUND" else 1
+    ov_assigned = (
+        base_pages.join(
+            F.broadcast(ov_geo.select("ov_id", ov_page.alias("ov_pg"), "s")),
+            ["ov_id", "ov_pg"],
+        )
+        .select(
+            "doc_id",
+            F.struct(
+                s["kind"].alias("kind"), repaged.alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ).alias("s"),
+            F.lit(layer).alias("layer"),
+        )
+    )
+    stacked = b.withColumn("layer", F.lit(0)).unionByName(ov_assigned)
+    return _regroup(stacked, order_cols=("layer",))
+
+
 def split_at_pages(docs: DataFrame, cut_pages: list[int]) -> DataFrame:
     """S2 (SplitPDFController.java:65-104): cut after each page in
     cut_pages -> one output doc per part, doc_id suffixed '#pN'.
@@ -832,6 +956,75 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
             ).alias("spans"),
         )
     )
+
+
+def poster_pages(docs: DataFrame, x_factor: int = 2, y_factor: int = 2,
+                 page_w: float = 612.0, page_h: float = 792.0,
+                 target_w: float = 612.0, target_h: float = 792.0,
+                 right_to_left: bool = False) -> DataFrame:
+    """S7 poster split (PosterPdfController.java:102-214): each page
+    tiles into an x_factor x y_factor grid of OUTPUT PAGES of one
+    document (row 0 = TOP, :163-166; columns left-to-right, or
+    right-to-left with the flag, :158), each cell scaled UNIFORMLY by
+    min(target_w/cell_w, target_h/cell_h) and centered on the target
+    page (:180-190). The inverse of n_up. Output page number =
+    (src-1)*x*y + row*x + col' + 1; spans are assigned by their anchor
+    (same anchor semantics as split_by_sections); text font size scales
+    with the uniform factor; media extents scale per the same factor
+    both axes; rules transform endpoint-wise; pagemeta drops (tiles are
+    fresh target-size pages). Pure column math — no UDF, no driver
+    state."""
+    k = x_factor * y_factor
+    cell_w, cell_h = page_w / x_factor, page_h / y_factor
+    scale = min(target_w / cell_w, target_h / cell_h)
+    off_x = (target_w - cell_w * scale) / 2.0
+    off_y = (target_h - cell_h * scale) / 2.0
+    s = F.col("s")
+    header = F.substring_index(s["text"], "\t", 1)
+    p = [F.split_part(header, F.lit("|"), F.lit(i + 1)) for i in range(5)]
+    pg = p[0].cast("long")
+    x, y = p[1].cast("double"), p[2].cast("double")
+    col_i = F.least(F.floor(x / cell_w).cast("int"), F.lit(x_factor - 1))
+    row_i = F.least(F.floor(y / cell_h).cast("int"), F.lit(y_factor - 1))
+    out_col = (F.lit(x_factor - 1) - col_i) if right_to_left else col_i
+    new_pg = (pg - 1) * k + row_i * x_factor + out_col + 1
+    nx = (x - col_i * cell_w) * scale + off_x
+    ny = (y - row_i * cell_h) * scale + off_y
+    f3 = (
+        F.when(s["kind"].isin("text"),
+               (p[3].cast("double") * scale).cast("string"))   # font size
+        .when(s["kind"].isin("media", "annotation"),
+              (p[3].cast("double") * scale).cast("string"))    # width
+        .otherwise(((p[3].cast("double") - col_i * cell_w) * scale + off_x)
+                   .cast("string"))                            # rule x2
+    )
+    f4 = (
+        F.when(s["kind"] == "text", p[4])                      # font name
+        .when(s["kind"].isin("media", "annotation"),
+              (p[4].cast("double") * scale).cast("string"))    # height
+        .otherwise(((p[4].cast("double") - row_i * cell_h) * scale + off_y)
+                   .cast("string"))                            # rule y2
+    )
+    head = F.concat_ws("|", new_pg.cast("string"), nx.cast("string"),
+                       ny.cast("string"), f3, f4)
+    body = F.substring_index(s["text"], "\t", -1)
+    new_text = F.when(
+        ~s["kind"].isin(*GEO_KINDS), s["text"]
+    ).when(F.instr(s["text"], "\t") > 0,
+           F.concat(head, F.lit("\t"), body)).otherwise(head)
+    exploded = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(s["kind"] != "pagemeta")
+        .select(
+            "doc_id",
+            F.struct(
+                s["kind"].alias("kind"), new_text.alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ).alias("s"),
+        )
+    )
+    return _regroup(exploded)
 
 
 def rearrange_pages_custom(docs: DataFrame, page_order: str) -> DataFrame:

@@ -1381,6 +1381,34 @@ S6_CUSTOM_ORDER_EXTRACT = _REPEAT_DOCS_CTE + """
 )
 """ + _SLOT_LINES
 
+S8_OVERLAY_EXTRACT = _REPEAT_DOCS_CTE + """
+, l AS (
+  SELECT did, w, nl, unnest(range(0, nl)) AS i FROM b
+), lines AS (
+  -- one overlay line precedes every later page: rank = i + page_index
+  SELECT did, CAST(i + i // 40 AS BIGINT) AS text_rank,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS text
+  FROM l
+), pages AS (
+  SELECT did, nl, unnest(range(1, np + 1)) AS p FROM b
+), ovs AS (
+  -- SequentialOverlay, one 2-page overlay doc: base page p takes
+  -- overlay page ((p-1) % 2) + 1; the overlay line sits at y=760,
+  -- below the body block, so it closes each page's reading order
+  SELECT did,
+         CAST(41 * (p - 1)
+              + CASE WHEN p * 40 <= nl THEN 40 ELSE nl - (p - 1) * 40 END
+              AS BIGINT) AS text_rank,
+         CASE WHEN (p - 1) % 2 = 0 THEN 'OVERLAY A'
+              ELSE 'OVERLAY B' END AS text
+  FROM pages
+)
+SELECT did AS doc_id, text_rank, text FROM lines WHERE text_rank < 2000
+UNION ALL
+SELECT did, text_rank, text FROM ovs WHERE text_rank < 2000
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """

@@ -622,3 +622,134 @@ def test_rearrange_custom_page_order(spark):
     a2 = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
                 for s in nfun["a"] if s["kind"] == "text")
     assert [t for _, t in a2] == ["pg1", "pg3", "pg5"]
+
+
+def _mkdoc(doc_id, spans):
+    return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                     for s in spans])
+
+
+_DOCS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>")
+
+
+def test_overlay_modes(spark):
+    """PdfOverlayController guide semantics: interleaved cycles files'
+    FIRST pages; fixed-repeat covers counts[i]*pages_i base pages per
+    file then stops; background prepends (media draw order shows it)."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import overlay_docs_multi
+
+    def tline(p, content):
+        return ("text", wire.encode_text_run(
+            TextRun(p, 72.0, 72.0, 11.0, "F", content)), "", 0)
+
+    base = spark.createDataFrame(
+        [_mkdoc("b", [(k, t, m, i) for i, (k, t, m, _)
+                      in enumerate(tline(p, f"pg{p}") for p in range(1, 6))])],
+        _DOCS_SCHEMA)
+
+    def ovdoc(doc_id, labels):
+        spans = [("text", wire.encode_text_run(
+            TextRun(p, 280.0, 760.0, 9.0, "F", lab)), "", p - 1)
+            for p, lab in enumerate(labels, 1)]
+        return _mkdoc(doc_id, spans)
+
+    ovs = spark.createDataFrame(
+        [ovdoc("ov-1", ["A1", "A2"]), ovdoc("ov-2", ["B1"])], _DOCS_SCHEMA)
+
+    def overlay_by_page(out_rows):
+        got = {}
+        for r in out_rows:
+            for s in r["spans"]:
+                head, _, body = s["text"].partition("\t")
+                if body in ("A1", "A2", "B1"):
+                    got.setdefault(int(head.split("|")[0]), []).append(body)
+        return got
+
+    inter = overlay_by_page(
+        overlay_docs_multi(base, ovs, "InterleavedOverlay").collect())
+    # first pages of ov-1, ov-2 alternating
+    assert inter == {1: ["A1"], 2: ["B1"], 3: ["A1"], 4: ["B1"], 5: ["A1"]}
+
+    seq = overlay_by_page(
+        overlay_docs_multi(base, ovs, "SequentialOverlay").collect())
+    # rotated start (file index 1 first): run = [B1, A1, A2], cycling
+    assert seq == {1: ["B1"], 2: ["A1"], 3: ["A2"], 4: ["B1"], 5: ["A1"]}
+
+    fixed = overlay_by_page(
+        overlay_docs_multi(base, ovs, "FixedRepeatOverlay",
+                           counts=[1, 2]).collect())
+    # ov-1 covers 1*2 pages (first page each), ov-2 covers 2*1; page 5 bare
+    assert fixed == {1: ["A1"], 2: ["A1"], 3: ["B1"], 4: ["B1"]}
+
+
+def test_overlay_background_prepends(spark):
+    from stirling_pdf_spark.kernel.model import MediaDraw
+    from stirling_pdf_spark.operators.extract_pipeline import (
+        explode_spans, extract_spans,
+    )
+    from stirling_pdf_spark.operators.pageops import overlay_docs_multi
+
+    base = spark.createDataFrame(
+        [_mkdoc("b", [("media", wire.encode_media(
+            MediaDraw(1, 10.0, 10.0, 5.0, 5.0, "m-base")), "m-base", 0)])],
+        _DOCS_SCHEMA)
+    ov = spark.createDataFrame(
+        [_mkdoc("ov-1", [("media", wire.encode_media(
+            MediaDraw(1, 20.0, 20.0, 5.0, 5.0, "m-ov")), "m-ov", 0)])],
+        _DOCS_SCHEMA)
+    for pos, expect in (("FOREGROUND", ["m-base", "m-ov"]),
+                        ("BACKGROUND", ["m-ov", "m-base"])):
+        out = extract_spans(
+            overlay_docs_multi(base, ov, "InterleavedOverlay", position=pos),
+            num_partitions=2)
+        refs = [r["media_ref"] for r in
+                explode_spans(out).orderBy("order").collect()]
+        assert refs == expect, pos
+
+
+def test_poster_grid_numbering_scale_and_rtl(spark):
+    """PosterPdfController: row 0 = top, uniform min-scale, centered;
+    rightToLeft flips column numbering."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import poster_pages
+
+    spans = [
+        ("text", wire.encode_text_run(
+            TextRun(1, 100.0, 100.0, 10.0, "F", "topleft")), "", 0),
+        ("text", wire.encode_text_run(
+            TextRun(1, 400.0, 500.0, 10.0, "F", "botright")), "", 1),
+        ("pagemeta", wire.encode_pagemeta(1, 612.0, 792.0, 0), "", 2),
+    ]
+    df = spark.createDataFrame([_mkdoc("d", spans)], _DOCS_SCHEMA)
+
+    def tiles(out):
+        got = {}
+        for r in out.collect():
+            for s in r["spans"]:
+                if s["kind"] != "text":
+                    continue
+                head, _, body = s["text"].partition("\t")
+                f = head.split("|")
+                got[body] = (int(f[0]), float(f[1]), float(f[2]), float(f[3]))
+        return got
+
+    t = tiles(poster_pages(df, 2, 2))
+    # 2x2 on Letter: cell 306x396, scale 2, no centering offsets
+    assert t["topleft"] == (1, 200.0, 200.0, 20.0)
+    # (400,500) -> col 1 row 1 -> page 4; rebased (94,104) scaled 2x
+    assert t["botright"] == (4, 188.0, 208.0, 20.0)
+    assert all(s["kind"] != "pagemeta"
+               for r in poster_pages(df, 2, 2).collect()
+               for s in r["spans"])
+
+    rtl = tiles(poster_pages(df, 2, 2, right_to_left=True))
+    assert rtl["topleft"][0] == 2      # col 0 numbers right-to-left
+    assert rtl["botright"][0] == 3
+
+    # asymmetric 2x1: cell 306x792 -> scale = min(2, 1) = 1, centered
+    # horizontally by (612-306)/2 = 153
+    asym = tiles(poster_pages(df, 2, 1))
+    assert asym["topleft"] == (1, 100.0 + 153.0, 100.0, 10.0)
+    assert asym["botright"] == (2, 94.0 + 153.0, 500.0, 10.0)
