@@ -1381,6 +1381,15 @@ S6_CUSTOM_ORDER_EXTRACT = _REPEAT_DOCS_CTE + """
 )
 """ + _SLOT_LINES
 
+E3_DOC_CLASS_DIRECT = _REPEAT_DOCS_CTE + """
+-- media draws land on every COMPLETED 3rd page (synth_from_text), so
+-- a doc classifies MIXED iff it completes >= 3 pages
+SELECT did AS doc_id,
+       CASE WHEN (nl // 40) // 3 > 0 THEN 'MIXED' ELSE 'TEXT' END
+         AS doc_class
+FROM b
+"""
+
 S8_OVERLAY_EXTRACT = _REPEAT_DOCS_CTE + """
 , l AS (
   SELECT did, w, nl, unnest(range(0, nl)) AS i FROM b
