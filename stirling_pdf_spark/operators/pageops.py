@@ -829,7 +829,8 @@ REARRANGE_MODES = ("REVERSE", "DUPLEX_SORT", "BOOKLET_SORT",
                    "REMOVE_FIRST_AND_LAST", "DUPLICATE")
 
 
-def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
+def rearrange_pages(docs: DataFrame, mode: str,
+                    duplicate_count: int = 2) -> DataFrame:
     """S6 page rearrangement (RearrangePagesPDFController.java:212-220
     mode set) as a deterministic page-number permutation computed in
     closed form per document (n = max page):
@@ -842,7 +843,9 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
                       q=n-p+1<=h: odd q -> 2q-1, even q -> 2q
       ODD_EVEN_SPLIT  odd pages first, then evens
       REMOVE_*        drop page(s), renumber densely
-      DUPLICATE       every page twice: p -> 2p-1 and 2p
+      DUPLICATE       every page ``duplicate_count`` times (the
+                      controller's pageOrder-carried count, default 2,
+                      :169-207): p -> c(p-1)+1 .. cp
       SIDE_STITCH_    groups of 4, slot order [4,1,2,3] per group,
       BOOKLET_SORT    sources past the end clamped to the LAST page
                       (RearrangePagesPDFController.java:152-163
@@ -891,7 +894,8 @@ def rearrange_pages(docs: DataFrame, mode: str) -> DataFrame:
     )
     if mode in ("DUPLICATE", "SIDE_STITCH_BOOKLET_SORT"):
         if mode == "DUPLICATE":
-            page_slots = F.array(2 * p - 1, 2 * p)
+            c = max(1, int(duplicate_count))
+            page_slots = F.sequence(c * (p - 1) + 1, c * p)
         else:
             # slot occupied by source page s: within its group of 4 the
             # emit order is [begin+4, begin+1, begin+2, begin+3]
@@ -1045,6 +1049,30 @@ def rearrange_pages_custom(docs: DataFrame, page_order: str) -> DataFrame:
     count, not the corpus size."""
     from ..functions.page_select import parse_page_selection
 
+    return _rearrange_by_slots(
+        docs, lambda n: parse_page_selection(page_order, n))
+
+
+def remove_pages(docs: DataFrame, pages_spec: str) -> DataFrame:
+    """S6 /remove-pages (RearrangePagesPDFController.deletePages:62-90):
+    the page-list DSL selects pages to DELETE; survivors keep their
+    original order and renumber densely (document.removePage from the
+    end). Same distinct-page-count driver parse + broadcast slot table
+    as the custom rearrange."""
+    from ..functions.page_select import parse_page_selection
+
+    def survivors(n: int) -> list[int]:
+        removed = set(parse_page_selection(pages_spec, n))
+        return [pg for pg in range(1, n + 1) if pg not in removed]
+
+    return _rearrange_by_slots(docs, survivors)
+
+
+def _rearrange_by_slots(docs: DataFrame, slots_for_n) -> DataFrame:
+    """Shared machinery: ``slots_for_n(n)`` returns the source pages in
+    output-slot order for a document with ``n`` pages; evaluated
+    driver-side once per DISTINCT page count, broadcast as an
+    (n, page) -> slot table, joined into the span stream."""
     s = F.col("s")
     is_geo = _is_page_kind(s)
     header = F.substring_index(s["text"], "\t", 1)
@@ -1059,7 +1087,7 @@ def rearrange_pages_custom(docs: DataFrame, page_order: str) -> DataFrame:
     rows = [
         (n, pg, slot)
         for n in distinct_ns if n > 0
-        for slot, pg in enumerate(parse_page_selection(page_order, n), 1)
+        for slot, pg in enumerate(slots_for_n(n), 1)
     ]
     spark = docs.sparkSession
     schema = "mn long, mp long, np long"

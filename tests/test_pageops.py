@@ -753,3 +753,36 @@ def test_poster_grid_numbering_scale_and_rtl(spark):
     asym = tiles(poster_pages(df, 2, 1))
     assert asym["topleft"] == (1, 100.0 + 153.0, 100.0, 10.0)
     assert asym["botright"] == (2, 94.0 + 153.0, 500.0, 10.0)
+
+
+def test_remove_pages_and_duplicate_count(spark):
+    """deletePages: DSL-selected pages drop, survivors renumber densely;
+    DUPLICATE honors the pageOrder-carried count."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import (
+        rearrange_pages, remove_pages,
+    )
+
+    spans = [("text", wire.encode_text_run(
+        TextRun(p, 72.0, 72.0, 11.0, "F", f"pg{p}")), "", p - 1)
+        for p in range(1, 6)]
+    df = spark.createDataFrame([_mkdoc("d", spans)], _DOCS_SCHEMA)
+
+    out = remove_pages(df, "2,4").collect()[0]["spans"]
+    seq = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+                 for s in out)
+    assert seq == [(1, "pg1"), (2, "pg3"), (3, "pg5")]
+
+    # n-expression removal: drop odd pages
+    out2 = remove_pages(df, "2n-1").collect()[0]["spans"]
+    seq2 = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+                  for s in out2)
+    assert seq2 == [(1, "pg2"), (2, "pg4")]
+
+    two = spark.createDataFrame([_mkdoc("e", spans[:2])], _DOCS_SCHEMA)
+    dup3 = rearrange_pages(two, "DUPLICATE", duplicate_count=3) \
+        .collect()[0]["spans"]
+    seq3 = sorted((int(s["text"].split("|")[0]), s["text"].split("\t")[1])
+                  for s in dup3)
+    assert seq3 == [(1, "pg1"), (2, "pg1"), (3, "pg1"),
+                    (4, "pg2"), (5, "pg2"), (6, "pg2")]
