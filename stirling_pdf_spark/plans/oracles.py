@@ -493,6 +493,18 @@ SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
 
 DEDUP_COMPONENTS = _components_sql()
 
+# keep-list application: the component representative (min id — which
+# IS the component label) survives, everything else drops; n_dropped
+# counts the near-dups the representative absorbs
+DEDUP_KEEP_CORPUS = f"""
+WITH comp AS ({DEDUP_COMPONENTS})
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY component) - 1 AS BIGINT)
+         AS n_absorbed
+FROM comp
+QUALIFY id = component
+"""
+
 
 def _simhash_sql() -> str:
     high = "('8','9','a','b','c','d','e','f')"
