@@ -106,54 +106,12 @@ spark.stop()
                "scaling_efficiency_8_to_32": round(eff_8_32, 3)}
     print(json.dumps(summary))
 
-    rows = "\n".join(
-        f"| local[{c}] | {levels[c]['best_s']} | {levels[c]['docs_per_sec']} |"
-        for c in (2, 8, 32)
-    )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — throughput and scaling evidence
-
-## North-rule scaling criterion (N vs 4N)
-
-No real cluster is available in this sandbox, so per the round
-instructions the SAME extraction job (read materialized interleaved
-corpus -> salted extract_spans -> noop sink, i.e. full compute and
-Arrow transfer without sink I/O) runs at several local
-parallelism levels on identical input ({levels[8]['n_docs']} docs,
-seed-42 synthetic corpus incl. ~4% mega-docs). Timed region is the
-extraction action only (fresh JVM per level, warm-up slice excluded).
-Best of {args.runs} runs.
-
-| level | wall s (best) | docs/sec |
-|---|---|---|
-{rows}
-
-**Scaling efficiency N=2 -> 4N=8 cores: {eff_2_8:.3f}** (criterion >= 0.8).
-Efficiency 8 -> 32 cores: {eff_8_32:.3f}.
-
-### Why 8 -> 32 flattens on this box (and why it wouldn't on a cluster)
-
-Per-task CPU-seconds (time.process_time measured inside the workers)
-for identical work inflate ~3.4x when 32 Python workers run
-concurrently on this single VM (150 CPU-s at 8 workers -> 505 CPU-s at
-32 for the same corpus) — i.e. the VM's memory bandwidth saturates;
-wall time stops improving even though scheduling, partitioning and
-shuffle all fan out cleanly (64 balanced tasks, no stragglers, no skew:
-measured max/median task spread < 2x). The pipeline itself is
-embarrassingly parallel per doc-id partition — on a real N vs 4N
-EXECUTOR cluster each executor brings its own memory channels, which is
-exactly the regime the 2 -> 8 measurement models (both levels well
-inside one socket's bandwidth).
-
-Reproduce: `python scripts/scaling_bench.py`
-
-## Per-round suite
-
-`python bench.py` prints the per-query timing JSON consumed by the
-driver (BENCH_r{{N}}.json); see BASELINE.md for the reference's
-implicit cost model this is graded against.
-""")
-    print("wrote BENCH.md")
+    out_path = os.path.join(REPO, "SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"wrote {out_path}; update the BENCH.md table by hand "
+          "(BENCH.md carries narrative sections this script must not "
+          "clobber)")
 
 
 if __name__ == "__main__":
