@@ -838,9 +838,12 @@ def rearrange_pages(docs: DataFrame, mode: str,
       REVERSE         p -> n - p + 1
       DUPLEX_SORT     fronts 1..h interleave with reversed backs:
                       front p -> 2p-1; back p -> 2(n-p+1)
-      BOOKLET_SORT    signature order [n,1,2,n-1,n-2,3,4,...]:
-                      p<=h: odd p -> 2p, even p -> 2p-1;
-                      q=n-p+1<=h: odd q -> 2q-1, even q -> 2q
+      BOOKLET_SORT    signature order [1,n,2,n-1,3,n-2,...]
+                      (bookletSort :141-148 pairs (i, n-1-i) for
+                      i < n/2): front p <= n/2 -> 2p-1; back
+                      q=n-p+1 <= n/2 -> 2q; for ODD n the middle
+                      page is in neither half and DROPS (the Java
+                      loop never adds it)
       ODD_EVEN_SPLIT  odd pages first, then evens
       REMOVE_*        drop page(s), renumber densely
       DUPLICATE       every page ``duplicate_count`` times (the
@@ -869,10 +872,11 @@ def rearrange_pages(docs: DataFrame, mode: str,
     elif mode == "DUPLEX_SORT":
         new_p = F.when(p <= h, 2 * p - 1).otherwise(2 * (n - p + 1))
     elif mode == "BOOKLET_SORT":
+        half = F.floor(n / 2).cast("long")
         q = n - p + 1
-        new_p = F.when(
-            p <= h, F.when(p % 2 == 1, 2 * p).otherwise(2 * p - 1)
-        ).otherwise(F.when(q % 2 == 1, 2 * q - 1).otherwise(2 * q))
+        new_p = F.when(p <= half, 2 * p - 1) \
+            .when(q <= half, 2 * q) \
+            .otherwise(F.lit(None))  # odd-n middle page drops
     elif mode == "ODD_EVEN_SPLIT":
         n_odd = F.ceil(n / 2).cast("long")
         new_p = F.when(p % 2 == 1, (p + 1) / F.lit(2.0)).otherwise(
@@ -927,7 +931,7 @@ def rearrange_pages(docs: DataFrame, mode: str,
             "doc_id", "s", F.when(is_geo, new_p).otherwise(F.lit(None))
             .cast("long").alias("np"),
         )
-        if mode.startswith("REMOVE"):
+        if mode.startswith("REMOVE") or mode == "BOOKLET_SORT":
             keep = keep.filter(~is_geo | F.col("np").isNotNull())
 
     body = F.substring_index(s["text"], "\t", -1)

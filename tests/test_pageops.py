@@ -324,8 +324,9 @@ def test_rearrange_modes(spark, six_page_doc):
         "REVERSE": ["page6", "page5", "page4", "page3", "page2", "page1"],
         # fronts 1-3 interleaved with reversed backs 6,5,4
         "DUPLEX_SORT": ["page1", "page6", "page2", "page5", "page3", "page4"],
-        # booklet signature [6,1,2,5,4,3]
-        "BOOKLET_SORT": ["page6", "page1", "page2", "page5", "page4", "page3"],
+        # booklet signature [1,6,2,5,3,4] — pairs (i, n-1-i); for
+        # even n it coincides with duplex (the Java loops do too)
+        "BOOKLET_SORT": ["page1", "page6", "page2", "page5", "page3", "page4"],
         "ODD_EVEN_SPLIT": ["page1", "page3", "page5", "page2", "page4", "page6"],
         "REMOVE_FIRST": ["page2", "page3", "page4", "page5", "page6"],
         "REMOVE_LAST": ["page1", "page2", "page3", "page4", "page5"],
@@ -545,13 +546,13 @@ def test_n_up_and_booklet_imposition(spark):
     assert all(r.font_size == 5.5 for r in runs)
     assert all(0 <= r.x <= 612 and 0 <= r.y <= 792 for r in runs)
 
-    # booklet: signature order [6,1,2,5,4,3] then 2-up ->
-    # sheets (6,1), (2,5), (4,3)
+    # booklet: signature order [1,6,2,5,3,4] then 2-up ->
+    # sheets (1,6), (2,5), (3,4)
     book = booklet_impose(df).collect()[0]["spans"]
     bruns = sorted((wire.parse_text_run(s["text"]) for s in book),
                    key=lambda r: (r.page, r.x))
     assert [(r.page, r.content) for r in bruns] == [
-        (1, "pg6"), (1, "pg1"), (2, "pg2"), (2, "pg5"), (3, "pg4"), (3, "pg3"),
+        (1, "pg1"), (1, "pg6"), (2, "pg2"), (2, "pg5"), (3, "pg3"), (3, "pg4"),
     ]
 
 
