@@ -405,6 +405,44 @@ def q_s1_merge_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_order_gate(spark, sf_dir, "byPDFTitle")
 
 
+def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 PER-PAGE info blocks (GetInfoOnPDF.java:812-879: Text
+    Characters Count, per-page font set, annotation subtype/contents
+    counts) over the multi-page rich corpus — the page-granular
+    companion to e17_full_info's document aggregate."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_rich_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    _ship_package(spark)
+    docs = docs_rich_repeat_from_documents(spark, sf_dir, 32)
+    els = extract_elements(docs).filter(F.col("kind") == "text")
+    pages = els.groupBy("doc_id", "page").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("font").cast("long").alias("n_fonts"),
+    )
+    flat = explode_spans(extract_spans(docs))
+    ann = flat.filter(F.col("kind") == "annotation").select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).cast("int").alias("page"),
+        F.split_part("text", F.lit("|"), F.lit(3)).alias("contents"),
+    ).groupBy("doc_id", "page").agg(
+        F.count("*").cast("long").alias("n_annotations"),
+        F.sum(F.when(F.col("contents") != "", 1).otherwise(0))
+        .cast("long").alias("n_annot_contents"),
+    )
+    return pages.join(ann, ["doc_id", "page"], "left").select(
+        "doc_id", F.col("page").cast("long").alias("page"),
+        "n_lines", "n_chars", "n_fonts",
+        F.coalesce("n_annotations", F.lit(0).cast("long"))
+        .alias("n_annotations"),
+        F.coalesce("n_annot_contents", F.lit(0).cast("long"))
+        .alias("n_annot_contents"),
+    )
+
+
 def q_e14_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 lattice tables (TabulaTableParser.java:53-110 LATTICE mode;
     CSV dialect PdfContentExtractor.java:110-129 quote-all): two
@@ -1147,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_split_chapters": q_s4_split_chapters,  # tie dedup + clamp
         "dedup_components": q_dedup_components,    # pointer jumping
         "dedup_keep_corpus": q_dedup_keep_corpus,  # keep-list applied
+        "e17_page_info": q_e17_page_info,          # per-page blocks
         # --- registered in r2 but outside its 50-row window
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1184,9 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_lattice_tables": q_e14_lattice_tables,
         "e14_stream_table": q_e14_stream_table,
         "e18_title_inference": q_e18_title_inference,
-        "dedup_minhash_lsh": q_dedup_minhash,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r01/r02, unchanged
+        "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_span_counts": q_extract_span_counts,
         "e17_doc_info": q_e17_doc_info,
@@ -1267,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": O.DEDUP_MINHASH_LSH,
         "dedup_components": O.DEDUP_COMPONENTS,
         "dedup_keep_corpus": O.DEDUP_KEEP_CORPUS,
+        "e17_page_info": O.E17_PAGE_INFO,
         "dedup_jaccard_maxdf": O.DEDUP_NGRAM_JACCARD_MAXDF,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,

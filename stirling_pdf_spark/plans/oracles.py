@@ -1430,6 +1430,59 @@ UNION ALL
 SELECT did, text_rank, text FROM ovs WHERE text_rank < 2000
 """
 
+# per-page info blocks (GetInfoOnPDF.java:812-879) over the REPEATED
+# RICH corpus: body = 8-words/line pages, +16pt title line on page 1,
+# Courier on every 5th body line (page-local offsets 0..cnt-1 include
+# offset 4 iff cnt >= 5 since 40 % 5 == 0), annotations as in
+# rich_from_text
+E17_PAGE_INFO = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(rtrim(repeat(text || ' ', 32)), ' ') AS w,
+         -- rich_from_text hashes ITS input, i.e. the repeated text
+         sha256(rtrim(repeat(text || ' ', 32))) AS h
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, w, h, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nl,
+         (CAST(ceil(len(w) / 8.0) AS BIGINT) - 1) // 40 + 1 AS np,
+         length(array_to_string(w[1:6], ' ')) AS title_len
+  FROM d
+), pg AS (
+  SELECT did, w, h, nl, np, title_len, unnest(range(1, np + 1)) AS p
+  FROM b
+), per AS (
+  SELECT did, h, np, title_len, p,
+         LEAST(40, nl - (p - 1) * 40) AS cnt
+  FROM pg
+), chars AS (
+  SELECT pg.did, pg.p,
+         CAST(SUM(length(array_to_string(
+           w[CAST(((p-1)*40 + j)*8 + 1 AS BIGINT)
+             :CAST(((p-1)*40 + j)*8 + 8 AS BIGINT)], ' '))) AS BIGINT)
+           AS body_chars
+  FROM (SELECT did, w, p, unnest(range(0, LEAST(40, nl - (p-1)*40))) AS j
+        FROM pg) pg
+  GROUP BY pg.did, pg.p
+)
+SELECT per.did AS doc_id,
+       CAST(per.p AS BIGINT) AS page,
+       CAST(per.cnt + CASE WHEN per.p = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_lines,
+       CAST(c.body_chars
+            + CASE WHEN per.p = 1 THEN per.title_len ELSE 0 END AS BIGINT)
+         AS n_chars,
+       CAST(1 + CASE WHEN per.p = 1 THEN 1 ELSE 0 END
+              + CASE WHEN per.cnt >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_fonts,
+       CAST(CASE WHEN per.p = 1 OR per.p % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN (per.p = 1 AND substr(per.h, 1, 1) IN {_HEX_EVEN})
+                     OR (per.p > 1 AND per.p % 5 = 0)
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_annotations,
+       CAST(CASE WHEN per.p = 1 OR per.p % 3 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_annot_contents
+FROM per JOIN chars c ON per.did = c.did AND per.p = c.p
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """
