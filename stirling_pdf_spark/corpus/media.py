@@ -71,3 +71,66 @@ def media_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+# --- real raster payloads (uncompressed formats, no codec libs needed)
+
+def image_dims_for_ref(ref: str) -> tuple[str, int, int]:
+    """(fmt, width, height) for the deterministic RASTER image derived
+    from a ref: PPM (P6) or BMP (BITMAPINFOHEADER, 24bpp) by hash
+    parity, dims 4..32 px — all pure functions of sha256(ref) so the
+    DuckDB oracle can re-derive them digit-for-digit."""
+    h = hashlib.sha256(ref.encode()).digest()
+    fmt = "ppm" if h[0] % 2 == 0 else "bmp"
+    return fmt, 4 + h[1] % 29, 4 + h[2] % 29
+
+
+def _pixel_stream(ref: str, n: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(
+            b"px:" + ref.encode() + counter.to_bytes(4, "big")
+        ).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def image_payload_for_ref(ref: str) -> bytes:
+    """A VALID image file for the ref: binary PPM or uncompressed
+    24-bit BMP (bottom-up, rows padded to 4 bytes) — the two raster
+    containers a decoder can parse with nothing but the stdlib."""
+    import struct
+
+    fmt, w, hgt = image_dims_for_ref(ref)
+    if fmt == "ppm":
+        header = f"P6\n{w} {hgt}\n255\n".encode()
+        return header + _pixel_stream(ref, 3 * w * hgt)
+    row = 3 * w
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * hgt
+    px = _pixel_stream(ref, img_size)
+    file_size = 54 + img_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, hgt, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def image_table(docs: DataFrame) -> DataFrame:
+    """image(media_ref, fmt, payload) with REAL decodable raster
+    payloads for every ref in the corpus — the decode-stage input."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array([image_dims_for_ref(r)[0] for r in refs],
+                          pa.string()),
+                 pa.array([image_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

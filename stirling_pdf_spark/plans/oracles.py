@@ -1483,6 +1483,42 @@ SELECT per.did AS doc_id,
 FROM per JOIN chars c ON per.did = c.did AND per.p = c.p
 """
 
+def _hexb(pos: int) -> str:
+    """SQL for BYTE value at 1-based hex position ``pos`` of column h
+    (two hex digits)."""
+    return (f"((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(h, {pos + 1}, 1)) - 1))")
+
+
+# real raster decode (corpus.media.image_payload_for_ref): fmt/dims are
+# pure functions of sha256(media_ref); file sizes follow the container
+# layouts (PPM ASCII header + RGB triples; BMP 54-byte headers + padded
+# BGR rows)
+MULTIMODAL_DECODE = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), hh AS (
+  SELECT media_ref, sha256(media_ref) AS h FROM d
+), dims AS (
+  SELECT media_ref,
+         CASE WHEN {_hexb(1)} % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+         4 + {_hexb(3)} % 29 AS w,
+         4 + {_hexb(5)} % 29 AS hgt
+  FROM hh
+)
+SELECT media_ref, fmt,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       CAST(CASE WHEN fmt = 'ppm'
+                 THEN 9 + CASE WHEN w >= 10 THEN 2 ELSE 1 END
+                      + CASE WHEN hgt >= 10 THEN 2 ELSE 1 END
+                      + 3 * w * hgt
+                 ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * hgt
+            END AS BIGINT) AS n_bytes
+FROM dims
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """

@@ -223,3 +223,51 @@ def test_connected_components_deep_chain_pointer_jumping(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_decode_image_real_containers():
+    """Pure-stdlib raster decode: PPM with comments/whitespace, BMP
+    incl. top-down (negative height); codec formats stay stubbed."""
+    import struct
+
+    import pytest
+
+    from stirling_pdf_spark.operators.multimodal import decode_image
+
+    ppm = b"P6\n# a comment\n 12\t7\n255\n" + b"\x00" * (12 * 7 * 3)
+    assert decode_image(ppm) == (12, 7)
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 30, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 5, -3, 1, 24, 0, 30,
+                       2835, 2835, 0, 0)
+    assert decode_image(hdr + info + b"\x00" * 48) == (5, 3)  # top-down
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    # plumbing fallback still available for opaque payloads
+    w, h = decode_image(b"\x89PNG", deterministic_fake=True)
+    assert 1 <= w <= 4096 and 1 <= h <= 4096
+
+
+def test_decode_images_stage_isolates_bad_rows(spark):
+    """The Arrow decode stage nulls undecodable rows instead of
+    failing the batch, and round-trips the synthesized corpus images
+    exactly."""
+    from pyspark.sql import Row
+
+    from stirling_pdf_spark.corpus.media import (
+        image_dims_for_ref, image_payload_for_ref,
+    )
+    from stirling_pdf_spark.operators.multimodal import decode_images
+
+    refs = [f"media-{i:04x}" for i in range(6)]
+    rows = [Row(media_ref=r, fmt=image_dims_for_ref(r)[0],
+                payload=image_payload_for_ref(r)) for r in refs]
+    rows.append(Row(media_ref="bad", fmt="png", payload=b"\x89PNGnope"))
+    df = spark.createDataFrame(rows)
+    got = {r["media_ref"]: r for r in decode_images(df).collect()}
+    for ref in refs:
+        fmt, w, h = image_dims_for_ref(ref)
+        assert (got[ref]["width"], got[ref]["height"]) == (w, h), ref
+        assert got[ref]["n_bytes"] == len(image_payload_for_ref(ref))
+    assert got["bad"]["width"] is None and got["bad"]["height"] is None
