@@ -1022,6 +1022,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf/df (integer fixed-point ranking) —
+    keyword/topicality signals for training-data curation."""
+    return TS.tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10%% content-hash subsample — reproducible corpus
+    sampling (same sample on any rerun/cluster, unlike rand())."""
+    return TS.hash_sample(read_table(spark, sf_dir, "documents"),
+                          rate_pct=10)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-bigram repetition share (public MassiveText
     filtering heuristics)."""
@@ -1215,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_corpus": q_dedup_keep_corpus,  # keep-list applied
         "e17_page_info": q_e17_page_info,          # per-page blocks
         "multimodal_decode": q_multimodal_decode,  # real raster decode
+        "text_tfidf_topk": q_text_tfidf_topk,      # new pipeline op
+        "text_hash_sample": q_text_hash_sample,    # new pipeline op
         # --- registered in r2 but outside its 50-row window
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1249,10 +1264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_page_text": q_e2_page_text,
         "e13_search_positions": q_e13_search_positions,
         "s12_redact_text": q_s12_redact_text,
-        "e14_lattice_tables": q_e14_lattice_tables,
-        "e14_stream_table": q_e14_stream_table,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r01/r02, unchanged
+        "e14_lattice_tables": q_e14_lattice_tables,
+        "e14_stream_table": q_e14_stream_table,
         "e18_title_inference": q_e18_title_inference,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1337,6 +1352,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_corpus": O.DEDUP_KEEP_CORPUS,
         "e17_page_info": O.E17_PAGE_INFO,
         "multimodal_decode": O.MULTIMODAL_DECODE,
+        "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
+        "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "dedup_jaccard_maxdf": O.DEDUP_NGRAM_JACCARD_MAXDF,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,

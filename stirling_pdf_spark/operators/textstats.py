@@ -177,3 +177,51 @@ def c4_filter(df: DataFrame, id_col: str = "doc_id",
         max_wl.alias("max_word_len"), mean_x100.alias("mean_word_len_x100"),
         keep.alias("keep"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by tf/df — keyword extraction for
+    training-data topicality signals, integer-exact so the oracle
+    hashes match: score = tf * 1_000_000 // df (tf/df ordering is
+    preserved under the fixed-point blowup; ties break by term asc).
+    Two shuffles (tf groupBy, df groupBy on the term key) + one
+    broadcast-size df join per term; the window is per-doc.
+
+    Output: (id, term, tf, df, rank)."""
+    from pyspark.sql import Window
+
+    toks = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(words_col(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.floor(F.col("tf") * 1_000_000 / F.col("df"))
+        .cast("long"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "rank")
+    )
+
+
+def hash_sample(df: DataFrame, rate_pct: int = 10, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic content-hash sampling — the reproducible corpus
+    subsampling idiom (a rerun or a different cluster keeps the SAME
+    sample, unlike rand()): keep docs whose md5(text) 4-hex-digit
+    prefix falls under rate_pct% of 0x10000. Pure filter, pushes to
+    the scan, no shuffle."""
+    bucket = F.conv(F.substring(F.md5(text_col), 1, 4), 16, 10).cast("long")
+    return (
+        parallelize(df)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * 100 < F.lit(rate_pct) * 65536)
+        .select(F.col(id_col).alias("id"), "bucket")
+    )

@@ -1483,6 +1483,37 @@ SELECT per.did AS doc_id,
 FROM per JOIN chars c ON per.did = c.did AND per.p = c.p
 """
 
+TEXT_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+         tf.tf * 1000000 // dfreq.df AS score
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT id, term, tf, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id
+              ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT id, term, tf, df, rank FROM ranked WHERE rank <= 3
+"""
+
+TEXT_HASH_SAMPLE = """
+SELECT doc_id AS id,
+       CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) AS bucket
+FROM documents
+WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) * 100
+      < 10 * 65536
+"""
+
+
 def _hexb(pos: int) -> str:
     """SQL for BYTE value at 1-based hex position ``pos`` of column h
     (two hex digits)."""

@@ -271,3 +271,41 @@ def test_decode_images_stage_isolates_bad_rows(spark):
         assert (got[ref]["width"], got[ref]["height"]) == (w, h), ref
         assert got[ref]["n_bytes"] == len(image_payload_for_ref(ref))
     assert got["bad"]["width"] is None and got["bad"]["height"] is None
+
+
+def test_tfidf_top_terms_integer_ranking(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "banana common common"),
+         (3, "common cherry")],
+        ["doc_id", "text"],
+    )
+    from stirling_pdf_spark.operators.textstats import tfidf_top_terms
+
+    out = {}
+    for r in tfidf_top_terms(df, k=2).collect():
+        out.setdefault(r["id"], []).append((r["rank"], r["term"], r["tf"],
+                                            r["df"]))
+    # doc 1: apple tf2/df1 (2e6) > banana tf1/df2 (5e5) > common 1/3
+    assert sorted(out[1]) == [(1, "apple", 2, 1), (2, "banana", 1, 2)]
+    # doc 2: common tf2/df3 (666666) > banana tf1/df2 (500000)
+    assert sorted(out[2])[0] == (1, "common", 2, 3)
+    # doc 3: cherry tf1/df1 (1e6) > common tf1/df3
+    assert sorted(out[3]) == [(1, "cherry", 1, 1), (2, "common", 1, 3)]
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    import hashlib
+
+    from stirling_pdf_spark.operators.textstats import hash_sample
+
+    rows = [(i, f"text number {i} with content") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["id"] for r in hash_sample(df, rate_pct=10).collect()}
+    b = {r["id"] for r in hash_sample(df, rate_pct=10).collect()}
+    assert a == b                      # rerun-stable, unlike rand()
+    expect = {i for i, t in rows
+              if int(hashlib.md5(t.encode()).hexdigest()[:4], 16) * 100
+              < 10 * 65536}
+    assert a == expect                 # exactly the md5-bucket rule
+    assert hash_sample(df, rate_pct=100).count() == 200
+    assert hash_sample(df, rate_pct=0).count() == 0
