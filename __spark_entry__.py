@@ -443,6 +443,26 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s11_metadata_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 metadata update (MetadataController.java:80-190) through the
+    real pipeline: delete 'title', add 'producer', everything else
+    passes through — the updated Info dict read back via
+    extract_metadata."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.extract_pipeline import (
+        extract_metadata,
+    )
+    from stirling_pdf_spark.operators.pageops import set_metadata
+
+    _ship_package(spark)
+    docs = set_metadata(
+        docs_analysis_from_documents(spark, sf_dir),
+        {"title": None, "producer": "spark-extract"})
+    return extract_metadata(extract_spans(docs))
+
+
 def q_e14_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 lattice tables (TabulaTableParser.java:53-110 LATTICE mode;
     CSV dialect PdfContentExtractor.java:110-129 quote-all): two
@@ -1230,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,  # real raster decode
         "text_tfidf_topk": q_text_tfidf_topk,      # new pipeline op
         "text_hash_sample": q_text_hash_sample,    # new pipeline op
+        "s11_metadata_update": q_s11_metadata_update,
         # --- registered in r2 but outside its 50-row window
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1354,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": O.MULTIMODAL_DECODE,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
+        "s11_metadata_update": O.S11_METADATA_UPDATE,
         "dedup_jaccard_maxdf": O.DEDUP_NGRAM_JACCARD_MAXDF,
         "dedup_simhash_groups": O.DEDUP_SIMHASH_GROUPS,
         "dedup_embedding_pairs": O.DEDUP_EMBEDDING_PAIRS,

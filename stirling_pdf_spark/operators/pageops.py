@@ -1425,3 +1425,51 @@ def has_media(docs_out: DataFrame) -> DataFrame:
     return docs_out.filter(
         F.exists("spans", lambda s: s["kind"] == "media")
     )
+
+
+def set_metadata(docs: DataFrame, updates: dict[str, str | None],
+                 delete_all: bool = False) -> DataFrame:
+    """S11 metadata update (MetadataController.java:80-190): set or
+    replace Info-dict keys, delete a key with value None, or wipe all
+    existing metadata first with ``delete_all`` (the deleteAll flag,
+    :113-117) before applying ``updates``. Meta spans ride the wire as
+    kind='meta' "key|value"; offsets re-pack densely. Pure column math
+    over the nested array — no shuffle."""
+    keys = list(updates)
+    set_items = [(k, v) for k, v in updates.items() if v is not None]
+    if delete_all:
+        kept = F.filter("spans", lambda s: s["kind"] != "meta")
+    else:
+        kept = F.filter(
+            "spans",
+            lambda s: (s["kind"] != "meta")
+            | ~F.coalesce(
+                F.array_contains(
+                    F.array(*[F.lit(k) for k in keys]),
+                    F.split_part(s["text"], F.lit("|"), F.lit(1)),
+                ),
+                F.lit(False),
+            ),
+        ) if keys else F.col("spans")
+    new_spans = F.array(*[
+        F.struct(
+            F.lit("meta").alias("kind"),
+            F.lit(f"{k}|{v}").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+        for k, v in set_items
+    ]) if set_items else F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    merged = F.concat(kept, new_spans)
+    return docs.select(
+        "doc_id",
+        F.transform(
+            merged,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )

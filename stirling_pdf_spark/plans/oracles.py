@@ -1293,6 +1293,52 @@ SELECT did AS doc_id,
 FROM d
 """
 
+# S11 metadata update over the analysis corpus: 'title' deleted,
+# 'producer' added, everything else passes through — re-derived from
+# the same hash digits as analysis_from_text
+S11_METADATA_UPDATE = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents
+), base AS (
+  SELECT did, h,
+         1600000000 + CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+           % 10000000 AS created
+  FROM d
+)
+SELECT did AS doc_id, 'created' AS key,
+       CAST(created AS VARCHAR) AS value FROM base
+UNION ALL
+SELECT did, 'modified',
+       CAST(created + CAST(concat('0x', substr(h, 9, 4)) AS BIGINT)
+            AS VARCHAR) FROM base
+UNION ALL
+SELECT did, 'is_encrypted',
+       CASE WHEN {_hexv(13)} % 2 = 0 THEN 'true' ELSE 'false' END
+FROM base
+UNION ALL
+SELECT did, 'encrypt_algorithm',
+       CASE WHEN {_hexv(14)} % 2 = 0 THEN 'AESV3' ELSE 'AESV2' END
+FROM base WHERE {_hexv(13)} % 2 = 0
+UNION ALL
+SELECT did, 'encrypt_keylen',
+       CASE WHEN {_hexv(14)} % 2 = 0 THEN '256' ELSE '128' END
+FROM base WHERE {_hexv(13)} % 2 = 0
+UNION ALL
+SELECT did, 'encrypt_revision',
+       CASE WHEN {_hexv(14)} % 2 = 0 THEN '6' ELSE '4' END
+FROM base WHERE {_hexv(13)} % 2 = 0
+UNION ALL
+SELECT did, 'perm_can_print',
+       CASE WHEN {_hexv(14)} % 2 = 0 THEN 'false' ELSE 'true' END
+FROM base WHERE {_hexv(13)} % 2 = 0
+UNION ALL
+SELECT did, 'acroform_xfa', 'true'
+FROM base WHERE {_hexv(16)} % 4 = 1
+UNION ALL
+SELECT did, 'producer', 'spark-extract' FROM base
+"""
+
 _MERGE_KEYS_CTE = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,

@@ -787,3 +787,35 @@ def test_remove_pages_and_duplicate_count(spark):
                   for s in dup3)
     assert seq3 == [(1, "pg1"), (2, "pg1"), (3, "pg1"),
                     (4, "pg2"), (5, "pg2"), (6, "pg2")]
+
+
+def test_set_metadata_update_delete_wipe(spark):
+    """MetadataController: replace existing keys, add new ones, delete
+    with None, deleteAll wipes before applying."""
+    from stirling_pdf_spark.operators.extract_pipeline import (
+        extract_metadata, extract_spans,
+    )
+    from stirling_pdf_spark.operators.pageops import set_metadata
+
+    spans = [
+        ("meta", "title|old title", "", 0),
+        ("meta", "author|alice", "", 1),
+        ("meta", "producer|engine", "", 2),
+        ("text", "1|72.0|72.0|11.0|F\tbody", "", 3),
+    ]
+    df = spark.createDataFrame([_mkdoc("d", spans)], _DOCS_SCHEMA)
+
+    upd = set_metadata(df, {"title": "new title", "author": None,
+                            "subject": "added"})
+    meta = {r["key"]: r["value"] for r in extract_metadata(
+        extract_spans(upd, num_partitions=2)).collect()}
+    assert meta == {"title": "new title", "producer": "engine",
+                    "subject": "added"}
+    # body untouched
+    kinds = [s["kind"] for s in upd.collect()[0]["spans"]]
+    assert "text" in kinds
+
+    wiped = set_metadata(df, {"title": "only"}, delete_all=True)
+    meta2 = {r["key"]: r["value"] for r in extract_metadata(
+        extract_spans(wiped, num_partitions=2)).collect()}
+    assert meta2 == {"title": "only"}
