@@ -1284,9 +1284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_full_text": q_e1_full_text,
         "e2_page_text": q_e2_page_text,
         "e13_search_positions": q_e13_search_positions,
-        "s12_redact_text": q_s12_redact_text,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r01/r02, unchanged
+        "s12_redact_text": q_s12_redact_text,
         "e14_lattice_tables": q_e14_lattice_tables,
         "e14_stream_table": q_e14_stream_table,
         "e18_title_inference": q_e18_title_inference,
