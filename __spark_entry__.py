@@ -186,6 +186,37 @@ def q_e13_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_search_elements(els, "data")
 
 
+def q_e13_whole_word_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 whole-word search for a 1-character DIGIT term
+    (TextFinder.java:79-88): 1-char terms get explicit lookarounds, not
+    \\b — searching "5" must NOT match inside "3.5", "x5", "7,5" or
+    "5,7" but MUST match " 5 ", "(5)", ".5 " and "5. ". The corpus
+    plants exactly those contexts plus 1 + doc_id%3 standalone "5"
+    tokens, so the closed-form oracle pins 4 + doc_id%3 matches with
+    the first at char offset 19 (DuckDB's RE2 has no lookbehind, hence
+    the closed form — the corpus is constructed, so counts are exact)."""
+    from stirling_pdf_spark.operators.search import text_search_elements
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("w"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(" 3.5 x5 7,5 5,7 .5 5. (5)"),
+        F.repeat(F.lit(" 5"), (F.col("doc_id") % 3).cast("int") + 1),
+    )
+    els = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.lit(1).cast("long").alias("page"),
+        F.lit("text").alias("kind"),
+        body.alias("text"),
+        F.lit(72.0).alias("x"), F.lit(72.0).alias("y"),
+        (F.length(body) * 5.5).alias("width"),
+        F.lit(11.0).alias("font_size"),
+    )
+    return text_search_elements(els, "5", whole_word=True)
+
+
 def q_s12_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 redaction (RedactExecuteService): search matches masked in
     the extracted text spans, offsets stable."""
@@ -1231,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window but stay registered for scripts/check_queries.py."""
     return {
         # --- new or changed this round (need a fresh driver row)
+        "e13_whole_word_digit": q_e13_whole_word_digit,
         "extract_annotations": q_extract_annotations,
         "e16_form_fields": q_e16_form_fields,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -1338,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "e17_doc_info": O.E17_DOC_INFO,
         "e1_full_text": O.E1_FULL_TEXT,
         "e13_search_positions": O.E13_SEARCH_POSITIONS,
+        "e13_whole_word_digit": O.E13_WHOLE_WORD_DIGIT,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

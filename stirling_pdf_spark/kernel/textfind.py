@@ -66,18 +66,36 @@ def assemble_page(runs: list[TextRun]) -> tuple[str, list]:
 
 def build_pattern(term: str, regex: bool = False,
                   whole_word: bool = False) -> str:
-    """TextFinder.java:79-88: literal terms are quoted; whole-word mode
-    brackets with \\b."""
+    """TextFinder.java:73-88: the term is trimmed; literal terms are
+    quoted. Whole-word mode brackets with \\b EXCEPT for 1-character
+    terms, which get explicit lookarounds (``\\b`` fires at the digit
+    boundary inside "3.5", so searching "5" would wrongly match there):
+
+    - 1-char digit: ``(?<![\\w])(?<!\\d[.,])X(?![\\w])(?![.,]\\d)``
+      ("5" must not match inside "3.5" or "5,7")
+    - 1-char other: ``(?<![\\w])X(?![\\w])``
+    - else:         ``\\bX\\b``
+    """
+    term = term.strip()
     pat = term if regex else re.escape(term)
     if whole_word:
-        pat = rf"\b(?:{pat})\b"
+        if len(term) == 1 and term.isdigit():
+            pat = rf"(?<![\w])(?<!\d[.,])(?:{pat})(?![\w])(?![.,]\d)"
+        elif len(term) == 1:
+            pat = rf"(?<![\w])(?:{pat})(?![\w])"
+        else:
+            pat = rf"\b(?:{pat})\b"
     return pat
 
 
 def find_matches(runs: list[TextRun], term: str, regex: bool = False,
                  whole_word: bool = False) -> list[PageMatch]:
     """All matches on one page with glyph-union bboxes and the ±5
-    nearby-position fallback for separator-only matches."""
+    nearby-position fallback for separator-only matches. An
+    all-whitespace term is skipped entirely (TextFinder.java:73-77
+    returns early after trim)."""
+    if not term.strip():
+        return []
     text, boxes = assemble_page(runs)
     out: list[PageMatch] = []
     for m in re.finditer(build_pattern(term, regex, whole_word), text):

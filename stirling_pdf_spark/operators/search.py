@@ -10,8 +10,10 @@ CHAR_WIDTH_FACTOR), so match bboxes are exact, not estimated:
     x1 = el.x + off * cw;  x2 = el.x + (off + len(term)) * cw
     y1 = el.y;             y2 = el.y + font_size
 
-Whole-word mode brackets the pattern with \\b exactly like the
-reference (TextFinder.java:79-88). Everything is column expressions —
+Whole-word mode brackets the pattern exactly like the reference
+(TextFinder.java:79-88), including the 1-character lookaround variants
+(digit terms must not match inside "3.5" — see kernel.textfind
+.build_pattern, the single source of truth for pattern construction). Everything is column expressions —
 extract once, search many times without re-parsing (SURVEY.md §3.2:
 the reference re-runs TextFinder per request; the span table makes
 search a DataFrame filter).
@@ -25,19 +27,12 @@ offsets.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel.textfind import build_pattern as _pattern
+
 MASK_CHAR = "█"  # full block
-
-
-def _pattern(term: str, regex: bool, whole_word: bool) -> str:
-    pat = term if regex else re.escape(term)
-    if whole_word:
-        pat = rf"\b(?:{pat})\b"
-    return pat
 
 
 def text_search_elements(elements: DataFrame, term: str,

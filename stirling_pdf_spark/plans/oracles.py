@@ -899,6 +899,23 @@ SELECT did AS doc_id,
 FROM m WHERE nm > 0
 """
 
+# Whole-word 1-char digit search (TextFinder.java:79-88 lookaround
+# variants). DuckDB's RE2 regex has no lookbehind, so this oracle is the
+# closed-form model of the constructed corpus: the planted contexts
+# "3.5 x5 7,5 5,7" never match, ".5 5. (5)" always match (3), plus
+# 1 + doc_id%3 standalone "5" tokens; first match is the ".5" at char
+# offset 19 of "w<d> 3.5 x5 7,5 5,7 .5 5. (5)...".
+E13_WHOLE_WORD_DIGIT = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(1 AS BIGINT) AS page,
+       CAST(4 + doc_id % 3 AS BIGINT) AS n_matches,
+       CAST(72.0 + 19 * 5.5 AS DOUBLE) AS x1,
+       CAST(72.0 AS DOUBLE) AS y1,
+       CAST(72.0 + 20 * 5.5 AS DOUBLE) AS x2,
+       CAST(83.0 AS DOUBLE) AS y2
+FROM documents
+"""
+
 S12_REDACT_TEXT = f"""
 WITH {_LINES_CTE}
 SELECT did AS doc_id,

@@ -45,6 +45,40 @@ def test_search_whole_word(elements):
     assert "d2" not in out                          # \bdata\b skips 'database'
 
 
+def test_whole_word_one_char_lookarounds():
+    """TextFinder.java:79-88: 1-char whole-word terms use lookarounds,
+    not \\b — a digit term must not match inside decimals/thousands
+    groupings, and any 1-char term must not touch word chars."""
+    import re
+
+    from stirling_pdf_spark.kernel.textfind import build_pattern
+
+    pat5 = build_pattern("5", whole_word=True)
+    assert re.findall(pat5, "3.5") == []          # \b would match here
+    assert re.findall(pat5, "7,5 5,7") == []      # grouping digits
+    assert re.findall(pat5, "x5 w5") == []        # word-char neighbors
+    assert len(re.findall(pat5, " 5 (5) .5 5.")) == 4
+    # non-digit 1-char: plain word-char lookarounds
+    pate = build_pattern("e", whole_word=True)
+    assert re.findall(pate, "be e.g") == ["e"]
+    # multi-char terms keep \b
+    assert build_pattern("data", whole_word=True) == r"\b(?:data)\b"
+    # the reference trims the term before quoting (TextFinder.java:73)
+    assert build_pattern(" data ", whole_word=True) == r"\b(?:data)\b"
+
+
+def test_search_elements_one_char_digit(spark):
+    """Column path (text_search_elements) honors the digit lookarounds
+    — Spark's Java regex supports them; the count and first-offset must
+    skip '3.5' and land on '.5'."""
+    rows = [("d1", 1, "text", "w3 3.5 x5 7,5 5,7 .5 5. (5) 5", None, "F",
+             11.0, 72.0, 72.0, 29 * 5.5, 1_000_000, 0)]
+    els = spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+    [r] = text_search_elements(els, "5", whole_word=True).collect()
+    assert r["n_matches"] == 4
+    assert r["x1"] == 72.0 + 19 * 5.5 and r["x2"] == 72.0 + 20 * 5.5
+
+
 def test_match_offsets_all_occurrences(elements):
     rows = match_offsets(elements, "data").filter(
         F.col("doc_id") == "d1").orderBy("match_no").collect()
@@ -88,16 +122,21 @@ def test_textfind_glyph_union_and_fallback():
     assert m.x2 == b.x + 5.5                 # 'b' of beta
     assert (m.y1, m.y2) == (100.0, 111.0)
 
-    # separator-only match: the ±5 fallback picks ONE nearby glyph
-    [sp] = find_matches([a, b], " ")
+    # separator-only match (via regex mode — a literal whitespace term
+    # is trimmed to empty and skipped, TextFinder.java:73-77): the ±5
+    # fallback picks ONE nearby glyph
+    [sp] = find_matches([a, b], "[ ]", regex=True)
     assert sp.text == " "
     assert sp.x2 - sp.x1 == 5.5              # exactly one glyph's box
 
     # multi-line: newline separator, fallback still resolves
     c = TextRun(2, 72.0, 100.0, 11.0, "F", "x")
     d = TextRun(2, 72.0, 130.0, 11.0, "F", "y")
-    [nl] = find_matches([c, d], "\n", regex=False)
+    [nl] = find_matches([c, d], r"\n", regex=True)
     assert nl.x2 - nl.x1 == 5.5
+
+    # all-whitespace literal term: reference returns early after trim
+    assert find_matches([a, b], " ") == []
 
 
 def test_text_search_pages_operator(spark):
