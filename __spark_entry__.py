@@ -437,40 +437,68 @@ def q_s1_merge_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E17 PER-PAGE info blocks (GetInfoOnPDF.java:812-879: Text
-    Characters Count, per-page font set, annotation subtype/contents
-    counts) over the multi-page rich corpus — the page-granular
-    companion to e17_full_info's document aggregate."""
+    """E17 PER-PAGE info blocks, full parity (GetInfoOnPDF.java:800-862:
+    Text Characters Count, per-page font set, annotation subtype/
+    contents counts, plus Links :921-941 as the unique-URI set,
+    XObjectCounts :992-1020 by type from page resources, and Multimedia
+    :1022-1037 RichMedia annotations) over the multi-page info corpus —
+    the page-granular companion to e17_full_info's document aggregate."""
     from stirling_pdf_spark.corpus.spark_synth import (
-        docs_rich_repeat_from_documents,
+        docs_info_repeat_from_documents,
     )
     from stirling_pdf_spark.operators.elements import extract_elements
 
     _ship_package(spark)
-    docs = docs_rich_repeat_from_documents(spark, sf_dir, 32)
-    els = extract_elements(docs).filter(F.col("kind") == "text")
-    pages = els.groupBy("doc_id", "page").agg(
+    docs = docs_info_repeat_from_documents(spark, sf_dir, 32)
+    els = extract_elements(docs)
+    pages = els.filter(F.col("kind") == "text").groupBy("doc_id", "page").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
         F.countDistinct("font").cast("long").alias("n_fonts"),
     )
+    # XObjectCounts: resource NAMES count once however often they draw
+    # (resources.getXObjectNames()), typed Image vs Form by ref class
+    xobj = els.filter(F.col("kind") == "media").groupBy("doc_id", "page").agg(
+        F.countDistinct(
+            F.when(~F.col("media_ref").startswith("form-"), F.col("media_ref"))
+        ).cast("long").alias("n_xobj_image"),
+        F.countDistinct(
+            F.when(F.col("media_ref").startswith("form-"), F.col("media_ref"))
+        ).cast("long").alias("n_xobj_form"),
+    )
     flat = explode_spans(extract_spans(docs))
+    subtype = F.split_part("text", F.lit("|"), F.lit(2))
     ann = flat.filter(F.col("kind") == "annotation").select(
         "doc_id",
         F.split_part("text", F.lit("|"), F.lit(1)).cast("int").alias("page"),
+        subtype.alias("subtype"),
         F.split_part("text", F.lit("|"), F.lit(3)).alias("contents"),
+        # Link action URI rides the 5th body field (the contents slot
+        # stays empty — PDAnnotationLink contents are null)
+        F.split_part("text", F.lit("|"), F.lit(6)).alias("uri"),
     ).groupBy("doc_id", "page").agg(
         F.count("*").cast("long").alias("n_annotations"),
         F.sum(F.when(F.col("contents") != "", 1).otherwise(0))
         .cast("long").alias("n_annot_contents"),
+        F.countDistinct(F.when(F.col("subtype") == "Link", F.col("uri")))
+        .cast("long").alias("n_links"),
+        F.sum(F.when(F.col("subtype") == "RichMedia", 1).otherwise(0))
+        .cast("long").alias("n_multimedia"),
     )
-    return pages.join(ann, ["doc_id", "page"], "left").select(
-        "doc_id", F.col("page").cast("long").alias("page"),
-        "n_lines", "n_chars", "n_fonts",
-        F.coalesce("n_annotations", F.lit(0).cast("long"))
-        .alias("n_annotations"),
-        F.coalesce("n_annot_contents", F.lit(0).cast("long"))
-        .alias("n_annot_contents"),
+    z = F.lit(0).cast("long")
+    return (
+        pages.join(ann, ["doc_id", "page"], "left")
+        .join(xobj, ["doc_id", "page"], "left")
+        .select(
+            "doc_id", F.col("page").cast("long").alias("page"),
+            "n_lines", "n_chars", "n_fonts",
+            F.coalesce("n_annotations", z).alias("n_annotations"),
+            F.coalesce("n_annot_contents", z).alias("n_annot_contents"),
+            F.coalesce("n_links", z).alias("n_links"),
+            F.coalesce("n_xobj_image", z).alias("n_xobj_image"),
+            F.coalesce("n_xobj_form", z).alias("n_xobj_form"),
+            F.coalesce("n_multimedia", z).alias("n_multimedia"),
+        )
     )
 
 

@@ -157,6 +157,20 @@ def docs_rich_repeat_from_documents(spark: SparkSession, sf_dir: str,
     return _derive_docs(spark, sf_dir, derive)
 
 
+def docs_info_repeat_from_documents(spark: SparkSession, sf_dir: str,
+                                    times: int = 32) -> DataFrame:
+    """Multi-page INFO corpus: the rich body plus per-page links,
+    image/form XObjects and RichMedia annotations (GetInfoOnPDF.java
+    :921-1037) — the widened per-page E17 info gate's input."""
+    from .synth import info_from_text
+
+    def derive(doc_id: str, text: str):
+        return info_from_text(doc_id, " ".join([text] * times)
+                              if text else "")
+
+    return _derive_docs(spark, sf_dir, derive)
+
+
 def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Info-dict dates/title + encryption block + AcroForm fields
     (E16 form-field analysis, E17 security info, S1 comparators)."""

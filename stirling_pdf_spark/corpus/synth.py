@@ -366,6 +366,68 @@ def rich_from_text(doc_id: str, text: str):
     return doc_id, spans
 
 
+def info_from_text(doc_id: str, text: str):
+    """Layer the remaining GetInfoOnPDF per-page blocks onto the rich
+    body (rich_from_text) — the corpus for the widened E17 page-info
+    gate. Everything is a pure function of the text (and its sha256) so
+    the DuckDB oracle can re-derive it closed-form:
+
+      * LINKS (GetInfoOnPDF.java:921-941: unique URIs from Link
+        annotations with URI actions): even pages carry TWO Link
+        annotations sharing one URI (the unique-URI set must collapse
+        them) and pages ≡ 0 (mod 4) a second, distinct URI. The wire
+        body is ``Link||||{uri}`` — the URI rides a dedicated 5th body
+        field (the action, not the contents: PDAnnotationLink contents
+        stay null in the reference, so links must NOT inflate the
+        annotation contents count);
+      * XOBJECT COUNTS (:992-1020, by type from page resources): pages
+        ≡ 0 (mod 3) carry 1 + (p % 2) distinct Image XObjects with the
+        first drawn TWICE (resource names count once, draws don't);
+        pages ≡ 3 (mod 4) carry one Form XObject (``form-`` ref
+        prefix);
+      * MULTIMEDIA (:1022-1037: RichMedia annotations with Subtype +
+        Contents): page 1 iff sha256 hex digit 1 is even, plus every
+        page ≡ 0 (mod 7) — contents non-empty, so these DO count in
+        the contents tally, unlike links.
+    """
+    did, spans = rich_from_text(doc_id, text)
+    words = text.split()
+    if not words:
+        return did, spans
+    n_lines = (len(words) + 7) // 8
+    n_pages = (n_lines - 1) // 40 + 1
+    h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
+    for p in range(1, n_pages + 1):
+        if p % 2 == 0:
+            uri = f"https://ex.test/{did}/p{p}"
+            spans.append(("annotation",
+                          f"{p}|90.0|700.0|120.0|12.0\tLink||||{uri}",
+                          "", len(spans)))
+            spans.append(("annotation",
+                          f"{p}|90.0|680.0|120.0|12.0\tLink||||{uri}",
+                          "", len(spans)))
+            if p % 4 == 0:
+                spans.append(("annotation",
+                              f"{p}|90.0|660.0|120.0|12.0\tLink||||"
+                              f"https://alt.test/p{p}",
+                              "", len(spans)))
+        if p % 3 == 0:
+            for i in range(1 + p % 2):
+                ref = f"media-{h[:6]}-{p}-{i}"
+                _emit_media(spans, MediaDraw(p, 100.0 + 30.0 * i, 600.0,
+                                             120.0, 80.0, ref))
+            _emit_media(spans, MediaDraw(p, 300.0, 600.0, 120.0, 80.0,
+                                         f"media-{h[:6]}-{p}-0"))
+        if p % 4 == 3:
+            _emit_media(spans, MediaDraw(p, 80.0, 560.0, 100.0, 60.0,
+                                         f"form-{h[:6]}-{p}"))
+        if (p == 1 and int(h[1], 16) % 2 == 0) or (p > 1 and p % 7 == 0):
+            spans.append(("annotation",
+                          f"{p}|250.0|540.0|90.0|50.0\tRichMedia|clip {p}||",
+                          "", len(spans)))
+    return did, spans
+
+
 def tables_from_text(doc_id: str, text: str):
     """Derive a TWO-LATTICE-TABLE page deterministically from a plain
     text (E14 multi-table gate): table A is a 2x3 grid at y 100..140,

@@ -1493,11 +1493,16 @@ UNION ALL
 SELECT did, text_rank, text FROM ovs WHERE text_rank < 2000
 """
 
-# per-page info blocks (GetInfoOnPDF.java:812-879) over the REPEATED
-# RICH corpus: body = 8-words/line pages, +16pt title line on page 1,
+# per-page info blocks (GetInfoOnPDF.java:800-1037) over the REPEATED
+# INFO corpus: body = 8-words/line pages, +16pt title line on page 1,
 # Courier on every 5th body line (page-local offsets 0..cnt-1 include
 # offset 4 iff cnt >= 5 since 40 % 5 == 0), annotations as in
-# rich_from_text
+# rich_from_text, plus the info_from_text layers — Links (2 sharing a
+# URI on even pages + a distinct one on p%4==0; unique-URI set), Image
+# XObjects (1 + p%2 distinct refs on p%3==0, first drawn twice but
+# resource names count once), Form XObjects (p%4==3), RichMedia
+# (page 1 iff hex digit 2 even, plus p>1 with p%7==0; contents
+# non-empty so they also count in the contents tally, links don't)
 E17_PAGE_INFO = f"""
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
@@ -1540,9 +1545,26 @@ SELECT per.did AS doc_id,
        CAST(CASE WHEN per.p = 1 OR per.p % 3 = 0 THEN 1 ELSE 0 END
             + CASE WHEN (per.p = 1 AND substr(per.h, 1, 1) IN {_HEX_EVEN})
                      OR (per.p > 1 AND per.p % 5 = 0)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN per.p % 2 = 0 THEN 2 ELSE 0 END
+            + CASE WHEN per.p % 4 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN (per.p = 1 AND substr(per.h, 2, 1) IN {_HEX_EVEN})
+                     OR (per.p > 1 AND per.p % 7 = 0)
                    THEN 1 ELSE 0 END AS BIGINT) AS n_annotations,
        CAST(CASE WHEN per.p = 1 OR per.p % 3 = 0 THEN 1 ELSE 0 END
-            AS BIGINT) AS n_annot_contents
+            + CASE WHEN (per.p = 1 AND substr(per.h, 2, 1) IN {_HEX_EVEN})
+                     OR (per.p > 1 AND per.p % 7 = 0)
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_annot_contents,
+       CAST(CASE WHEN per.p % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN per.p % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_links,
+       CAST(CASE WHEN per.p % 3 = 0 THEN 1 + per.p % 2 ELSE 0 END
+            AS BIGINT) AS n_xobj_image,
+       CAST(CASE WHEN per.p % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_xobj_form,
+       CAST(CASE WHEN (per.p = 1 AND substr(per.h, 2, 1) IN {_HEX_EVEN})
+                   OR (per.p > 1 AND per.p % 7 = 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_multimedia
 FROM per JOIN chars c ON per.did = c.did AND per.p = c.p
 """
 

@@ -64,6 +64,42 @@ def test_kernel_annotation_only_page_enumerates():
     assert out == [("text", "x"), ("annotation", "3|Square|late||")]
 
 
+def test_info_corpus_page_blocks():
+    """info_from_text layers the GetInfoOnPDF Links/XObjects/Multimedia
+    blocks (java :921-1037) deterministically: even pages carry 2 Link
+    annotations sharing one URI, p%3==0 pages carry 1+(p%2) distinct
+    image refs with the first drawn twice, p%4==3 a form XObject."""
+    import hashlib
+
+    from stirling_pdf_spark.corpus.synth import info_from_text
+
+    text = " ".join(f"w{i}" for i in range(8 * 40 * 6))  # exactly 6 pages
+    _did, spans = info_from_text("d", text)
+    h = hashlib.sha256(text.encode()).hexdigest()
+
+    links = [s for s in spans if s[0] == "annotation" and "\tLink|" in s[1]]
+    by_page: dict[int, list[str]] = {}
+    for s in links:
+        p = int(s[1].split("|", 1)[0])
+        by_page.setdefault(p, []).append(s[1].rsplit("|", 1)[-1])
+    assert sorted(by_page) == [2, 4, 6]
+    assert len(by_page[2]) == 2 and len(set(by_page[2])) == 1  # shared URI
+    assert len(by_page[4]) == 3 and len(set(by_page[4])) == 2  # +distinct
+
+    media = [(int(s[1].split("|", 1)[0]), s[2]) for s in spans
+             if s[0] == "media"]
+    img3 = [r for p, r in media if p == 3 and r.startswith("media-")]
+    assert len(img3) == 3 and len(set(img3)) == 2   # 1+3%2 refs, 1st ×2
+    img6 = [r for p, r in media if p == 6 and r.startswith("media-")]
+    assert len(img6) == 2 and len(set(img6)) == 1   # 1+6%2 = 1 ref, ×2
+    assert [p for p, r in media if r.startswith("form-")] == [3]
+
+    rich = [s[1] for s in spans if s[0] == "annotation"
+            and "\tRichMedia|" in s[1]]
+    expect_p1 = int(h[1], 16) % 2 == 0
+    assert len(rich) == (1 if expect_p1 else 0)  # no page ≡ 0 (mod 7) ≤ 6
+
+
 def test_annotations_ride_page_operators(spark):
     """split_at_pages routes annotations by page; rotate/scale treat
     the rect like a media bbox (geometry changes, body survives)."""
