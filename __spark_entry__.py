@@ -502,6 +502,27 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s9_page_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 page numbers, full surface (PageNumbersController.java:59-185):
+    the F7 pages DSL ("1,2n+1" = page 1 + odd pages via the n-expr),
+    running number from startingNumber=5 zero-padded to 3, the
+    {n}/{total}/{filename} template, 9-grid position 3 (top-right: x is
+    right-aligned by text width, y = topY - ascent for Times), small
+    margin — over the 1-10 page repeat corpus."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import page_number_stamps
+
+    _ship_package(spark)
+    docs = docs_repeat_from_documents(spark, sf_dir, 32)
+    return page_number_stamps(
+        docs, position=3, starting_number=5, pages_to_number="1,2n+1",
+        custom_text="Page {n} of {total} - {filename}", zero_pad=3,
+        custom_margin="small", font_size=12.0, font_type="times",
+    )
+
+
 def q_s11_metadata_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 metadata update (MetadataController.java:80-190) through the
     real pipeline: delete 'title', add 'producer', everything else
@@ -1291,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed this round (need a fresh driver row)
         "e13_whole_word_digit": q_e13_whole_word_digit,
+        "s9_page_numbers": q_s9_page_numbers,
         "extract_annotations": q_extract_annotations,
         "e16_form_fields": q_e16_form_fields,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -1399,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "e1_full_text": O.E1_FULL_TEXT,
         "e13_search_positions": O.E13_SEARCH_POSITIONS,
         "e13_whole_word_digit": O.E13_WHOLE_WORD_DIGIT,
+        "s9_page_numbers": O.S9_PAGE_NUMBERS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

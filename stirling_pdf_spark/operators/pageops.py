@@ -806,6 +806,149 @@ def add_page_stamps(docs: DataFrame, stamp: str, x: float = 280.0,
     )
 
 
+# Standard-14 font metrics used by the page-number placer (public AFM
+# ascent/descent, per mille of font size — the values PDFBox's
+# FontDescriptor reports for the three fonts the reference offers,
+# PageNumbersController.java:124-133)
+_STD14_METRICS = {
+    "helvetica": ("Helvetica", 718, -207),
+    "courier": ("Courier", 629, -157),
+    "times": ("Times-Roman", 683, -217),
+}
+
+
+def page_number_stamps(docs: DataFrame, position: int = 8,
+                       starting_number: int = 1,
+                       pages_to_number: str = "all",
+                       custom_text: str = "{n}", zero_pad: int = 0,
+                       custom_margin: str = "medium",
+                       font_size: float = 12.0,
+                       font_type: str = "helvetica",
+                       page_width: float = 612.0,
+                       page_height: float = 792.0) -> DataFrame:
+    """S9 page numbers, full surface (PageNumbersController.java:59-185):
+
+      * ``pages_to_number`` is the F7 page-select DSL (parsePageList),
+        default "all"; the running number starts at ``starting_number``
+        and increments per SELECTED page in selection order;
+      * ``custom_text`` templates ``{n}`` (zero-padded to ``zero_pad``
+        when > 0), ``{total}`` and ``{filename}`` (the doc identity —
+        the reference uses the upload's extension-stripped filename);
+      * ``position`` 1-9 grid, clamped (:105): col = (pos-1)%3+1,
+        row = (pos-1)/3+1; margins small/medium/large/x-large =
+        2/3.5/5/7.5% of the page dimension (:86-93);
+      * x: left anchor / centered / right-aligned via text width
+        (:150-156 — the reference measures AFM glyph widths; this
+        engine's uniform width model, kernel.model.CHAR_WIDTH_FACTOR,
+        applies); y rows: top = topY - ascent, middle = optical middle
+        via (ascent+descent)/2, bottom = baseline at botY (:158-167),
+        then flipped into the engine's screen space (y down):
+        y_screen = page_height - y_pdf.
+
+    Returns the stamp table (doc_id, page, number, text, x, y) —
+    ``add_page_numbers`` appends these as text spans. The DSL is
+    evaluated driver-side once per DISTINCT page count and broadcast
+    (the _rearrange_by_slots pattern): bounded by max doc length, not
+    corpus size."""
+    from ..functions.page_select import parse_page_selection
+    from ..kernel.model import CHAR_WIDTH_FACTOR
+
+    s = F.col("s")
+    is_geo = _is_page_kind(s)
+    pg = F.split_part(F.substring_index(s["text"], "\t", 1),
+                      F.lit("|"), F.lit(1)).cast("long")
+    totals = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max(F.when(is_geo, pg)).alias("total"))
+        .filter(F.col("total").isNotNull())
+    )
+    distinct_totals = sorted(
+        int(r["total"]) for r in totals.select("total").distinct().collect())
+    rows = [
+        (t, p, idx)
+        for t in distinct_totals
+        for idx, p in enumerate(parse_page_selection(pages_to_number, t))
+    ]
+    spark = docs.sparkSession
+    schema = "total long, page long, idx long"
+    slot_df = (spark.createDataFrame(rows, schema) if rows
+               else spark.createDataFrame([], schema))
+    sel = totals.join(F.broadcast(slot_df), "total")
+
+    number = (F.lit(int(starting_number)) + F.col("idx")).cast("long")
+    nstr = (F.lpad(number.cast("string"), int(zero_pad), "0")
+            if zero_pad > 0 else number.cast("string"))
+    text = F.replace(
+        F.replace(
+            F.replace(F.lit(custom_text or "{n}"), F.lit("{n}"), nstr),
+            F.lit("{total}"), F.col("total").cast("string")),
+        F.lit("{filename}"), F.col("doc_id"))
+
+    margin = {"small": 0.02, "medium": 0.035, "large": 0.05,
+              "x-large": 0.075}.get((custom_margin or "").lower(), 0.035)
+    font, asc_pm, desc_pm = _STD14_METRICS.get(
+        (font_type or "").lower(), _STD14_METRICS["helvetica"])
+    ascent = asc_pm / 1000.0 * font_size
+    descent = desc_pm / 1000.0 * font_size
+    pos = max(1, min(9, int(position)))
+    col = (pos - 1) % 3 + 1
+    row = (pos - 1) // 3 + 1
+
+    tw = F.length(text) * (CHAR_WIDTH_FACTOR * font_size)
+    left_x = margin * page_width
+    right_x = page_width - margin * page_width
+    x = (F.lit(left_x) if col == 1
+         else F.lit(page_width / 2.0) - tw / 2 if col == 2
+         else F.lit(right_x) - tw)
+    bot_y = margin * page_height
+    top_y = page_height - margin * page_height
+    y_pdf = (top_y - ascent if row == 1
+             else page_height / 2.0 - (ascent + descent) / 2.0 if row == 2
+             else bot_y)
+    return sel.select(
+        "doc_id", F.col("page"), number.alias("number"),
+        text.alias("text"), x.cast("double").alias("x"),
+        F.lit(float(page_height - y_pdf)).alias("y"),
+        F.lit(font).alias("font"),
+    )
+
+
+def add_page_numbers(docs: DataFrame, **kwargs) -> DataFrame:
+    """S9: append the page_number_stamps output as regular text spans
+    (wire '{page}|{x}|{y}|{fs}|{font}\\t{text}'), offsets re-packed —
+    the composed form of PageNumbersController's content-stream append."""
+    font_size = float(kwargs.get("font_size", 12.0))
+    stamps = page_number_stamps(docs, **kwargs)
+    stamp_spans = stamps.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.col("page").cast("string"), F.lit("|"),
+                    F.col("x").cast("string"), F.lit("|"),
+                    F.col("y").cast("string"), F.lit("|"),
+                    F.lit(repr(font_size)), F.lit("|"),
+                    F.col("font"), F.lit("\t"), F.col("text"),
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.col("number").cast("int").alias("offset"),
+            )
+        ).alias("stamps")
+    )
+    return (
+        docs.join(stamp_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(concat(spans, coalesce(stamps, array())),"
+                " (s, i) -> named_struct('kind', s.kind, 'text', s.text,"
+                " 'media_ref', s.media_ref, 'offset', CAST(i AS INT)))"
+            ).alias("spans"),
+        )
+    )
+
+
 def scale_pages(docs: DataFrame, factor: float) -> DataFrame:
     """S7 scale (ScalePagesController): multiply all span geometry —
     x, y and font size for text (so line widths scale with it), the

@@ -899,6 +899,37 @@ SELECT did AS doc_id,
 FROM m WHERE nm > 0
 """
 
+# S9 page numbers over the ×32 repeat corpus (synth_from_text on text
+# repeated 32× -> exactly 4*n_words lines -> np = (4*nw-1)//40+1 pages).
+# DSL "1,2n+1" selects page 1 then odd pages 3,5,... in order, so page p
+# (odd) has selection index (p-1)//2 and number 5 + (p-1)//2, zero-padded
+# to 3. Position 3 = top-right: x = (612 - 0.02*612) - len(text)*6.0
+# (uniform width model, 0.5 em * 12 pt), y_screen = 792 - ((792 -
+# 0.02*792) - (683/1000)*12) for Times ascent 683. The arithmetic below
+# mirrors the operator's evaluation order so doubles are bit-identical.
+S9_PAGE_NUMBERS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         len(string_split(text, ' ')) AS nw
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, (4 * nw - 1) // 40 + 1 AS np FROM d
+), sel AS (
+  SELECT did, np, unnest(range(1, np + 1, 2)) AS p FROM b
+), t AS (
+  SELECT did, np, p, CAST(5 + (p - 1) // 2 AS BIGINT) AS number,
+         'Page ' || lpad(CAST(5 + (p - 1) // 2 AS VARCHAR), 3, '0')
+           || ' of ' || CAST(np AS VARCHAR) || ' - ' || did AS text
+  FROM sel
+)
+SELECT did AS doc_id, CAST(p AS BIGINT) AS page, number, text,
+       CAST((612 - 0.02 * 612) - length(text) * 6.0 AS DOUBLE) AS x,
+       CAST(792 - ((792 - 0.02 * 792) - (683 / 1000.0) * 12.0) AS DOUBLE)
+         AS y,
+       'Times-Roman' AS font
+FROM t
+"""
+
 # Whole-word 1-char digit search (TextFinder.java:79-88 lookaround
 # variants). DuckDB's RE2 regex has no lookbehind, so this oracle is the
 # closed-form model of the constructed corpus: the planted contexts

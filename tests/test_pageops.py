@@ -259,6 +259,62 @@ def test_add_page_stamps(spark, docs):
     assert flat.filter(F.col("s.text") == "CONFIDENTIAL 2").count() > 0
 
 
+def test_page_number_stamps_full_surface(spark):
+    """PageNumbersController.java:59-185: DSL page selection with a
+    per-selected-page running number, {n}/{total}/{filename} template +
+    zero pad, the 9-position grid math, and the span-append path."""
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.operators.pageops import (
+        add_page_numbers,
+        page_number_stamps,
+    )
+
+    spans = []
+    for p in range(1, 6):  # 5 pages, one line each
+        spans.append({"kind": "text",
+                      "text": wire.encode_text_run(
+                          TextRun(p, 72.0, 72.0, 11.0, "Helvetica", "body")),
+                      "media_ref": "", "offset": len(spans)})
+    docs = spark.createDataFrame(
+        [("mydoc", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+
+    # DSL "2-4" numbers pages 2,3,4 with numbers 10,11,12 (start 10)
+    out = {r["page"]: r for r in page_number_stamps(
+        docs, position=7, starting_number=10, pages_to_number="2-4",
+        custom_text="{filename} p{n}/{total}", zero_pad=2,
+        custom_margin="large", font_size=10.0, font_type="courier",
+    ).collect()}
+    assert sorted(out) == [2, 3, 4]
+    assert [out[p]["number"] for p in (2, 3, 4)] == [10, 11, 12]
+    assert out[2]["text"] == "mydoc p10/5"   # zero_pad=2: 10 needs no pad
+    # position 7 = bottom-left: x = 5% margin, y = screen bottom - margin
+    assert out[2]["x"] == 0.05 * 612.0
+    assert out[2]["y"] == 792.0 - 0.05 * 792.0
+    assert out[2]["font"] == "Courier"
+
+    # position 5 = dead center: optical middle via Courier metrics
+    [c] = page_number_stamps(docs, position=5, pages_to_number="1",
+                             font_size=10.0, font_type="courier").collect()
+    tw = len("1") * 0.5 * 10.0
+    assert c["x"] == 612.0 / 2.0 - tw / 2
+    asc, desc = 629 / 1000.0 * 10.0, -157 / 1000.0 * 10.0
+    assert c["y"] == 792.0 - (792.0 / 2.0 - (asc + desc) / 2.0)
+
+    # position clamps to 1..9 (java :105)
+    [t] = page_number_stamps(docs, position=99, pages_to_number="1").collect()
+    assert t["y"] == 792.0 - 0.035 * 792.0   # row 3 bottom, medium margin
+
+    # append path: stamps become kind='text' spans that ride extraction
+    stamped = add_page_numbers(docs, pages_to_number="2-4",
+                               starting_number=10)
+    flat = extract_spans(stamped, num_partitions=2) \
+        .select(F.explode("spans").alias("s")) \
+        .filter(F.col("s.text").rlike("^1[012]$"))
+    assert flat.count() == 3
+
+
 def test_scale_pages_geometry(spark, docs):
     from stirling_pdf_spark.operators.pageops import scale_pages
 
