@@ -53,6 +53,20 @@ def text_to_html(col: Column) -> Column:
     return autolink(out)
 
 
+def text_to_html_py(text: str) -> str:
+    """Python twin of ``text_to_html`` for kernel-side ingestion paths
+    (same escape/newline/autolink chain and the SAME regexes, so a
+    plain-text EML body ingested via sources.files matches the column
+    path; EmlProcessingUtils.java:256-284 incl. CRLF normalization)."""
+    import re
+
+    out = (text.replace("&", "&amp;").replace("<", "&lt;")
+           .replace(">", "&gt;"))
+    out = out.replace("\r\n", "\n").replace("\r", "\n").replace("\n", "<br>")
+    out = re.sub(URL_RE, r'<a href="\1">\1</a>', out)
+    return re.sub(EMAIL_RE, r'<a href="mailto:\1">\1</a>', out)
+
+
 def sanitize_html_udf():
     """H1 allowlist sanitizer (CustomHtmlSanitizer.java:45-67) as an
     Arrow-batched pandas UDF over kernel/sanitize.py — the parser needs

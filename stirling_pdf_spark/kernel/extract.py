@@ -33,7 +33,7 @@ from collections import defaultdict
 
 from . import wire
 from .attachments import fallback_name, unique_names
-from .html_extract import extract_main_blocks
+from .html_extract import extract_all_blocks, extract_main_blocks
 from .tables import extract_table_csvs, parse_rule
 from .lines import cluster_lines
 from .columns import reading_order
@@ -77,7 +77,11 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
         elif kind == "attachment":
             attachments.append((text, media_ref))
         elif kind == "html":
-            html_parts.append(text)
+            html_parts.append((text, True))
+        elif kind == "htmlbody":
+            # EML bodies: rendered whole (EmlToPdf), never
+            # boilerplate-stripped — only scripts/styles drop
+            html_parts.append((text, False))
         elif kind == "bookmark":
             bookmarks.append(text)
         elif kind == "meta":
@@ -129,8 +133,10 @@ def extract_doc(raw_spans, chunk_budget: int | None = MAX_CHUNKS_PER_DOC) -> lis
         for ann in annots_by_page.get(page, ()):
             out.append(Span("annotation", ann, "", len(out)))
 
-    for html in html_parts:
-        for block in extract_main_blocks(html):
+    for html, strip_boiler in html_parts:
+        blocks = (extract_main_blocks(html) if strip_boiler
+                  else extract_all_blocks(html))
+        for block in blocks:
             if budget <= 0:
                 break
             out.append(Span("text", block[:MAX_CHARS_PER_CHUNK], "", len(out)))

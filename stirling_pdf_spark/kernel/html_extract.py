@@ -157,3 +157,15 @@ def extract_main_blocks(html: str) -> list[str]:
         if n >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
             kept.append(text)
     return kept
+
+
+def extract_all_blocks(html: str) -> list[str]:
+    """Block texts with NO boilerplate/link-density filtering — the
+    EML-body path: EmlToPdf renders the whole converted body (scripts/
+    styles/positioned elements still dropped by the parser), so an
+    autolinked plain-text body must survive even though its link
+    density would fail the H7 heuristic."""
+    parser = _Extractor()
+    parser.feed(html)
+    parser.close()
+    return [text for _tag, text, _lc, _b in parser.blocks]

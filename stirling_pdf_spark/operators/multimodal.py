@@ -26,6 +26,7 @@ guards, PdfUtils.java:140-154).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -132,7 +133,11 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                 b = bytes(payload) if payload is not None else b""
                 try:
                     w, h = decode_image(b)
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    # struct.error: truncated container headers ('BM'
+                    # prefix shorter than its fixed fields) must stay a
+                    # per-row null, not an Arrow-batch failure
                     w = h = None
                 out["media_ref"].append(ref)
                 out["fmt"].append(fmt)

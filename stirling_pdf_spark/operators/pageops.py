@@ -90,10 +90,14 @@ def _merge_sort_keys(comparator: str,
     """Per-document sort keys for MergeController.getSortComparator
     (:115-162), evaluated against docs(doc_id, spans):
 
-      byFileName      numeric-aware doc_id ascending;
-      byDateModified/ newest first (Long.compare(t2, t1)) from the
-      byDateCreated   'modified'/'created' Info-dict meta span, epoch
-                      seconds; docs without one sort last (t = 0);
+      byFileName      case-insensitive lexicographic doc_id ascending
+                      (String.CASE_INSENSITIVE_ORDER, :118-123 — NOT
+                      numeric-aware: 'doc-10' sorts before 'doc-2');
+      byDateModified/ BOTH delegate to getPdfDateTimeSafe (:218-231),
+      byDateCreated   which prefers the MODIFICATION date and falls
+                      back to creation — newest first
+                      (Long.compare(t2, t1)); docs with neither sort
+                      last (t = 0);
       byPDFTitle      title case-insensitive ascending, null titles
                       LAST (:146-152);
       orderProvided   the caller-provided doc_id order (:162, no-op
@@ -111,8 +115,8 @@ def _merge_sort_keys(comparator: str,
     num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
     tie = [num, F.col("doc_id")]
     if comparator in ("byDateModified", "byDateCreated"):
-        key = "modified" if comparator == "byDateModified" else "created"
-        ts = F.coalesce(_raw_meta_value(key).cast("long"), F.lit(0))
+        ts = F.coalesce(_raw_meta_value("modified").cast("long"),
+                        _raw_meta_value("created").cast("long"), F.lit(0))
         return [ts] + tie
     if comparator == "byPDFTitle":
         return [F.lower(_raw_meta_value("title"))] + tie
@@ -121,7 +125,7 @@ def _merge_sort_keys(comparator: str,
         pos = F.array_position(
             F.array(*[F.lit(d) for d in order]), F.col("doc_id"))
         return [F.when(pos > 0, pos).otherwise(F.lit(1 << 30))] + tie
-    return tie  # byFileName
+    return [F.lower(F.col("doc_id"))] + tie  # byFileName
 
 
 def merge_order(docs: DataFrame, comparator: str = "byFileName",
@@ -1091,7 +1095,29 @@ def rearrange_pages(docs: DataFrame, mode: str,
     )
     if mode in ("DUPLICATE", "SIDE_STITCH_BOOKLET_SORT"):
         if mode == "DUPLICATE":
-            c = max(1, int(duplicate_count))
+            # reference count handling (:173-195): unparsable or < 1
+            # defaults to 2; counts above max(100, 3 * totalPages) are
+            # rejected. Totals vary per doc here, so the bound uses the
+            # LOOSEST document (largest n) — one bounded agg, and only
+            # when c could possibly exceed it.
+            try:
+                c = int(duplicate_count)
+            except (TypeError, ValueError):
+                c = 2
+            if c < 1:
+                c = 2
+            if c > 100:
+                max_n = (docs.select(F.explode("spans").alias("s"))
+                         .select(F.max(F.when(
+                             _is_page_kind(F.col("s")),
+                             F.split_part(F.substring_index(
+                                 F.col("s")["text"], "\t", 1),
+                                 F.lit("|"), F.lit(1)).cast("long"))))
+                         .collect()[0][0]) or 0
+                if c > max(100, 3 * int(max_n)):
+                    raise ValueError(
+                        "duplicateCount must not exceed "
+                        f"{max(100, 3 * int(max_n))}")
             page_slots = F.sequence(c * (p - 1) + 1, c * p)
         else:
             # slot occupied by source page s: within its group of 4 the

@@ -198,8 +198,12 @@ def s6_reverse_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s1_merge_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric-aware filename sort for merge inputs
-    (MergeController.java:115-162): 'src12' sorts after 'src2'."""
+    """Numeric-aware filename rank over merge inputs — a DELIBERATE
+    engine extension: the reference's byFileName is plain
+    case-insensitive lexicographic (MergeController.java:118-123, which
+    operators.pageops._merge_sort_keys mirrors exactly); this gate
+    exercises the natural-sort variant useful for 'src2' < 'src12'
+    upload names."""
     docs = read_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     num = F.regexp_extract("source", "([0-9]+)", 1).cast("long")

@@ -1393,7 +1393,12 @@ WITH d AS (
          CAST(doc_id AS BIGINT) AS num,
          sha256(text) AS h,
          string_split(text, ' ') AS w,
-         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+         -- empty/whitespace-only text yields ZERO lines (DuckDB's
+         -- string_split('', ' ') is [''], which would fake nl = 1 and
+         -- shift every later doc's pages)
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+         END AS nl
   FROM documents
 ), k AS (
   SELECT did, num,

@@ -25,7 +25,6 @@ doc_id = the file name.
 from __future__ import annotations
 
 import hashlib
-import html as _html
 import os
 
 import pandas as pd
@@ -97,9 +96,15 @@ def _eml_to_spans(raw: bytes) -> list[tuple]:
     if body is not None:
         content = body.get_content()
         if body.get_content_subtype() != "html":
-            # text/plain -> escape + autolink, EmlProcessingUtils:256-284
-            content = "<p>" + _html.escape(content) + "</p>"
-        spans.append(("html", content, "", len(spans)))
+            # text/plain -> escape, newline -> <br>, URL/email autolink
+            # (EmlProcessingUtils.java:256-284, same chain as the H5
+            # column path so line structure and links survive ingestion)
+            from ..functions.html import text_to_html_py
+
+            content = "<p>" + text_to_html_py(content) + "</p>"
+        # EML bodies render whole (EmlToPdf) — kind 'htmlbody' skips
+        # the H7 boilerplate/link-density filter in the kernel
+        spans.append(("htmlbody", content, "", len(spans)))
     for att in msg.iter_attachments():
         payload = att.get_payload(decode=True) or b""
         ref = "media-" + hashlib.sha256(payload).hexdigest()[:8]

@@ -172,6 +172,37 @@ def test_merge_comparators(spark):
         == ["doc-3", "doc-1", "doc-2"]  # unlisted docs follow
 
 
+def test_merge_comparator_reference_edge_cases(spark):
+    """MergeController divergence fixes: byDateCreated delegates to
+    getPdfDateTimeSafe (:218-231), which PREFERS the modification date;
+    byFileName is plain case-insensitive lexicographic (:118-123), so
+    'doc-10' sorts before 'doc-2'."""
+    from stirling_pdf_spark.operators.pageops import merge_order
+
+    def doc(doc_id, created=None, modified=None):
+        spans = [_text(1, 72.0, "body")]
+        if created is not None:
+            spans.append(("meta", f"created|{created}", "", 0))
+        if modified is not None:
+            spans.append(("meta", f"modified|{modified}", "", 0))
+        return _doc(doc_id, _offsets(spans))
+
+    # a: created=900 but modified=100 (modified WINS: effective 100)
+    # b: created=500 only (fallback: effective 500) -> b is newer
+    df = spark.createDataFrame(
+        [doc("doc-1", created=900, modified=100),
+         doc("doc-2", created=500)], SCHEMA)
+    rows = sorted(merge_order(df, "byDateCreated").collect(),
+                  key=lambda r: r["doc_pos"])
+    assert [r["doc_id"] for r in rows] == ["doc-2", "doc-1"]
+
+    df2 = spark.createDataFrame(
+        [doc("doc-2"), doc("doc-10"), doc("DOC-3")], SCHEMA)
+    rows2 = sorted(merge_order(df2, "byFileName").collect(),
+                   key=lambda r: r["doc_pos"])
+    assert [r["doc_id"] for r in rows2] == ["doc-10", "doc-2", "DOC-3"]
+
+
 def test_merge_docs_by_title_page_shift(spark):
     """merge_docs consumes the comparator order: page numbers shift by
     the running page count in title order."""

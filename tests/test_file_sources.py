@@ -74,3 +74,15 @@ def test_eml_file_source_headers_body_attachments(spark, file_dir):
     assert by_kind["attachment"][0]["media_ref"].startswith("media-")
     texts = " ".join(r["text"] for r in by_kind.get("text", []))
     assert "plain body" in texts
+
+
+def test_text_to_html_py_matches_reference_chain():
+    """EmlProcessingUtils.java:256-284: escape, CRLF normalization,
+    newline -> <br>, then URL and mailto autolinking — plain EML bodies
+    keep line structure and links through ingestion."""
+    from stirling_pdf_spark.functions.html import text_to_html_py
+
+    out = text_to_html_py("a & b\r\nvisit https://x.io/z\nmail a@b.co")
+    assert out == ('a &amp; b<br>'
+                   'visit <a href="https://x.io/z">https://x.io/z</a><br>'
+                   'mail <a href="mailto:a@b.co">a@b.co</a>')

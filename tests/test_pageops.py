@@ -418,7 +418,7 @@ def test_rearrange_passes_non_page_spans(spark):
     assert [s["text"] for s in out if s["kind"] == "text"] == ["b", "a"]
 
 
-def test_merge_docs_numeric_order_and_page_shift(spark):
+def test_merge_docs_filename_order_and_page_shift(spark):
     from stirling_pdf_spark.operators.pageops import merge_docs
     from stirling_pdf_spark.kernel.model import TextRun
 
@@ -430,7 +430,9 @@ def test_merge_docs_numeric_order_and_page_shift(spark):
         return (doc_id, [dict(zip(("kind", "text", "media_ref", "offset"), s))
                          for s in spans])
 
-    # numeric-aware: doc2 before doc10
+    # byFileName is case-insensitive LEXICOGRAPHIC
+    # (String.CASE_INSENSITIVE_ORDER, MergeController.java:118-123):
+    # 'doc10' sorts before 'doc2'
     df = spark.createDataFrame(
         [mk("doc10", 1, "b"), mk("doc2", 2, "a")],
         "doc_id string, spans array<struct<kind:string,text:string,"
@@ -439,8 +441,8 @@ def test_merge_docs_numeric_order_and_page_shift(spark):
     merged = merge_docs(df)
     assert merged.count() == 1
     out = extract_spans(merged, num_partitions=2).collect()[0]["spans"]
-    assert [s["text"] for s in out] == ["a1", "a2", "b1"]
-    # pages shifted: b's page 1 became global page 3
+    assert [s["text"] for s in out] == ["b1", "a1", "a2"]
+    # pages shifted: a's pages became global pages 2,3 after b's 1
     raw = merged.collect()[0]["spans"]
     pages = [int(s["text"].split("|")[0]) for s in raw]
     assert sorted(pages) == [1, 2, 3]
