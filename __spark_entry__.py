@@ -523,6 +523,56 @@ def q_s9_page_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's batch-with-checkpoint deployment shape, driven
+    end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
+    and an availableNow Structured Streaming pass drains it
+    (foreachBatch -> the checkpointed extraction commit protocol,
+    runtime/checkpoint.py); wave 2 lands and a RESTARTED stream picks
+    up only the new files off Spark's offset checkpoint; wave 3 never
+    hits the stream and is recovered by a BATCH resume over the full
+    corpus, whose lineage anti-join must skip everything already
+    committed. Visible output is read back through the lineage inner
+    join (read_committed_spans) and must equal one-shot batch
+    extraction of the whole corpus — the EXTRACT_TEXT_SPANS oracle
+    verbatim, which also proves no doc was extracted twice or dropped
+    at a crash boundary."""
+    import shutil
+    import tempfile
+
+    from stirling_pdf_spark.runtime.checkpoint import (
+        read_committed_spans,
+        run_extract_with_checkpoint,
+    )
+    from stirling_pdf_spark.streaming.ingest import stream_extract
+
+    _ship_package(spark)
+    base = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir, out_dir, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    docs = docs_from_documents_table(spark, sf_dir)
+    num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
+    try:
+        docs.filter(num % 3 == 0).write.mode("append").parquet(in_dir)
+        stream_extract(spark, in_dir, out_dir, cp).awaitTermination()
+        docs.filter(num % 3 == 1).write.mode("append").parquet(in_dir)
+        stream_extract(spark, in_dir, out_dir, cp).awaitTermination()
+        run_extract_with_checkpoint(spark, docs, out_dir,
+                                    run_id="resume-batch")
+        flat = explode_spans(read_committed_spans(spark, out_dir)).filter(
+            F.col("kind") == "text")
+        w = Window.partitionBy("doc_id").orderBy("order")
+        result = flat.select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("long").alias("text_rank"),
+            "text",
+        )
+        # pin the rows into block storage so the temp dirs can go away
+        # before the driver collects the (lazy) result
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_s11_metadata_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 metadata update (MetadataController.java:80-190) through the
     real pipeline: delete 'title', add 'producer', everything else
@@ -1313,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed this round (need a fresh driver row)
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
+        "streaming_ingest_resume": q_streaming_ingest_resume,
         "extract_annotations": q_extract_annotations,
         "e16_form_fields": q_e16_form_fields,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -1422,6 +1473,9 @@ def oracle_sql() -> dict[str, str]:
         "e13_search_positions": O.E13_SEARCH_POSITIONS,
         "e13_whole_word_digit": O.E13_WHOLE_WORD_DIGIT,
         "s9_page_numbers": O.S9_PAGE_NUMBERS,
+        # ingest + restart + batch-resume must reproduce one-shot batch
+        # extraction exactly — same oracle as extract_text_spans
+        "streaming_ingest_resume": O.EXTRACT_TEXT_SPANS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

@@ -148,6 +148,60 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/metrics")
 
 
+def compact_small_files(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 << 20) -> dict:
+    """Bin-packing rewrite of a parquet table directory — the
+    small-files maintenance pass for the append-heavy lineage/metrics
+    tables (each run appends a handful of tiny files; after 10^4 runs
+    the listing, not the data, dominates read cost — the same reason
+    Iceberg ships rewrite_data_files).
+
+    Shuffle-free: the table is read once and coalesce()d down to
+    ceil(total_bytes / target_file_bytes) output files, written to a
+    sibling temp dir, then swapped in. Same single-writer maintenance
+    window as expire_orphan_runs — never run concurrently with an
+    in-flight run. Returns {files_before, files_after, bytes}."""
+    import math
+    import os
+    import shutil
+
+    def parquet_files(root: str) -> list[str]:
+        return [os.path.join(r, f) for r, _, fs in os.walk(root)
+                for f in fs if f.endswith(".parquet")]
+
+    if not os.path.isdir(path):
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+    before = parquet_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if len(before) <= n_out:
+        return {"files_before": len(before), "files_after": len(before),
+                "bytes": total}
+    tmp = path + ".compact-tmp"
+    old = path + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_out).write.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": len(before),
+            "files_after": len(parquet_files(path)), "bytes": total}
+
+
+def compact_checkpoint_tables(spark: SparkSession, out_dir: str,
+                              target_file_bytes: int = 128 << 20) -> dict:
+    """Compact the lineage and metrics tables of a checkpointed output
+    root. Span data is left alone — it is partitioned by run_id and
+    committed; rewriting it would invalidate nothing but gains little
+    (extraction already writes full-size files)."""
+    return {
+        "lineage": compact_small_files(
+            spark, f"{out_dir}/lineage", target_file_bytes),
+        "metrics": compact_small_files(
+            spark, f"{out_dir}/metrics", target_file_bytes),
+    }
+
+
 def expire_orphan_runs(spark: SparkSession, out_dir: str) -> list[str]:
     """Garbage-collect span directories whose run_id never committed to
     lineage (crashed attempts) — the analogue of Iceberg's
