@@ -502,6 +502,67 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_toc_set_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOC write-back round trip (EditTableOfContentsController.java
+    :161-227): REPLACE the rich corpus's existing chapter outline with a
+    fixed 4-node tree whose target pages exercise the pageIndex clamp
+    (page 2 and 5 clamp to n_pages on short docs, page 99 always
+    clamps), then extract bookmarks back — set -> extract, the S11
+    metadata pattern applied to outlines."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_rich_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import set_outline
+
+    _ship_package(spark)
+    docs = set_outline(
+        docs_rich_repeat_from_documents(spark, sf_dir, 32),
+        [("Intro", 1, [("Background", 2, [])]),
+         ("Results", 5, []),
+         ("End", 99, [])],
+    )
+    flat = explode_spans(extract_spans(docs))
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.filter(F.col("kind") == "bookmark").select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("bm_rank"),
+        F.split_part("text", F.lit("|"), F.lit(1)).cast("long")
+        .alias("depth"),
+        F.split_part("text", F.lit("|"), F.lit(2)).cast("long")
+        .alias("page"),
+        F.split_part("text", F.lit("|"), F.lit(3)).alias("title"),
+    )
+
+
+def q_attachment_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment CRUD round trip (AttachmentService.java:64-127 add,
+    :282-321 rename, :324-357 delete): add 'added.bin' + a second
+    'extra.dat' (colliding with the pre-existing attachment on ~1/16
+    docs), rename added.bin -> report.bin (must MOVE TO THE END),
+    delete the FIRST 'extra.dat' (the original where one existed, the
+    added one elsewhere), then list via E11 extraction. The closed-form
+    oracle pins both branches of the first-match delete."""
+    from stirling_pdf_spark.operators.attachments import (
+        add_attachments,
+        delete_attachment,
+        rename_attachment,
+    )
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    docs = add_attachments(docs, [("added.bin", "media-aa11bb22"),
+                                  ("extra.dat", "media-cc33dd44")])
+    docs = rename_attachment(docs, "added.bin", "report.bin")
+    docs = delete_attachment(docs, "extra.dat")
+    flat = explode_spans(extract_spans(docs))
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.filter(F.col("kind") == "attachment").select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("att_rank"),
+        F.col("text").alias("name"), "media_ref",
+    )
+
+
 def q_s9_page_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 page numbers, full surface (PageNumbersController.java:59-185):
     the F7 pages DSL ("1,2n+1" = page 1 + odd pages via the n-expr),
@@ -1364,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
+        "attachment_crud": q_attachment_crud,
+        "toc_set_outline": q_toc_set_outline,
         "extract_annotations": q_extract_annotations,
         "e16_form_fields": q_e16_form_fields,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -1476,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         # ingest + restart + batch-resume must reproduce one-shot batch
         # extraction exactly — same oracle as extract_text_spans
         "streaming_ingest_resume": O.EXTRACT_TEXT_SPANS,
+        "attachment_crud": O.ATTACHMENT_CRUD,
+        "toc_set_outline": O.TOC_SET_OUTLINE,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

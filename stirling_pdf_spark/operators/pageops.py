@@ -810,6 +810,60 @@ def add_page_stamps(docs: DataFrame, stamp: str, x: float = 280.0,
     )
 
 
+def set_outline(docs: DataFrame,
+                tree: list[tuple[str, int, list]]) -> DataFrame:
+    """TOC write-back (EditTableOfContentsController.java:161-227): the
+    document outline is REPLACED by the provided tree — existing
+    bookmark spans drop, the new ones append in pre-order walk order
+    (addBookmarksToOutline/addChildBookmarks recursion), each target
+    page clamped into [1, n_pages] exactly like createOutlineItem's
+    pageIndex clamp (:215-221). ``tree`` items are
+    (title, page_number, children). Pure nested-array column math —
+    n_pages comes from array_max over the span list, no explode."""
+    flat: list[tuple[int, int, str]] = []
+
+    def walk(items: list, depth: int) -> None:
+        for title, page, children in items:
+            flat.append((depth, int(page), title))
+            walk(children or [], depth + 1)
+
+    walk(tree, 0)
+    page_of = lambda s: F.split_part(  # noqa: E731
+        F.substring_index(s["text"], "\t", 1), F.lit("|"), F.lit(1)
+    ).cast("long")
+    np = F.greatest(
+        F.coalesce(
+            F.array_max(F.transform(
+                F.filter("spans", _is_page_kind), page_of)),
+            F.lit(0).cast("long")),
+        F.lit(1).cast("long"),
+    )
+    new_spans = F.array(*[
+        F.struct(
+            F.lit("bookmark").alias("kind"),
+            F.concat(
+                F.lit(f"{d}|"),
+                F.least(F.greatest(F.lit(p).cast("long"), F.lit(1).cast("long")), np)
+                .cast("string"),
+                F.lit(f"|{t}"),
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+        for d, p, t in flat
+    ]) if flat else F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    kept = F.filter("spans", lambda s: s["kind"] != "bookmark")
+    repacked = F.transform(
+        F.concat(kept, new_spans),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select("doc_id", repacked.alias("spans"))
+
+
 # Standard-14 font metrics used by the page-number placer (public AFM
 # ascent/descent, per mille of font size — the values PDFBox's
 # FontDescriptor reports for the three fonts the reference offers,

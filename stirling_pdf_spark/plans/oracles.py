@@ -899,6 +899,46 @@ SELECT did AS doc_id,
 FROM m WHERE nm > 0
 """
 
+# TOC write-back over the ×32 repeat RICH corpus: the old chapter
+# outline is replaced by the fixed 4-node tree in pre-order, pages
+# clamped into [1, np] (np = (4*nw-1)//40+1 like the other repeat
+# oracles; the rich title line adds no page).
+TOC_SET_OUTLINE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         len(string_split(text, ' ')) AS nw
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, (4 * nw - 1) // 40 + 1 AS np FROM d
+)
+SELECT did AS doc_id, CAST(r AS BIGINT) AS bm_rank,
+       CAST(dep AS BIGINT) AS depth,
+       CAST(LEAST(p, np) AS BIGINT) AS page, t AS title
+FROM b, (VALUES (0, 0, 1, 'Intro'), (1, 1, 2, 'Background'),
+                (2, 0, 5, 'Results'), (3, 0, 99, 'End'))
+       v(r, dep, p, t)
+"""
+
+# Attachment CRUD round trip: after add(added.bin, extra.dat) +
+# rename(added.bin -> report.bin, moves to end) + delete first
+# 'extra.dat', docs that HAD the original extra.dat keep the ADDED one
+# (rank 0) before report.bin (rank 1); docs without it keep only
+# report.bin (the added extra.dat was the first match and died).
+ATTACHMENT_CRUD = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         substr(sha256(text), 64, 1) = '0' AS had
+  FROM documents
+)
+SELECT did AS doc_id, CAST(0 AS BIGINT) AS att_rank,
+       'extra.dat' AS name, 'media-cc33dd44' AS media_ref
+FROM d WHERE had
+UNION ALL
+SELECT did, CAST(CASE WHEN had THEN 1 ELSE 0 END AS BIGINT),
+       'report.bin', 'media-aa11bb22'
+FROM d
+"""
+
 # S9 page numbers over the ×32 repeat corpus (synth_from_text on text
 # repeated 32× -> exactly 4*n_words lines -> np = (4*nw-1)//40+1 pages).
 # DSL "1,2n+1" selects page 1 then odd pages 3,5,... in order, so page p

@@ -34,3 +34,55 @@ def test_attachments_emitted_last_in_offset_order():
     assert out[1].text == "z.bin"
     assert out[2].text == "attachment-0000bbbb"
     assert [s.order for s in out] == [0, 1, 2]
+
+
+def test_attachment_crud_operators(spark):
+    """AttachmentService CRUD semantics over the docs table: add
+    appends at the end, rename moves the match to the end, delete drops
+    only the FIRST resolved-name match, and unmatched docs pass
+    through (bulk semantics)."""
+    from stirling_pdf_spark.operators.attachments import (
+        add_attachments,
+        delete_attachment,
+        rename_attachment,
+    )
+
+    spans = [
+        {"kind": "text", "text": "1|72.0|72.0|11.0|F\tbody line",
+         "media_ref": "", "offset": 0},
+        {"kind": "attachment", "text": "a.bin", "media_ref": "media-0000aaaa",
+         "offset": 1},
+        {"kind": "attachment", "text": "", "media_ref": "media-0000bbbb",
+         "offset": 2},   # resolves to attachment-0000bbbb
+        {"kind": "attachment", "text": "a.bin", "media_ref": "media-0000cccc",
+         "offset": 3},   # duplicate raw name
+    ]
+    docs = spark.createDataFrame(
+        [("d", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+
+    def atts(df):
+        row = df.collect()[0]["spans"]
+        assert [s["offset"] for s in row] == list(range(len(row)))
+        return [(s["text"], s["media_ref"]) for s in row
+                if s["kind"] == "attachment"]
+
+    # delete by FALLBACK name hits the empty-named span
+    assert atts(delete_attachment(docs, "attachment-0000bbbb")) == [
+        ("a.bin", "media-0000aaaa"), ("a.bin", "media-0000cccc")]
+    # delete drops only the FIRST of two a.bin spans
+    assert atts(delete_attachment(docs, "a.bin")) == [
+        ("", "media-0000bbbb"), ("a.bin", "media-0000cccc")]
+    # rename moves the (first) match to the END
+    assert atts(rename_attachment(docs, "a.bin", "z.bin")) == [
+        ("", "media-0000bbbb"), ("a.bin", "media-0000cccc"),
+        ("z.bin", "media-0000aaaa")]
+    # no match -> passthrough, offsets still dense
+    assert atts(delete_attachment(docs, "nope")) == [
+        ("a.bin", "media-0000aaaa"), ("", "media-0000bbbb"),
+        ("a.bin", "media-0000cccc")]
+    # add appends in order
+    assert atts(add_attachments(docs, [("n1.txt", "media-11"),
+                                       ("n2.txt", "media-22")]))[-2:] == [
+        ("n1.txt", "media-11"), ("n2.txt", "media-22")]

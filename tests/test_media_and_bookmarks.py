@@ -83,3 +83,39 @@ def test_bookmarks_extracted_in_tree_order(spark, corpus):
             if s["kind"] == "bookmark":
                 depth, _, title = s["text"].partition("|")
                 assert depth.isdigit() and title
+
+
+def test_set_outline_replaces_and_clamps(spark):
+    """EditTableOfContentsController.java:161-227: set REPLACES the
+    outline; target pages clamp into [1, n_pages]; children append in
+    pre-order; a doc with no page content clamps everything to 1."""
+    from pyspark.sql import functions as F
+
+    from stirling_pdf_spark.kernel.model import TextRun
+    from stirling_pdf_spark.kernel import wire
+    from stirling_pdf_spark.operators.pageops import set_outline
+
+    def doc(doc_id, n_pages):
+        spans = [{"kind": "bookmark", "text": "0|1|old chapter",
+                  "media_ref": "", "offset": 0}]
+        for p in range(1, n_pages + 1):
+            spans.append({"kind": "text",
+                          "text": wire.encode_text_run(
+                              TextRun(p, 72.0, 72.0, 11.0, "F", "x")),
+                          "media_ref": "", "offset": len(spans)})
+        return (doc_id, spans)
+
+    df = spark.createDataFrame(
+        [doc("d3", 3), doc("d0", 0)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = set_outline(df, [("A", 2, [("A1", 99, [])]), ("B", -5, [])])
+    rows = {r["doc_id"]: r["spans"] for r in out.collect()}
+
+    bms = [s["text"] for s in rows["d3"] if s["kind"] == "bookmark"]
+    assert bms == ["0|2|A", "1|3|A1", "0|1|B"]  # old dropped, 99->3, -5->1
+    assert "old chapter" not in " ".join(bms)
+    bms0 = [s["text"] for s in rows["d0"] if s["kind"] == "bookmark"]
+    assert bms0 == ["0|1|A", "1|1|A1", "0|1|B"]  # pageless doc -> all 1
+    for spans in rows.values():  # offsets re-packed dense
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
