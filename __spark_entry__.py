@@ -1139,10 +1139,14 @@ def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode over the raster media table: every corpus ref
-    gets a valid deterministic PPM or 24bpp BMP payload, and the
-    decode stage parses the actual container headers (stdlib only) —
-    width/height/file size hash-checked against the closed-form
-    layout model. Codec formats (png/jpg) remain honestly stubbed."""
+    gets a valid deterministic PPM, 24bpp BMP or non-interlaced RGB8
+    PNG payload, and the decode stage parses the actual containers
+    (stdlib only — PNG via zlib inflate + all five scanline filters) —
+    width/height/file size hash-checked against the closed-form layout
+    model, and the PNG rows additionally pin the first 8 RECONSTRUCTED
+    pixel bytes (px_head) against the oracle's regenerated stream head.
+    Formats needing external codecs (jpg/gif) remain honestly
+    stubbed."""
     from stirling_pdf_spark.corpus.media import image_table
     from stirling_pdf_spark.operators.multimodal import decode_images
 

@@ -77,35 +77,92 @@ def media_table(docs: DataFrame) -> DataFrame:
 
 def image_dims_for_ref(ref: str) -> tuple[str, int, int]:
     """(fmt, width, height) for the deterministic RASTER image derived
-    from a ref: PPM (P6) or BMP (BITMAPINFOHEADER, 24bpp) by hash
-    parity, dims 4..32 px — all pure functions of sha256(ref) so the
-    DuckDB oracle can re-derive them digit-for-digit."""
+    from a ref: PPM (P6), BMP (BITMAPINFOHEADER, 24bpp) or PNG
+    (8-bit RGB, non-interlaced) by hash mod 3, dims 4..32 px — all pure
+    functions of sha256(ref) so the DuckDB oracle can re-derive them
+    digit-for-digit."""
     h = hashlib.sha256(ref.encode()).digest()
-    fmt = "ppm" if h[0] % 2 == 0 else "bmp"
+    fmt = ("ppm", "bmp", "png")[h[0] % 3]
     return fmt, 4 + h[1] % 29, 4 + h[2] % 29
 
 
 def _pixel_stream(ref: str, n: int) -> bytes:
+    """Deterministic pixel bytes: concatenated sha256 digests of the
+    ASCII seeds 'px:{ref}:{i}' — ASCII so a SQL oracle can reproduce
+    the stream head with nothing but a VARCHAR sha256."""
     out = bytearray()
     counter = 0
     while len(out) < n:
-        out += hashlib.sha256(
-            b"px:" + ref.encode() + counter.to_bytes(4, "big")
-        ).digest()
+        out += hashlib.sha256(f"px:{ref}:{counter}".encode()).digest()
         counter += 1
     return bytes(out[:n])
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal deterministic PNG encoder: 8-bit RGB, non-interlaced,
+    scanline r filtered with type r % 5 (so a decoder must implement
+    ALL five filters — None/Sub/Up/Average/Paeth), IDAT deflated at
+    level 0 (stored blocks), which makes the file size a CLOSED FORM of
+    the dimensions: 68 + h*(1+3w) bytes for h*(1+3w) < 65535 (8 sig +
+    25 IHDR + 12 IDAT framing + 11 zlib stored-block overhead + 12
+    IEND + the filtered scanlines)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    stride = 3 * w
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = rgb[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:    # Sub
+            raw += bytes((row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                         for x in range(stride))
+        elif ft == 2:    # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:    # Average
+            raw += bytes((row[x] - (((row[x - 3] if x >= 3 else 0)
+                                     + prev[x]) >> 1)) & 0xFF
+                         for x in range(stride))
+        else:            # Paeth
+            raw += bytes((row[x] - _paeth(row[x - 3] if x >= 3 else 0,
+                                          prev[x],
+                                          prev[x - 3] if x >= 3 else 0))
+                         & 0xFF for x in range(stride))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
 def image_payload_for_ref(ref: str) -> bytes:
-    """A VALID image file for the ref: binary PPM or uncompressed
-    24-bit BMP (bottom-up, rows padded to 4 bytes) — the two raster
-    containers a decoder can parse with nothing but the stdlib."""
+    """A VALID image file for the ref: binary PPM, uncompressed 24-bit
+    BMP (bottom-up, rows padded to 4 bytes) or non-interlaced RGB8 PNG
+    — all parseable with nothing but the stdlib (PNG via zlib)."""
     import struct
 
     fmt, w, hgt = image_dims_for_ref(ref)
     if fmt == "ppm":
         header = f"P6\n{w} {hgt}\n255\n".encode()
         return header + _pixel_stream(ref, 3 * w * hgt)
+    if fmt == "png":
+        return png_encode(w, hgt, _pixel_stream(ref, 3 * w * hgt))
     row = 3 * w
     pad = (4 - row % 4) % 4
     img_size = (row + pad) * hgt

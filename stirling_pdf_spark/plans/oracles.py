@@ -1694,7 +1694,8 @@ WITH d AS (
   SELECT media_ref, sha256(media_ref) AS h FROM d
 ), dims AS (
   SELECT media_ref,
-         CASE WHEN {_hexb(1)} % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+         CASE {_hexb(1)} % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+              ELSE 'png' END AS fmt,
          4 + {_hexb(3)} % 29 AS w,
          4 + {_hexb(5)} % 29 AS hgt
   FROM hh
@@ -1702,12 +1703,23 @@ WITH d AS (
 SELECT media_ref, fmt,
        CAST(w AS INTEGER) AS width,
        CAST(hgt AS INTEGER) AS height,
-       CAST(CASE WHEN fmt = 'ppm'
+       CAST(CASE fmt
+            WHEN 'ppm'
                  THEN 9 + CASE WHEN w >= 10 THEN 2 ELSE 1 END
                       + CASE WHEN hgt >= 10 THEN 2 ELSE 1 END
                       + 3 * w * hgt
-                 ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * hgt
-            END AS BIGINT) AS n_bytes
+            WHEN 'bmp'
+                 THEN 54 + (3 * w + (4 - (3 * w) % 4) % 4) * hgt
+            -- stored-block deflate (level 0) makes the PNG size a
+            -- closed form: 68 framing bytes + h filtered scanlines
+            ELSE 68 + hgt * (1 + 3 * w)
+            END AS BIGINT) AS n_bytes,
+       -- decoded pixel stream head: the first sha256 digest of the
+       -- ASCII seed 'px:{{ref}}:0' (corpus.media._pixel_stream) — only
+       -- PNG goes through real defiltering; raw containers stay null
+       CASE WHEN fmt = 'png'
+            THEN substr(sha256('px:' || media_ref || ':0'), 1, 16)
+       END AS px_head
 FROM dims
 """
 

@@ -242,11 +242,44 @@ def test_decode_image_real_containers():
                        2835, 2835, 0, 0)
     assert decode_image(hdr + info + b"\x00" * 48) == (5, 3)  # top-down
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")  # no IHDR
     # plumbing fallback still available for opaque payloads
-    w, h = decode_image(b"\x89PNG", deterministic_fake=True)
+    w, h = decode_image(b"\x89PN", deterministic_fake=True)
     assert 1 <= w <= 4096 and 1 <= h <= 4096
+
+
+def test_png_decode_roundtrip_all_filters():
+    """PNG spec §9: the encoder cycles filters 0-4 per scanline, so a
+    correct decoder must reverse None/Sub/Up/Average/Paeth to get the
+    original pixels back byte-for-byte; unsupported classes raise."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from stirling_pdf_spark.corpus.media import _pixel_stream, png_encode
+    from stirling_pdf_spark.operators.multimodal import decode_png
+
+    for w, h in ((1, 1), (4, 5), (13, 11), (32, 7)):
+        rgb = _pixel_stream(f"m-{w}x{h}", 3 * w * h)
+        payload = png_encode(w, h, rgb)
+        assert len(payload) == 68 + h * (1 + 3 * w)  # stored-block form
+        dw, dh, px = decode_png(payload)
+        assert (dw, dh) == (w, h) and px == rgb
+
+    # interlaced flag -> honest NotImplementedError, not wrong pixels
+    good = png_encode(4, 4, _pixel_stream("m", 48))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    bad = (good[:8]
+           + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+           + good[33:])
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    # truncated scanline data -> ValueError, not garbage dims
+    with pytest.raises(ValueError):
+        decode_png(good[:40] + good[60:])
 
 
 def test_decode_images_stage_isolates_bad_rows(spark):
