@@ -1425,33 +1425,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r1/r2 CORRECTNESS files, unchanged since) rotate past the
     window but stay registered for scripts/check_queries.py."""
     return {
-        # --- new or changed this round (need a fresh driver row)
+        # --- NEW gates this round (never had a driver row)
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
         "attachment_crud": q_attachment_crud,
         "toc_set_outline": q_toc_set_outline,
+        # --- CHANGED this round (need a fresh driver row)
+        "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
+        "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
+        "s1_merge_by_date": q_s1_merge_by_date,    # comparator coalesce
+        "s1_merge_by_title": q_s1_merge_by_title,
+        "e13_search_positions": q_e13_search_positions,  # pattern builder
+        "eml_roundtrip": q_eml_roundtrip,          # htmlbody kind path
+        # --- r4 rotation: every gate whose last driver row was r1/r2
+        # (driver-green then, re-verified locally since; the 10
+        # pass(local) operators the r3 verdict called out lead)
+        "s12_redact_text": q_s12_redact_text,
+        "e14_lattice_tables": q_e14_lattice_tables,
+        "e14_stream_table": q_e14_stream_table,
+        "e18_title_inference": q_e18_title_inference,
+        "e12_unique_name_suffix": R.e12_unique_name_suffix,
+        "f1_filter_contains_text": R.f1_filter_contains_text,
+        "f3_filter_count_comparator": R.f3_filter_count_comparator,
+        "f4_size_class_filter": R.f4_size_class_filter,
+        "f4_page_size_wire": q_f4_page_size_wire,
+        "f5_filter_size_comparator": R.f5_filter_size_comparator,
+        "f6_filter_rotation": q_f6_filter_rotation,
+        "f7_page_select_dsl": R.f7_page_select_dsl,
+        "e13_regex_search": R.e13_regex_search,
+        "s1_merge_comparator": R.s1_merge_comparator,
+        "e17_doc_info": q_e17_doc_info,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "extract_span_counts": q_extract_span_counts,
+        "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_nation_volume": R.q5_nation_volume,
+        "e16_customer_profile": R.e16_customer_profile,
+        "e18_top_order_per_customer": R.e18_top_order_per_customer,
+        "s3_running_sum_buckets": R.s3_running_sum_buckets,
+        "s4_lead_next_order": R.s4_lead_next_order,
+        "s6_reverse_permutation": R.s6_reverse_permutation,
+        "events_hourly_rollup": R.events_hourly_rollup,
+        "events_json_extract": R.events_json_extract,
+        "dedup_exact_groups": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
+        "dedup_simhash_groups": q_dedup_simhash,
+        "dedup_embedding_pairs": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "text_lang_id": q_text_lang_id,
+        # ---------------- 50-row window boundary ----------------
+        # stable gates below: green in CORRECTNESS_r03, unchanged since
+        "extract_text_spans": q_extract_text_spans,
+        "extract_twocol_text_spans": q_extract_twocol_text_spans,
+        "extract_elements": q_extract_elements,
+        "extract_attachments": q_extract_attachments,
+        "e1_full_text": q_e1_full_text,
+        "e2_page_text": q_e2_page_text,
         "extract_annotations": q_extract_annotations,
         "e16_form_fields": q_e16_form_fields,
-        "s1_merge_by_date": q_s1_merge_by_date,
-        "s1_merge_by_title": q_s1_merge_by_title,
         "s6_side_stitch_extract": q_s6_side_stitch_extract,
         "s6_custom_order_extract": q_s6_custom_order_extract,
         "s8_overlay_extract": q_s8_overlay_extract,
         "s7_poster_extract": q_s7_poster_extract,
-        "e17_full_info": q_e17_full_info,          # + annotation counts
-        "e3_doc_classification": q_e3_doc_classification,  # per-doc direct
-        "e20_auto_split": q_e20_auto_split,        # page-1 divider edge
-        "s7_scale_single_extract": q_s7_scale_single_extract,  # folded
-        "s4_split_chapters": q_s4_split_chapters,  # tie dedup + clamp
-        "dedup_components": q_dedup_components,    # pointer jumping
-        "dedup_keep_corpus": q_dedup_keep_corpus,  # keep-list applied
-        "e17_page_info": q_e17_page_info,          # per-page blocks
-        "multimodal_decode": q_multimodal_decode,  # real raster decode
-        "text_tfidf_topk": q_text_tfidf_topk,      # new pipeline op
-        "text_hash_sample": q_text_hash_sample,    # new pipeline op
+        "e17_full_info": q_e17_full_info,
+        "e3_doc_classification": q_e3_doc_classification,
+        "e20_auto_split": q_e20_auto_split,
+        "s7_scale_single_extract": q_s7_scale_single_extract,
+        "s4_split_chapters": q_s4_split_chapters,
+        "dedup_components": q_dedup_components,
+        "dedup_keep_corpus": q_dedup_keep_corpus,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_hash_sample": q_text_hash_sample,
         "s11_metadata_update": q_s11_metadata_update,
-        # --- registered in r2 but outside its 50-row window
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
@@ -1465,7 +1517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_has_text": q_e10_has_text,
         "text_chunk_windows": q_text_chunk_windows,
         "e24_sentence_chunks": q_e24_sentence_chunks,
-        "eml_roundtrip": q_eml_roundtrip,
         "s2_split_pages": q_s2_split_pages,
         "e15_metadata": q_e15_metadata,
         "e9_image_dedup": q_e9_image_dedup,
@@ -1475,56 +1526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h4_media_resolve": q_h4_media_resolve,
         "s5_split_sections_exact": q_s5_split_sections_exact,
         "e19_blank_pages": q_e19_blank_pages,
-        # --- flagship extraction + scale-path anchors (keep a fresh
-        # row every round for the north-rule core)
-        "extract_text_spans": q_extract_text_spans,
-        "extract_twocol_text_spans": q_extract_twocol_text_spans,
-        "extract_elements": q_extract_elements,
-        "extract_attachments": q_extract_attachments,
-        "e1_full_text": q_e1_full_text,
-        "e2_page_text": q_e2_page_text,
-        "e13_search_positions": q_e13_search_positions,
-        # ---------------- 50-row window boundary ----------------
-        # stable gates below: green in CORRECTNESS_r01/r02, unchanged
-        "s12_redact_text": q_s12_redact_text,
-        "e14_lattice_tables": q_e14_lattice_tables,
-        "e14_stream_table": q_e14_stream_table,
-        "e18_title_inference": q_e18_title_inference,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "extract_span_counts": q_extract_span_counts,
-        "e17_doc_info": q_e17_doc_info,
-        "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_nation_volume": R.q5_nation_volume,
-        "e16_customer_profile": R.e16_customer_profile,
-        "e18_top_order_per_customer": R.e18_top_order_per_customer,
-        "s3_running_sum_buckets": R.s3_running_sum_buckets,
-        "s4_lead_next_order": R.s4_lead_next_order,
-        "e12_unique_name_suffix": R.e12_unique_name_suffix,
-        "s6_reverse_permutation": R.s6_reverse_permutation,
-        "s1_merge_comparator": R.s1_merge_comparator,
-        "f1_filter_contains_text": R.f1_filter_contains_text,
-        "f3_filter_count_comparator": R.f3_filter_count_comparator,
-        "f5_filter_size_comparator": R.f5_filter_size_comparator,
-        "f4_size_class_filter": R.f4_size_class_filter,
-        "f4_page_size_wire": q_f4_page_size_wire,
-        "f6_filter_rotation": q_f6_filter_rotation,
-        "f7_page_select_dsl": R.f7_page_select_dsl,
-        "e13_regex_search": R.e13_regex_search,
-        "events_hourly_rollup": R.events_hourly_rollup,
-        "events_json_extract": R.events_json_extract,
-        "dedup_exact_groups": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
-        "dedup_simhash_groups": q_dedup_simhash,
-        "dedup_embedding_pairs": q_dedup_embedding,
-        "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "text_lang_id": q_text_lang_id,
     }
 
 

@@ -56,6 +56,14 @@ BENCH_QUERIES = (
     # round-3 additions
     "e16_form_fields",
     "extract_annotations",
+    # round-4 additions: new operator families (streaming_ingest_resume
+    # is deliberately NOT benched — it measures temp-dir IO setup, not
+    # engine throughput; its cost shape is extract_sf_corpus's)
+    "s9_page_numbers",
+    "attachment_crud",
+    "toc_set_outline",
+    "e17_page_info",
+    "multimodal_decode",
 )
 
 # queries that consume the shared materialized rich corpus

@@ -364,7 +364,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                 .alias("comp"),
             )
         )
-        new_labels = new_labels.persist()
+        # localCheckpoint, not persist: an iterative loop's logical plan
+        # otherwise CONTAINS every prior round's plan, and Catalyst
+        # analysis time grows superlinearly with rounds (measured: a
+        # 6-round run spent 12 minutes in the driver with persist, ~40 s
+        # with checkpoint truncation). On a production cluster use a
+        # reliable checkpoint dir instead (localCheckpoint does not
+        # survive executor loss).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
