@@ -436,7 +436,8 @@ def q_s1_merge_by_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_order_gate(spark, sf_dir, "byPDFTitle")
 
 
-def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_e17_page_info(spark: SparkSession, sf_dir: str,
+                    docs: DataFrame | None = None) -> DataFrame:
     """E17 PER-PAGE info blocks, full parity (GetInfoOnPDF.java:800-862:
     Text Characters Count, per-page font set, annotation subtype/
     contents counts, plus Links :921-941 as the unique-URI set,
@@ -449,7 +450,8 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.elements import extract_elements
 
     _ship_package(spark)
-    docs = docs_info_repeat_from_documents(spark, sf_dir, 32)
+    if docs is None:
+        docs = docs_info_repeat_from_documents(spark, sf_dir, 32)
     els = extract_elements(docs)
     pages = els.filter(F.col("kind") == "text").groupBy("doc_id", "page").agg(
         F.count("*").cast("long").alias("n_lines"),
@@ -502,7 +504,8 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_toc_set_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_toc_set_outline(spark: SparkSession, sf_dir: str,
+                      docs: DataFrame | None = None) -> DataFrame:
     """TOC write-back round trip (EditTableOfContentsController.java
     :161-227): REPLACE the rich corpus's existing chapter outline with a
     fixed 4-node tree whose target pages exercise the pageIndex clamp
@@ -515,8 +518,10 @@ def q_toc_set_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.pageops import set_outline
 
     _ship_package(spark)
+    if docs is None:
+        docs = docs_rich_repeat_from_documents(spark, sf_dir, 32)
     docs = set_outline(
-        docs_rich_repeat_from_documents(spark, sf_dir, 32),
+        docs,
         [("Intro", 1, [("Background", 2, [])]),
          ("Results", 5, []),
          ("End", 99, [])],
@@ -563,7 +568,8 @@ def q_attachment_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_s9_page_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_s9_page_numbers(spark: SparkSession, sf_dir: str,
+                      docs: DataFrame | None = None) -> DataFrame:
     """S9 page numbers, full surface (PageNumbersController.java:59-185):
     the F7 pages DSL ("1,2n+1" = page 1 + odd pages via the n-expr),
     running number from startingNumber=5 zero-padded to 3, the
@@ -576,7 +582,8 @@ def q_s9_page_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.pageops import page_number_stamps
 
     _ship_package(spark)
-    docs = docs_repeat_from_documents(spark, sf_dir, 32)
+    if docs is None:
+        docs = docs_repeat_from_documents(spark, sf_dir, 32)
     return page_number_stamps(
         docs, position=3, starting_number=5, pages_to_number="1,2n+1",
         custom_text="Page {n} of {total} - {filename}", zero_pad=3,

@@ -66,16 +66,23 @@ BENCH_QUERIES = (
     "multimodal_decode",
 )
 
-# queries that consume the shared materialized rich corpus
+# queries that consume a shared materialized corpus (extract/derive
+# once, fan out — the deployment shape; which corpus varies by gate)
 _RICH_CONSUMERS = ("e17_full_info", "e18_title_inference")
 _PLAIN_CONSUMERS = ("f6_filter_rotation",)
+_REPEAT_CONSUMERS = ("s9_page_numbers",)           # ×32 plain repeat
+_RICH_REPEAT_CONSUMERS = ("toc_set_outline",)      # ×32 rich repeat
+_INFO_REPEAT_CONSUMERS = ("e17_page_info",)        # ×32 info repeat
 
 
 def main() -> None:
     import __spark_entry__ as E
     from stirling_pdf_spark.corpus.spark_synth import (
         docs_from_documents_table,
+        docs_info_repeat_from_documents,
+        docs_repeat_from_documents,
         docs_rich_from_documents,
+        docs_rich_repeat_from_documents,
         synth_docs_df,
     )
     from stirling_pdf_spark.operators.extract_pipeline import extract_spans
@@ -125,23 +132,39 @@ def main() -> None:
     # --- shared derived corpora: materialize once, fan consumers out
     rich_path = "/tmp/bench_rich_corpus.parquet"
     plain_path = "/tmp/bench_plain_corpus.parquet"
+    repeat_path = "/tmp/bench_repeat_corpus.parquet"
+    rich_repeat_path = "/tmp/bench_rich_repeat_corpus.parquet"
+    info_repeat_path = "/tmp/bench_info_repeat_corpus.parquet"
     t0 = time.time()
     docs_rich_from_documents(spark, SF_DIR) \
         .write.mode("overwrite").parquet(rich_path)
     docs_from_documents_table(spark, SF_DIR) \
         .write.mode("overwrite").parquet(plain_path)
+    docs_repeat_from_documents(spark, SF_DIR, 32) \
+        .write.mode("overwrite").parquet(repeat_path)
+    docs_rich_repeat_from_documents(spark, SF_DIR, 32) \
+        .write.mode("overwrite").parquet(rich_repeat_path)
+    docs_info_repeat_from_documents(spark, SF_DIR, 32) \
+        .write.mode("overwrite").parquet(info_repeat_path)
     timings["derive_corpora"] = round(time.time() - t0, 3)
     rich = spark.read.parquet(rich_path)
     plain = spark.read.parquet(plain_path)
+    repeat = spark.read.parquet(repeat_path)
+    rich_repeat = spark.read.parquet(rich_repeat_path)
+    info_repeat = spark.read.parquet(info_repeat_path)
 
     # --- headline relational / training queries, interleaved rounds
     qs = E.queries()
     for _ in range(ROUNDS):
         for name in BENCH_QUERIES:
-            if name in _RICH_CONSUMERS:
-                fn = lambda n=name: qs[n](spark, SF_DIR, docs=rich).count()
-            elif name in _PLAIN_CONSUMERS:
-                fn = lambda n=name: qs[n](spark, SF_DIR, docs=plain).count()
+            shared = {**dict.fromkeys(_RICH_CONSUMERS, rich),
+                      **dict.fromkeys(_PLAIN_CONSUMERS, plain),
+                      **dict.fromkeys(_REPEAT_CONSUMERS, repeat),
+                      **dict.fromkeys(_RICH_REPEAT_CONSUMERS, rich_repeat),
+                      **dict.fromkeys(_INFO_REPEAT_CONSUMERS, info_repeat)}
+            if name in shared:
+                fn = lambda n=name, d=shared[name]: \
+                    qs[n](spark, SF_DIR, docs=d).count()
             else:
                 fn = lambda n=name: qs[n](spark, SF_DIR).count()
             best_of(name, fn)

@@ -220,17 +220,25 @@ def _reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
 
 _PY_STAGE_MARKERS = ("MapInPandas", "MapInArrow", "PythonMapInArrow",
                      "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+# higher-order functions over the span arrays (docs-table transforms
+# like set_outline / add_page_numbers / attachment CRUD): cheap per
+# row, but re-computing them per extraction branch doubles real work —
+# measured 19 s vs 2.6 s on the ×32 repeat corpus at local[32] when
+# the set_outline transform was evaluated by both salt branches
+_EXPR_STAGE_MARKERS = ("lambdafunction",)
 
 
 def _has_python_stage(df: DataFrame) -> bool:
-    """True when the input plan contains a Python evaluation stage —
-    i.e. re-computing it per consumer would re-run user code, not just
-    re-scan files. Conservative (stage) if the plan can't be read."""
+    """True when the input plan would re-run real work per consumer —
+    a Python evaluation stage (user code) or a higher-order span
+    transform (nested-array rewrite), as opposed to a plain file scan.
+    Conservative (stage) if the plan can't be read."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return True
-    return any(m in plan for m in _PY_STAGE_MARKERS)
+    return any(m in plan for m in _PY_STAGE_MARKERS) or \
+        any(m in plan for m in _EXPR_STAGE_MARKERS)
 
 
 def extract_spans(

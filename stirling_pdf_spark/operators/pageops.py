@@ -831,27 +831,39 @@ def set_outline(docs: DataFrame,
     page_of = lambda s: F.split_part(  # noqa: E731
         F.substring_index(s["text"], "\t", 1), F.lit("|"), F.lit(1)
     ).cast("long")
-    np = F.greatest(
+    np_col = F.greatest(
         F.coalesce(
             F.array_max(F.transform(
                 F.filter("spans", _is_page_kind), page_of)),
             F.lit(0).cast("long")),
         F.lit(1).cast("long"),
     )
-    new_spans = F.array(*[
-        F.struct(
-            F.lit("bookmark").alias("kind"),
-            F.concat(
-                F.lit(f"{d}|"),
-                F.least(F.greatest(F.lit(p).cast("long"), F.lit(1).cast("long")), np)
-                .cast("string"),
-                F.lit(f"|{t}"),
-            ).alias("text"),
-            F.lit("").alias("media_ref"),
-            F.lit(0).alias("offset"),
-        )
-        for d, p, t in flat
-    ]) if flat else F.array().cast(
+
+    # the n_pages value is bound ONCE per row as a lambda variable:
+    # every tree node references it, and Catalyst does not CSE
+    # subexpressions across array-literal elements — inlined, a 4-node
+    # tree scanned the span array 4x per row (measured ~2x wall on the
+    # ×32 repeat corpus)
+    def _bookmarks(np: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit("bookmark").alias("kind"),
+                F.concat(
+                    F.lit(f"{d}|"),
+                    F.least(F.greatest(F.lit(p).cast("long"),
+                                       F.lit(1).cast("long")), np)
+                    .cast("string"),
+                    F.lit(f"|{t}"),
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+            for d, p, t in flat
+        ])
+
+    new_spans = F.flatten(
+        F.transform(F.array(np_col), _bookmarks)
+    ) if flat else F.array().cast(
         "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
     kept = F.filter("spans", lambda s: s["kind"] != "bookmark")
     repacked = F.transform(
