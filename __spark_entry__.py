@@ -539,6 +539,38 @@ def q_toc_set_outline(spark: SparkSession, sf_dir: str,
     )
 
 
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents table with planted identifiers
+    (one email, one IPv4, one phone per doc, parameterized by doc_id —
+    the sf text itself contains no digits or '@'): per-class counts
+    plus the md5 of the fully scrubbed text, which the oracle
+    re-derives by applying the same regex chain in the same order."""
+    from stirling_pdf_spark.operators.textstats import scrub_pii
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" mail a"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("@ex.com ip 10.1.2."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" call +44-123-4567"),
+    )
+    return scrub_pii(docs.select("doc_id", planted.alias("text")))
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (C4-style span
+    dedup): 8-word windows survive only at their first (id, idx)
+    occurrence; per doc the window count, survivor count and the md5
+    of the surviving text — the oracle runs the identical
+    first-occurrence window in SQL."""
+    from stirling_pdf_spark.operators.dedup import paragraph_dedup
+
+    _ship_package(spark)
+    return paragraph_dedup(read_table(spark, sf_dir, "documents"))
+
+
 def q_attachment_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attachment CRUD round trip (AttachmentService.java:64-127 add,
     :282-321 rename, :324-357 delete): add 'added.bin' + a second
@@ -1438,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_resume": q_streaming_ingest_resume,
         "attachment_crud": q_attachment_crud,
         "toc_set_outline": q_toc_set_outline,
+        "text_scrub_pii": q_text_scrub_pii,
+        "dedup_paragraphs": q_dedup_paragraphs,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1485,10 +1519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "text_lang_id": q_text_lang_id,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r03, unchanged since
+        # (emb_near_dup_lsh / text_lang_id yielded their r4 slots to
+        # the two new pipeline gates; both r2-green + locally verified)
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "text_lang_id": q_text_lang_id,
         "extract_text_spans": q_extract_text_spans,
         "extract_twocol_text_spans": q_extract_twocol_text_spans,
         "extract_elements": q_extract_elements,
@@ -1553,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ingest_resume": O.EXTRACT_TEXT_SPANS,
         "attachment_crud": O.ATTACHMENT_CRUD,
         "toc_set_outline": O.TOC_SET_OUTLINE,
+        "text_scrub_pii": O.TEXT_SCRUB_PII,
+        "dedup_paragraphs": O.DEDUP_PARAGRAPHS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

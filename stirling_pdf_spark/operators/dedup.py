@@ -427,3 +427,54 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b")
     )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    words_per_para: int = 8) -> DataFrame:
+    """Intra-corpus PARAGRAPH-level exact dedup — the C4-style "dedup
+    at the span level, not the document level" hygiene pass (the
+    reference has no analogue; doc-level exact dedup is
+    exact_dedup_groups). Paragraphs are consecutive
+    ``words_per_para``-word windows (the corpus' line model). A
+    paragraph survives at its FIRST occurrence in (id, para_idx) order
+    and is dropped everywhere else — repeated boilerplate collapses to
+    one copy corpus-wide.
+
+    Output per doc: (id, n_paras, n_kept, kept_md5) where kept_md5
+    hashes the surviving paragraphs joined in document order. One
+    shuffle on the paragraph hash (the window) + one on id (the
+    final groupBy); no UDFs, no driver state. At 100 TB the paragraph
+    hash is the natural bucketing key and the first-occurrence window
+    becomes a min-aggregation broadcast."""
+    from pyspark.sql import Window
+
+    w = words_col(text_col)
+    n_paras = F.ceil(F.size(w) / F.lit(words_per_para)).cast("long")
+    paras = F.transform(
+        F.sequence(F.lit(0), (n_paras - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(w, i * words_per_para + 1, words_per_para), " "),
+    )
+    exploded = (
+        parallelize(df)
+        .select(F.col(id_col).alias("id"), paras.alias("paras"))
+        .filter(F.size("paras") > 0)
+        .select("id", F.posexplode("paras").alias("idx", "para"))
+    )
+    first = Window.partitionBy(F.md5("para")).orderBy("id", "idx")
+    marked = exploded.select(
+        "id", "idx", "para",
+        (F.row_number().over(first) == 1).alias("kept"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(F.when(
+            F.col("kept"), F.struct("idx", "para")))),
+        lambda s: s["para"],
+    )
+    return marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, "\n")).alias("kept_md5"),
+    )

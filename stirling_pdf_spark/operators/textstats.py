@@ -225,3 +225,34 @@ def hash_sample(df: DataFrame, rate_pct: int = 10, id_col: str = "doc_id",
         .filter(F.col("bucket") * 100 < F.lit(rate_pct) * 65536)
         .select(F.col(id_col).alias("id"), "bucket")
     )
+
+
+# PII scrubbing classes — RE2-safe patterns (no lookarounds) so the
+# Spark (Java regex) and DuckDB (RE2) sides agree; order matters: class
+# i is counted on text already scrubbed of classes < i, and the oracle
+# replicates exactly that order
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Corpus PII scrubbing — the training-data hygiene pass that must
+    run before text ships to a training mix: emails, IPv4 addresses and
+    international phone numbers are replaced by typed placeholders.
+    Pure regexp column chain (JVM-side, no UDF, no shuffle): per doc
+    the per-class match counts plus the scrubbed text's md5. Composes
+    with S12-style span redaction for extracted corpora; this is the
+    raw-text form."""
+    out = F.col(text_col)
+    cols = [F.col(id_col).alias("id")]
+    for name, pat, _repl in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+                    .cast("long").alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, _repl)
+    cols.append(F.md5(out).alias("scrubbed_md5"))
+    return parallelize(df).select(*cols)

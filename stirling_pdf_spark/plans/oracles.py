@@ -919,6 +919,58 @@ FROM b, (VALUES (0, 0, 1, 'Intro'), (1, 1, 2, 'Background'),
        v(r, dep, p, t)
 """
 
+# PII scrub over documents with planted identifiers. The sf text has no
+# digits or '@', so each class matches exactly once (the planted
+# token); scrubbed_md5 re-applies the SAME regex chain in the same
+# order (patterns are RE2-safe by design — see textstats.PII_PATTERNS).
+TEXT_SCRUB_PII = r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         text || ' mail a' || CAST(doc_id % 10 AS VARCHAR)
+              || '@ex.com ip 10.1.2.' || CAST(doc_id % 200 AS VARCHAR)
+              || ' call +44-123-4567' AS t
+  FROM documents
+), s AS (
+  SELECT id,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d{1,3}-\d{3}-\d{3,4}', '<PHONE>', 'g') AS scrubbed
+  FROM d
+)
+SELECT id, CAST(1 AS BIGINT) AS n_email, CAST(1 AS BIGINT) AS n_ipv4,
+       CAST(1 AS BIGINT) AS n_phone, md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+# Paragraph-level exact dedup: identical algorithm in SQL — 8-word
+# windows, first occurrence in (id, idx) order survives, kept text
+# hashed in document order (md5('') when nothing survives, matching
+# Spark's md5 of the empty join).
+DEDUP_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), p AS (
+  SELECT id, i AS idx,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS para
+  FROM (SELECT id, w,
+               unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+        FROM d)
+), m AS (
+  SELECT id, idx, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY id, idx) = 1
+           AS kept
+  FROM p
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(para, chr(10) ORDER BY idx)
+                    FILTER (WHERE kept), '')) AS kept_md5
+FROM m GROUP BY id
+"""
+
 # Attachment CRUD round trip: after add(added.bin, extra.dat) +
 # rename(added.bin -> report.bin, moves to end) + delete first
 # 'extra.dat', docs that HAD the original extra.dat keep the ADDED one

@@ -342,3 +342,49 @@ def test_hash_sample_deterministic_and_bounded(spark):
     assert a == expect                 # exactly the md5-bucket rule
     assert hash_sample(df, rate_pct=100).count() == 200
     assert hash_sample(df, rate_pct=0).count() == 0
+
+
+def test_scrub_pii_classes_and_order(spark):
+    """Per-class counting happens on text already scrubbed of earlier
+    classes, and all placeholders land in the output hash."""
+    import hashlib
+
+    from stirling_pdf_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "write bob@x.io or b.c-d@sub.ex.org, ping 10.0.0.1 "
+             "and 255.1.2.3, dial +1-800-555 now"),
+         (2, "clean text only")],
+        ["doc_id", "text"])
+    out = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 2, 1)
+    expected = ("write <EMAIL> or <EMAIL>, ping <IP> and <IP>, "
+                "dial <PHONE> now")
+    assert out[1]["scrubbed_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["scrubbed_md5"] == hashlib.md5(b"clean text only").hexdigest()
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    """8-word windows survive only at their first (id, idx) occurrence
+    — repeated boilerplate collapses to one copy corpus-wide; a doc
+    that is entirely boilerplate keeps nothing (md5 of empty)."""
+    import hashlib
+
+    from stirling_pdf_spark.operators.dedup import paragraph_dedup
+
+    boiler = "one two three four five six seven eight"
+    uniq = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, boiler + " " + uniq),       # keeps both (first occurrence)
+         (2, boiler),                    # all boilerplate -> keeps none
+         (3, uniq + " tail")],           # window 'a..h' dup; 'tail' kept
+        ["doc_id", "text"])
+    out = {r["id"]: r for r in paragraph_dedup(df).collect()}
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["kept_md5"] == hashlib.md5(
+        (boiler + "\n" + uniq).encode()).hexdigest()
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 1)
+    assert out[3]["kept_md5"] == hashlib.md5(b"tail").hexdigest()
