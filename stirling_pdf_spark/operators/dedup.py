@@ -458,6 +458,9 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     )
     exploded = (
         parallelize(df)
+        # empty/whitespace-only text yields ZERO paragraphs (split of
+        # '' is [''], which would fake one empty window)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col).alias("id"), paras.alias("paras"))
         .filter(F.size("paras") > 0)
         .select("id", F.posexplode("paras").alias("idx", "para"))

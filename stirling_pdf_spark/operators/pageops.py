@@ -947,8 +947,12 @@ def page_number_stamps(docs: DataFrame, position: int = 8,
     sel = totals.join(F.broadcast(slot_df), "total")
 
     number = (F.lit(int(starting_number)) + F.col("idx")).cast("long")
-    nstr = (F.lpad(number.cast("string"), int(zero_pad), "0")
-            if zero_pad > 0 else number.cast("string"))
+    # Java's %0Nd never truncates a number wider than the pad; Spark's
+    # lpad DOES — guard so e.g. page 1234 with zeroPad=3 stays "1234"
+    nstr = number.cast("string")
+    if zero_pad > 0:
+        nstr = F.when(F.length(nstr) >= int(zero_pad), nstr).otherwise(
+            F.lpad(nstr, int(zero_pad), "0"))
     text = F.replace(
         F.replace(
             F.replace(F.lit(custom_text or "{n}"), F.lit("{n}"), nstr),

@@ -289,6 +289,12 @@ def test_page_number_stamps_full_surface(spark):
     assert sorted(out) == [2, 3, 4]
     assert [out[p]["number"] for p in (2, 3, 4)] == [10, 11, 12]
     assert out[2]["text"] == "mydoc p10/5"   # zero_pad=2: 10 needs no pad
+
+    # zero-pad never TRUNCATES (Java %0Nd semantics): a number wider
+    # than the pad keeps all its digits
+    [wide] = page_number_stamps(docs, starting_number=1234,
+                                pages_to_number="1", zero_pad=3).collect()
+    assert wide["text"] == "1234"
     # position 7 = bottom-left: x = 5% margin, y = screen bottom - margin
     assert out[2]["x"] == 0.05 * 612.0
     assert out[2]["y"] == 792.0 - 0.05 * 792.0
