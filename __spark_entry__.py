@@ -539,6 +539,48 @@ def q_toc_set_outline(spark: SparkSession, sf_dir: str,
     )
 
 
+def q_f2_filter_contains_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 filter-contains-image over the RAW wire (FilterController
+    containsImage / PdfUtils.hasImages): keep multi-page repeat-corpus
+    docs carrying at least one media draw and report how many — the
+    synth layout emits one draw per COMPLETED page ≡ 0 (mod 3), so
+    n_media = (completed_pages) // 3 = (4*n_words // 40) // 3."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import has_media
+
+    _ship_package(spark)
+    docs = docs_repeat_from_documents(spark, sf_dir, 32)
+    return has_media(docs).select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+        .cast("long").alias("n_media"),
+    )
+
+
+def q_s10_remove_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 remove-images round trip (RemoveImagesController): strip
+    media spans from the repeat corpus, run REAL extraction, and show
+    per doc that media vanished while text and attachments survived."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import remove_images
+
+    _ship_package(spark)
+    docs = remove_images(docs_repeat_from_documents(spark, sf_dir, 32))
+    flat = explode_spans(extract_spans(docs))
+    return flat.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("long").alias("n_text"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("long").alias("n_media"),
+        F.sum(F.when(F.col("kind") == "attachment", 1).otherwise(0))
+        .cast("long").alias("n_attachments"),
+    )
+
+
 def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the documents table with planted identifiers
     (one email, one IPv4, one phone per doc, parameterized by doc_id —
@@ -1472,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toc_set_outline": q_toc_set_outline,
         "text_scrub_pii": q_text_scrub_pii,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "f2_filter_contains_image": q_f2_filter_contains_image,
+        "s10_remove_images": q_s10_remove_images,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1509,8 +1553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "s4_lead_next_order": R.s4_lead_next_order,
         "s6_reverse_permutation": R.s6_reverse_permutation,
-        "events_hourly_rollup": R.events_hourly_rollup,
-        "events_json_extract": R.events_json_extract,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
@@ -1521,10 +1563,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
         # stable gates below: green in CORRECTNESS_r03, unchanged since
-        # (emb_near_dup_lsh / text_lang_id yielded their r4 slots to
-        # the two new pipeline gates; both r2-green + locally verified)
+        # (emb_near_dup_lsh / text_lang_id / the two events gates
+        # yielded their r4 slots to the four new gates; all r2-green +
+        # locally verified)
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_lang_id": q_text_lang_id,
+        "events_hourly_rollup": R.events_hourly_rollup,
+        "events_json_extract": R.events_json_extract,
         "extract_text_spans": q_extract_text_spans,
         "extract_twocol_text_spans": q_extract_twocol_text_spans,
         "extract_elements": q_extract_elements,
@@ -1591,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "toc_set_outline": O.TOC_SET_OUTLINE,
         "text_scrub_pii": O.TEXT_SCRUB_PII,
         "dedup_paragraphs": O.DEDUP_PARAGRAPHS,
+        "f2_filter_contains_image": O.F2_FILTER_CONTAINS_IMAGE,
+        "s10_remove_images": O.S10_REMOVE_IMAGES,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

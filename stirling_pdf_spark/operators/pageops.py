@@ -1666,6 +1666,25 @@ def has_media(docs_out: DataFrame) -> DataFrame:
     )
 
 
+def remove_images(docs: DataFrame) -> DataFrame:
+    """S10 remove images (RemoveImagesController): drop every media
+    span from the raw wire and re-pack offsets densely; text, rules,
+    annotations, attachments and metadata pass through untouched. Pure
+    nested-array column math, no shuffle."""
+    kept = F.filter("spans", lambda s: s["kind"] != "media")
+    return docs.select(
+        "doc_id",
+        F.transform(
+            kept,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
 def set_metadata(docs: DataFrame, updates: dict[str, str | None],
                  delete_all: bool = False) -> DataFrame:
     """S11 metadata update (MetadataController.java:80-190): set or

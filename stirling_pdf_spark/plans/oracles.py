@@ -919,6 +919,36 @@ FROM b, (VALUES (0, 0, 1, 'Intro'), (1, 1, 2, 'Background'),
        v(r, dep, p, t)
 """
 
+# F2 over the ×32 repeat corpus: one media draw per COMPLETED page
+# ≡ 0 (mod 3) (synth_from_text emits at page completion), so
+# n_media = (nl // 40) // 3 with nl = 4 * n_words.
+F2_FILTER_CONTAINS_IMAGE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         4 * len(string_split(text, ' ')) AS nl
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT did AS doc_id, CAST((nl // 40) // 3 AS BIGINT) AS n_media
+FROM d WHERE (nl // 40) // 3 > 0
+"""
+
+# S10 over the ×32 repeat corpus: media gone, every text line and the
+# hash-gated attachment survive (synth_from_text hashes ITS input, the
+# repeated text).
+S10_REMOVE_IMAGES = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         4 * len(string_split(text, ' ')) AS nl,
+         sha256(rtrim(repeat(text || ' ', 32))) AS h
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT did AS doc_id, CAST(nl AS BIGINT) AS n_text,
+       CAST(0 AS BIGINT) AS n_media,
+       CAST(CASE WHEN substr(h, 64, 1) = '0' THEN 1 ELSE 0 END AS BIGINT)
+         AS n_attachments
+FROM d
+"""
+
 # PII scrub over documents with planted identifiers. The sf text has no
 # digits or '@', so each class matches exactly once (the planted
 # token); scrubbed_md5 re-applies the SAME regex chain in the same

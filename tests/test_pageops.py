@@ -883,3 +883,25 @@ def test_set_metadata_update_delete_wipe(spark):
     meta2 = {r["key"]: r["value"] for r in extract_metadata(
         extract_spans(wiped, num_partitions=2)).collect()}
     assert meta2 == {"title": "only"}
+
+
+def test_remove_images_drops_only_media(spark):
+    from stirling_pdf_spark.operators.pageops import remove_images
+    from stirling_pdf_spark.kernel.model import TextRun
+
+    spans = [
+        ("text", wire.encode_text_run(
+            TextRun(1, 72.0, 72.0, 11.0, "F", "keep me")), "", 0),
+        ("media", "1|100.0|650.0|200.0|120.0", "media-aa", 1),
+        ("attachment", "a.bin", "media-bb", 2),
+        ("media", "2|100.0|650.0|200.0|120.0", "media-cc", 3),
+        ("bookmark", "0|1|ch", "", 4),
+    ]
+    df = spark.createDataFrame(
+        [("d", [dict(zip(("kind", "text", "media_ref", "offset"), s))
+                for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = remove_images(df).collect()[0]["spans"]
+    assert [s["kind"] for s in out] == ["text", "attachment", "bookmark"]
+    assert [s["offset"] for s in out] == [0, 1, 2]  # re-packed densely
