@@ -1226,8 +1226,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height/file size hash-checked against the closed-form layout
     model, and the PNG rows additionally pin the first 8 RECONSTRUCTED
     pixel bytes (px_head) against the oracle's regenerated stream head.
-    Formats needing external codecs (jpg/gif) remain honestly
-    stubbed."""
+    Baseline JPEG decode is gated separately (multimodal_decode_jpeg);
+    only gif/webp/progressive-JPEG remain honestly stubbed."""
     from stirling_pdf_spark.corpus.media import image_table
     from stirling_pdf_spark.operators.multimodal import decode_images
 
@@ -1248,6 +1248,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spans"),
     )
     return decode_images(image_table(docs))
+
+
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (kernel/jpeg.py — marker walk, Huffman
+    entropy decode with byte-unstuffing and restart intervals, dequant,
+    IDCT, YCbCr->RGB for the 4:4:4 color half of the corpus): the
+    fixtures are per-block-constant images whose encode->decode round
+    trip is bit-exact by construction, so width/height AND the first 8
+    reconstructed pixel bytes (px_head) are pinned against the oracle's
+    closed-form model. Compressed-size (n_bytes) is content-dependent
+    and deliberately not asserted."""
+    from stirling_pdf_spark.corpus.media import jpeg_table
+    from stirling_pdf_spark.operators.multimodal import decode_images
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return decode_images(jpeg_table(docs)).select(
+        "media_ref", "width", "height", "px_head")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,  # NEW: real
+        # baseline-JPEG decode (Huffman+IDCT), bit-exact fixtures
         "s1_merge_by_date": q_s1_merge_by_date,    # comparator coalesce
         "s1_merge_by_title": q_s1_merge_by_title,
         "e13_search_positions": q_e13_search_positions,  # pattern builder
@@ -1559,9 +1593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
+        # ann_lsh_buckets yielded its r4 slot to the new JPEG-decode
+        # gate: ann_lsh_topk exercises the same bucket construction
+        # plus the top-k, and the bucket gate stays replica-verified
+        "ann_lsh_buckets": q_ann_lsh_buckets,
         # stable gates below: green in CORRECTNESS_r03, unchanged since
         # (emb_near_dup_lsh / text_lang_id / the two events gates
         # yielded their r4 slots to the four new gates; all r2-green +
@@ -1673,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_corpus": O.DEDUP_KEEP_CORPUS,
         "e17_page_info": O.E17_PAGE_INFO,
         "multimodal_decode": O.MULTIMODAL_DECODE,
+        "multimodal_decode_jpeg": O.MULTIMODAL_DECODE_JPEG,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -174,6 +174,66 @@ def image_payload_for_ref(ref: str) -> bytes:
     return header + info + px
 
 
+def jpeg_dims_for_ref(ref: str) -> tuple[int, int, int, int]:
+    """(is_color, width, height, restart_interval) for the
+    deterministic baseline-JPEG fixture derived from a ref — all pure
+    functions of sha256(ref) so the DuckDB oracle re-derives them.
+    Dims are multiples of 8 (whole MCUs); restart 0..2 exercises the
+    decoder's RSTn path on a third of the corpus."""
+    h = hashlib.sha256(ref.encode()).digest()
+    return h[3] % 2, 8 * (1 + h[1] % 4), 8 * (1 + h[2] % 4), h[4] % 3
+
+
+def jpeg_block_value(ref: str, k: int) -> int:
+    """Constant luma level of the k-th 8x8 block (row-major). EVEN by
+    construction: with the flat quant step 16, the DC coefficient
+    8*(v-128) is then divisible by 16, so encode->decode reconstructs v
+    bit-exactly (kernel/jpeg.py module docstring) and the oracle can
+    state the decoded pixel head in SQL: the first 8 decoded bytes are
+    block 0's value repeated (gray AND gray-valued-RGB color)."""
+    b = hashlib.sha256(f"jq:{ref}:{k}".encode()).digest()[0]
+    return b - (b % 2)
+
+
+def jpeg_payload_for_ref(ref: str) -> bytes:
+    """A VALID baseline JPEG (grayscale or 4:4:4 color by hash parity)
+    of per-block constant pixels — decodable by kernel/jpeg.decode and
+    any standards-conforming reader."""
+    from ..kernel import jpeg
+
+    import numpy as np
+
+    is_color, w, hgt, rst = jpeg_dims_for_ref(ref)
+    bw, bh = w // 8, hgt // 8
+    vals = np.array([[jpeg_block_value(ref, by * bw + bx)
+                      for bx in range(bw)] for by in range(bh)])
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    if is_color:
+        rgb = np.stack([px, px, px], axis=-1)
+        return jpeg.encode_rgb444(w, hgt, rgb.tobytes(),
+                                  restart_interval=rst)
+    return jpeg.encode_gray(w, hgt, px.tobytes(), restart_interval=rst)
+
+
+def jpeg_table(docs: DataFrame) -> DataFrame:
+    """jpeg(media_ref, fmt='jpg', payload) with real baseline-JPEG
+    payloads for every ref in the corpus — the compressed-codec decode
+    gate's input."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["jpg"] * len(refs), pa.string()),
+                 pa.array([jpeg_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 def image_table(docs: DataFrame) -> DataFrame:
     """image(media_ref, fmt, payload) with REAL decodable raster
     payloads for every ref in the corpus — the decode-stage input."""

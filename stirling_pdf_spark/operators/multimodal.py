@@ -8,12 +8,15 @@ layout a 100 TB training pipeline needs:
     media(media_ref: string, fmt: string, payload: binary)
 
 Decode / feature-extract stages are `mapInPandas` over Arrow batches
-(pyarrow binary arrays — zero-copy into the Python worker). The
-actual codec calls are STUBBED (this container has no image/audio
-libs): `decode_image` raises NotImplementedError unless
-`deterministic_fake=True`, which derives metadata purely from the
+(pyarrow binary arrays — zero-copy into the Python worker). Decoding
+is REAL for PPM/BMP (stdlib struct), PNG (stdlib zlib + all five
+scanline filters) and baseline JPEG (kernel/jpeg.py: Huffman entropy
+decode + IDCT, grayscale and 4:4:4 color) — no codec libraries needed.
+Only formats that genuinely require external codecs (gif/webp,
+progressive JPEG, audio/video) raise NotImplementedError unless
+`deterministic_fake=True` derives placeholder metadata from the
 payload bytes (sha256-seeded), keeping schema/partitioning/batching
-real and testable.
+real and testable for those too.
 
 Scale notes: payload columns stay out of the hot span table
 (media_ref indirection), so scans that don't touch pixels never read
@@ -149,14 +152,22 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
       * BMP ("BM"): BITMAPINFOHEADER width/height at offsets 18/22
         (height may be negative for top-down bitmaps);
       * PNG: full non-interlaced RGB/RGBA8 decode via decode_png
-        (zlib inflate + the five scanline filters).
+        (zlib inflate + the five scanline filters);
+      * JPEG: baseline sequential DCT via kernel/jpeg.decode (marker
+        walk, Huffman entropy decode, dequant + IDCT, restart
+        intervals; grayscale and 4:4:4 color).
 
     Returns (width, height). Formats that genuinely need external
-    codecs (jpg/gif/webp) raise NotImplementedError unless
-    ``deterministic_fake`` asks for the hash-derived placeholder dims
-    (plumbing tests)."""
+    codecs (gif/webp, progressive/subsampled JPEG) raise
+    NotImplementedError unless ``deterministic_fake`` asks for the
+    hash-derived placeholder dims (plumbing tests)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, _px = decode_png(payload)
+        return w, h
+    if payload[:3] == b"\xFF\xD8\xFF":
+        from ..kernel import jpeg
+
+        w, h, _nc, _px = jpeg.decode(payload)
         return w, h
     if payload[:2] == b"P6":
         # header tokens may be separated by any whitespace; '#' starts
@@ -195,9 +206,10 @@ IMAGE_DECODE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_bytes", T.LongType(), False),
-    # first 8 reconstructed pixel bytes as hex — PNG only (proof the
-    # defiltered pixel stream is real, not header sniffing); null for
-    # containers whose pixels are stored raw
+    # first 8 reconstructed pixel bytes as hex — PNG and JPEG only
+    # (proof the defiltered / entropy-decoded+IDCT pixel stream is
+    # real, not header sniffing); null for containers whose pixels are
+    # stored raw
     T.StructField("px_head", T.StringType(), True),
 ])
 
@@ -224,6 +236,11 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                 try:
                     if b[:8] == b"\x89PNG\r\n\x1a\n":
                         w, h, px = decode_png(b)
+                        px_head = px[:8].hex()
+                    elif b[:3] == b"\xFF\xD8\xFF":
+                        from ..kernel import jpeg
+
+                        w, h, _nc, px = jpeg.decode(b)
                         px_head = px[:8].hex()
                     else:
                         w, h = decode_image(b)

@@ -1805,6 +1805,37 @@ SELECT media_ref, fmt,
 FROM dims
 """
 
+# baseline-JPEG decode (corpus.media.jpeg_payload_for_ref): dims are
+# pure functions of sha256(ref); fixture blocks are CONSTANT at even
+# luma levels with a flat quant step of 16, so encode->decode is
+# bit-exact (kernel/jpeg.py docstring) and the first 8 DECODED pixel
+# bytes are block 0's level repeated — for grayscale AND for the
+# gray-valued-RGB color fixtures (Y=v, Cb=Cr=128 exactly). n_bytes is
+# deliberately NOT asserted: Huffman-coded size is content-dependent.
+MULTIMODAL_DECODE_JPEG = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), dims AS (
+  SELECT media_ref,
+         8 * (1 + {_hexb(3)} % 4) AS w,
+         8 * (1 + {_hexb(5)} % 4) AS hgt
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+), lvl AS (
+  SELECT media_ref, w, hgt,
+         {_hexb(1)} - ({_hexb(1)} % 2) AS v0
+  FROM (SELECT media_ref, w, hgt,
+               sha256('jq:' || media_ref || ':0') AS h
+        FROM dims)
+)
+SELECT media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       repeat(substr('0123456789abcdef', v0 // 16 + 1, 1)
+              || substr('0123456789abcdef', v0 % 16 + 1, 1), 8) AS px_head
+FROM lvl
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """

@@ -1,0 +1,163 @@
+"""Baseline JPEG codec tests (kernel/jpeg.py).
+
+The decoder is pinned three independent ways:
+  * bit-exact encode->decode round trips for the flat-block fixture
+    class the corpus uses (the closed-form case the driver oracle
+    checks at scale);
+  * an INDEPENDENT direct-summation IDCT (the textbook double loop,
+    not the codec's matrix-product path) recomputing pixels from the
+    decoder's own parsed coefficients would be circular — instead the
+    general-content check bounds decode(encode(x)) error at quant=1,
+    where T.81 guarantees near-lossless reconstruction;
+  * structural edges: restart markers, byte stuffing, odd dimensions,
+    truncation, progressive rejection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stirling_pdf_spark.kernel import jpeg
+
+
+def _flat_image(w: int, h: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 128, size=(h // 8, w // 8)) * 2  # even levels
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+
+
+def _idct_direct(coef: np.ndarray) -> np.ndarray:
+    """Independent reference IDCT: the T.81 A.3.3 double summation,
+    term by term (no matrix factorization shared with the codec)."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * coef[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[x, y] = s / 4.0
+    return out
+
+
+def test_idct_matches_direct_summation():
+    rng = np.random.RandomState(3)
+    coef = rng.randint(-200, 200, size=(8, 8)).astype(float)
+    assert np.allclose(jpeg.idct_2d(coef), _idct_direct(coef), atol=1e-9)
+
+
+def test_dct_idct_inverse_pair():
+    rng = np.random.RandomState(4)
+    block = rng.randint(-128, 128, size=(8, 8)).astype(float)
+    assert np.allclose(jpeg.idct_2d(jpeg.dct_2d(block)), block, atol=1e-9)
+
+
+def test_flat_block_gray_roundtrip_exact():
+    px = _flat_image(32, 24, seed=7)
+    data = jpeg.encode_gray(32, 24, px.tobytes())
+    w, h, nc, out = jpeg.decode(data)
+    assert (w, h, nc) == (32, 24, 1)
+    assert out == px.tobytes()
+
+
+def test_flat_block_color_roundtrip_exact():
+    """Gray-valued RGB through the 3-component 4:4:4 path: Y=v and
+    Cb=Cr=128 exactly, so the color pipeline reconstructs bit-for-bit
+    while still exercising interleaved-MCU decode + color convert."""
+    px = _flat_image(16, 16, seed=9)
+    rgb = np.stack([px, px, px], axis=-1)
+    data = jpeg.encode_rgb444(16, 16, rgb.tobytes())
+    w, h, nc, out = jpeg.decode(data)
+    assert (w, h, nc) == (16, 16, 3)
+    assert out == rgb.tobytes()
+
+
+def test_restart_intervals_reset_predictors():
+    px = _flat_image(40, 24, seed=11)
+    plain = jpeg.encode_gray(40, 24, px.tobytes())
+    rst = jpeg.encode_gray(40, 24, px.tobytes(), restart_interval=2)
+    assert rst != plain and (b"\xFF\xD0" in rst or b"\xFF\xD1" in rst)
+    for data in (plain, rst):
+        _, _, _, out = jpeg.decode(data)
+        assert out == px.tobytes()
+
+
+def test_general_content_near_lossless_at_unit_quant():
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+    data = jpeg.encode_gray(40, 24, px.tobytes(), quant=1)
+    _, _, _, out = jpeg.decode(data)
+    rec = np.frombuffer(out, np.uint8).reshape(24, 40).astype(int)
+    assert np.abs(rec - px.astype(int)).max() <= 1
+
+
+def test_color_general_content_bounded_error():
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    data = jpeg.encode_rgb444(16, 16, px.tobytes(), quant=2)
+    _, _, nc, out = jpeg.decode(data)
+    rec = np.frombuffer(out, np.uint8).reshape(16, 16, 3).astype(int)
+    assert nc == 3 and np.abs(rec - px.astype(int)).max() <= 8
+
+
+def test_odd_dimensions_edge_replication():
+    rng = np.random.RandomState(19)
+    px = rng.randint(0, 256, size=(10, 13)).astype(np.uint8)
+    data = jpeg.encode_gray(13, 10, px.tobytes(), quant=1)
+    w, h, _, out = jpeg.decode(data)
+    assert (w, h) == (13, 10)
+    rec = np.frombuffer(out, np.uint8).reshape(10, 13).astype(int)
+    assert np.abs(rec - px.astype(int)).max() <= 1
+
+
+def test_truncated_stream_raises_value_error():
+    px = _flat_image(16, 8, seed=23)
+    data = jpeg.encode_gray(16, 8, px.tobytes())
+    for cut in (1, 4, 40, len(data) // 2, len(data) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode(data[:cut])
+
+
+def test_progressive_sof_rejected_honestly():
+    px = _flat_image(8, 8, seed=29)
+    data = bytearray(jpeg.encode_gray(8, 8, px.tobytes()))
+    i = data.index(b"\xFF\xC0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg.decode(bytes(data))
+
+
+def test_byte_stuffing_roundtrip():
+    """Content tuned to produce 0xFF bytes in the entropy stream: the
+    writer must stuff 0x00 and the reader must unstuff."""
+    rng = np.random.RandomState(31)
+    for seed in range(5):
+        px = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        data = jpeg.encode_gray(16, 16, px.tobytes(), quant=1)
+        if b"\xFF\x00" in data:
+            _, _, _, out = jpeg.decode(data)
+            rec = np.frombuffer(out, np.uint8).reshape(16, 16).astype(int)
+            assert np.abs(rec - px.astype(int)).max() <= 1
+            return
+    pytest.skip("no stuffed byte produced in 5 seeds")
+
+
+def test_corpus_fixture_closed_form():
+    """The corpus generator's promise to the SQL oracle: decoded pixel
+    head == block-0 level repeated 8x, dims from sha256(ref)."""
+    from stirling_pdf_spark.corpus.media import (
+        jpeg_block_value, jpeg_dims_for_ref, jpeg_payload_for_ref)
+
+    for ref in ("media-00aabbcc", "media-deadbeef", "media-0f1e2d3c"):
+        is_color, w, h, rst = jpeg_dims_for_ref(ref)
+        payload = jpeg_payload_for_ref(ref)
+        dw, dh, nc, out = jpeg.decode(payload)
+        assert (dw, dh) == (w, h)
+        assert nc == (3 if is_color else 1)
+        v0 = jpeg_block_value(ref, 0)
+        assert out[:8] == bytes([v0] * 8)
