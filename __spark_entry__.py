@@ -665,6 +665,86 @@ def q_s9_page_numbers(spark: SparkSession, sf_dir: str,
     )
 
 
+def q_s3_split_doc_count(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """S3 split-by-DOC-count through the wire
+    (SplitPdfBySizeController.java:287-310, splitType=2, n=3): np//3
+    pages per part with the first np%3 parts one page bigger, empty
+    trailing parts skipped; every part re-extracts standalone and the
+    per-(part, kind) span counts are hash-checked against the
+    closed-form paging model over the 1-10 page repeat corpus."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import split_into_n_docs
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_repeat_from_documents(spark, sf_dir, 32)
+    parts = split_into_n_docs(docs, 3)
+    flat = explode_spans(extract_spans(parts))
+    return flat.groupBy("doc_id", "kind").agg(
+        F.count("*").cast("long").alias("n_spans"))
+
+
+def q_s3_split_byte_size(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """S3 split-by-SIZE through the wire
+    (SplitPdfBySizeController.java:193-240, splitType=0): the
+    reference's probe-frequency machine — size checked after the
+    5th/10th/15th page of a range, every page from the 20th, and at
+    the last page; over-budget probes backtrack ONE page, so ranges
+    can exceed the budget exactly like the reference's. Runs as a
+    JVM-side aggregate fold (operators/pageops.split_by_byte_size);
+    the DuckDB oracle replays the same machine as a recursive CTE and
+    both are pinned against a direct simulation of the Java loop in
+    tests/test_split_modes.py."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeat_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import split_by_byte_size
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_repeat_from_documents(spark, sf_dir, 32)
+    parts = split_by_byte_size(docs, O.SPLIT_BYTE_MAX)
+    flat = explode_spans(extract_spans(parts))
+    return (flat.filter(F.col("kind") == "text")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_lines")))
+
+
+def q_s11_flatten_forms(spark: SparkSession, sf_dir: str,
+                        docs: DataFrame | None = None) -> DataFrame:
+    """S11-family form flattening (FlattenController.java:26-35,
+    flattenOnlyForms=true -> acroForm.flatten()): after the operator,
+    extraction sees ZERO formfield spans and the field VALUES as
+    static last-page text lines below the body band — the whole-text
+    md5 pins content AND placement order against the oracle's
+    body-lines ++ painted-values model."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import flatten_forms
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    flat = explode_spans(extract_spans(flatten_forms(docs)))
+    agg = flat.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "formfield", 1).otherwise(0))
+        .cast("long").alias("n_formfields"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("kind") == "text", F.struct("order", "text"))
+        )).alias("ls"),
+    )
+    full = F.array_join(F.transform("ls", lambda s: s["text"]), "\n")
+    return (agg.filter(F.size("ls") > 0)
+            .select("doc_id", "n_formfields",
+                    F.md5(full).alias("text_md5"),
+                    F.length(full).cast("long").alias("n_chars")))
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1548,6 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "f2_filter_contains_image": q_f2_filter_contains_image,
         "s10_remove_images": q_s10_remove_images,
+        "s3_split_doc_count": q_s3_split_doc_count,
+        "s3_split_byte_size": q_s3_split_byte_size,
+        "s11_flatten_forms": q_s11_flatten_forms,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1579,11 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_span_counts": q_extract_span_counts,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
         "q5_nation_volume": R.q5_nation_volume,
         "e16_customer_profile": R.e16_customer_profile,
-        "e18_top_order_per_customer": R.e18_top_order_per_customer,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "s4_lead_next_order": R.s4_lead_next_order,
         "s6_reverse_permutation": R.s6_reverse_permutation,
@@ -1595,10 +1675,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # ann_lsh_buckets yielded its r4 slot to the new JPEG-decode
-        # gate: ann_lsh_topk exercises the same bucket construction
-        # plus the top-k, and the bucket gate stays replica-verified
+        # ann_lsh_buckets / q1 / q3 / e18_top_order yielded their r4
+        # slots to the four NEW gates (JPEG decode, split-by-size,
+        # split-by-doc-count, form flatten): each displaced gate's
+        # shape family stays in-window (ann_lsh_topk = same buckets +
+        # top-k; q5 = join+agg; s3_running_sum/s4_lead = windows) and
+        # all stay replica-verified by scripts/check_queries.py
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "e18_top_order_per_customer": R.e18_top_order_per_customer,
         # stable gates below: green in CORRECTNESS_r03, unchanged since
         # (emb_near_dup_lsh / text_lang_id / the two events gates
         # yielded their r4 slots to the four new gates; all r2-green +
@@ -1675,6 +1761,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": O.DEDUP_PARAGRAPHS,
         "f2_filter_contains_image": O.F2_FILTER_CONTAINS_IMAGE,
         "s10_remove_images": O.S10_REMOVE_IMAGES,
+        "s3_split_doc_count": O.S3_SPLIT_DOC_COUNT,
+        "s3_split_byte_size": O.S3_SPLIT_BYTE_SIZE,
+        "s11_flatten_forms": O.S11_FLATTEN_FORMS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

@@ -64,13 +64,18 @@ BENCH_QUERIES = (
     "toc_set_outline",
     "e17_page_info",
     "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "s3_split_doc_count",
+    "s3_split_byte_size",
+    "s11_flatten_forms",
 )
 
 # queries that consume a shared materialized corpus (extract/derive
 # once, fan out — the deployment shape; which corpus varies by gate)
 _RICH_CONSUMERS = ("e17_full_info", "e18_title_inference")
 _PLAIN_CONSUMERS = ("f6_filter_rotation",)
-_REPEAT_CONSUMERS = ("s9_page_numbers",)           # ×32 plain repeat
+_REPEAT_CONSUMERS = ("s9_page_numbers", "s3_split_doc_count",
+                     "s3_split_byte_size")         # ×32 plain repeat
 _RICH_REPEAT_CONSUMERS = ("toc_set_outline",)      # ×32 rich repeat
 _INFO_REPEAT_CONSUMERS = ("e17_page_info",)        # ×32 info repeat
 

@@ -1731,3 +1731,215 @@ def set_metadata(docs: DataFrame, updates: dict[str, str | None],
             ),
         ).alias("spans"),
     )
+
+
+def split_into_n_docs(docs: DataFrame, document_count: int) -> DataFrame:
+    """S3 split-by-DOC-count (SplitPdfBySizeController.java:287-310,
+    splitType=2): ``total // n`` pages per part, the first
+    ``total % n`` parts one page bigger; empty parts are skipped and
+    file indices stay consecutive (the controller's ``continue``
+    without incrementing only happens for trailing empty parts, so the
+    closed-form part index below is already dense). Pure column
+    arithmetic — the page->part map needs only the per-doc total:
+
+        p0 < extra*(per+1) : part = p0 // (per+1)
+        else               : part = extra + (p0-extra*(per+1)) // per
+
+    Non-page spans stick to the LAST part (read-after-pages contract,
+    like split_at_pages); output ids get '#d{k}'; offsets re-packed."""
+    if document_count <= 0:
+        raise ValueError(f"document count: {document_count}")
+    n = F.lit(document_count)
+    s = F.col("s")
+    page = span_page(s)
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    totals = (
+        exploded.filter(_is_page_kind(s))
+        .groupBy("doc_id")
+        .agg(F.max(span_page(s)).cast("long").alias("np"))
+    )
+    tagged = exploded.join(totals, "doc_id", "left")
+    per = (F.col("np") / n).cast("long")          # floor: np, n >= 0
+    extra = F.col("np") % n
+    p0 = page - 1
+    head = extra * (per + 1)
+    part_of_page = F.when(p0 < head, (p0 / (per + 1)).cast("long")) \
+        .otherwise(extra + ((p0 - head) /
+                            F.greatest(per, F.lit(1))).cast("long"))
+    last_part = F.least(F.col("np"), n.cast("long")) - 1
+    part = F.when(_is_page_kind(s), part_of_page) \
+        .otherwise(F.coalesce(last_part, F.lit(0)))
+    out = tagged.select(
+        F.concat("doc_id", F.lit("#d"), part.cast("long").cast("string"))
+        .alias("doc_id"),
+        "s",
+    )
+    return _regroup(out)
+
+
+def page_byte_sizes(docs: DataFrame) -> DataFrame:
+    """Per-page content-byte weights: sum of text-run CONTENT bytes
+    (after the wire header) per page — the size model split-by-size
+    ranges are computed over. Every page with any page-kind span gets
+    a row (textless pages weigh 0)."""
+    s = F.col("s")
+    content = F.substring_index(s["text"], "\t", -1)
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(_is_page_kind(s))
+        .groupBy("doc_id", span_page(s).alias("page"))
+        .agg(F.sum(
+            F.when(s["kind"] == "text", F.octet_length(content))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("b"))
+    )
+
+
+def split_by_byte_size(docs: DataFrame, max_bytes: int) -> DataFrame:
+    """S3 split-by-SIZE (SplitPdfBySizeController.java:193-240,
+    splitType=0): contiguous page ranges cut when the accumulated size
+    exceeds ``max_bytes`` — but, exactly like the reference, size is
+    only PROBED at check frequency: after the 5th/10th/15th page of a
+    range, every page from the 20th on, and at the last page; on an
+    over-budget probe the range backtracks by ONE page (not to the
+    last fitting prefix), so emitted ranges can exceed the budget by
+    whatever accumulated between probes. The reference's look-ahead
+    (:250-269) only fast-forwards pages the loop would add anyway and
+    never changes the emitted ranges, so it is not modeled. Size =
+    page content bytes (page_byte_sizes); the reference probes
+    serialized-PDF bytes, which this model replaces deterministically.
+
+    The per-doc state machine runs as ONE JVM-side aggregate fold over
+    the page-size array (no Python, no shuffle beyond the page-size
+    groupBy); docs are independent, so the 100 TB shape is
+    embarrassingly parallel with per-doc O(pages) work."""
+    nm = F.size("ps")
+
+    def step(acc, x):
+        idx = acc["idx"]
+        run = acc["run"] + x["b"]
+        added = idx - acc["start"] + 1
+        chk = ((added % 5 == 0) | (added >= 20)
+               | (idx == nm.cast("long") - 1))
+        over = run > F.lit(max_bytes)
+        last_and_big = ((idx == nm.cast("long") - 1)
+                        & (x["b"] > F.lit(max_bytes)))
+        backtrack = chk & over & (added > 1)
+        single = chk & over & (added == 1)
+        new_ends = (
+            F.when(backtrack & last_and_big,
+                   F.concat(acc["ends"], F.array(idx - 1, idx)))
+            .when(backtrack, F.concat(acc["ends"], F.array(idx - 1)))
+            .when(single, F.concat(acc["ends"], F.array(idx)))
+            .otherwise(acc["ends"])
+        )
+        new_start = (
+            F.when(backtrack & last_and_big, idx + 1)
+            .when(backtrack, idx)
+            .when(single, idx + 1)
+            .otherwise(acc["start"])
+        )
+        new_run = (
+            F.when(backtrack & last_and_big, F.lit(0).cast("long"))
+            .when(backtrack, x["b"])
+            .when(single, F.lit(0).cast("long"))
+            .otherwise(run)
+        )
+        return F.struct(
+            new_ends.alias("ends"), new_start.cast("long").alias("start"),
+            new_run.cast("long").alias("run"),
+            (idx + 1).cast("long").alias("idx"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<long>").alias("ends"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("idx"),
+    )
+    sizes = (
+        page_byte_sizes(docs)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("page", "b")))
+             .alias("ps"))
+        .withColumn("ends", F.aggregate("ps", init, step)["ends"])
+    )
+    page_part = sizes.select(
+        "doc_id",
+        F.explode(F.transform(
+            "ps",
+            lambda x, i: F.struct(
+                x["page"].alias("page"),
+                F.size(F.filter(
+                    F.col("ends"), lambda e: e < i.cast("long")
+                )).cast("long").alias("part"),
+            ),
+        )).alias("pp"),
+    ).select("doc_id", F.col("pp.page").alias("page"),
+             F.col("pp.part").alias("part"))
+    n_parts = page_part.groupBy("doc_id").agg(
+        (F.max("part") + 1).alias("n_parts"))
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    tagged = (
+        exploded.withColumn("page", span_page(s))
+        .join(page_part, ["doc_id", "page"], "left")
+        .join(n_parts, "doc_id", "left")
+    )
+    part = F.coalesce(F.col("part"), F.col("n_parts") - 1, F.lit(0))
+    out = tagged.select(
+        F.concat("doc_id", F.lit("#b"), part.cast("long").cast("string"))
+        .alias("doc_id"),
+        "s",
+    )
+    return _regroup(out)
+
+
+def flatten_forms(docs: DataFrame, x: float = 72.0, y0: float = 680.0,
+                  slot_step: float = 14.0, font_size: float = 11.0,
+                  font: str = "Helvetica") -> DataFrame:
+    """S11-family form flattening (FlattenController.java:26-35,
+    flattenOnlyForms=true -> acroForm.flatten()): AcroForm fields stop
+    being interactive — their VALUES become static page content and
+    the field dictionaries disappear. The span model carries no widget
+    rects, so the widget model is a parameter: field i's widget sits
+    on the document's LAST page at (x, y0 + slot_step*i) — defaults
+    put the paint zone below the corpus body band (40 lines * 14pt
+    from y=72 ends at 618) and the media band (650..770 starts at
+    x=100; the zone is left of it and text never clusters with media).
+    Fields with empty values (unfilled fields, signature placeholders)
+    paint nothing, like an empty appearance stream. Full-page flatten
+    (render-to-image) is raster/out of scope."""
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    last_page = (
+        exploded.filter(_is_page_kind(s))
+        .groupBy("doc_id")
+        .agg(F.max(span_page(s)).cast("long").alias("lp"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s.offset"))
+    value = F.element_at(F.split(s["text"], r"\|", 3), 3)
+    painted = (
+        exploded.filter(s["kind"] == "formfield")
+        .withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("value", value)
+        .filter(F.col("value") != "")
+        .join(last_page, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.coalesce(F.col("lp"), F.lit(1)).cast("string"),
+                    F.lit(f"|{x!r}|"),
+                    (F.lit(y0) + F.col("i") * slot_step).cast("string"),
+                    F.lit(f"|{font_size!r}|{font}\t"),
+                    F.col("value"),
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                (F.lit(1_000_000) + F.col("i")).cast("int").alias("offset"),
+            ).alias("s"),
+        )
+    )
+    kept = exploded.filter(s["kind"] != "formfield").select("doc_id", "s")
+    return _regroup(kept.unionByName(painted))

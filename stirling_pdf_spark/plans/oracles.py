@@ -1183,6 +1183,139 @@ WITH d AS (
 SELECT doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM rows_ WHERE n > 0
 """
 
+SPLIT_BYTE_MAX = 5000  # byte budget for the split-by-size gate
+
+# S3 split-by-DOC-count (SplitPdfBySizeController.java:287-310, n=3)
+# over the x32 repeat corpus: per = np//3 pages per part, first np%3
+# parts one bigger, empty trailing parts skipped; media only on
+# COMPLETED every-3rd pages; attachment sticks to the last part.
+S3_SPLIT_DOC_COUNT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         4 * len(string_split(text, ' ')) AS nl,
+         sha256(repeat(text || ' ', 31) || text) AS h
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, nl, h, (nl - 1) // 40 + 1 AS np FROM d
+), parts AS (
+  SELECT did, nl, np, h, unnest(range(0, LEAST(np, 3))) AS k,
+         np // 3 AS per, np % 3 AS extra
+  FROM b
+), geom AS (
+  SELECT did, nl, np, k,
+         k * per + LEAST(k, extra) AS rs,
+         per + CASE WHEN k < extra THEN 1 ELSE 0 END AS sz
+  FROM parts
+), rows_ AS (
+  SELECT did || '#d' || CAST(k AS VARCHAR) AS doc_id, 'text' AS kind,
+         LEAST(nl - 40 * rs, 40 * sz) AS n
+  FROM geom
+  UNION ALL
+  SELECT did || '#d' || CAST(k AS VARCHAR), 'media',
+         GREATEST(LEAST(rs + sz, nl // 40) // 3 - rs // 3, 0)
+  FROM geom
+  UNION ALL
+  SELECT did || '#d' || CAST(LEAST(np, 3) - 1 AS VARCHAR), 'attachment', 1
+  FROM b WHERE substr(h, 64, 1) = '0'
+)
+SELECT doc_id, kind, CAST(n AS BIGINT) AS n_spans FROM rows_ WHERE n > 0
+"""
+
+# S3 split-by-SIZE (SplitPdfBySizeController.java:193-240) over the
+# x32 repeat corpus: the reference's probe-frequency state machine —
+# checks after the 5th/10th/15th page of a range, every page from the
+# 20th, and at the last page; over-budget probes backtrack by ONE page
+# (ranges CAN exceed the budget; the look-ahead is outcome-neutral,
+# see operators/pageops.split_by_byte_size). Size model = per-page
+# text-content bytes (strlen = byte length in DuckDB, octet_length in
+# Spark). The machine is a recursive CTE: each step finds the first
+# over-budget checkpoint via a correlated MIN over page prefix sums —
+# pinned against a direct simulation of the Java loop in
+# tests/test_split_modes.py.
+S3_SPLIT_BYTE_SIZE = f"""
+WITH RECURSIVE d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         flatten(list_transform(range(32),
+                                x -> string_split(text, ' '))) AS w32,
+         4 * len(string_split(text, ' ')) AS nl
+  FROM documents WHERE length(trim(text)) > 0
+), li AS (
+  SELECT did, i,
+         strlen(array_to_string(w32[(i*8+1):(i*8+8)], ' ')) AS lb
+  FROM (SELECT did, w32, unnest(range(0, nl)) AS i FROM d)
+), cum AS (
+  SELECT did, q, b,
+         SUM(b) OVER (PARTITION BY did ORDER BY q) AS cb,
+         COUNT(*) OVER (PARTITION BY did) AS np
+  FROM (SELECT did, i // 40 AS q, SUM(lb) AS b
+        FROM li GROUP BY did, i // 40)
+), parts AS (
+  SELECT did, np, 0 AS k, 0 AS rs,
+         COALESCE(
+           (SELECT CASE WHEN MIN(c.q) > 0 THEN MIN(c.q) - 1
+                        ELSE MIN(c.q) END
+            FROM cum c
+            WHERE c.did = s.did
+              AND ((c.q + 1) % 5 = 0 OR c.q + 1 >= 20 OR c.q = s.np - 1)
+              AND c.cb > {{MAXB}}),
+           np - 1) AS re
+  FROM (SELECT DISTINCT did, np FROM cum) s
+  UNION ALL
+  SELECT did, np, k + 1, rs2,
+         COALESCE(
+           (SELECT CASE WHEN MIN(c.q) > rs2 THEN MIN(c.q) - 1
+                        ELSE MIN(c.q) END
+            FROM cum c
+            WHERE c.did = p.did AND c.q >= rs2
+              AND ((c.q - rs2 + 1) % 5 = 0 OR c.q - rs2 + 1 >= 20
+                   OR c.q = p.np - 1)
+              AND c.cb - cbb > {{MAXB}}),
+           np - 1) AS re
+  FROM (SELECT did, np, k, re + 1 AS rs2,
+               (SELECT cb FROM cum c3
+                WHERE c3.did = parts.did AND c3.q = parts.re) AS cbb
+        FROM parts WHERE re < np - 1) p
+), sized AS (
+  SELECT p.did || '#b' || CAST(p.k AS VARCHAR) AS doc_id,
+         LEAST(d.nl, 40 * (p.re + 1)) - 40 * p.rs AS n
+  FROM parts p JOIN d ON d.did = p.did
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_lines FROM sized WHERE n > 0
+""".replace("{MAXB}", str(SPLIT_BYTE_MAX))
+
+# S11-family form flatten (FlattenController.java flattenOnlyForms):
+# field VALUES become static last-page text below the body band, the
+# field dictionaries disappear; empty values (incl. the signature
+# placeholder) paint nothing. Full text = body lines ++ painted
+# values; fields re-derived from the same hash digits as E16.
+S11_FLATTEN_FORMS = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         sha256(text) AS h
+  FROM documents WHERE length(trim(text)) > 0
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM d
+), lines AS (
+  SELECT did, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM l WHERE i < 2000
+), painted AS (
+  SELECT did, 1000000 + j AS i, w[CAST(j + 1 AS BIGINT)] AS line
+  FROM (SELECT did, w, unnest(range(0, (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) % 3)) AS j FROM d)
+  WHERE j + 1 <= len(w) AND w[CAST(j + 1 AS BIGINT)] <> ''
+), all_lines AS (
+  SELECT * FROM lines UNION ALL SELECT * FROM painted
+)
+SELECT did AS doc_id, CAST(0 AS BIGINT) AS n_formfields,
+       md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5,
+       CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS n_chars
+FROM all_lines GROUP BY did
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
