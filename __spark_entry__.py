@@ -745,6 +745,164 @@ def q_s11_flatten_forms(spark: SparkSession, sf_dir: str,
                     F.length(full).cast("long").alias("n_chars")))
 
 
+def q_s9_watermark_grid(spark: SparkSession, sf_dir: str,
+                        docs: DataFrame | None = None) -> DataFrame:
+    """S9-family text watermark (WatermarkController.java
+    addTextWatermark): a 9x4 grid of 'WATERMARK' stamps tiles every
+    page (pitch = spacer + text extent, rows/cols = page/pitch + 1,
+    loops inclusive — tiles run past the page edge unclipped, exactly
+    like the reference's content stream). The grid y-positions are
+    congruent 8 mod 14 while body lines are congruent 2, so no stamp
+    shares a baseline with body text and the full reading order —
+    stamps interleaved with body lines by (page, y, x) — is pinned by
+    the whole-text md5."""
+    from stirling_pdf_spark.operators.pageops import add_watermark
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_from_documents_table(spark, sf_dir)
+    wm = add_watermark(docs, "WATERMARK", rotation=0.0,
+                       width_spacer=216, height_spacer=92,
+                       font_size=20.0)
+    flat = explode_spans(extract_spans(wm)).filter(
+        F.col("kind") == "text")
+    assembled = flat.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("full_text")
+    )
+    return assembled.select(
+        "doc_id", F.md5("full_text").alias("text_md5"),
+        F.length("full_text").cast("long").alias("n_chars"),
+    )
+
+
+def q_remove_blank_pages(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """/remove-blank-pages (BlankPageController.java:57-104 text rule)
+    through the wire: every corpus doc gets a whitespace-only page at
+    np+1 AND a marker page at np+2; removal must drop exactly the
+    blank page and RENUMBER the marker to np+1 — per-page text-span
+    counts after removal pin both the drop and the dense renumber."""
+    from stirling_pdf_spark.operators.pageops import remove_blank_pages
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_from_documents_table(spark, sf_dir)
+    pages = F.transform(
+        F.filter("spans", lambda s: s["kind"].isin("text", "media")),
+        lambda s: F.split_part(
+            F.substring_index(s["text"], "\t", 1), F.lit("|"), F.lit(1)
+        ).cast("long"),
+    )
+    maxp = F.coalesce(F.array_max(pages), F.lit(0).cast("long"))
+    blank_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat((maxp + 1).cast("string"),
+                 F.lit("|72.0|72.0|11.0|Helvetica\t   ")).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.size("spans").alias("offset"),
+    )
+    marker_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat((maxp + 2).cast("string"),
+                 F.lit("|72.0|72.0|11.0|Helvetica\ttail marker"))
+        .alias("text"),
+        F.lit("").alias("media_ref"),
+        (F.size("spans") + 1).alias("offset"),
+    )
+    with_extra = docs.select(
+        "doc_id",
+        F.concat("spans", F.array(blank_span, marker_span)).alias("spans"),
+    )
+    out = remove_blank_pages(with_extra)
+    s = F.col("s")
+    flat = out.select("doc_id", F.explode("spans").alias("s")).filter(
+        s["kind"] == "text")
+    page = F.split_part(F.substring_index(s["text"], "\t", 1),
+                        F.lit("|"), F.lit(1)).cast("long")
+    return flat.groupBy("doc_id", page.alias("page")).agg(
+        F.count("*").cast("long").alias("n_text"))
+
+
+def q_sanitize_pdf(spark: SparkSession, sf_dir: str,
+                   docs: DataFrame | None = None) -> DataFrame:
+    """/sanitize-pdf with EVERY option on (SanitizeController.java:
+    26-208): per doc the gate appends a JavaScript meta, a Link
+    annotation with a URI action and a FileAttachment annotation, then
+    sanitizes — JS/attachments/FileAttachments/Info-dict metas must
+    vanish, Link annotations must survive with their action CLEARED,
+    catalog-state metas (encryption flags, XFA) and AcroForm fields
+    must pass through untouched, and every text run keeps its content
+    but loses its font (the page /Font resource removal)."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import sanitize_docs
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    extra = [
+        ("meta", "js_openaction|app.alert(1)", ""),
+        ("annotation", "1|10.0|700.0|20.0|20.0\tLink|https://example.com|a|s", ""),
+        ("annotation", "1|40.0|700.0|20.0|20.0\tFileAttachment|f.bin|a|s", ""),
+    ]
+    extra_arr = F.array(*[
+        F.struct(F.lit(k).alias("kind"), F.lit(t).alias("text"),
+                 F.lit(m).alias("media_ref"),
+                 (F.size("spans") + i).alias("offset"))
+        for i, (k, t, m) in enumerate(extra)
+    ])
+    appended = docs.select(
+        "doc_id", F.concat("spans", extra_arr).alias("spans"))
+    out = sanitize_docs(appended, remove_javascript=True,
+                        remove_embedded_files=True, remove_metadata=True,
+                        remove_links=True, remove_fonts=True)
+    s = F.col("s")
+    flat = out.select("doc_id", F.explode("spans").alias("s"))
+    meta_key = F.split_part(s["text"], F.lit("|"), F.lit(1))
+    body = F.substring_index(s["text"], "\t", -1)
+    ann_subtype = F.split_part(body, F.lit("|"), F.lit(1))
+    ann_contents = F.split_part(body, F.lit("|"), F.lit(2))
+    font = F.split_part(F.substring_index(s["text"], "\t", 1),
+                        F.lit("|"), F.lit(5))
+    is_meta = s["kind"] == "meta"
+    info_keys = F.array(*[F.lit(k) for k in (
+        "title", "author", "subject", "keywords", "creator",
+        "producer", "created", "modified")])
+    return flat.groupBy("doc_id").agg(
+        F.sum(F.when(s["kind"] == "attachment", 1).otherwise(0))
+        .cast("long").alias("n_attachments"),
+        F.sum(F.when((s["kind"] == "annotation")
+                     & (ann_subtype == "FileAttachment"), 1).otherwise(0))
+        .cast("long").alias("n_fileattach"),
+        F.sum(F.when(is_meta & meta_key.startswith("js_"), 1)
+              .otherwise(0)).cast("long").alias("n_js"),
+        F.sum(F.when(is_meta & F.array_contains(info_keys, meta_key), 1)
+              .otherwise(0)).cast("long").alias("n_info_meta"),
+        F.sum(F.when(is_meta & ~F.array_contains(info_keys, meta_key)
+                     & ~meta_key.startswith("js_"), 1).otherwise(0))
+        .cast("long").alias("n_other_meta"),
+        F.sum(F.when((s["kind"] == "annotation")
+                     & (ann_subtype == "Link"), 1).otherwise(0))
+        .cast("long").alias("n_link"),
+        F.sum(F.when((s["kind"] == "annotation")
+                     & (ann_subtype == "Link")
+                     & (ann_contents != ""), 1).otherwise(0))
+        .cast("long").alias("n_link_with_uri"),
+        F.sum(F.when(s["kind"] == "formfield", 1).otherwise(0))
+        .cast("long").alias("n_formfields"),
+        F.array_join(F.array_distinct(F.sort_array(F.collect_list(
+            F.when(s["kind"] == "text", font)))), ",")
+        .alias("fonts_sig"),
+    )
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1631,6 +1789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_split_doc_count": q_s3_split_doc_count,
         "s3_split_byte_size": q_s3_split_byte_size,
         "s11_flatten_forms": q_s11_flatten_forms,
+        "s9_watermark_grid": q_s9_watermark_grid,
+        "remove_blank_pages": q_remove_blank_pages,
+        "sanitize_pdf": q_sanitize_pdf,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1663,10 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_span_counts": q_extract_span_counts,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         "q5_nation_volume": R.q5_nation_volume,
-        "e16_customer_profile": R.e16_customer_profile,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
-        "s4_lead_next_order": R.s4_lead_next_order,
-        "s6_reverse_permutation": R.s6_reverse_permutation,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
@@ -1675,16 +1833,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # ann_lsh_buckets / q1 / q3 / e18_top_order yielded their r4
-        # slots to the four NEW gates (JPEG decode, split-by-size,
-        # split-by-doc-count, form flatten): each displaced gate's
-        # shape family stays in-window (ann_lsh_topk = same buckets +
-        # top-k; q5 = join+agg; s3_running_sum/s4_lead = windows) and
-        # all stay replica-verified by scripts/check_queries.py
+        # Seven r1/r2-green gates yielded their r4 slots to the seven
+        # NEW gates (JPEG decode, split-by-size, split-by-doc-count,
+        # form flatten, watermark grid, remove-blank-pages, sanitize):
+        # each displaced gate is a relational ANALOGUE whose operator
+        # family keeps a fresh row in-window (ann_lsh_topk = same
+        # buckets + top-k; q5 = join+agg; s3_running_sum = windows;
+        # e16_form_fields / s6_reverse_extract / s4_split_chapters are
+        # the REAL operators behind the displaced analogues), and all
+        # stay replica-verified by scripts/check_queries.py
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "e18_top_order_per_customer": R.e18_top_order_per_customer,
+        "e16_customer_profile": R.e16_customer_profile,
+        "s4_lead_next_order": R.s4_lead_next_order,
+        "s6_reverse_permutation": R.s6_reverse_permutation,
         # stable gates below: green in CORRECTNESS_r03, unchanged since
         # (emb_near_dup_lsh / text_lang_id / the two events gates
         # yielded their r4 slots to the four new gates; all r2-green +
@@ -1764,6 +1928,9 @@ def oracle_sql() -> dict[str, str]:
         "s3_split_doc_count": O.S3_SPLIT_DOC_COUNT,
         "s3_split_byte_size": O.S3_SPLIT_BYTE_SIZE,
         "s11_flatten_forms": O.S11_FLATTEN_FORMS,
+        "s9_watermark_grid": O.S9_WATERMARK_GRID,
+        "remove_blank_pages": O.REMOVE_BLANK_PAGES,
+        "sanitize_pdf": O.SANITIZE_PDF,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

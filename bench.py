@@ -68,12 +68,16 @@ BENCH_QUERIES = (
     "s3_split_doc_count",
     "s3_split_byte_size",
     "s11_flatten_forms",
+    "s9_watermark_grid",
+    "remove_blank_pages",
+    "sanitize_pdf",
 )
 
 # queries that consume a shared materialized corpus (extract/derive
 # once, fan out — the deployment shape; which corpus varies by gate)
 _RICH_CONSUMERS = ("e17_full_info", "e18_title_inference")
-_PLAIN_CONSUMERS = ("f6_filter_rotation",)
+_PLAIN_CONSUMERS = ("f6_filter_rotation", "s9_watermark_grid",
+                    "remove_blank_pages")
 _REPEAT_CONSUMERS = ("s9_page_numbers", "s3_split_doc_count",
                      "s3_split_byte_size")         # ×32 plain repeat
 _RICH_REPEAT_CONSUMERS = ("toc_set_outline",)      # ×32 rich repeat

@@ -1943,3 +1943,216 @@ def flatten_forms(docs: DataFrame, x: float = 72.0, y0: float = 680.0,
     )
     kept = exploded.filter(s["kind"] != "formfield").select("doc_id", "s")
     return _regroup(kept.unionByName(painted))
+
+
+def add_watermark(docs: DataFrame, text: str, rotation: float = 0.0,
+                  opacity: float = 0.5, width_spacer: int = 50,
+                  height_spacer: int = 50, font_size: float = 30.0,
+                  font: str = "NotoSans", page_w: float = 612.0,
+                  page_h: float = 792.0) -> DataFrame:
+    """S9-family text watermark (WatermarkController.java
+    addTextWatermark): the text tiles EVERY page on a grid whose pitch
+    is the rotated bounding box of (width_spacer + text width,
+    height_spacer + font_size * n_lines) — rows/cols =
+    min(int(page/pitch + 1), 10000), loops INCLUSIVE on both ends, so
+    at least a 2x2 grid is always painted and tiles may run past the
+    page edge (the reference draws unclipped; extraction reads them).
+    Width model: len * CHAR_WIDTH_FACTOR * font_size in place of the
+    reference's font.getStringWidth/1000. Opacity and color are
+    render-only properties with no extraction-visible effect, accepted
+    and ignored; glyph rotation likewise cannot ride the text wire, so
+    ``rotation`` contributes exactly what span equality can see — the
+    rotated-bbox grid pitch. Multi-line text stacks lines fs apart
+    (newLineAtOffset(0, -fontSize)). Screen y = page_h - pdf_y."""
+    import math
+
+    del opacity  # render-only (content-stream alpha), not extractable
+    lines = text.replace("\\n", "\n").split("\n")
+    cw = 0.5  # kernel CHAR_WIDTH_FACTOR
+    wm_w = width_spacer + max(len(ln) for ln in lines) * cw * font_size
+    wm_h = height_spacer + font_size * len(lines)
+    rad = math.radians(rotation)
+    new_w = abs(wm_w * math.cos(rad)) + abs(wm_h * math.sin(rad))
+    new_h = abs(wm_w * math.sin(rad)) + abs(wm_h * math.cos(rad))
+    rows = min(int(page_h / new_h + 1), 10_000)
+    cols = min(int(page_w / new_w + 1), 10_000)
+    stamps = []  # (x, y_pdf_offset_from_row_origin, content)
+    for i in range(rows + 1):
+        for j in range(cols + 1):
+            for k, ln in enumerate(lines):
+                if ln:
+                    stamps.append((j * new_w, i * new_h - k * font_size,
+                                   ln))
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    pages = (
+        exploded.filter(_is_page_kind(s))
+        .select("doc_id", span_page(s).alias("page"))
+        .distinct()
+    )
+    stamp_arr = F.array(*[
+        F.struct(F.lit(float(x)).alias("x"),
+                 F.lit(float(page_h - ypdf)).alias("y"),
+                 F.lit(c).alias("content"),
+                 F.lit(idx).alias("idx"))
+        for idx, (x, ypdf, c) in enumerate(stamps)
+    ])
+    painted = pages.select(
+        "doc_id",
+        F.explode(stamp_arr).alias("t"),
+        F.col("page"),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(
+                F.col("page").cast("string"), F.lit("|"),
+                F.col("t.x").cast("string"), F.lit("|"),
+                F.col("t.y").cast("string"),
+                F.lit(f"|{font_size!r}|{font}\t"),
+                F.col("t.content"),
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+            (F.lit(1_000_000) + F.col("page") * len(stamps)
+             + F.col("t.idx")).cast("int").alias("offset"),
+        ).alias("s"),
+    )
+    return _regroup(exploded.select("doc_id", "s").unionByName(painted))
+
+
+def remove_blank_pages(docs: DataFrame) -> DataFrame:
+    """/remove-blank-pages (BlankPageController.java:57-104, text
+    rule): pages whose glyph runs are all whitespace-only are dropped
+    — with every span they carry — and the remaining pages renumber
+    densely so the output document reads like the reference's
+    re-assembled keep-list (the raster fallback for image-only pages
+    is out of scope; pages with media but no text are KEPT, matching
+    the reference's image branch when the render is non-blank).
+    Non-page spans always survive."""
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    content = F.substring_index(s["text"], "\t", -1)
+    visible = (
+        exploded.filter(_is_page_kind(s))
+        .groupBy("doc_id", span_page(s).alias("page"))
+        .agg(F.max(
+            F.when((s["kind"] == "text")
+                   & (F.trim(content) != ""), 1)
+            .when(s["kind"] == "media", 1)
+            .otherwise(0)
+        ).alias("keep"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("page")
+    kept = (
+        visible.filter(F.col("keep") == 1)
+        .withColumn("new_page", F.row_number().over(w).cast("long"))
+        .select("doc_id", "page", "new_page")
+    )
+    tagged = (
+        exploded.withColumn("page", span_page(s))
+        .join(kept, ["doc_id", "page"], "left")
+    )
+    # page spans without a keep row are on blank pages -> dropped
+    survivors = tagged.filter(
+        (~_is_page_kind(s)) | F.col("new_page").isNotNull())
+    renum = F.when(
+        _is_page_kind(s),
+        F.concat(F.col("new_page").cast("string"),
+                 F.expr("substring(s.text, instr(s.text, '|'))")),
+    ).otherwise(s["text"])
+    out = survivors.select(
+        "doc_id",
+        F.struct(
+            s["kind"].alias("kind"), renum.alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ).alias("s"),
+    )
+    return _regroup(out)
+
+
+SANITIZE_INFO_KEYS = ("title", "author", "subject", "keywords",
+                      "creator", "producer", "created", "modified")
+
+
+def sanitize_docs(docs: DataFrame, remove_javascript: bool = True,
+                  remove_embedded_files: bool = True,
+                  remove_metadata: bool = False,
+                  remove_links: bool = False,
+                  remove_fonts: bool = False) -> DataFrame:
+    """/sanitize-pdf (SanitizeController.java:26-208), span-model
+    mapping of each option:
+
+      * removeJavaScript: meta spans with a 'js_' key prefix (the
+        Names/JavaScript tree + OpenAction/AA scripts ride the wire as
+        'js_<slot>|<source>' document state) are dropped (:69-152);
+      * removeEmbeddedFiles: attachment spans AND FileAttachment
+        annotations are dropped (:154-168 removes both);
+      * removeMetadata: Info-dict keys are wiped (a fresh
+        PDDocumentInformation, :179-185) — model-state metas
+        (encryption flags, XFA) are catalog state, not Info-dict, and
+        survive;
+      * removeLinks: Link annotations LOSE their URI/Launch action but
+        stay present (:187-198 nulls the action only) — the wire's
+        contents slot carries the URI and is cleared;
+      * removeFonts: the page /Font resource goes away (:200-208), so
+        text runs keep geometry and content but lose the font name.
+
+    One narrow per-row projection — no explode, no shuffle: every
+    option is a span-level filter/rewrite inside a single transform,
+    the cheapest possible 100 TB shape."""
+    info_keys = F.array(*[F.lit(k) for k in SANITIZE_INFO_KEYS])
+
+    def keep(sp: Column) -> Column:
+        meta_key = F.split_part(sp["text"], F.lit("|"), F.lit(1))
+        body = F.substring_index(sp["text"], "\t", -1)
+        ann_subtype = F.split_part(body, F.lit("|"), F.lit(1))
+        drop = F.lit(False)
+        if remove_javascript:
+            drop = drop | ((sp["kind"] == "meta")
+                           & meta_key.startswith("js_"))
+        if remove_embedded_files:
+            drop = drop | (sp["kind"] == "attachment") | (
+                (sp["kind"] == "annotation")
+                & (ann_subtype == "FileAttachment"))
+        if remove_metadata:
+            drop = drop | ((sp["kind"] == "meta")
+                           & F.array_contains(info_keys, meta_key))
+        return ~drop
+
+    def rewrite(sp: Column, i: Column) -> Column:
+        text = sp["text"]
+        if remove_links:
+            head = F.substring_index(text, "\t", 1)
+            body = F.substring_index(text, "\t", -1)
+            parts = F.split(body, r"\|")
+            # annot body: subtype|contents|author|subject — clear the
+            # contents (action/URI) slot of Link annotations only
+            cleared = F.concat_ws(
+                "|", parts[0], F.lit(""), parts[2], parts[3])
+            text = F.when(
+                (sp["kind"] == "annotation")
+                & (parts[0] == "Link"),
+                F.concat(head, F.lit("\t"), cleared),
+            ).otherwise(text)
+        if remove_fonts:
+            # text wire: page|x|y|fs|font\tcontent -> font cleared
+            head = F.substring_index(text, "\t", 1)
+            content = F.substring_index(text, "\t", -1)
+            hp = F.split(head, r"\|")
+            text = F.when(
+                sp["kind"] == "text",
+                F.concat(F.concat_ws("|", hp[0], hp[1], hp[2], hp[3],
+                                     F.lit("")),
+                         F.lit("\t"), content),
+            ).otherwise(text)
+        return F.struct(
+            sp["kind"].alias("kind"), text.alias("text"),
+            sp["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    return docs.select(
+        "doc_id",
+        F.transform(F.filter("spans", keep), rewrite).alias("spans"),
+    )

@@ -1316,6 +1316,96 @@ SELECT did AS doc_id, CAST(0 AS BIGINT) AS n_formfields,
 FROM all_lines GROUP BY did
 """
 
+# S9-family watermark grid (WatermarkController.addTextWatermark,
+# rotation 0): 'WATERMARK' at fs=20, ws=216, hs=92 -> pitch 306x112,
+# cols = int(612/306+1) = 3 (j 0..3, x = 306j), rows = int(792/112+1)
+# = 8 (i 0..8, screen y = 792 - 112i, congruent 8 mod 14 so no stamp
+# shares a baseline with body lines at 72 + 14k, congruent 2). Every
+# stamp is its own visual line (x-gaps 216 > 14 split boxes; width 90
+# < 100 never joins the column vote); full text = all lines in
+# (page, y, x) order.
+S9_WATERMARK_GRID = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT did, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS nl,
+         (CAST(ceil(len(w) / 8.0) AS BIGINT) - 1) // 40 + 1 AS np
+  FROM d
+), body AS (
+  SELECT did, i // 40 + 1 AS page,
+         CAST(72 + 14 * (i % 40) AS DOUBLE) AS y,
+         CAST(72 AS DOUBLE) AS x,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM (SELECT did, w, unnest(range(0, nl)) AS i FROM b WHERE nl > 0)
+  WHERE i < 2000
+), wm AS (
+  SELECT p.did, p.page,
+         CAST(792 - 112 * gi.i AS DOUBLE) AS y,
+         CAST(306 * gj.j AS DOUBLE) AS x,
+         'WATERMARK' AS line
+  FROM (SELECT did, unnest(range(1, np + 1)) AS page FROM b) p,
+       (SELECT unnest(range(0, 9)) AS i) gi,
+       (SELECT unnest(range(0, 4)) AS j) gj
+), all_lines AS (
+  SELECT * FROM body UNION ALL SELECT * FROM wm
+)
+SELECT did AS doc_id,
+       md5(string_agg(line, chr(10) ORDER BY page, y, x)) AS text_md5,
+       CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS n_chars
+FROM all_lines GROUP BY did
+"""
+
+# /remove-blank-pages through the wire: the gate appends a
+# whitespace-only page np+1 and a marker page np+2; after removal the
+# body pages keep their numbers and the marker renumbers to np+1.
+REMOVE_BLANK_PAGES = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+  FROM documents
+), b AS (
+  SELECT did, nl,
+         CASE WHEN nl = 0 THEN 0 ELSE (nl - 1) // 40 + 1 END AS np
+  FROM d
+), rows_ AS (
+  SELECT did, unnest(range(1, np + 1)) AS page, nl FROM b
+)
+SELECT did AS doc_id, CAST(page AS BIGINT) AS page,
+       CAST(LEAST(nl - 40 * (page - 1), 40) AS BIGINT) AS n_text
+FROM rows_
+UNION ALL
+SELECT did, CAST(np + 1 AS BIGINT), CAST(1 AS BIGINT) FROM b
+"""
+
+# /sanitize-pdf, all options on, over the analysis corpus + the
+# gate-appended JS meta / Link / FileAttachment annotations:
+# removal columns all-zero, Link survives action-cleared, catalog
+# metas and AcroForm fields pass through, fonts cleared.
+SANITIZE_PDF = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST(0 AS BIGINT) AS n_attachments,
+       CAST(0 AS BIGINT) AS n_fileattach,
+       CAST(0 AS BIGINT) AS n_js,
+       CAST(0 AS BIGINT) AS n_info_meta,
+       CAST(CASE WHEN (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) % 2 = 0 THEN 5 ELSE 1 END
+            + CASE WHEN (strpos('0123456789abcdef', substr(h, 16, 1)) - 1) % 4 = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_other_meta,
+       CAST(1 AS BIGINT) AS n_link,
+       CAST(0 AS BIGINT) AS n_link_with_uri,
+       CAST((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) % 3
+            + CASE WHEN (strpos('0123456789abcdef', substr(h, 16, 1)) - 1) % 4 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_formfields,
+       '' AS fonts_sig
+FROM d
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
