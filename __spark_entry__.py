@@ -903,6 +903,86 @@ def q_sanitize_pdf(spark: SparkSession, sf_dir: str,
     )
 
 
+def q_security_password(spark: SparkSession, sf_dir: str,
+                        docs: DataFrame | None = None) -> DataFrame:
+    """/add-password and /remove-password (PasswordController.java:
+    54-139) over the analysis corpus, split by doc parity so neither
+    op can mask the other: even docs get protect() with a user
+    password at keyLength 128 and two prevent* flags — the full
+    12-key security state must land (AESV2/128/rev4, permissions) —
+    while odd docs get setAllSecurityToBeRemoved — is_encrypted flips
+    false and EVERY encryption-state key disappears, including the
+    corpus's own pre-encrypted AESV3/AESV2 blocks. State read back
+    through real extraction (extract_metadata)."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.extract_pipeline import (
+        extract_metadata,
+    )
+    from stirling_pdf_spark.operators.pageops import (
+        ENCRYPTION_STATE_KEYS, add_password, remove_password,
+    )
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
+    protected = add_password(
+        docs.filter(num % 2 == 0), user_password="u",
+        owner_password="o", key_length=128, prevent_printing=True,
+        prevent_modify=True)
+    stripped = remove_password(docs.filter(num % 2 == 1), password="u")
+    out = protected.unionByName(stripped)
+    meta = extract_metadata(extract_spans(out))
+    keys = ("is_encrypted",) + ENCRYPTION_STATE_KEYS
+    return meta.filter(F.col("key").isin(*keys)).select(
+        "doc_id", "key", "value")
+
+
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction (web-corpus hygiene; corpus-level analogue of
+    the H5 autolink matcher): deterministic scheme + bare-www URLs are
+    appended to every document's text and every occurrence must come
+    back with position, exact URL and registrable host."""
+    from stirling_pdf_spark.operators.textstats import extract_urls
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"), F.lit(" see https://site"),
+        (d % 7).cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"), F.lit(" or www.mirror"),
+        (d % 7).cast("string"), F.lit(".org done"),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        t2.alias("text"),
+    )
+    return extract_urls(docs)
+
+
+def q_text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (web-pipeline guard against one host
+    dominating a crawl): docs keyed by their first URL's host, at most
+    2 survivors per domain ranked by a deterministic id-hash —
+    reproducible across cluster sizes, like text_hash_sample."""
+    from stirling_pdf_spark.operators.textstats import domain_caps
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"), F.lit(" via https://site"),
+        (d % 7).cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        t2.alias("text"),
+    )
+    return domain_caps(docs, max_per_domain=2)
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1792,6 +1872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_watermark_grid": q_s9_watermark_grid,
         "remove_blank_pages": q_remove_blank_pages,
         "sanitize_pdf": q_sanitize_pdf,
+        "security_password": q_security_password,
+        "text_url_extract": q_text_url_extract,
+        "text_domain_caps": q_text_domain_caps,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1806,17 +1889,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pass(local) operators the r3 verdict called out lead)
         "s12_redact_text": q_s12_redact_text,
         "e14_lattice_tables": q_e14_lattice_tables,
-        "e14_stream_table": q_e14_stream_table,
         "e18_title_inference": q_e18_title_inference,
         "e12_unique_name_suffix": R.e12_unique_name_suffix,
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f4_size_class_filter": R.f4_size_class_filter,
-        "f4_page_size_wire": q_f4_page_size_wire,
         "f5_filter_size_comparator": R.f5_filter_size_comparator,
         "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
-        "e13_regex_search": R.e13_regex_search,
         "s1_merge_comparator": R.s1_merge_comparator,
         "e17_doc_info": q_e17_doc_info,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1833,16 +1913,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # Seven r1/r2-green gates yielded their r4 slots to the seven
-        # NEW gates (JPEG decode, split-by-size, split-by-doc-count,
-        # form flatten, watermark grid, remove-blank-pages, sanitize):
-        # each displaced gate is a relational ANALOGUE whose operator
-        # family keeps a fresh row in-window (ann_lsh_topk = same
-        # buckets + top-k; q5 = join+agg; s3_running_sum = windows;
-        # e16_form_fields / s6_reverse_extract / s4_split_chapters are
-        # the REAL operators behind the displaced analogues), and all
+        # Ten r1/r2-green gates yielded their r4 slots to the TEN NEW
+        # gates (JPEG decode, split-by-size, split-by-doc-count, form
+        # flatten, watermark grid, remove-blank-pages, sanitize,
+        # password add/remove, URL extract, domain caps): each
+        # displaced gate is either a relational ANALOGUE whose real
+        # operator keeps a fresh row in-window (q1/q3/e18_top/
+        # e16_customer/s4_lead/s6_reverse_perm) or a family variant
+        # whose sibling stays in-window (ann_lsh_buckets->ann_lsh_topk,
+        # e14_stream->e14_lattice, f4_wire->f4_size_class,
+        # e13_regex->e13_search_positions+e13_whole_word_digit); all
         # stay replica-verified by scripts/check_queries.py
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "e14_stream_table": q_e14_stream_table,
+        "f4_page_size_wire": q_f4_page_size_wire,
+        "e13_regex_search": R.e13_regex_search,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "e18_top_order_per_customer": R.e18_top_order_per_customer,
@@ -1931,6 +2016,9 @@ def oracle_sql() -> dict[str, str]:
         "s9_watermark_grid": O.S9_WATERMARK_GRID,
         "remove_blank_pages": O.REMOVE_BLANK_PAGES,
         "sanitize_pdf": O.SANITIZE_PDF,
+        "security_password": O.SECURITY_PASSWORD,
+        "text_url_extract": O.TEXT_URL_EXTRACT,
+        "text_domain_caps": O.TEXT_DOMAIN_CAPS,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

@@ -71,6 +71,9 @@ BENCH_QUERIES = (
     "s9_watermark_grid",
     "remove_blank_pages",
     "sanitize_pdf",
+    "security_password",
+    "text_url_extract",
+    "text_domain_caps",
 )
 
 # queries that consume a shared materialized corpus (extract/derive

@@ -2156,3 +2156,77 @@ def sanitize_docs(docs: DataFrame, remove_javascript: bool = True,
         "doc_id",
         F.transform(F.filter("spans", keep), rewrite).alias("spans"),
     )
+
+
+ENCRYPTION_STATE_KEYS = (
+    "encrypt_algorithm", "encrypt_keylen", "encrypt_revision",
+    "perm_can_print", "perm_can_print_faithful", "perm_can_assemble",
+    "perm_can_extract", "perm_can_extract_accessibility",
+    "perm_can_fill_forms", "perm_can_modify",
+    "perm_can_modify_annotations",
+)
+
+
+def add_password(docs: DataFrame, user_password: str = "",
+                 owner_password: str = "", key_length: int = 256,
+                 prevent_assembly: bool = False,
+                 prevent_extract_content: bool = False,
+                 prevent_extract_for_accessibility: bool = False,
+                 prevent_fill_in_form: bool = False,
+                 prevent_modify: bool = False,
+                 prevent_modify_annotations: bool = False,
+                 prevent_printing: bool = False,
+                 prevent_printing_faithful: bool = False) -> DataFrame:
+    """/add-password (PasswordController.java:95-139): protect the
+    document with a StandardProtectionPolicy — the 8 AccessPermission
+    flags are set to the negation of the prevent* options, and the
+    encryption key length applies only when a password is present
+    (:126-129; with both passwords empty the reference still calls
+    protect(), yielding PDFBox's default 40-bit/rev-2 security — the
+    '_permissions.pdf' branch). In the span model the security
+    dictionary is catalog state riding kind='meta' spans, exactly the
+    state the analysis corpus encodes and GetInfoOnPDF.java:487-501
+    reports: is_encrypted + algorithm/keylen/revision + perm_* flags.
+    Passwords themselves are credentials, not document content — they
+    never ride the wire."""
+    has_pw = bool(user_password or owner_password)
+    if has_pw and key_length == 256:
+        algo, kl, rev = "AESV3", 256, 6
+    elif has_pw:
+        algo, kl, rev = "AESV2", 128, 4
+    else:
+        algo, kl, rev = "RC4", 40, 2
+    flags = {
+        "perm_can_assemble": not prevent_assembly,
+        "perm_can_extract": not prevent_extract_content,
+        "perm_can_extract_accessibility":
+            not prevent_extract_for_accessibility,
+        "perm_can_fill_forms": not prevent_fill_in_form,
+        "perm_can_modify": not prevent_modify,
+        "perm_can_modify_annotations": not prevent_modify_annotations,
+        "perm_can_print": not prevent_printing,
+        "perm_can_print_faithful": not prevent_printing_faithful,
+    }
+    updates: dict[str, str | None] = {
+        "is_encrypted": "true",
+        "encrypt_algorithm": algo,
+        "encrypt_keylen": str(kl),
+        "encrypt_revision": str(rev),
+    }
+    updates.update({k: ("true" if v else "false")
+                    for k, v in flags.items()})
+    return set_metadata(docs, updates)
+
+
+def remove_password(docs: DataFrame, password: str = "") -> DataFrame:
+    """/remove-password (PasswordController.java:54-73):
+    setAllSecurityToBeRemoved — the security dictionary goes away
+    entirely: is_encrypted flips to false and every encryption-state
+    key (algorithm/keylen/revision + all perm_* flags) is deleted.
+    The password parameter is the open credential; payload decryption
+    is not modeled (spans ride the wire in the clear), so it is
+    accepted and unused."""
+    del password
+    updates: dict[str, str | None] = {"is_encrypted": "false"}
+    updates.update(dict.fromkeys(ENCRYPTION_STATE_KEYS))
+    return set_metadata(docs, updates)

@@ -256,3 +256,67 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id",
         out = F.regexp_replace(out, pat, _repl)
     cols.append(F.md5(out).alias("scrubbed_md5"))
     return parallelize(df).select(*cols)
+
+
+# RE2-safe (no lookarounds/backrefs — works in Spark AND DuckDB, and
+# contains no quote/backslash-escape characters so the same literal
+# embeds in both engines' pattern strings): scheme URLs plus bare
+# www. hosts
+URL_REGEX = (r"((https?://|www\.)"
+             r"[A-Za-z0-9._~:/?#@!$&*+,;=%-]+)")
+
+
+def extract_urls(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """URL extraction for web-corpus hygiene (the corpus-level
+    analogue of the H5 autolink matcher, EmlProcessingUtils autolink):
+    every URL occurrence with its registrable host, one row per
+    occurrence in document order. Pure column expressions —
+    regexp_extract_all + posexplode, no Python."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.col("url"), r"^https?://", ""),
+        r"[/:?#].*$", "")
+    return (
+        df.select(F.col(id_col).alias("id"), urls.alias("urls"))
+        .select("id", F.posexplode("urls").alias("pos", "url"))
+        .select("id", F.col("pos").cast("long").alias("pos"), "url",
+                F.lower(host).alias("domain"))
+    )
+
+
+def domain_caps(df: DataFrame, max_per_domain: int = 2,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-domain document cap — the standard web-pipeline guard
+    against a single host dominating the corpus: keep the first
+    ``max_per_domain`` documents per domain of each document's FIRST
+    URL, ranked by a deterministic hash of the id (reproducible across
+    cluster sizes, like hash_sample). Documents without URLs pass
+    through uncapped. One window over the domain key — domains are the
+    natural partition and the skew IS the thing being capped, so the
+    window input per domain is already bounded by the cap's purpose;
+    at 100 TB the same plan holds with the domain-hash shuffle."""
+    from pyspark.sql import Window
+
+    first_url = F.regexp_extract(F.col(text_col), URL_REGEX, 1)
+    host = F.lower(F.regexp_replace(
+        F.regexp_replace(first_url, r"^https?://", ""),
+        r"[/:?#].*$", ""))
+    with_dom = df.select(
+        F.col(id_col).alias("id"),
+        F.when(first_url != "", host).alias("domain"),
+    )
+    # URL-less docs bypass the window entirely: routing them through
+    # it would funnel every such doc into one NULL partition — the
+    # exact skew this operator exists to prevent
+    no_dom = with_dom.filter(F.col("domain").isNull()).select(
+        "id", "domain", F.lit(1).cast("long").alias("rnk"))
+    w = Window.partitionBy("domain").orderBy(
+        F.lower(F.md5(F.col("id").cast("string"))), F.col("id"))
+    capped = (
+        with_dom.filter(F.col("domain").isNotNull())
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= max_per_domain)
+    )
+    return capped.unionByName(no_dom)

@@ -1406,6 +1406,67 @@ SELECT did AS doc_id,
 FROM d
 """
 
+# /add-password + /remove-password (PasswordController.java:54-139),
+# doc-parity split: even docs protected (user pw, keyLength 128, two
+# prevent* flags -> AESV2/128/rev4 + 8 permission flags), odd docs
+# get setAllSecurityToBeRemoved (is_encrypted false, every
+# encryption-state key gone, incl. the corpus's own encrypted blocks).
+SECURITY_PASSWORD = """
+WITH d AS (
+  SELECT doc_id AS n, 'doc-' || CAST(doc_id AS VARCHAR) AS did
+  FROM documents
+)
+SELECT did AS doc_id, k AS key, v AS value
+FROM d, (VALUES
+  ('is_encrypted', 'true'),
+  ('encrypt_algorithm', 'AESV2'),
+  ('encrypt_keylen', '128'),
+  ('encrypt_revision', '4'),
+  ('perm_can_assemble', 'true'),
+  ('perm_can_extract', 'true'),
+  ('perm_can_extract_accessibility', 'true'),
+  ('perm_can_fill_forms', 'true'),
+  ('perm_can_modify', 'false'),
+  ('perm_can_modify_annotations', 'true'),
+  ('perm_can_print', 'false'),
+  ('perm_can_print_faithful', 'true')) t(k, v)
+WHERE n % 2 = 0
+UNION ALL
+SELECT did, 'is_encrypted', 'false' FROM d WHERE n % 2 = 1
+"""
+
+# URL extraction over deterministic appended URLs: one scheme URL and
+# one bare-www URL per doc, in order, with registrable hosts.
+TEXT_URL_EXTRACT = """
+WITH d AS (SELECT doc_id AS n, 'doc-' || CAST(doc_id AS VARCHAR) AS did
+           FROM documents)
+SELECT did AS id, CAST(0 AS BIGINT) AS pos,
+       'https://site' || (n % 7) || '.example.com/p/' || n AS url,
+       'site' || (n % 7) || '.example.com' AS domain
+FROM d
+UNION ALL
+SELECT did, CAST(1 AS BIGINT),
+       'www.mirror' || (n % 7) || '.org',
+       'www.mirror' || (n % 7) || '.org'
+FROM d
+"""
+
+# Per-domain cap 2: 7 deterministic domains, survivors ranked by
+# md5 of the id string (reproducible across cluster sizes).
+TEXT_DOMAIN_CAPS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         'site' || (doc_id % 7) || '.example.com' AS domain
+  FROM documents
+), r AS (
+  SELECT id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY lower(md5(id)), id) AS rnk
+  FROM d
+)
+SELECT id, domain, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 2
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
