@@ -983,6 +983,56 @@ def q_text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps(docs, max_per_domain=2)
 
 
+def q_show_javascript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/show-javascript (ShowJavascript.java:26-75): every JS name-tree
+    entry concatenates as '// File: {id}, Script: {name}' + code lines
+    in sorted-name order; scriptless docs yield the literal
+    "PDF '{id}' does not contain Javascript" body. Every third doc
+    carries two scripts; the rest carry only non-JS metadata (which
+    must NOT leak into the script)."""
+    from stirling_pdf_spark.operators.pageops import show_javascript
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def meta(txt) -> F.Column:
+        return F.struct(F.lit("meta").alias("kind"),
+                        F.lit(txt).alias("text"),
+                        F.lit("").alias("media_ref"),
+                        F.lit(0).alias("offset"))
+
+    spans = F.when(
+        d % 3 == 0,
+        F.array(meta("js_openaction|app.alert(1)"),
+                meta("js_validate|var x=2;")),
+    ).otherwise(F.array(meta("title|plain")))
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+    return show_javascript(docs)
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap, the published
+    standard): every 25th document forms the 'benchmark suite'; those
+    docs must come back fully contaminated (self-overlap), everything
+    else exactly as the closed-form 13-gram intersection says — the
+    benchmark n-gram set is broadcast, so the corpus side never
+    shuffles before the per-doc aggregate."""
+    from stirling_pdf_spark.operators.dedup import decontaminate
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        "text")
+    bench = base.filter(d % 25 == 0).select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        "text")
+    return decontaminate(docs, bench, n=13)
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1875,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "security_password": q_security_password,
         "text_url_extract": q_text_url_extract,
         "text_domain_caps": q_text_domain_caps,
+        "show_javascript": q_show_javascript,
+        "dedup_decontaminate": q_dedup_decontaminate,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1901,9 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_doc_info": q_e17_doc_info,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "extract_span_counts": q_extract_span_counts,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
-        "q5_nation_volume": R.q5_nation_volume,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1913,10 +1963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # Ten r1/r2-green gates yielded their r4 slots to the TEN NEW
-        # gates (JPEG decode, split-by-size, split-by-doc-count, form
-        # flatten, watermark grid, remove-blank-pages, sanitize,
-        # password add/remove, URL extract, domain caps): each
+        # Twelve r1/r2-green gates yielded their r4 slots to the
+        # TWELVE NEW gates (JPEG decode, split-by-size,
+        # split-by-doc-count, form flatten, watermark grid,
+        # remove-blank-pages, sanitize, password add/remove, URL
+        # extract, domain caps, show-javascript, decontaminate): each
         # displaced gate is either a relational ANALOGUE whose real
         # operator keeps a fresh row in-window (q1/q3/e18_top/
         # e16_customer/s4_lead/s6_reverse_perm) or a family variant
@@ -1927,6 +1978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "e14_stream_table": q_e14_stream_table,
         "f4_page_size_wire": q_f4_page_size_wire,
+        "extract_span_counts": q_extract_span_counts,
+        "q5_nation_volume": R.q5_nation_volume,
         "e13_regex_search": R.e13_regex_search,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2019,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
         "security_password": O.SECURITY_PASSWORD,
         "text_url_extract": O.TEXT_URL_EXTRACT,
         "text_domain_caps": O.TEXT_DOMAIN_CAPS,
+        "show_javascript": O.SHOW_JAVASCRIPT,
+        "dedup_decontaminate": O.DEDUP_DECONTAMINATE,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

@@ -74,6 +74,8 @@ BENCH_QUERIES = (
     "security_password",
     "text_url_extract",
     "text_domain_caps",
+    "show_javascript",
+    "dedup_decontaminate",
 )
 
 # queries that consume a shared materialized corpus (extract/derive

@@ -481,3 +481,42 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         .alias("n_kept"),
         F.md5(F.array_join(kept_sorted, "\n")).alias("kept_md5"),
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination — the standard training-data guard
+    against test-set leakage: a document is CONTAMINATED when it
+    shares any word ``n``-gram (n=13 is the common published choice)
+    with any benchmark text. Output: one row per document with
+    (id, n_contaminated bigint, contaminated boolean, n_shingles
+    bigint) — n_contaminated counts the doc's DISTINCT overlapping
+    n-grams, so thresholded variants (e.g. >=2 hits) compose on top.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the benchmark n-gram set is BROADCAST and the probe is a
+    map-side-only hash join against the exploded corpus shingles — no
+    corpus shuffle at all beyond the per-doc aggregation; docs with
+    fewer than n words yield zero shingles and pass clean."""
+    d = _shingled(docs, id_col, text_col, n)
+    b = (
+        _shingled(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    probe = d.select("id", F.size("shingles").cast("long")
+                     .alias("n_shingles"),
+                     F.explode_outer("shingles").alias("sh"))
+    hits = probe.join(F.broadcast(b).withColumn("hit", F.lit(1)),
+                      "sh", "left")
+    return (
+        hits.groupBy("id")
+        .agg(F.max("n_shingles").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+             .alias("n_contaminated"))
+        .select("id", "n_contaminated",
+                (F.col("n_contaminated") > 0).alias("contaminated"),
+                "n_shingles")
+    )

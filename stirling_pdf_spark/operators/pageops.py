@@ -2230,3 +2230,46 @@ def remove_password(docs: DataFrame, password: str = "") -> DataFrame:
     updates: dict[str, str | None] = {"is_encrypted": "false"}
     updates.update(dict.fromkeys(ENCRYPTION_STATE_KEYS))
     return set_metadata(docs, updates)
+
+
+def show_javascript(docs: DataFrame) -> DataFrame:
+    """/show-javascript (ShowJavascript.java:26-75): every
+    Names/JavaScript entry concatenates as
+    '// File: {id}, Script: {name}\\n{code}\\n' in name-tree order
+    (PDF name trees sort lexicographically by key); documents without
+    scripts yield the literal "PDF '{id}' does not contain
+    Javascript" body. JS state rides 'js_<name>|<code>' meta spans
+    (the same wire sanitize_docs strips); the filename slot carries
+    the doc_id. Output: (doc_id, script)."""
+
+    def entry(sp: Column) -> Column:
+        k = F.split_part(sp["text"], F.lit("|"), F.lit(1))
+        code = F.substring(sp["text"], F.locate("|", sp["text"]) + 1,
+                           F.lit(1 << 30))
+        return F.struct(F.substring(k, 4, 1 << 30).alias("name"),
+                        code.alias("code"))
+
+    js = F.filter(
+        "spans",
+        lambda sp: (sp["kind"] == "meta")
+        & F.split_part(sp["text"], F.lit("|"), F.lit(1))
+        .startswith("js_")
+        # empty/whitespace-only scripts are skipped (:44 trim check)
+        & (F.trim(F.substring(sp["text"],
+                              F.locate("|", sp["text"]) + 1,
+                              F.lit(1 << 30))) != ""),
+    )
+    entries = F.array_sort(F.transform(js, entry))
+    lines = F.transform(
+        entries,
+        lambda e: F.concat(F.lit("// File: "), F.col("doc_id"),
+                           F.lit(", Script: "), e["name"], F.lit("\n"),
+                           e["code"], F.lit("\n")),
+    )
+    script = F.when(
+        F.size(entries) > 0, F.array_join(lines, "")
+    ).otherwise(
+        F.concat(F.lit("PDF '"), F.col("doc_id"),
+                 F.lit("' does not contain Javascript"))
+    )
+    return docs.select("doc_id", script.alias("script"))

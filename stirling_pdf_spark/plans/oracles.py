@@ -1467,6 +1467,45 @@ WITH d AS (
 SELECT id, domain, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 2
 """
 
+# /show-javascript: name-tree entries in sorted-key order or the
+# literal no-JS body; every third doc carries the two gate scripts.
+SHOW_JAVASCRIPT = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN
+         '// File: doc-' || doc_id || ', Script: openaction' || chr(10)
+         || 'app.alert(1)' || chr(10)
+         || '// File: doc-' || doc_id || ', Script: validate' || chr(10)
+         || 'var x=2;' || chr(10)
+       ELSE
+         'PDF ' || chr(39) || 'doc-' || doc_id || chr(39)
+         || ' does not contain Javascript'
+       END AS script
+FROM documents
+"""
+
+# 13-gram benchmark decontamination: benchmark = every 25th doc; a doc
+# is contaminated when it shares ANY distinct 13-gram with the suite.
+DEDUP_DECONTAMINATE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id, doc_id AS n0,
+         string_split(text, ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT id, n0, list_distinct(CASE WHEN len(w) >= 13 THEN list_transform(range(1, len(w) - 11), i -> w[i+0] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] || ' ' || w[i+9] || ' ' || w[i+10] || ' ' || w[i+11] || ' ' || w[i+12]) ELSE CAST([] AS VARCHAR[]) END) AS s FROM d
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE n0 % 25 = 0
+), x AS (
+  SELECT id, unnest(s) AS g FROM sh
+), hits AS (
+  SELECT x.id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM x JOIN bench USING (g) GROUP BY x.id
+)
+SELECT sh.id, COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated,
+       CAST(len(sh.s) AS BIGINT) AS n_shingles
+FROM sh LEFT JOIN hits h ON sh.id = h.id
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
