@@ -1033,6 +1033,30 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=13)
 
 
+def q_to_markdown(spark: SparkSession, sf_dir: str,
+                  docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> Markdown export (PdfMarkdownConverter.java body
+    pipeline) over the rich corpus: the 16pt bold title renders as a
+    '# ' heading (glyph-median baseline = the 11pt body), body lines
+    assemble into paragraphs (no intra-page gap exceeds 0.8x line
+    height) and sentence continuations merge across EVERY page break
+    (lowercase start, no sentence punctuation), so each doc's markdown
+    is exactly '# first-6-words' + a blank line + the full text —
+    pinned by md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_rich_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_markdown
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_rich_from_documents(spark, sf_dir)
+    out = to_markdown(docs)
+    return out.select(
+        "doc_id", F.md5("markdown").alias("md_md5"),
+        F.length("markdown").cast("long").alias("n_chars"))
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1927,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_caps": q_text_domain_caps,
         "show_javascript": q_show_javascript,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "to_markdown": q_to_markdown,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1953,7 +1978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_doc_info": q_e17_doc_info,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1963,11 +1987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # Twelve r1/r2-green gates yielded their r4 slots to the
-        # TWELVE NEW gates (JPEG decode, split-by-size,
+        # Thirteen r1/r2-green gates yielded their r4 slots to the
+        # THIRTEEN NEW gates (JPEG decode, split-by-size,
         # split-by-doc-count, form flatten, watermark grid,
         # remove-blank-pages, sanitize, password add/remove, URL
-        # extract, domain caps, show-javascript, decontaminate): each
+        # extract, domain caps, show-javascript, decontaminate,
+        # to-markdown): each
         # displaced gate is either a relational ANALOGUE whose real
         # operator keeps a fresh row in-window (q1/q3/e18_top/
         # e16_customer/s4_lead/s6_reverse_perm) or a family variant
@@ -1980,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_page_size_wire": q_f4_page_size_wire,
         "extract_span_counts": q_extract_span_counts,
         "q5_nation_volume": R.q5_nation_volume,
+        "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
         "e13_regex_search": R.e13_regex_search,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -2074,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "text_domain_caps": O.TEXT_DOMAIN_CAPS,
         "show_javascript": O.SHOW_JAVASCRIPT,
         "dedup_decontaminate": O.DEDUP_DECONTAMINATE,
+        "to_markdown": O.TO_MARKDOWN,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

@@ -76,11 +76,13 @@ BENCH_QUERIES = (
     "text_domain_caps",
     "show_javascript",
     "dedup_decontaminate",
+    "to_markdown",
 )
 
 # queries that consume a shared materialized corpus (extract/derive
 # once, fan out — the deployment shape; which corpus varies by gate)
-_RICH_CONSUMERS = ("e17_full_info", "e18_title_inference")
+_RICH_CONSUMERS = ("e17_full_info", "e18_title_inference",
+                   "to_markdown")
 _PLAIN_CONSUMERS = ("f6_filter_rotation", "s9_watermark_grid",
                     "remove_blank_pages")
 _REPEAT_CONSUMERS = ("s9_page_numbers", "s3_split_doc_count",

@@ -1,0 +1,234 @@
+"""PDF -> Markdown conversion (reference: PdfMarkdownConverter.java).
+
+Reproduces the reference's TextLine-driven body pipeline over the raw
+span model:
+
+  * per-GLYPH median font size across the document is the heading
+    baseline (HeadingDetector.java:126-137; fallback 12 when empty);
+    a line is '# ' when its dominant size > 1.4x the median, '## '
+    above 1.2x — but only when it is at most 12 words and does not
+    end like a sentence (. ! ?), never by text matching
+    (HeadingDetector.java:36-66);
+  * bold-but-not-larger short lines render as **bold labels**, not
+    headings (:73-81; bold inferred from the font name containing
+    bold/black/heavy/semibold);
+  * bullet lines (• ▪ ◦) flush the paragraph and stand alone;
+  * body lines join into paragraphs; a vertical gap above a line
+    greater than 0.8x the previous line height breaks the paragraph
+    (PdfMarkdownConverter.java:416); an appended fragment starting
+    with a quote glyph joins without a space (:437-441);
+  * soft hyphens repair per line ((\\w+)-\\n([a-z]) -> join, :17);
+  * image draws append after a page's text blocks as
+    '<image redacted: WxHpt>' placeholders — available metadata only,
+    missing fields omitted (:869-905);
+  * a paragraph continuing across a page break merges when the next
+    page starts lowercase and the previous block does not end with
+    sentence punctuation . ? ! : (:907-923 — the reference checks any
+    trailing STRING block, so a trailing heading can absorb a
+    continuation too; kept faithfully);
+  * markdown control characters escape before emission: inline
+    \\ ` * _ [ ] < > | ~ anywhere, and leading block markers
+    (#, -, +, 1. / 1)) at line start (:800-848);
+  * blocks join with a blank line.
+
+Word-grid table DETECTION (:480-720) is not modeled — the span model
+carries ruled tables explicitly and E14 extracts them; borderless
+word-grid inference is geometry-statistics work a follow-up can add
+without touching this pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from . import wire
+from .columns import reading_order
+from .lines import Line, cluster_lines
+
+SOFT_HYPHEN = re.compile(r"(\w+)-\n([a-z])")
+ORDERED_MARKER = re.compile(r"^(\d+)([.)])")
+INLINE_ESCAPES = set("\\`*_[]<>|~")
+MAX_HEADING_WORDS = 12
+FALLBACK_MEDIAN = 12.0
+
+
+def _escape_markdown(text: str) -> str:
+    if not text:
+        return text
+    out = []
+    for c in text:
+        if c in INLINE_ESCAPES:
+            out.append("\\")
+        out.append(c)
+    s = "".join(out)
+    # leading block markers (positions align: inline escaping never
+    # alters the leading chars these rules match)
+    if text[0] in "#-+":
+        s = "\\" + s
+    else:
+        m = ORDERED_MARKER.match(text)
+        if m:
+            i = len(m.group(1))
+            s = s[:i] + "\\" + s[i:]
+    return s
+
+
+def _median(values: list[float], fallback: float) -> float:
+    if not values:
+        return fallback
+    values = sorted(values)
+    mid = len(values) // 2
+    if len(values) % 2 == 0:
+        return (values[mid - 1] + values[mid]) / 2.0
+    return values[mid]
+
+
+def _dominant(line: Line, attr: str) -> object:
+    """Most common glyph attribute in a line (weighted by run length),
+    first-seen wins ties — size for the heading ratio, font name for
+    the bold check."""
+    counts: dict[object, int] = {}
+    order: list[object] = []
+    for run in line.runs:
+        v = getattr(run, attr)
+        if v not in counts:
+            order.append(v)
+        counts[v] = counts.get(v, 0) + len(run.content)
+    return max(order, key=lambda v: counts[v])
+
+
+def _is_bold(line: Line) -> bool:
+    name = str(_dominant(line, "font")).lower()
+    return any(t in name for t in ("bold", "black", "heavy", "semibold"))
+
+
+def _ends_like_sentence(text: str) -> bool:
+    return bool(text) and text[-1] in ".!?"
+
+
+def _ends_with_sentence_punct(text: str) -> bool:
+    return bool(text) and text[-1] in ".?!:"
+
+
+def _heading_prefix(line: Line, text: str, median_size: float,
+                    median_height: float) -> str:
+    if (not text or len(text.split()) > MAX_HEADING_WORDS
+            or _ends_like_sentence(text)):
+        return ""
+    dominant = float(_dominant(line, "font_size"))
+    if dominant > 2.0 and median_size > 2.0:
+        value, baseline = dominant, median_size
+    else:
+        value, baseline = line.y2 - line.y1, median_height
+    if baseline <= 0.0:
+        return ""
+    ratio = value / baseline
+    if ratio > 1.4:
+        return "# "
+    if ratio > 1.2:
+        return "## "
+    return ""
+
+
+def _is_bold_label(line: Line, text: str) -> bool:
+    if (not text or len(text.split()) > MAX_HEADING_WORDS
+            or _ends_like_sentence(text)):
+        return False
+    return _is_bold(line)
+
+
+def _page_blocks(lines: list[Line], median_size: float,
+                 median_height: float) -> list[str]:
+    out: list[str] = []
+    para: list[str] = []
+    prev_bottom = None
+    prev_height = 0.0
+
+    def flush() -> None:
+        if para:
+            out.append(_escape_markdown("".join(para)))
+            para.clear()
+
+    for line in lines:
+        text = SOFT_HYPHEN.sub(r"\1\2", line.text()).strip()
+        if not text:
+            continue
+        gap = (line.y1 - prev_bottom) if prev_bottom is not None else 0.0
+        paragraph_break = prev_height > 0.0 and gap > prev_height * 0.8
+        prefix = _heading_prefix(line, text, median_size, median_height)
+        if prefix:
+            flush()
+            out.append(prefix + _escape_markdown(text))
+        elif text[0] in "•▪◦":
+            flush()
+            out.append(_escape_markdown(text))
+        elif _is_bold_label(line, text):
+            flush()
+            out.append("**" + _escape_markdown(text) + "**")
+        elif paragraph_break:
+            flush()
+            para.append(text)
+        else:
+            if para:
+                joiner = "" if text[0] in "'’‘\"" else " "
+                para.append(joiner + text)
+            else:
+                para.append(text)
+        prev_bottom = line.y2
+        prev_height = line.y2 - line.y1
+    flush()
+    return out
+
+
+def _image_placeholder(draw: wire.MediaDraw) -> str:
+    parts = []
+    if draw.w > 0 and draw.h > 0:
+        parts.append(f"{draw.w:.0f}x{draw.h:.0f}pt")
+    body = f": {', '.join(parts)}" if parts else ""
+    return f"<image redacted{body}>"
+
+
+def markdown_doc(spans) -> str:
+    """Raw interleaved spans -> Markdown string ('' for empty docs)."""
+    runs_by_page: dict[int, list] = defaultdict(list)
+    media_by_page: dict[int, list] = defaultdict(list)
+    for kind, text, media_ref, _off in sorted(spans, key=lambda s: s[3]):
+        if kind == "text":
+            run = wire.parse_text_run(text)
+            runs_by_page[run.page].append(run)
+        elif kind == "media":
+            media_by_page[int(text.split("|", 1)[0])].append(
+                wire.parse_media(text, media_ref))
+
+    glyph_sizes: list[float] = []
+    line_heights: list[float] = []
+    lines_by_page: dict[int, list[Line]] = {}
+    for page in sorted(set(runs_by_page) | set(media_by_page)):
+        lines = reading_order(cluster_lines(runs_by_page.get(page, [])))
+        lines_by_page[page] = lines
+        for ln in lines:
+            if ln.text().strip():
+                line_heights.append(ln.y2 - ln.y1)
+            for run in ln.runs:
+                glyph_sizes.extend(
+                    [run.font_size] * sum(1 for c in run.content
+                                          if not c.isspace()))
+    median_size = _median(glyph_sizes, FALLBACK_MEDIAN)
+    median_height = _median(line_heights, FALLBACK_MEDIAN)
+
+    output: list[str] = []
+    for page in sorted(set(runs_by_page) | set(media_by_page)):
+        page_items = _page_blocks(lines_by_page.get(page, []),
+                                  median_size, median_height)
+        page_items.extend(
+            _image_placeholder(d) for d in media_by_page.get(page, []))
+        # cross-page sentence continuation (:907-923)
+        if output and page_items:
+            last, first = output[-1], page_items[0]
+            if (first and first[0].islower()
+                    and not _ends_with_sentence_punct(last)):
+                output[-1] = last + " " + first
+                page_items = page_items[1:]
+        output.extend(page_items)
+    return "\n\n".join(output)

@@ -1,0 +1,50 @@
+"""PDF -> Markdown export operator (PdfMarkdownConverter.java).
+
+One Arrow stage over the raw docs table — the same
+repartition-then-mapInArrow contract as the extraction pipeline: the
+whole conversion is per-document kernel work (kernel/markdown.py), no
+shuffle inside, empty documents emit no row (the reference returns an
+empty body for a pageless doc; absence keeps the gate aligned with
+the e1-style full-text queries).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernel.markdown import markdown_doc
+from .extract_pipeline import _decode_span_lists
+
+MARKDOWN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("markdown", T.StringType(), False),
+])
+
+
+def to_markdown(docs: DataFrame,
+                num_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, spans raw) -> (doc_id, markdown)."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out_id, out_md = [], []
+            for did, spans in zip(ids, raw):
+                md = markdown_doc(spans)
+                if md:
+                    out_id.append(did)
+                    out_md.append(md)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.string()),
+                 pa.array(out_md, pa.string())],
+                names=["doc_id", "markdown"],
+            )
+
+    return docs.repartition(num_partitions, "doc_id").mapInArrow(
+        run, MARKDOWN_SCHEMA)

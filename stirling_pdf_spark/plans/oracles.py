@@ -1506,6 +1506,26 @@ SELECT sh.id, COALESCE(h.n_contaminated, 0) AS n_contaminated,
 FROM sh LEFT JOIN hits h ON sh.id = h.id
 """
 
+# PDF -> Markdown over the rich corpus: title -> '# ' heading, all
+# body paragraphs merge (clean lowercase vocab, no sentence
+# punctuation, no markdown control characters -> escaping is identity
+# on THIS corpus; the operator still implements the full escape set).
+TO_MARKDOWN = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w, text
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT did,
+         '# ' || array_to_string(w[1:6], ' ') || chr(10) || chr(10)
+         || text AS md
+  FROM d
+)
+SELECT did AS doc_id, md5(md) AS md_md5,
+       CAST(length(md) AS BIGINT) AS n_chars
+FROM m
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,

@@ -1,0 +1,131 @@
+"""PDF -> Markdown conversion (kernel/markdown.py + the operator).
+
+Pins every branch of the PdfMarkdownConverter body pipeline: heading
+ratios against the glyph-median baseline, bold labels, bullets,
+paragraph gap breaks, quote-joining, soft hyphens, markdown escaping
+(inline + leading block markers), image placeholders, and the
+cross-page sentence merge incl. its trailing-heading quirk.
+"""
+
+from __future__ import annotations
+
+from stirling_pdf_spark.kernel import wire
+from stirling_pdf_spark.kernel.markdown import (
+    _escape_markdown,
+    markdown_doc,
+)
+from stirling_pdf_spark.kernel.model import TextRun
+
+
+def _doc(runs, media=()):
+    spans = [("text", wire.encode_text_run(r), "", i)
+             for i, r in enumerate(runs)]
+    for m in media:
+        spans.append(("media", m, "media-x", len(spans)))
+    return spans
+
+
+def _run(page, y, text, size=11.0, font="Helvetica", x=72.0):
+    return TextRun(page, x, y, size, font, text)
+
+
+def test_heading_levels_by_ratio():
+    runs = [_run(1, 40.0, "huge title", size=16.0),
+            _run(1, 60.0, "medium heading", size=14.0)]
+    runs += [_run(1, 80.0 + 14 * i, f"body line {i}") for i in range(10)]
+    md = markdown_doc(_doc(runs))
+    blocks = md.split("\n\n")
+    assert blocks[0] == "# huge title"        # 16/11 = 1.45 > 1.4
+    assert blocks[1] == "## medium heading"   # 14/11 = 1.27 > 1.2
+
+
+def test_heading_guards_words_and_sentence():
+    long = " ".join(["w"] * 13)
+    runs = [_run(1, 40.0, long, size=20.0),
+            _run(1, 70.0, "ends like prose.", size=20.0)]
+    runs += [_run(1, 100.0 + 14 * i, f"b {i}") for i in range(10)]
+    md = markdown_doc(_doc(runs))
+    assert "# " not in md and "## " not in md
+
+
+def test_bold_label_not_promoted():
+    runs = [_run(1, 40.0, "Key Point", font="Helvetica-Bold")]
+    runs += [_run(1, 72.0 + 14 * i, f"body {i}") for i in range(6)]
+    md = markdown_doc(_doc(runs))
+    assert md.startswith("**Key Point**\n\n")
+
+
+def test_bullets_stand_alone():
+    runs = [_run(1, 72.0, "intro text"),
+            _run(1, 86.0, "• first item"),
+            _run(1, 100.0, "◦ second item")]
+    md = markdown_doc(_doc(runs))
+    assert md == "intro text\n\n• first item\n\n◦ second item"
+
+
+def test_paragraph_gap_break_and_quote_join():
+    runs = [_run(1, 72.0, "alpha"),
+            _run(1, 86.0, "'beta"),          # quote start joins w/o space
+            _run(1, 130.0, "gamma")]          # gap 33 > 8.8 -> break
+    md = markdown_doc(_doc(runs))
+    assert md == "alpha'beta\n\ngamma"
+
+
+def test_escape_markdown_rules():
+    assert _escape_markdown("a*b_c[d]e") == r"a\*b\_c\[d\]e"
+    assert _escape_markdown("#head") == r"\#head"
+    assert _escape_markdown("- item") == r"\- item"
+    assert _escape_markdown("12. list") == r"12\. list"
+    assert _escape_markdown("3) x") == r"3\) x"
+    assert _escape_markdown("plain") == "plain"
+    assert _escape_markdown("a|b~c") == r"a\|b\~c"
+
+
+def test_image_placeholders_after_text():
+    runs = [_run(1, 72.0, "text")]
+    md = markdown_doc(_doc(runs, media=["1|100.0|300.0|200.0|120.0"]))
+    assert md == "text\n\n<image redacted: 200x120pt>"
+
+
+def test_cross_page_merge_lowercase_continuation():
+    runs = [_run(1, 72.0, "page one ends mid"),
+            _run(2, 72.0, "sentence continues"),
+            _run(3, 72.0, "Capital start")]
+    md = markdown_doc(_doc(runs))
+    assert md == "page one ends mid sentence continues\n\nCapital start"
+
+
+def test_cross_page_no_merge_after_punctuation():
+    runs = [_run(1, 72.0, "done here."),
+            _run(2, 72.0, "next page")]
+    md = markdown_doc(_doc(runs))
+    assert md == "done here.\n\nnext page"
+
+
+def test_trailing_heading_absorbs_continuation_like_reference():
+    # the reference merges into ANY trailing string block, headings
+    # included (PdfMarkdownConverter.java:907-923) — kept faithfully
+    runs = [_run(1, 40.0, "final heading", size=16.0)]
+    runs += [_run(1, 72.0 + 14 * i, f"b{i} c d") for i in range(12)]
+    runs += [_run(1, 400.0, "lone big line", size=16.0),
+             _run(2, 72.0, "continues lowercase")]
+    md = markdown_doc(_doc(runs))
+    assert "# lone big line continues lowercase" in md
+
+
+def test_soft_hyphen_repair():
+    runs = [_run(1, 72.0, "hyphen-\nated word")]
+    md = markdown_doc(_doc(runs))
+    assert md == "hyphenated word"
+
+
+def test_operator_over_spark(spark):
+    from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+    from stirling_pdf_spark.operators.markdown import to_markdown
+
+    docs = synth_docs_df(spark, 24, seed=3, mega_pages=(4, 6),
+                         num_partitions=4)
+    out = to_markdown(docs, num_partitions=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 24
+    assert all(r["markdown"] for r in rows)
