@@ -842,7 +842,9 @@ def q_sanitize_pdf(spark: SparkSession, sf_dir: str,
     from stirling_pdf_spark.corpus.spark_synth import (
         docs_analysis_from_documents,
     )
-    from stirling_pdf_spark.operators.pageops import sanitize_docs
+    from stirling_pdf_spark.operators.pageops import (
+        SANITIZE_INFO_KEYS, sanitize_docs,
+    )
 
     _ship_package(spark)
     if docs is None:
@@ -872,9 +874,7 @@ def q_sanitize_pdf(spark: SparkSession, sf_dir: str,
     font = F.split_part(F.substring_index(s["text"], "\t", 1),
                         F.lit("|"), F.lit(5))
     is_meta = s["kind"] == "meta"
-    info_keys = F.array(*[F.lit(k) for k in (
-        "title", "author", "subject", "keywords", "creator",
-        "producer", "created", "modified")])
+    info_keys = F.array(*[F.lit(k) for k in SANITIZE_INFO_KEYS])
     return flat.groupBy("doc_id").agg(
         F.sum(F.when(s["kind"] == "attachment", 1).otherwise(0))
         .cast("long").alias("n_attachments"),

@@ -244,7 +244,16 @@ def decode(payload: bytes) -> tuple[int, int, int, bytes]:
             ns = seg[0]
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                idx = next(i for i, cc in enumerate(comps) if cc[0] == cid)
+                idx = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid),
+                    None)
+                if idx is None:
+                    # StopIteration would escape the decode-stage
+                    # generator as a PEP-479 RuntimeError and kill the
+                    # whole Arrow batch; malformed scans must stay a
+                    # per-row ValueError
+                    raise ValueError(f"SOS references unknown component "
+                                     f"{cid}")
                 scan.append((idx, tt >> 4, tt & 0x0F))
             data_start = pos + 2 + seglen
             break
@@ -264,8 +273,11 @@ def decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 reader.restart()
                 pred = [0] * len(comps)
             for ci, dc_id, ac_id in scan:
-                dc_tab = huff[(0, dc_id)]
-                ac_tab = huff[(1, ac_id)]
+                dc_tab = huff.get((0, dc_id))
+                ac_tab = huff.get((1, ac_id))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("scan references undeclared "
+                                     "Huffman table")
                 coef = np.zeros((8, 8))
                 t = reader.decode(dc_tab)
                 diff = _extend(reader.bits(t), t) if t else 0
@@ -284,7 +296,11 @@ def decode(payload: bytes) -> tuple[int, int, int, bytes]:
                     if k > 63:
                         raise ValueError("AC run past end of block")
                     coef[ZIGZAG[k]] = _extend(reader.bits(s), s)
-                px = idct_2d(coef * qt[comps[ci][3]]) + 128.0
+                qtab = qt.get(comps[ci][3])
+                if qtab is None:
+                    raise ValueError("component references undeclared "
+                                     "quantization table")
+                px = idct_2d(coef * qtab) + 128.0
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
             mcu += 1
     planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]

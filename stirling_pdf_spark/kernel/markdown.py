@@ -24,8 +24,10 @@ span model:
   * a paragraph continuing across a page break merges when the next
     page starts lowercase and the previous block does not end with
     sentence punctuation . ? ! : (:907-923 — the reference checks any
-    trailing STRING block, so a trailing heading can absorb a
-    continuation too; kept faithfully);
+    trailing STRING block, and its image placeholders and headings ARE
+    strings, so a trailing heading or image placeholder absorbs a
+    lowercase continuation too; both quirks kept faithfully and pinned
+    in tests);
   * markdown control characters escape before emission: inline
     \\ ` * _ [ ] < > | ~ anywhere, and leading block markers
     (#, -, +, 1. / 1)) at line start (:800-848);
@@ -82,6 +84,27 @@ def _median(values: list[float], fallback: float) -> float:
     if len(values) % 2 == 0:
         return (values[mid - 1] + values[mid]) / 2.0
     return values[mid]
+
+
+def _weighted_median(counts: dict[float, int], fallback: float) -> float:
+    """Median of a multiset given value -> multiplicity — O(distinct
+    values) instead of materializing one float per glyph (this runs
+    per document inside the hot mapInArrow kernel)."""
+    total = sum(counts.values())
+    if total == 0:
+        return fallback
+    ordered = sorted(counts)
+    lo_idx, hi_idx = (total - 1) // 2, total // 2  # 0-based middles
+    lo = hi = None
+    seen = 0
+    for v in ordered:
+        seen += counts[v]
+        if lo is None and seen > lo_idx:
+            lo = v
+        if seen > hi_idx:
+            hi = v
+            break
+    return (lo + hi) / 2.0
 
 
 def _dominant(line: Line, attr: str) -> object:
@@ -201,7 +224,7 @@ def markdown_doc(spans) -> str:
             media_by_page[int(text.split("|", 1)[0])].append(
                 wire.parse_media(text, media_ref))
 
-    glyph_sizes: list[float] = []
+    glyph_counts: dict[float, int] = defaultdict(int)
     line_heights: list[float] = []
     lines_by_page: dict[int, list[Line]] = {}
     for page in sorted(set(runs_by_page) | set(media_by_page)):
@@ -211,10 +234,9 @@ def markdown_doc(spans) -> str:
             if ln.text().strip():
                 line_heights.append(ln.y2 - ln.y1)
             for run in ln.runs:
-                glyph_sizes.extend(
-                    [run.font_size] * sum(1 for c in run.content
-                                          if not c.isspace()))
-    median_size = _median(glyph_sizes, FALLBACK_MEDIAN)
+                glyph_counts[run.font_size] += sum(
+                    1 for c in run.content if not c.isspace())
+    median_size = _weighted_median(glyph_counts, FALLBACK_MEDIAN)
     median_height = _median(line_heights, FALLBACK_MEDIAN)
 
     output: list[str] = []

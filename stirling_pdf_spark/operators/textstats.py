@@ -266,6 +266,16 @@ URL_REGEX = (r"((https?://|www\.)"
              r"[A-Za-z0-9._~:/?#@!$&*+,;=%-]+)")
 
 
+def url_host(url_col) -> "F.Column":
+    """Registrable host of a URL column: strip the scheme, cut at the
+    first path/port/query/fragment delimiter, lowercase. ONE
+    derivation shared by extract_urls and domain_caps so both always
+    key on the same host."""
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(url_col, r"^https?://", ""),
+        r"[/:?#].*$", ""))
+
+
 def extract_urls(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """URL extraction for web-corpus hygiene (the corpus-level
@@ -274,14 +284,11 @@ def extract_urls(df: DataFrame, id_col: str = "doc_id",
     occurrence in document order. Pure column expressions —
     regexp_extract_all + posexplode, no Python."""
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 1)
-    host = F.regexp_replace(
-        F.regexp_replace(F.col("url"), r"^https?://", ""),
-        r"[/:?#].*$", "")
     return (
         df.select(F.col(id_col).alias("id"), urls.alias("urls"))
         .select("id", F.posexplode("urls").alias("pos", "url"))
         .select("id", F.col("pos").cast("long").alias("pos"), "url",
-                F.lower(host).alias("domain"))
+                url_host(F.col("url")).alias("domain"))
     )
 
 
@@ -300,12 +307,9 @@ def domain_caps(df: DataFrame, max_per_domain: int = 2,
     from pyspark.sql import Window
 
     first_url = F.regexp_extract(F.col(text_col), URL_REGEX, 1)
-    host = F.lower(F.regexp_replace(
-        F.regexp_replace(first_url, r"^https?://", ""),
-        r"[/:?#].*$", ""))
     with_dom = df.select(
         F.col(id_col).alias("id"),
-        F.when(first_url != "", host).alias("domain"),
+        F.when(first_url != "", url_host(first_url)).alias("domain"),
     )
     # URL-less docs bypass the window entirely: routing them through
     # it would funnel every such doc into one NULL partition — the

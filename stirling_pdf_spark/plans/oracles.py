@@ -1517,8 +1517,15 @@ WITH d AS (
   FROM documents WHERE length(trim(text)) > 0
 ), m AS (
   SELECT did,
-         '# ' || array_to_string(w[1:6], ' ') || chr(10) || chr(10)
-         || text AS md
+         -- > 6 words: body glyphs outnumber the 16pt title glyphs so
+         -- the glyph median stays 11 and 16/11 > 1.4 -> '# '. At <= 6
+         -- words title and body glyph counts TIE, the median becomes
+         -- (11+16)/2 = 13.5, 16/13.5 < 1.2 -> the bold-label branch
+         -- (**title**), never a heading (HeadingDetector.java:36-66)
+         CASE WHEN len(w) > 6
+              THEN '# ' || array_to_string(w[1:6], ' ')
+              ELSE '**' || array_to_string(w[1:6], ' ') || '**'
+         END || chr(10) || chr(10) || text AS md
   FROM d
 )
 SELECT did AS doc_id, md5(md) AS md_md5,

@@ -161,3 +161,37 @@ def test_corpus_fixture_closed_form():
         assert nc == (3 if is_color else 1)
         v0 = jpeg_block_value(ref, 0)
         assert out[:8] == bytes([v0] * 8)
+
+
+def test_malformed_tables_raise_value_error_not_keyerror():
+    """Missing DHT/DQT or an SOS naming an unknown component must stay
+    per-row ValueErrors (KeyError/StopIteration would kill the whole
+    Arrow batch in the decode stage)."""
+    import struct
+
+    px = _flat_image(8, 8, seed=41)
+    data = jpeg.encode_gray(8, 8, px.tobytes())
+
+    def strip_segments(marker):
+        out = bytearray(data[:2])
+        i = 2
+        while i + 4 <= len(data):
+            m = data[i + 1]
+            if m == 0xDA:
+                out += data[i:]
+                break
+            (ln,) = struct.unpack_from(">H", data, i + 2)
+            if m != marker:
+                out += data[i:i + 2 + ln]
+            i += 2 + ln
+        return bytes(out)
+
+    for marker in (0xC4, 0xDB):          # DHT, DQT
+        with pytest.raises(ValueError):
+            jpeg.decode(strip_segments(marker))
+    # SOS referencing a component id the SOF never declared
+    bad = bytearray(data)
+    i = bad.index(b"\xFF\xDA")
+    bad[i + 5] = 9                        # first scan component id
+    with pytest.raises(ValueError):
+        jpeg.decode(bytes(bad))

@@ -129,3 +129,24 @@ def test_operator_over_spark(spark):
     rows = out.collect()
     assert 0 < len(rows) <= 24
     assert all(r["markdown"] for r in rows)
+
+
+def test_trailing_image_placeholder_absorbs_continuation_like_reference():
+    # reference image placeholders are plain strings in the output
+    # list, so mergeAcrossPageBoundary glues a lowercase continuation
+    # onto them exactly like onto any text block — faithful quirk
+    runs = [_run(1, 72.0, "intro text"),
+            _run(2, 72.0, "continues lower")]
+    md = markdown_doc(_doc(runs, media=["1|100.0|300.0|200.0|120.0"]))
+    assert md == ("intro text\n\n"
+                  "<image redacted: 200x120pt> continues lower")
+
+
+def test_glyph_median_tie_demotes_heading_to_bold_label():
+    # equal title/body glyph counts -> median (11+16)/2 = 13.5,
+    # ratio 16/13.5 < 1.2 -> bold label, not heading
+    from stirling_pdf_spark.corpus.synth import rich_from_text
+
+    t = "alpha beta gamma delta eps zeta"
+    _, spans = rich_from_text("d", t)
+    assert markdown_doc(spans) == f"**{t}**\n\n{t}"
