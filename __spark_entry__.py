@@ -1057,6 +1057,24 @@ def q_to_markdown(spark: SparkSession, sf_dir: str,
         F.length("markdown").cast("long").alias("n_chars"))
 
 
+def q_to_markdown_tables(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> Markdown TABLE rendering (TableRenderer.java:8-78 pipe
+    tables over the E14 stream-mode detector): each doc's 4x3
+    whitespace-column page renders as a GFM pipe table with
+    max(3, longest-cell) column widths, right-padded cells and the
+    dashed header separator — the exact string is the gate value."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_stream_table_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_markdown
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_stream_table_from_documents(spark, sf_dir)
+    return to_markdown(docs)
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1952,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "show_javascript": q_show_javascript,
         "dedup_decontaminate": q_dedup_decontaminate,
         "to_markdown": q_to_markdown,
+        "to_markdown_tables": q_to_markdown_tables,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1965,7 +1984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green then, re-verified locally since; the 10
         # pass(local) operators the r3 verdict called out lead)
         "s12_redact_text": q_s12_redact_text,
-        "e14_lattice_tables": q_e14_lattice_tables,
         "e18_title_inference": q_e18_title_inference,
         "e12_unique_name_suffix": R.e12_unique_name_suffix,
         "f1_filter_contains_text": R.f1_filter_contains_text,
@@ -1987,12 +2005,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # Thirteen r1/r2-green gates yielded their r4 slots to the
-        # THIRTEEN NEW gates (JPEG decode, split-by-size,
+        # Fourteen r1/r2-green gates yielded their r4 slots to the
+        # FOURTEEN NEW gates (JPEG decode, split-by-size,
         # split-by-doc-count, form flatten, watermark grid,
         # remove-blank-pages, sanitize, password add/remove, URL
         # extract, domain caps, show-javascript, decontaminate,
-        # to-markdown): each
+        # to-markdown, to-markdown-tables): each
         # displaced gate is either a relational ANALOGUE whose real
         # operator keeps a fresh row in-window (q1/q3/e18_top/
         # e16_customer/s4_lead/s6_reverse_perm) or a family variant
@@ -2002,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay replica-verified by scripts/check_queries.py
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "e14_stream_table": q_e14_stream_table,
+        "e14_lattice_tables": q_e14_lattice_tables,
         "f4_page_size_wire": q_f4_page_size_wire,
         "extract_span_counts": q_extract_span_counts,
         "q5_nation_volume": R.q5_nation_volume,
@@ -2101,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "show_javascript": O.SHOW_JAVASCRIPT,
         "dedup_decontaminate": O.DEDUP_DECONTAMINATE,
         "to_markdown": O.TO_MARKDOWN,
+        "to_markdown_tables": O.TO_MARKDOWN_TABLES,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

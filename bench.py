@@ -77,6 +77,7 @@ BENCH_QUERIES = (
     "show_javascript",
     "dedup_decontaminate",
     "to_markdown",
+    "to_markdown_tables",
 )
 
 # queries that consume a shared materialized corpus (extract/derive

@@ -33,10 +33,18 @@ span model:
     (#, -, +, 1. / 1)) at line start (:800-848);
   * blocks join with a blank line.
 
-Word-grid table DETECTION (:480-720) is not modeled — the span model
-carries ruled tables explicitly and E14 extracts them; borderless
-word-grid inference is geometry-statistics work a follow-up can add
-without touching this pipeline.
+Table pages render as GitHub-flavoured pipe tables via TableRenderer
+semantics (widths = max(3, longest escaped cell), right-padded cells,
+a dashed separator under the header row, | escaped as \\|; a
+single-row grid degrades to plain lines, :TableRenderer.java:8-78),
+with the reference's cross-page table stitching (consecutive table
+blocks with matching column counts merge and a repeated header row on
+the continuation drops, :924-950) and its never-merge-into-a-table
+rule for sentence continuations. Detection uses the already-gated E14
+STREAM (whitespace-column) detector page-level in place of the
+reference's word-grid block detector (:480-720) — a documented
+simplification: a detected table page renders wholly as a table; the
+reference can carve a table block out of a prose page.
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ from collections import defaultdict
 from . import wire
 from .columns import reading_order
 from .lines import Line, cluster_lines
+from .tables import stream_table_grid
 
 SOFT_HYPHEN = re.compile(r"(\w+)-\n([a-z])")
 ORDERED_MARKER = re.compile(r"^(\d+)([.)])")
@@ -204,6 +213,61 @@ def _page_blocks(lines: list[Line], median_size: float,
     return out
 
 
+def _escape_cell(cell: str) -> str:
+    return cell.replace("|", "\\|")
+
+
+def render_markdown_table(grid: list[list[str]]) -> str:
+    """TableRenderer.java:8-78: GFM pipe table — column widths =
+    max(3, longest escaped cell), cells right-padded, dashed separator
+    under the header; a single-row grid returns its cells as plain
+    lines."""
+    if not grid:
+        return ""
+    if len(grid) < 2:
+        return "\n".join(_escape_cell(c.strip()) for c in grid[0])
+    cols = len(grid[0])
+    widths = [3] * cols
+    for row in grid:
+        for c in range(cols):
+            cell = row[c].strip() if c < len(row) else ""
+            widths[c] = max(widths[c], len(_escape_cell(cell)))
+
+    def build_row(row: list[str]) -> str:
+        out = ["|"]
+        for c in range(cols):
+            cell = _escape_cell(row[c].strip()) if c < len(row) else ""
+            out.append(" " + cell.ljust(widths[c]) + " |")
+        return "".join(out)
+
+    lines = [build_row(grid[0]),
+             "|" + "".join("-" + "-" * w + "-|" for w in widths)]
+    lines += [build_row(r) for r in grid[1:]]
+    return "\n".join(lines)
+
+
+def _stitch_tables(blocks: list[tuple[str, object]]) -> list[tuple[str, object]]:
+    """PdfMarkdownConverter.java:924-950: consecutive table blocks
+    (nothing between them — one ended a page, the next began the
+    following page) merge when their column counts match; a repeated
+    header row on the continuation is dropped. Column matching is by
+    count here (the reference compares x-layouts; our page-level
+    grids have no retained geometry — documented simplification)."""
+    out: list[tuple[str, object]] = []
+    for kind, payload in blocks:
+        if (kind == "table" and out and out[-1][0] == "table"
+                and len(out[-1][1][0]) == len(payload[0])):
+            prev = out[-1][1]
+            tail = payload
+            if tail and prev and [c.strip() for c in tail[0]] == \
+                    [c.strip() for c in prev[0]]:
+                tail = tail[1:]
+            out[-1] = ("table", prev + tail)
+        else:
+            out.append((kind, payload))
+    return out
+
+
 def _image_placeholder(draw: wire.MediaDraw) -> str:
     parts = []
     if draw.w > 0 and draw.h > 0:
@@ -239,18 +303,29 @@ def markdown_doc(spans) -> str:
     median_size = _weighted_median(glyph_counts, FALLBACK_MEDIAN)
     median_height = _median(line_heights, FALLBACK_MEDIAN)
 
-    output: list[str] = []
+    output: list[tuple[str, object]] = []
     for page in sorted(set(runs_by_page) | set(media_by_page)):
-        page_items = _page_blocks(lines_by_page.get(page, []),
-                                  median_size, median_height)
+        grid = stream_table_grid(runs_by_page.get(page, []))
+        if grid is not None:
+            page_items: list[tuple[str, object]] = [("table", grid)]
+        else:
+            page_items = [("text", b) for b in _page_blocks(
+                lines_by_page.get(page, []), median_size, median_height)]
         page_items.extend(
-            _image_placeholder(d) for d in media_by_page.get(page, []))
-        # cross-page sentence continuation (:907-923)
+            ("text", _image_placeholder(d))
+            for d in media_by_page.get(page, []))
+        # cross-page sentence continuation (:907-923) — STRING blocks
+        # only, never into/out of a table
         if output and page_items:
-            last, first = output[-1], page_items[0]
-            if (first and first[0].islower()
+            lk, last = output[-1]
+            fk, first = page_items[0]
+            if (lk == "text" and fk == "text" and first
+                    and first[0].islower()
                     and not _ends_with_sentence_punct(last)):
-                output[-1] = last + " " + first
+                output[-1] = ("text", last + " " + first)
                 page_items = page_items[1:]
         output.extend(page_items)
-    return "\n\n".join(output)
+    stitched = _stitch_tables(output)
+    return "\n\n".join(
+        render_markdown_table(payload) if kind == "table" else payload
+        for kind, payload in stitched)

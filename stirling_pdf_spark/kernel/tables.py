@@ -147,15 +147,17 @@ def extract_table_csv(rules: list[Rule], runs: list[TextRun]) -> str | None:
     return csvs[0] if csvs else None
 
 
-def stream_table_csv(runs: list[TextRun],
-                     min_gap: float = STREAM_COL_GAP) -> str | None:
+def stream_table_grid(runs: list[TextRun],
+                      min_gap: float = STREAM_COL_GAP) -> list[list[str]] | None:
     """Tabula STREAM mode (whitespace columns) over one page's runs.
 
     Rows = baseline clusters (|dy| <= LINE_Y_TOLERANCE to the row's
     anchor y, like E5 without the x-gap split); column separators =
     gaps wider than ``min_gap`` in the union of all run x-extents.
-    Returns quote-all CSV, or None when fewer than 2 rows or 2 columns
-    emerge (no table)."""
+    Returns the cell grid (rows x columns of joined cell text), or
+    None when fewer than 2 rows or 2 columns emerge (no table). The
+    CSV form (stream_table_csv) and the Markdown table renderer both
+    consume this one detector."""
     visible = [r for r in runs if r.content.strip()]
     if not visible:
         return None
@@ -188,7 +190,7 @@ def stream_table_csv(runs: list[TextRun],
     # separator k sits after merged interval k; assign by anchor x
     bounds = [m[1] + min_gap / 2.0 for m in merged[:-1]]
     n_cols = len(merged)
-    lines = []
+    grid: list[list[str]] = []
     for row in rows:
         cells: list[list[TextRun]] = [[] for _ in range(n_cols)]
         for run in sorted(row, key=lambda r: (r.y, r.x)):
@@ -198,6 +200,15 @@ def stream_table_csv(runs: list[TextRun],
                     c = k
                     break
             cells[c].append(run)
-        fields = [" ".join(t.content for t in cell) for cell in cells]
-        lines.append(",".join(_csv_field(f) for f in fields))
-    return "\n".join(lines)
+        grid.append([" ".join(t.content for t in cell) for cell in cells])
+    return grid
+
+
+def stream_table_csv(runs: list[TextRun],
+                     min_gap: float = STREAM_COL_GAP) -> str | None:
+    """Quote-all CSV of the stream-mode grid (the E14 wire format)."""
+    grid = stream_table_grid(runs, min_gap)
+    if grid is None:
+        return None
+    return "\n".join(
+        ",".join(_csv_field(f) for f in row) for row in grid)

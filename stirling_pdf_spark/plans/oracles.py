@@ -2246,6 +2246,33 @@ FROM v
 
 E14_STREAM_TABLE = _e14_stream_sql()
 
+
+# Markdown pipe-table rendering of the E14 stream-mode page
+# (TableRenderer.java:8-78): widths = max(3, longest cell per column),
+# right-padded cells, dashed separator; corpus cells are single
+# pipe-free words so escaping is identity.
+def _to_markdown_tables_sql() -> str:
+    return f"""
+WITH {_TABLE_DOCS_CTE},
+wid AS (
+  SELECT did, wv, n,
+         CAST(GREATEST(3, length(wv[((0) % n) + 1]), length(wv[((3) % n) + 1]), length(wv[((6) % n) + 1]), length(wv[((9) % n) + 1])) AS INTEGER) AS w0,
+         CAST(GREATEST(3, length(wv[((1) % n) + 1]), length(wv[((4) % n) + 1]), length(wv[((7) % n) + 1]), length(wv[((10) % n) + 1])) AS INTEGER) AS w1,
+         CAST(GREATEST(3, length(wv[((2) % n) + 1]), length(wv[((5) % n) + 1]), length(wv[((8) % n) + 1]), length(wv[((11) % n) + 1])) AS INTEGER) AS w2
+  FROM v
+)
+SELECT did AS doc_id,
+         '| ' || rpad(wv[((0) % n) + 1], w0, ' ') || ' ' || '| ' || rpad(wv[((1) % n) + 1], w1, ' ') || ' ' || '| ' || rpad(wv[((2) % n) + 1], w2, ' ') || ' ' || '|' || chr(10) ||
+         '|' || repeat('-', w0 + 2) || '|' || repeat('-', w1 + 2) || '|' || repeat('-', w2 + 2) || '|' || chr(10) ||
+         '| ' || rpad(wv[((3) % n) + 1], w0, ' ') || ' ' || '| ' || rpad(wv[((4) % n) + 1], w1, ' ') || ' ' || '| ' || rpad(wv[((5) % n) + 1], w2, ' ') || ' ' || '|' || chr(10) ||
+         '| ' || rpad(wv[((6) % n) + 1], w0, ' ') || ' ' || '| ' || rpad(wv[((7) % n) + 1], w1, ' ') || ' ' || '| ' || rpad(wv[((8) % n) + 1], w2, ' ') || ' ' || '|' || chr(10) ||
+         '| ' || rpad(wv[((9) % n) + 1], w0, ' ') || ' ' || '| ' || rpad(wv[((10) % n) + 1], w1, ' ') || ' ' || '| ' || rpad(wv[((11) % n) + 1], w2, ' ') || ' ' || '|' AS markdown
+FROM wid
+"""
+
+
+TO_MARKDOWN_TABLES = _to_markdown_tables_sql()
+
 H2_H3_SANITIZE = r"""
 WITH built AS (
   SELECT doc_id,

@@ -150,3 +150,63 @@ def test_glyph_median_tie_demotes_heading_to_bold_label():
     t = "alpha beta gamma delta eps zeta"
     _, spans = rich_from_text("d", t)
     assert markdown_doc(spans) == f"**{t}**\n\n{t}"
+
+
+def test_table_page_renders_as_pipe_table():
+    from stirling_pdf_spark.corpus.synth import stream_table_from_text
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    _, spans = stream_table_from_text("d", t)
+    md = markdown_doc(spans)
+    lines = md.split("\n")
+    assert lines[0] == "| alpha | beta    | gamma |"
+    assert lines[1] == "|-------|---------|-------|"
+    assert len(lines) == 5
+    # every row has aligned pipes
+    assert len({len(ln) for ln in lines}) == 1
+
+
+def test_table_cells_escape_pipes_and_min_width():
+    from stirling_pdf_spark.kernel.markdown import render_markdown_table
+
+    md = render_markdown_table([["a|b", "x"], ["c", "y"]])
+    assert md.split("\n")[0] == "| a\\|b | x   |"
+    # min width 3 on the short column
+    assert md.split("\n")[1] == "|------|-----|"
+
+
+def test_single_row_grid_degrades_to_plain_lines():
+    from stirling_pdf_spark.kernel.markdown import render_markdown_table
+
+    assert render_markdown_table([["only", "row"]]) == "only\nrow"
+
+
+def test_tables_stitch_across_pages_and_drop_repeated_header():
+    sp = []
+    for page, rows in ((1, [["h1", "h2"], ["x", "y"]]),
+                       (2, [["h1", "h2"], ["a", "b"]])):
+        for r, row in enumerate(rows):
+            for c, cell in enumerate(row):
+                sp.append(("text", wire.encode_text_run(
+                    TextRun(page, 72.0 + 250 * c, 100.0 + 20 * r, 11.0,
+                            "Helvetica", cell)), "", len(sp)))
+    md = markdown_doc(sp)
+    assert md.count("h1") == 1            # repeated header dropped
+    assert "| x   | y   |" in md and "| a   | b   |" in md
+    assert "\n\n" not in md               # ONE stitched table block
+
+
+def test_no_merge_of_continuation_into_table():
+    sp = []
+    for r, row in enumerate([["h1", "h2"], ["x", "y"]]):
+        for c, cell in enumerate(row):
+            sp.append(("text", wire.encode_text_run(
+                TextRun(1, 72.0 + 250 * c, 100.0 + 20 * r, 11.0,
+                        "Helvetica", cell)), "", len(sp)))
+    sp.append(("text", wire.encode_text_run(
+        TextRun(2, 72.0, 72.0, 11.0, "Helvetica", "lowercase text")),
+        "", len(sp)))
+    md = markdown_doc(sp)
+    blocks = md.split("\n\n")
+    assert len(blocks) == 2
+    assert blocks[1] == "lowercase text"
