@@ -53,7 +53,7 @@ import re
 from collections import defaultdict
 
 from . import wire
-from .columns import reading_order
+from .columns import is_two_column, reading_order
 from .lines import Line, cluster_lines
 from .tables import stream_table_grid
 
@@ -305,7 +305,21 @@ def markdown_doc(spans) -> str:
 
     output: list[tuple[str, object]] = []
     for page in sorted(set(runs_by_page) | set(media_by_page)):
-        grid = stream_table_grid(runs_by_page.get(page, []))
+        # multi-column guard (PdfMarkdownConverter.java:66-79): only
+        # genuine two-column prose splits into columns; a table's
+        # gutters must not be mistaken for a page-layout gutter — and
+        # vice versa, so table detection is SKIPPED on two-column
+        # pages (blocks = twoColumn ? List.of() : findTableBlocks)
+        page_lines = lines_by_page.get(page, [])
+        grid = (None if is_two_column(page_lines)
+                else stream_table_grid(runs_by_page.get(page, [])))
+        if grid is not None and any(
+                sum(1 for c in row if c.strip()) < 2 for row in grid):
+            # the reference's word-grid rows are lines with >= 2
+            # aligned cells (:480-720); a page where some baseline has
+            # only one occupied column is prose with a ragged margin
+            # (e.g. a sparse trailing column), not a table
+            grid = None
         if grid is not None:
             page_items: list[tuple[str, object]] = [("table", grid)]
         else:

@@ -210,3 +210,28 @@ def test_no_merge_of_continuation_into_table():
     blocks = md.split("\n\n")
     assert len(blocks) == 2
     assert blocks[1] == "lowercase text"
+
+
+def test_two_column_page_linearizes_in_column_order():
+    """Markdown x column layout: the scrambled-emission two-column
+    corpus restores the ORIGINAL word sequence (left column top-down,
+    then right), pages merge, and the two-column guard keeps the
+    stream-table detector OFF two-column prose (the reference skips
+    findTableBlocks on twoColumn pages)."""
+    from stirling_pdf_spark.corpus.spark_synth import twocol_from_text
+
+    words = [f"wrd{i % 10}x" for i in range(150)]  # every line votes
+    text = " ".join(words)
+    _, spans = twocol_from_text("d", text)
+    md = markdown_doc(spans)
+    assert md == text
+    assert "|" not in md
+
+
+def test_table_detection_still_fires_on_non_voting_columns():
+    # stream-table cells are short (< 100pt) so they never vote two-column;
+    # the guard must not suppress genuine table pages
+    from stirling_pdf_spark.corpus.synth import stream_table_from_text
+
+    _, spans = stream_table_from_text("d", "aa bb cc dd ee ff")
+    assert markdown_doc(spans).startswith("| aa ")
