@@ -1075,6 +1075,48 @@ def q_to_markdown_tables(spark: SparkSession, sf_dir: str,
     return to_markdown(docs)
 
 
+def q_md_to_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> document ingestion (/markdown/pdf,
+    ConvertMarkdownToPdf.java:124-150: commonmark + GFM tables ->
+    HTML -> the document pipeline): a deterministic markdown doc
+    (ATX heading, paragraph, list, pipe table) converts per doc and
+    rides the whole-body HTML path through REAL extraction — one text
+    span per rendered block (heading, paragraph, each <li>, each
+    table cell), in document order."""
+    from stirling_pdf_spark.sources.files import (
+        docs_from_markdown_strings,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    w = F.split(F.trim("text"), r"\s+")
+
+    def wk(k: int):
+        return F.element_at(
+            w, ((F.lit(k - 1) % F.size(w)) + 1).cast("int"))
+
+    md = F.concat(
+        F.lit("# "), wk(1), F.lit(" "), wk(2), F.lit(" "), wk(3),
+        F.lit(" "), wk(4), F.lit("\n\n"),
+        F.col("text"), F.lit("\n\n"),
+        F.lit("- "), wk(5), F.lit("\n- "), wk(6), F.lit("\n\n"),
+        F.lit("| "), wk(7), F.lit(" | "), wk(8), F.lit(" |\n"),
+        F.lit("|----|----|\n"),
+        F.lit("| "), wk(9), F.lit(" | "), wk(10), F.lit(" |"),
+    )
+    src = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        md.alias("md"),
+    )
+    flat = explode_spans(extract_spans(docs_from_markdown_strings(src)))
+    return (flat.filter(F.col("kind") == "text")
+            .select("doc_id",
+                    F.col("order").cast("long").alias("span_order"),
+                    "text"))
+
+
 def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's batch-with-checkpoint deployment shape, driven
     end-to-end: corpus wave 1 (doc_id % 3 == 0) lands in the input dir
@@ -1971,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "to_markdown": q_to_markdown,
         "to_markdown_tables": q_to_markdown_tables,
+        "md_to_pdf_ingest": q_md_to_pdf_ingest,
         # --- CHANGED this round (need a fresh driver row)
         "e17_page_info": q_e17_page_info,          # + links/xobj/multimedia
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
@@ -1984,7 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green then, re-verified locally since; the 10
         # pass(local) operators the r3 verdict called out lead)
         "s12_redact_text": q_s12_redact_text,
-        "e18_title_inference": q_e18_title_inference,
         "e12_unique_name_suffix": R.e12_unique_name_suffix,
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
@@ -2021,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "e14_stream_table": q_e14_stream_table,
         "e14_lattice_tables": q_e14_lattice_tables,
+        "e18_title_inference": q_e18_title_inference,
         "f4_page_size_wire": q_f4_page_size_wire,
         "extract_span_counts": q_extract_span_counts,
         "q5_nation_volume": R.q5_nation_volume,
@@ -2121,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": O.DEDUP_DECONTAMINATE,
         "to_markdown": O.TO_MARKDOWN,
         "to_markdown_tables": O.TO_MARKDOWN_TABLES,
+        "md_to_pdf_ingest": O.MD_TO_PDF_INGEST,
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,

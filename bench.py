@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "dedup_decontaminate",
     "to_markdown",
     "to_markdown_tables",
+    "md_to_pdf_ingest",
 )
 
 # queries that consume a shared materialized corpus (extract/derive

@@ -1533,6 +1533,30 @@ SELECT did AS doc_id, md5(md) AS md_md5,
 FROM m
 """
 
+# Markdown ingestion (/markdown/pdf): the converted blocks extract as
+# one text span each — heading (4 words), the full paragraph, two list
+# items, four table cells — in document order.
+MD_TO_PDF_INGEST = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw, text
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT did AS doc_id, CAST(0 AS BIGINT) AS span_order,
+       w[((0) % nw) + 1] || ' ' || w[((1) % nw) + 1] || ' ' || w[((2) % nw) + 1] || ' ' || w[((3) % nw) + 1] AS text
+FROM d
+-- blocks clip at MAX_CHARS_PER_CHUNK = 500 (kernel/extract.py
+-- text-chunk budget) — only the paragraph block can exceed it
+UNION ALL SELECT did, 1, substr(text, 1, 500) FROM d
+UNION ALL SELECT did, 2, w[((4) % nw) + 1] FROM d
+UNION ALL SELECT did, 3, w[((5) % nw) + 1] FROM d
+UNION ALL SELECT did, 4, w[((6) % nw) + 1] FROM d
+UNION ALL SELECT did, 5, w[((7) % nw) + 1] FROM d
+UNION ALL SELECT did, 6, w[((8) % nw) + 1] FROM d
+UNION ALL SELECT did, 7, w[((9) % nw) + 1] FROM d
+"""
+
 E20_AUTO_SPLIT = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,

@@ -1,4 +1,4 @@
-"""File ingestion sources — raw .html / .eml / .txt files on disk (or
+"""File ingestion sources — raw .html / .eml / .txt / .md files on disk (or
 object storage) to the interleaved docs table.
 
 This is the user-facing ingestion path the reference exposes as file
@@ -12,6 +12,8 @@ becomes one document:
   * .txt   -> the canonical deterministic layout (synth_from_text) —
     plain text carries no geometry, so the engine assigns the same
     8-words/line, 40-lines/page layout the corpus derivations use;
+  * .md    -> converted to HTML (commonmark + GFM tables analogue)
+             and carried whole as kind='htmlbody';
   * .eml   -> parsed with the stdlib ``email`` package (same RFCs as
     EmlParser.java): Subject/From as meta spans, the preferred body as
     an html span (plain bodies are escaped + autolinked first, the
@@ -58,6 +60,28 @@ def docs_from_html_files(spark: SparkSession, path: str,
                 ids.append(os.path.basename(p))
                 markup = bytes(content).decode("utf-8", "replace")
                 spans.append(_dicts([("html", markup, "", 0)]))
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return _binary_files(spark, path, glob).mapInPandas(gen, DOCS_SCHEMA)
+
+
+def docs_from_markdown_files(spark: SparkSession, path: str,
+                             glob: str = "*.md") -> DataFrame:
+    """One doc per .md file: converted to HTML (the commonmark + GFM
+    tables analogue, ConvertMarkdownToPdf.java:124-150) and carried as
+    a kind='htmlbody' span — rendered WHOLE like an EML body, never
+    boilerplate-stripped, matching the reference's render-the-whole-
+    converted-document behavior."""
+    from ..functions.markdown_ingest import markdown_to_html
+
+    def gen(batches):
+        for pdf in batches:
+            ids, spans = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                ids.append(os.path.basename(p))
+                md = bytes(content).decode("utf-8", "replace")
+                spans.append(_dicts([("htmlbody", markdown_to_html(md),
+                                      "", 0)]))
             yield pd.DataFrame({"doc_id": ids, "spans": spans})
 
     return _binary_files(spark, path, glob).mapInPandas(gen, DOCS_SCHEMA)
@@ -126,3 +150,23 @@ def docs_from_eml_files(spark: SparkSession, path: str,
             yield pd.DataFrame({"doc_id": ids, "spans": spans})
 
     return _binary_files(spark, path, glob).mapInPandas(gen, DOCS_SCHEMA)
+
+
+def docs_from_markdown_strings(df: DataFrame, id_col: str = "doc_id",
+                               md_col: str = "md") -> DataFrame:
+    """(id, markdown string) -> docs table, same conversion as
+    docs_from_markdown_files without the filesystem: the gate-able
+    form of the /markdown/pdf ingestion path."""
+    from ..functions.markdown_ingest import markdown_to_html
+
+    def gen(batches):
+        for pdf in batches:
+            ids, spans = [], []
+            for did, md in zip(pdf[id_col], pdf[md_col]):
+                ids.append(did)
+                spans.append(_dicts([("htmlbody",
+                                      markdown_to_html(md or ""),
+                                      "", 0)]))
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return df.select(id_col, md_col).mapInPandas(gen, DOCS_SCHEMA)

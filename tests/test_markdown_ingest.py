@@ -1,0 +1,73 @@
+"""Markdown -> HTML ingestion (/markdown/pdf path)."""
+
+from __future__ import annotations
+
+from stirling_pdf_spark.functions.markdown_ingest import markdown_to_html
+from stirling_pdf_spark.kernel.html_extract import extract_all_blocks
+
+
+def test_headings_paragraphs_lists_tables():
+    md = ("# Title Here\n\npara one\nstill para\n\n- a\n- b\n\n"
+          "| h1 | h2 |\n|----|----|\n| c1 | c2 |")
+    blocks = extract_all_blocks(markdown_to_html(md))
+    assert blocks == ["Title Here", "para one still para", "a", "b",
+                      "h1", "h2", "c1", "c2"]
+
+
+def test_heading_levels_render_distinct_tags():
+    html = markdown_to_html("# one\n\n### three\n\n###### six")
+    assert "<h1>one</h1>" in html
+    assert "<h3>three</h3>" in html
+    assert "<h6>six</h6>" in html
+
+
+def test_inline_markup_and_escaping():
+    html = markdown_to_html(
+        "**bold** *em* `x < y` [go](https://e.x) & <raw>")
+    assert "<strong>bold</strong>" in html
+    assert "<em>em</em>" in html
+    assert "<code>x &lt; y</code>" in html
+    assert '<a href="https://e.x">go</a>' in html
+    assert "&amp;" in html and "&lt;raw&gt;" in html
+
+
+def test_escaped_pipe_cells_roundtrip_with_exporter():
+    from stirling_pdf_spark.kernel.markdown import render_markdown_table
+
+    md = render_markdown_table([["a|b", "x"], ["c", "y"]])
+    blocks = extract_all_blocks(markdown_to_html(md))
+    assert blocks == ["a|b", "x", "c", "y"]
+
+
+def test_table_requires_separator_row():
+    # a lone pipe line with no dashed separator is a paragraph
+    blocks = extract_all_blocks(markdown_to_html("| not | table |"))
+    assert blocks == ["| not | table |"]
+
+
+def test_unmodeled_blocks_degrade_to_paragraphs():
+    blocks = extract_all_blocks(markdown_to_html("> quoted\n\n1. ordered"))
+    assert blocks == ["> quoted", "1. ordered"]
+
+
+def test_file_and_string_sources(spark, tmp_path):
+    from stirling_pdf_spark.operators.extract_pipeline import extract_spans
+    from stirling_pdf_spark.sources.files import (
+        docs_from_markdown_files,
+        docs_from_markdown_strings,
+    )
+
+    (tmp_path / "a.md").write_text("# Hi\n\nbody text")
+    (tmp_path / "b.md").write_text("- one\n- two")
+    docs = docs_from_markdown_files(spark, str(tmp_path))
+    out = {r["doc_id"]: [s["text"] for s in r["spans"]
+                         if s["kind"] == "text"]
+           for r in extract_spans(docs, num_partitions=2).collect()}
+    assert out["a.md"] == ["Hi", "body text"]
+    assert out["b.md"] == ["one", "two"]
+
+    df = spark.createDataFrame([("d1", "# T\n\np")],
+                               "doc_id string, md string")
+    [row] = docs_from_markdown_strings(df).collect()
+    assert row["spans"][0]["kind"] == "htmlbody"
+    assert "<h1>T</h1><p>p</p>" == row["spans"][0]["text"]

@@ -23,7 +23,7 @@ R4_NEW = [
     "s11_flatten_forms", "s9_watermark_grid", "remove_blank_pages",
     "sanitize_pdf", "security_password", "text_url_extract",
     "text_domain_caps", "show_javascript", "dedup_decontaminate",
-    "to_markdown", "to_markdown_tables",
+    "to_markdown", "to_markdown_tables", "md_to_pdf_ingest",
 ]
 
 
