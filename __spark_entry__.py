@@ -2047,12 +2047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
-        # Fourteen r1/r2-green gates yielded their r4 slots to the
-        # FOURTEEN NEW gates (JPEG decode, split-by-size,
+        # Sixteen r1/r2-green gates yielded their r4 slots to the
+        # SIXTEEN NEW gates (JPEG decode, split-by-size,
         # split-by-doc-count, form flatten, watermark grid,
         # remove-blank-pages, sanitize, password add/remove, URL
         # extract, domain caps, show-javascript, decontaminate,
-        # to-markdown, to-markdown-tables): each
+        # to-markdown, to-markdown-tables, markdown ingestion): each
         # displaced gate is either a relational ANALOGUE whose real
         # operator keeps a fresh row in-window (q1/q3/e18_top/
         # e16_customer/s4_lead/s6_reverse_perm) or a family variant

@@ -5,14 +5,15 @@ GFM TablesExtension and feeds the HTML to its HTML->PDF pipeline
 (ConvertMarkdownToPdf.java:7-13,124-150). Here the same shape:
 ``markdown_to_html`` implements the CommonMark subset the corpus and
 the reference's own exporter produce — ATX headings, paragraphs with
-soft line breaks, unordered lists, GFM pipe tables (the extension),
-inline code/strong/emphasis/links — and the result rides the existing
+soft line breaks, unordered AND ordered lists, blockquotes, fenced
+code blocks, GFM pipe tables (the extension), inline
+code/strong/emphasis/links — and the result rides the existing
 HTML ingestion (sources/files.py) as a kind='htmlbody' span, i.e.
 rendered whole like an EML body, matching the reference's
 render-the-whole-document behavior (no boilerplate stripping on a
-converted file). Fenced code blocks, blockquotes, setext headings and
-ordered lists are outside the modeled subset — the function renders
-them as paragraphs rather than guessing.
+converted file). Setext headings and nested lists are outside the
+modeled subset — the function renders them as paragraphs/flat items
+rather than guessing.
 """
 
 from __future__ import annotations
@@ -21,6 +22,9 @@ import re
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
 _LIST_RE = re.compile(r"^[-*+]\s+(.*)$")
+_OLIST_RE = re.compile(r"^\d+[.)]\s+(.*)$")
+_FENCE_RE = re.compile(r"^(```|~~~)\s*\S*\s*$")
+_QUOTE_RE = re.compile(r"^>\s?(.*)$")
 _SEP_ROW_RE = re.compile(r"^\|(?:\s*:?-{3,}:?\s*\|)+\s*$")
 _CODE_RE = re.compile(r"`([^`]+)`")
 _STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
@@ -99,19 +103,50 @@ def markdown_to_html(md: str) -> str:
             parts.append("</tbody></table>")
             out.append("".join(parts))
             continue
-        lm = _LIST_RE.match(stripped)
-        if lm:
+        fm = _FENCE_RE.match(stripped)
+        if fm:
             flush_para()
-            items = []
-            while i < len(lines):
-                im = _LIST_RE.match(lines[i].strip())
-                if not im:
-                    break
-                items.append(f"<li>{_inline(im.group(1).strip())}</li>")
+            fence = fm.group(1)
+            i += 1
+            code: list[str] = []
+            while i < len(lines) and not lines[i].strip().startswith(fence):
+                code.append(lines[i])
                 i += 1
-            out.append("<ul>" + "".join(items) + "</ul>")
+            i += 1  # closing fence (or EOF)
+            out.append("<pre><code>" + _escape("\n".join(code))
+                       + "</code></pre>")
             continue
-        para.append(stripped)
-        i += 1
+        if _QUOTE_RE.match(stripped):
+            flush_para()
+            quoted: list[str] = []
+            while i < len(lines):
+                qm = _QUOTE_RE.match(lines[i].strip())
+                if not qm:
+                    break
+                quoted.append(qm.group(1))
+                i += 1
+            out.append("<blockquote><p>"
+                       + "\n".join(_inline(q) for q in quoted)
+                       + "</p></blockquote>")
+            continue
+        for regex, tag in ((_LIST_RE, "ul"), (_OLIST_RE, "ol")):
+            lm = regex.match(stripped)
+            if lm:
+                flush_para()
+                items = []
+                while i < len(lines):
+                    im = regex.match(lines[i].strip())
+                    if not im:
+                        break
+                    items.append(
+                        f"<li>{_inline(im.group(1).strip())}</li>")
+                    i += 1
+                out.append(f"<{tag}>" + "".join(items) + f"</{tag}>")
+                break
+        else:
+            para.append(stripped)
+            i += 1
+            continue
+        continue
     flush_para()
     return "".join(out)

@@ -45,9 +45,23 @@ def test_table_requires_separator_row():
     assert blocks == ["| not | table |"]
 
 
-def test_unmodeled_blocks_degrade_to_paragraphs():
-    blocks = extract_all_blocks(markdown_to_html("> quoted\n\n1. ordered"))
-    assert blocks == ["> quoted", "1. ordered"]
+def test_ordered_lists_blockquotes_fences():
+    md = ("> quoted words\n> more quote\n\n1. first\n2. second\n\n"
+          "```py\nx = 1 < 2\n```")
+    html = markdown_to_html(md)
+    assert ("<blockquote><p>quoted words\nmore quote</p></blockquote>"
+            in html)
+    assert "<ol><li>first</li><li>second</li></ol>" in html
+    assert "<pre><code>x = 1 &lt; 2</code></pre>" in html
+    blocks = extract_all_blocks(html)
+    # the HTML parser decodes the &lt; entity back on extraction
+    assert blocks == ["quoted words more quote", "first", "second",
+                      "x = 1 < 2"]
+
+
+def test_unmodeled_setext_degrades_to_paragraph():
+    blocks = extract_all_blocks(markdown_to_html("Title\n====="))
+    assert blocks == ["Title ====="]
 
 
 def test_file_and_string_sources(spark, tmp_path):
