@@ -1734,6 +1734,35 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", "width", "height", "px_head")
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (kernel/gif.py — header/descriptor walk, the
+    GIF LZW variant with LSB-first packing, variable code widths up to
+    12 bits and CLEAR resets, palette mapping): GIF is lossless, so
+    dims AND the first 8 decoded RGB bytes are pinned closed-form
+    against the deterministic index stream."""
+    from stirling_pdf_spark.corpus.media import gif_table
+    from stirling_pdf_spark.operators.multimodal import decode_images
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return decode_images(gif_table(docs)).select(
+        "media_ref", "width", "height", "px_head")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_groups(
         read_table(spark, sf_dir, "documents"), bits=O.SIMHASH_BITS
@@ -2019,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,  # + PNG defilter/px_head
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,  # NEW: real
         # baseline-JPEG decode (Huffman+IDCT), bit-exact fixtures
+        "multimodal_decode_gif": q_multimodal_decode_gif,  # NEW: real
+        # GIF LZW decode, lossless closed-form pixels
         "s1_merge_by_date": q_s1_merge_by_date,    # comparator coalesce
         "s1_merge_by_title": q_s1_merge_by_title,
         "e13_search_positions": q_e13_search_positions,  # pattern builder
@@ -2031,7 +2062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f4_size_class_filter": R.f4_size_class_filter,
-        "f5_filter_size_comparator": R.f5_filter_size_comparator,
         "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "s1_merge_comparator": R.s1_merge_comparator,
@@ -2065,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_lattice_tables": q_e14_lattice_tables,
         "e18_title_inference": q_e18_title_inference,
         "f4_page_size_wire": q_f4_page_size_wire,
+        "f5_filter_size_comparator": R.f5_filter_size_comparator,
         "extract_span_counts": q_extract_span_counts,
         "q5_nation_volume": R.q5_nation_volume,
         "extract_synth_corpus": q_extract_synth_corpus,  # rows-only
@@ -2201,6 +2232,7 @@ def oracle_sql() -> dict[str, str]:
         "e17_page_info": O.E17_PAGE_INFO,
         "multimodal_decode": O.MULTIMODAL_DECODE,
         "multimodal_decode_jpeg": O.MULTIMODAL_DECODE_JPEG,
+        "multimodal_decode_gif": O.MULTIMODAL_DECODE_GIF,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "e17_page_info",
     "multimodal_decode",
     "multimodal_decode_jpeg",
+    "multimodal_decode_gif",
     "s3_split_doc_count",
     "s3_split_byte_size",
     "s11_flatten_forms",

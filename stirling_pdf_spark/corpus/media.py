@@ -251,3 +251,49 @@ def image_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def gif_dims_for_ref(ref: str) -> tuple[int, int]:
+    """(width, height) of the deterministic GIF fixture — pure
+    functions of sha256(ref), dims 4..32 px."""
+    h = hashlib.sha256(ref.encode()).digest()
+    return 4 + h[1] % 29, 4 + h[2] % 29
+
+
+def gif_index_stream(ref: str, n: int) -> bytes:
+    """Palette-index bytes: concatenated sha256 digests of the ASCII
+    seeds 'gx:{ref}:{i}' — reproducible in SQL from nothing but a
+    VARCHAR sha256 (same scheme as the PPM/PNG pixel stream)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"gx:{ref}:{counter}".encode()).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def gif_payload_for_ref(ref: str) -> bytes:
+    """A VALID GIF87a (grayscale 256-entry GCT, real LZW) for the ref.
+    GIF is lossless, so the decoded RGB stream is exactly the index
+    stream gray-expanded — the oracle states its head closed-form."""
+    from ..kernel import gif
+
+    w, hgt = gif_dims_for_ref(ref)
+    return gif.encode_gif(w, hgt, gif_index_stream(ref, w * hgt))
+
+
+def gif_table(docs: DataFrame) -> DataFrame:
+    """gif(media_ref, fmt='gif', payload) for every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["gif"] * len(refs), pa.string()),
+                 pa.array([gif_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -10,9 +10,10 @@ layout a 100 TB training pipeline needs:
 Decode / feature-extract stages are `mapInPandas` over Arrow batches
 (pyarrow binary arrays — zero-copy into the Python worker). Decoding
 is REAL for PPM/BMP (stdlib struct), PNG (stdlib zlib + all five
-scanline filters) and baseline JPEG (kernel/jpeg.py: Huffman entropy
-decode + IDCT, grayscale and 4:4:4 color) — no codec libraries needed.
-Only formats that genuinely require external codecs (gif/webp,
+scanline filters), baseline JPEG (kernel/jpeg.py: Huffman entropy
+decode + IDCT, grayscale and 4:4:4 color) and GIF (kernel/gif.py: the
+GIF LZW variant + palette mapping) — no codec libraries needed.
+Only formats that genuinely require external codecs (webp,
 progressive JPEG, audio/video) raise NotImplementedError unless
 `deterministic_fake=True` derives placeholder metadata from the
 payload bytes (sha256-seeded), keeping schema/partitioning/batching
@@ -157,8 +158,10 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
         walk, Huffman entropy decode, dequant + IDCT, restart
         intervals; grayscale and 4:4:4 color).
 
+      * GIF: LZW decode + palette mapping via kernel/gif.decode.
+
     Returns (width, height). Formats that genuinely need external
-    codecs (gif/webp, progressive/subsampled JPEG) raise
+    codecs (webp, progressive/subsampled JPEG) raise
     NotImplementedError unless ``deterministic_fake`` asks for the
     hash-derived placeholder dims (plumbing tests)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -168,6 +171,11 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
         from ..kernel import jpeg
 
         w, h, _nc, _px = jpeg.decode(payload)
+        return w, h
+    if payload[:4] == b"GIF8":
+        from ..kernel import gif
+
+        w, h, _px = gif.decode(payload)
         return w, h
     if payload[:2] == b"P6":
         # header tokens may be separated by any whitespace; '#' starts
@@ -241,6 +249,11 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                         from ..kernel import jpeg
 
                         w, h, _nc, px = jpeg.decode(b)
+                        px_head = px[:8].hex()
+                    elif b[:4] == b"GIF8":
+                        from ..kernel import gif
+
+                        w, h, px = gif.decode(b)
                         px_head = px[:8].hex()
                     else:
                         w, h = decode_image(b)

@@ -2210,6 +2210,34 @@ SELECT media_ref,
 FROM lvl
 """
 
+# GIF decode (corpus.media.gif_payload_for_ref): dims from
+# sha256(ref); GIF is LOSSLESS so the decoded RGB stream is exactly
+# the 'gx:' index stream gray-expanded — the first 8 RGB bytes are
+# indices b0 b0 b0 b1 b1 b1 b2 b2 of sha256('gx:{ref}:0'), i.e. the
+# sha hex's first three byte-pairs repeated 3/3/2 times. Compressed
+# size is content-dependent and not asserted.
+MULTIMODAL_DECODE_GIF = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), dims AS (
+  SELECT media_ref,
+         4 + {_hexb(3)} % 29 AS w,
+         4 + {_hexb(5)} % 29 AS hgt
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+), px AS (
+  SELECT media_ref, w, hgt,
+         sha256('gx:' || media_ref || ':0') AS g
+  FROM dims
+)
+SELECT media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       repeat(substr(g, 1, 2), 3) || repeat(substr(g, 3, 2), 3)
+         || repeat(substr(g, 5, 2), 2) AS px_head
+FROM px
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """
