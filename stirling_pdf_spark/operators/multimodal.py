@@ -87,6 +87,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, w, h, idat = 8, 0, 0, b""
+    plte: bytes | None = None
     depth = color_type = interlace = None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), \
@@ -96,16 +97,20 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         if ctype == b"IHDR":
             w, h, depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if depth is None:
         raise ValueError("missing IHDR")
-    if depth != 8 or color_type not in (2, 6) or interlace:
+    if depth != 8 or color_type not in (2, 3, 6) or interlace:
         raise NotImplementedError(
-            "only non-interlaced 8-bit RGB/RGBA PNG is supported")
-    ch = 3 if color_type == 2 else 4
+            "only non-interlaced 8-bit RGB/RGBA/paletted PNG is supported")
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("paletted PNG without a valid PLTE chunk")
+    ch = {2: 3, 3: 1, 6: 4}[color_type]
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
@@ -141,6 +146,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"invalid scanline filter {ft}")
         out += row
         prev = row
+    if color_type == 3:
+        n = len(plte) // 3
+        rgb = bytearray()
+        for i in out:
+            if i >= n:
+                raise ValueError("palette index out of range")
+            rgb += plte[3 * i:3 * i + 3]
+        return w, h, bytes(rgb)
     return w, h, bytes(out)
 
 

@@ -195,3 +195,39 @@ def test_malformed_tables_raise_value_error_not_keyerror():
     bad[i + 5] = 9                        # first scan component id
     with pytest.raises(ValueError):
         jpeg.decode(bytes(bad))
+
+
+def test_paletted_png_decodes_via_plte():
+    """Color-type-3 PNG: indices defilter like any 1-channel scanline
+    and map through the PLTE chunk."""
+    import struct
+    import zlib
+
+    from stirling_pdf_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    w, h = 5, 3
+    palette = b"".join(bytes(((i * 3) % 256, (i * 5) % 256, (i * 7) % 256))
+                       for i in range(256))
+    idx = bytes((r * w + c) % 256 for r in range(h) for c in range(w))
+    raw = b"".join(b"\x01" + bytes(
+        [(idx[r * w + c] - (idx[r * w + c - 1] if c else 0)) & 0xFF
+         for c in range(w)]) for r in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", palette)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    W, H, px = decode_png(png)
+    assert (W, H) == (w, h)
+    assert px == b"".join(palette[3 * i:3 * i + 3] for i in idx)
+    # missing PLTE -> ValueError, stays per-row isolated
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
