@@ -40,10 +40,25 @@ def _escape(text: str) -> str:
 
 def _inline(text: str) -> str:
     s = _escape(text)
-    s = _CODE_RE.sub(r"<code>\1</code>", s)
+    stash: list[str] = []
+
+    def protect(rendered: str) -> str:
+        stash.append(rendered)
+        return f"\x00{len(stash) - 1}\x00"
+
+    # code spans bind tightest in commonmark: their CONTENTS must not
+    # receive strong/em/link substitution ('`a*b*c`' stays literal)
+    s = _CODE_RE.sub(lambda m: protect(f"<code>{m.group(1)}</code>"), s)
+    # link destinations are literal URLs: stash them before the
+    # emphasis passes can rewrite '*' inside them; link TEXT stays
+    # inline so strong/em still apply to it, as commonmark does
+    s = _LINK_RE.sub(lambda m: f"[{m.group(1)}]({protect(m.group(2))})",
+                     s)
     s = _STRONG_RE.sub(r"<strong>\1</strong>", s)
     s = _EM_RE.sub(r"<em>\1</em>", s)
     s = _LINK_RE.sub(r'<a href="\2">\1</a>', s)
+    for i, rendered in enumerate(stash):
+        s = s.replace(f"\x00{i}\x00", rendered)
     return s
 
 

@@ -132,6 +132,12 @@ class _BitReader:
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker code — skip them so the byte after the run
+            # decides stuffed-zero vs marker
+            while nxt == 0xFF:
+                self.pos += 1
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos += 2
             elif nxt is not None and 0xD0 <= nxt <= 0xD7:
@@ -159,6 +165,10 @@ class _BitReader:
         self.buf = 0
         self.nbits = 0
         d = self.data
+        # optional 0xFF fill bytes may precede the RSTn (T.81 B.1.1.2)
+        while (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and d[self.pos + 1] == 0xFF):
+            self.pos += 1
         if (self.pos + 1 >= len(d) or d[self.pos] != 0xFF
                 or not 0xD0 <= d[self.pos + 1] <= 0xD7):
             raise ValueError("missing restart marker")
@@ -197,6 +207,11 @@ def decode(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: skip optional 0xFF fill bytes before the code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         m = payload[pos + 1]
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + seglen > len(payload):

@@ -67,6 +67,17 @@ def _regroup(exploded: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _widen_offset(sp: Column) -> Column:
+    """Rebuild a span struct with a LONG offset so it can union with
+    synthetic spans whose offsets exceed int32 (watermark grids);
+    _regroup re-densifies offsets to int afterwards."""
+    return F.struct(
+        sp["kind"].alias("kind"), sp["text"].alias("text"),
+        sp["media_ref"].alias("media_ref"),
+        sp["offset"].cast("long").alias("offset"),
+    )
+
+
 MERGE_COMPARATORS = ("byFileName", "byDateModified", "byDateCreated",
                      "byPDFTitle", "orderProvided")
 
@@ -1937,11 +1948,13 @@ def flatten_forms(docs: DataFrame, x: float = 72.0, y0: float = 680.0,
                     F.col("value"),
                 ).alias("text"),
                 F.lit("").alias("media_ref"),
-                (F.lit(1_000_000) + F.col("i")).cast("int").alias("offset"),
+                (F.lit(1_000_000) + F.col("i")).cast("long")
+                .alias("offset"),
             ).alias("s"),
         )
     )
-    kept = exploded.filter(s["kind"] != "formfield").select("doc_id", "s")
+    kept = exploded.filter(s["kind"] != "formfield").select(
+        "doc_id", _widen_offset(s).alias("s"))
     return _regroup(kept.unionByName(painted))
 
 
@@ -2013,11 +2026,15 @@ def add_watermark(docs: DataFrame, text: str, rotation: float = 0.0,
                 F.col("t.content"),
             ).alias("text"),
             F.lit("").alias("media_ref"),
+            # LONG, not int: page * len(stamps) reaches ~1e8 stamps per
+            # page with small font/spacer params, so an int32 offset
+            # would wrap negative and corrupt span ordering
             (F.lit(1_000_000) + F.col("page") * len(stamps)
-             + F.col("t.idx")).cast("int").alias("offset"),
+             + F.col("t.idx")).cast("long").alias("offset"),
         ).alias("s"),
     )
-    return _regroup(exploded.select("doc_id", "s").unionByName(painted))
+    originals = exploded.select("doc_id", _widen_offset(s).alias("s"))
+    return _regroup(originals.unionByName(painted))
 
 
 def remove_blank_pages(docs: DataFrame) -> DataFrame:
@@ -2127,9 +2144,15 @@ def sanitize_docs(docs: DataFrame, remove_javascript: bool = True,
             body = F.substring_index(text, "\t", -1)
             parts = F.split(body, r"\|")
             # annot body: subtype|contents|author|subject — clear the
-            # contents (action/URI) slot of Link annotations only
+            # contents (action/URI) slot of Link annotations only.
+            # coalesce each slot: concat_ws silently DROPS null args,
+            # so a short wire body (< 4 pipe slots) would collapse to
+            # fewer slots and shift downstream split_part indices
+            # F.get, not [..]: ANSI mode throws on short wire bodies
             cleared = F.concat_ws(
-                "|", parts[0], F.lit(""), parts[2], parts[3])
+                "|", parts[0], F.lit(""),
+                F.coalesce(F.get(parts, 2), F.lit("")),
+                F.coalesce(F.get(parts, 3), F.lit("")))
             text = F.when(
                 (sp["kind"] == "annotation")
                 & (parts[0] == "Link"),

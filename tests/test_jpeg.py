@@ -132,6 +132,30 @@ def test_progressive_sof_rejected_honestly():
         jpeg.decode(bytes(data))
 
 
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code — spec-conforming third-party JPEGs pad this way, so
+    the marker walk must skip the run instead of misreading seglen."""
+    px = _flat_image(16, 8, seed=37)
+    data = jpeg.encode_gray(16, 8, px.tobytes())
+    baseline = jpeg.decode(data)
+    i = data.index(b"\xFF\xC0")  # pad before SOF0
+    padded = data[:i] + b"\xFF\xFF\xFF" + data[i:]
+    assert jpeg.decode(padded) == baseline
+    i = padded.index(b"\xFF\xDA")  # and before SOS too
+    padded2 = padded[:i] + b"\xFF" + padded[i:]
+    assert jpeg.decode(padded2) == baseline
+
+
+def test_fill_bytes_before_restart_marker_accepted():
+    px = _flat_image(40, 24, seed=41)
+    data = jpeg.encode_gray(40, 24, px.tobytes(), restart_interval=2)
+    baseline = jpeg.decode(data)
+    i = data.index(b"\xFF\xD0")  # first RST0 in the entropy stream
+    padded = data[:i] + b"\xFF\xFF" + data[i:]
+    assert jpeg.decode(padded) == baseline
+
+
 def test_byte_stuffing_roundtrip():
     """Content tuned to produce 0xFF bytes in the entropy stream: the
     writer must stuff 0x00 and the reader must unstuff."""

@@ -39,6 +39,26 @@ def test_escaped_pipe_cells_roundtrip_with_exporter():
     assert blocks == ["a|b", "x", "c", "y"]
 
 
+def test_code_span_contents_stay_literal():
+    # commonmark precedence: code spans bind first, so emphasis/link
+    # markup INSIDE a code span must not be substituted
+    html = markdown_to_html("`a*b*c` and `[x](y)`")
+    assert "<code>a*b*c</code>" in html
+    assert "<code>[x](y)</code>" in html
+    assert "<em>" not in html and "<a " not in html
+
+
+def test_link_urls_protected_from_emphasis():
+    html = markdown_to_html("[t](http://e.com/a*b*) tail")
+    assert '<a href="http://e.com/a*b*">t</a>' in html
+    assert "<em>" not in html
+
+
+def test_emphasis_still_applies_inside_link_text():
+    html = markdown_to_html("[see *this*](http://e.com/x)")
+    assert '<a href="http://e.com/x">see <em>this</em></a>' in html
+
+
 def test_table_requires_separator_row():
     # a lone pipe line with no dashed separator is a paragraph
     blocks = extract_all_blocks(markdown_to_html("| not | table |"))

@@ -81,6 +81,41 @@ def test_watermark_multiline_stacks_lines(spark):
                for a, b in zip(ys["AA"], ys["BB"]))
 
 
+def test_watermark_offsets_survive_int32_range(spark):
+    """page * stamps_per_page past 2^31 must not wrap: the painted
+    offsets are longs, so the grid still sorts AFTER the page's own
+    content and in grid order."""
+    run = TextRun(25_000_000, 72.0, 72.0, 11.0, "Helvetica", "body")
+    rows = [("doc-a", [dict(kind="text", text=wire.encode_text_run(run),
+                            media_ref="", offset=0)])]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = add_watermark(docs, "WM")  # default grid: 99 stamps/page
+    [row] = out.collect()
+    kinds = [s["text"].split("\t")[-1] for s in row["spans"]]
+    assert kinds[0] == "body"              # original first, not wrapped
+    assert set(kinds[1:]) == {"WM"}
+    # offsets re-densified by _regroup, grid order preserved
+    assert [s["offset"] for s in row["spans"]] == list(
+        range(len(row["spans"])))
+    xs = [float(s["text"].split("|")[1]) for s in row["spans"][1:]]
+    ys = [float(s["text"].split("|")[2]) for s in row["spans"][1:]]
+    want = java_grid(["WM"], 0.0, 50, 50, 30.0)
+    assert xs == [round(x, 10) for x, _, _ in want]
+    assert ys == [792.0 - y for _, y, _ in want]
+
+
+def test_sanitize_short_link_body_keeps_slot_count(spark):
+    """A Link annotation whose wire body has fewer than 4 pipe slots
+    must keep its missing fields as EMPTY slots after remove_links —
+    concat_ws drops nulls, which would shift split_part indices."""
+    spans = [dict(kind="annotation",
+                  text="1|10.0|10.0|20.0|20.0\tLink|https://x",
+                  media_ref="", offset=0)]
+    docs = spark.createDataFrame([("doc-a", spans)], DOCS_SCHEMA)
+    [row] = sanitize_docs(docs, remove_links=True).collect()
+    assert row["spans"][0]["text"] == "1|10.0|10.0|20.0|20.0\tLink|||"
+
+
 def test_remove_blank_pages_drops_and_renumbers(spark):
     spans = []
     for p, content in [(1, "one"), (2, "   "), (3, "three"), (4, "\t"),
