@@ -232,6 +232,33 @@ def q_s12_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/auto-redact (RedactController.java:130-209): newline-separated
+    term list -> one multi-pattern scan -> equal-length masks, driven
+    twice to cover both flag combinations the endpoint exposes —
+    whole-word 'report' first ('reports' must survive), then a regex
+    list 'data' + '[0-9]+' whose digit-run matches have variable
+    length (the planted ' classified id N code H' tail guarantees
+    1-6 digit runs). Output = redacted extracted lines, s12-shaped."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_redact_from_documents,
+    )
+    from stirling_pdf_spark.operators.search import auto_redact
+
+    _ship_package(spark)
+    spans = extract_spans(docs_redact_from_documents(spark, sf_dir))
+    out = auto_redact(
+        auto_redact(spans, "report", whole_word_search=True),
+        "data\n  \n[0-9]+", use_regex=True)
+    flat = explode_spans(out).filter(F.col("kind") == "text")
+    w = Window.partitionBy("doc_id").orderBy("order")
+    return flat.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("text_rank"),
+        "text",
+    )
+
+
 def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: archetype corpus (two-column layouts, mixed
     media, HTML, mega-docs through the salted path) -> kind totals."""
@@ -2020,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window but stay registered for scripts/check_queries.py."""
     return {
         # --- NEW gates this round (never had a driver row)
+        "auto_redact": q_auto_redact,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2163,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "auto_redact": O.AUTO_REDACT,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -171,6 +171,26 @@ def docs_info_repeat_from_documents(spark: SparkSession, sf_dir: str,
     return _derive_docs(spark, sf_dir, derive)
 
 
+def docs_redact_from_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Corpus with planted redaction bait for the /auto-redact gate:
+    ' classified id <doc number> code <sha%1e5>' appends to every
+    document's text before synthesis, so the term list exercises
+    whole-word matching AND variable-length digit-run regexes — both
+    re-derivable closed-form by the DuckDB oracle."""
+    import hashlib
+
+    def derive(doc_id: str, text: str):
+        num = doc_id.rsplit("-", 1)[-1]
+        h = hashlib.sha256(
+            text.encode("utf-8", "surrogatepass")).hexdigest()
+        code = int(h[:8], 16) % 100_000
+        return synth_from_text(
+            doc_id, f"{text} classified id {num} code {code}".strip())
+
+    return _derive_docs(spark, sf_dir, derive)
+
+
 def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Info-dict dates/title + encryption block + AcroForm fields
     (E16 form-field analysis, E17 security info, S1 comparators)."""

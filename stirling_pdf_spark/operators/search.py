@@ -27,7 +27,7 @@ offsets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..kernel.textfind import build_pattern as _pattern
@@ -170,6 +170,66 @@ def text_search_pages(docs: DataFrame, term: str, regex: bool = False,
             )
 
     return docs.repartition(num_partitions, "doc_id").mapInArrow(run, schema)
+
+
+def mask_matches(text: Column, pattern: str,
+                 mask_char: str = MASK_CHAR) -> Column:
+    """Replace every regex match in ``text`` with an equal-length run
+    of ``mask_char`` — pure column ops (split on the pattern, then
+    re-interleave the parts with masked matches), so variable-length
+    matches keep downstream offsets stable without a UDF."""
+    parts = F.split(text, pattern, -1)
+    matches = F.regexp_extract_all(text, F.lit(pattern), 0)
+    tail = F.slice(parts, 2, F.size(parts) - 1)
+    return F.concat(
+        F.get(parts, 0),
+        F.array_join(
+            F.zip_with(
+                matches, tail,
+                lambda m, p: F.concat(
+                    F.repeat(F.lit(mask_char), F.length(m)), p)),
+            ""))
+
+
+def auto_redact(spans_out: DataFrame, list_of_text: str | list[str],
+                use_regex: bool = False,
+                whole_word_search: bool = False,
+                mask_char: str = MASK_CHAR) -> DataFrame:
+    """/auto-redact (RedactController.java:130-209, redactPdfAuto +
+    TextRedactionService.findTextToRedact): the newline-separated term
+    list is trimmed, empties dropped (:146-159 rejects an empty list),
+    every surviving term compiles through the SAME pattern builder as
+    E13 search (kernel/textfind.build_pattern — regex/whole-word
+    flags, incl. the 1-char lookaround variants) and all patterns
+    apply in ONE scan (:findTextToRedact builds the multi-pattern
+    finder once). Redaction itself follows the S12 span convention:
+    each match becomes an equal-length mask-glyph run (the reference
+    deletes matched glyphs from the content stream and paints boxes;
+    the span model keeps offsets stable instead — convertPDFToImage
+    raster fallback out of scope). Media/attachment spans pass
+    through."""
+    terms = (list_of_text.split("\n") if isinstance(list_of_text, str)
+             else list(list_of_text))
+    terms = [t.strip() for t in terms]
+    terms = [t for t in terms if t]
+    if not terms:
+        raise ValueError("No text patterns provided for redaction")
+    pat = "|".join(
+        f"(?:{_pattern(t, use_regex, whole_word_search)})" for t in terms)
+    return spans_out.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text",
+                       mask_matches(s["text"], pat, mask_char))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].alias("order"),
+            ),
+        ).alias("spans"),
+    )
 
 
 def redact_spans(spans_out: DataFrame, term: str,

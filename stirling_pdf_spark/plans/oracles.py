@@ -1069,6 +1069,41 @@ SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """
 
+# /auto-redact over the bait corpus (docs_redact_from_documents):
+# pass 1 whole-word 'report' (RE2 \b matches Java \b here; 'reports'
+# survives), pass 2 literal 'data' + regex '[0-9]+' — masking a digit
+# RUN match-length-preserving equals masking each digit, which keeps
+# the variable-length path expressible in RE2 (no lookarounds needed)
+AUTO_REDACT = r"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         ltrim(text || ' classified id ' || CAST(doc_id AS VARCHAR)
+               || ' code '
+               || CAST(CAST(concat('0x', substr(sha256(text), 1, 8))
+                            AS BIGINT) % 100000 AS VARCHAR)) AS t
+  FROM documents
+), w0 AS (
+  SELECT did, string_split(t, ' ') AS w FROM d
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM w0
+), lines AS (
+  SELECT did, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM l
+)
+SELECT did AS doc_id, i AS text_rank,
+       regexp_replace(
+         replace(
+           regexp_replace(line, '\breport\b', '██████', 'g'),
+           'data', '████'),
+         '[0-9]', '█', 'g') AS text
+FROM lines
+WHERE i < 2000  -- MAX_CHUNKS_PER_DOC budget
+"""
+
 S12_REDACT_TEXT = f"""
 WITH {_LINES_CTE}
 SELECT did AS doc_id,

@@ -100,6 +100,48 @@ def test_redact_spans_masks_text_only(spark):
     assert [s["order"] for s in out] == [0, 1, 2]
 
 
+def test_auto_redact_term_list_and_flags(spark):
+    from stirling_pdf_spark.operators.search import auto_redact
+
+    rows = [("d1", [
+        {"kind": "text", "text": "report reports data id 1234 x 56",
+         "media_ref": "", "order": 0},
+        {"kind": "media", "text": "1|0|0|9|9", "media_ref": "m-1",
+         "order": 1},
+    ])]
+    df = spark.createDataFrame(rows, SPANS_OUT_SCHEMA)
+    # whole-word: 'report' masks, 'reports' survives
+    [row] = auto_redact(df, "report", whole_word_search=True).collect()
+    assert row["spans"][0]["text"] == "██████ reports data id 1234 x 56"
+    # regex list: variable-length digit runs mask per-match length,
+    # blank/whitespace list entries are dropped
+    [row] = auto_redact(df, "data\n  \n[0-9]+\n",
+                        use_regex=True).collect()
+    assert row["spans"][0]["text"] == \
+        "report reports ████ id ████ x ██"
+    assert row["spans"][1]["text"] == "1|0|0|9|9"  # media untouched
+
+
+def test_auto_redact_no_match_is_identity(spark):
+    from stirling_pdf_spark.operators.search import auto_redact
+
+    rows = [("d1", [{"kind": "text", "text": "plain line",
+                     "media_ref": "", "order": 0}])]
+    df = spark.createDataFrame(rows, SPANS_OUT_SCHEMA)
+    [row] = auto_redact(df, "absent").collect()
+    assert row["spans"][0]["text"] == "plain line"
+
+
+def test_auto_redact_empty_list_rejected(spark):
+    from stirling_pdf_spark.operators.search import auto_redact
+
+    rows = [("d1", [{"kind": "text", "text": "x", "media_ref": "",
+                     "order": 0}])]
+    df = spark.createDataFrame(rows, SPANS_OUT_SCHEMA)
+    with pytest.raises(ValueError):
+        auto_redact(df, "\n  \n")
+
+
 def test_textfind_glyph_union_and_fallback():
     """TextFinder.java:115-158 semantics: bbox = glyph union; a match
     landing entirely on an inserted separator uses the FIRST nearby
