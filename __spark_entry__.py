@@ -967,6 +967,53 @@ def q_security_password(spark: SparkSession, sf_dir: str,
         "doc_id", "key", "value")
 
 
+def q_signature_state(spark: SparkSession, sf_dir: str,
+                      docs: DataFrame | None = None) -> DataFrame:
+    """/cert-sign + /remove-cert-sign + /validate-signature
+    (CertSignController, RemoveCertSignController.java:50-80,
+    ValidateSignatureController.java:88-230) over the analysis corpus,
+    split by doc parity so neither op masks the other: even docs get
+    cert-signed (signer/date/reason/location ride the signature
+    dictionary; the new field takes the next free sigN name — docs the
+    corpus already gave a signature field get sig1, others sig0) and
+    must validate back with all metadata and covers_document=true;
+    odd docs get remove-cert-sign — every signature FIELD disappears
+    (including the corpus's own) and validation returns no rows.
+    State read back through real extraction."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import (
+        add_cert_sign, remove_cert_sign, validate_signatures,
+    )
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
+    date = F.concat(F.lit("2026-01-"),
+                    F.lpad((num % 28 + 1).cast("string"), 2, "0"))
+    signed = add_cert_sign(
+        docs.filter(num % 2 == 0),
+        signer=F.concat(F.lit("CN="), F.col("doc_id")),
+        date=date, reason="approval", location="HQ")
+    stripped = remove_cert_sign(docs.filter(num % 2 == 1))
+    out = extract_spans(signed.unionByName(stripped))
+    sigs = validate_signatures(out)
+    is_sig_field = (F.col("kind") == "formfield") & (
+        F.split_part("text", F.lit("|"), F.lit(2)) == "signature")
+    fields = explode_spans(out).groupBy("doc_id").agg(
+        F.sum(F.when(is_sig_field, 1).otherwise(0)).cast("long")
+        .alias("n_sig_fields"))
+    return fields.join(sigs, "doc_id", "left").select(
+        "doc_id", "n_sig_fields", "sig_no", "signer_name",
+        "signature_date", "reason", "location",
+        # int flags, not booleans: the driver's pandas compare treats
+        # nullable-bool columns inconsistently across engines
+        F.col("covers_document").cast("int").alias("covers_document"),
+        F.col("valid").cast("int").alias("valid"))
+
+
 def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction (web-corpus hygiene; corpus-level analogue of
     the H5 autolink matcher): deterministic scheme + bare-www URLs are
@@ -2048,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW gates this round (never had a driver row)
         "auto_redact": q_auto_redact,
+        "signature_state": q_signature_state,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2192,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "auto_redact": O.AUTO_REDACT,
+        "signature_state": O.SIGNATURE_STATE,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

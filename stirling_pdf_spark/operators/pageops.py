@@ -2255,6 +2255,120 @@ def remove_password(docs: DataFrame, password: str = "") -> DataFrame:
     return set_metadata(docs, updates)
 
 
+SIG_META_PREFIX = "sig_"
+
+
+def _is_sig_field(sp: Column) -> Column:
+    return (sp["kind"] == "formfield") & (
+        F.split_part(sp["text"], F.lit("|"), F.lit(2)) == "signature")
+
+
+def _is_sig_meta(sp: Column) -> Column:
+    return (sp["kind"] == "meta") & F.split_part(
+        sp["text"], F.lit("|"), F.lit(1)).startswith(SIG_META_PREFIX)
+
+
+def add_cert_sign(docs: DataFrame, signer: Column | str,
+                  date: Column | str, reason: Column | str = "",
+                  location: Column | str = "",
+                  subfilter: str = "ETSI.CAdES.detached") -> DataFrame:
+    """/cert-sign (CertSignController.java): sign the document with a
+    certificate — a new signature FIELD joins the AcroForm and its
+    signature dictionary carries signer name / signing time / reason /
+    location / subfilter, which is exactly the state
+    ValidateSignatureController and GetInfoOnPDF read back. The CMS
+    signature bytes themselves are credentials-derived binary that
+    cannot ride the span wire (real crypto out of scope — the S14
+    password-state pattern); the dictionary STATE does, as a
+    'sig_<n>|signer|date|reason|location|subfilter|true' meta span
+    plus a 'sig<n>|signature|' formfield, n = count of existing
+    signature fields (unique field naming, the reference's
+    Signature<N> scheme). The trailing 'true' is the byte-range
+    coverage flag: a freshly signed document's signature covers the
+    whole file (ValidateSignatureController.java:109-128)."""
+    def lit(v):
+        return F.lit(v) if isinstance(v, str) else v
+
+    n = F.size(F.filter("spans", _is_sig_field)).cast("string")
+    value = F.concat_ws("|", lit(signer), lit(date), lit(reason),
+                        lit(location), F.lit(subfilter), F.lit("true"))
+    new_spans = F.array(
+        F.struct(F.lit("formfield").alias("kind"),
+                 F.concat(F.lit("sig"), n, F.lit("|signature|"))
+                 .alias("text"),
+                 F.lit("").alias("media_ref"),
+                 F.size("spans").alias("offset")),
+        F.struct(F.lit("meta").alias("kind"),
+                 F.concat(F.lit(SIG_META_PREFIX), n, F.lit("|"), value)
+                 .alias("text"),
+                 F.lit("").alias("media_ref"),
+                 (F.size("spans") + 1).alias("offset")),
+    )
+    return docs.select(
+        "doc_id", F.concat("spans", new_spans).alias("spans"))
+
+
+def remove_cert_sign(docs: DataFrame) -> DataFrame:
+    """/remove-cert-sign (RemoveCertSignController.java:50-80):
+    acroForm.flatten(signatureFields, false) — every PDSignatureField
+    leaves the AcroForm, and with it the signature dictionaries go
+    away; refreshAppearances=false + empty signature values mean
+    nothing paints (the flatten_forms empty-value rule). One narrow
+    filter + reindex, no shuffle."""
+    kept = F.filter("spans",
+                    lambda sp: ~_is_sig_field(sp) & ~_is_sig_meta(sp))
+    return docs.select(
+        "doc_id",
+        F.transform(
+            kept,
+            lambda sp, i: F.struct(
+                sp["kind"].alias("kind"), sp["text"].alias("text"),
+                sp["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def validate_signatures(spans_out: DataFrame) -> DataFrame:
+    """/validate-signature (ValidateSignatureController.java:88-230):
+    one row per signature dictionary with the SignatureValidationResult
+    metadata block — signer name, signing date, reason, location,
+    subfilter, whether the byte range covers the whole document — and
+    a well-formedness ``valid`` flag (all six wire slots present and a
+    non-empty signer). PKIX chain building / trust / revocation need
+    real certificates and stay out of scope; documents without
+    signatures yield no rows (the endpoint's empty list). Input is the
+    EXTRACTED span table, so validation reads exactly what a consumer
+    of the engine's output sees."""
+    from .extract_pipeline import explode_spans
+
+    s = explode_spans(spans_out)
+    key = F.split_part("text", F.lit("|"), F.lit(1))
+    body = F.substring(F.col("text"), F.locate("|", F.col("text")) + 1,
+                       F.lit(1 << 30))
+    parts = F.split(body, r"\|", -1)
+    return (
+        s.filter((F.col("kind") == "meta")
+                 & key.startswith(SIG_META_PREFIX))
+        .select(
+            "doc_id",
+            F.substring(key, len(SIG_META_PREFIX) + 1, 10)
+            .cast("long").alias("sig_no"),
+            F.get(parts, 0).alias("signer_name"),
+            F.get(parts, 1).alias("signature_date"),
+            F.get(parts, 2).alias("reason"),
+            F.get(parts, 3).alias("location"),
+            F.get(parts, 4).alias("subfilter"),
+            (F.coalesce(F.get(parts, 5), F.lit("")) == "true")
+            .alias("covers_document"),
+            ((F.size(parts) == 6)
+             & (F.coalesce(F.get(parts, 0), F.lit("")) != ""))
+            .alias("valid"),
+        )
+    )
+
+
 def show_javascript(docs: DataFrame) -> DataFrame:
     """/show-javascript (ShowJavascript.java:26-75): every
     Names/JavaScript entry concatenates as

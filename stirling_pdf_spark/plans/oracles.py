@@ -1846,6 +1846,38 @@ def _hexv(pos: int) -> str:
     return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
 
 
+# cert-sign / remove-cert-sign / validate-signature state, re-derived
+# from the analysis corpus hash digits: even docs carry exactly one
+# signature dictionary (sig_no = 1 when the corpus already planted a
+# signature field via hex digit 16 % 4 = 0, else 0) plus that many + 1
+# signature fields; odd docs lose every signature field and validate
+# to no rows (left-join nulls)
+SIGNATURE_STATE = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS BIGINT) AS num, sha256(text) AS h
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST(CASE WHEN {_hexv(16)} % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_sig_fields,
+       CAST(CASE WHEN {_hexv(16)} % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS sig_no,
+       'CN=' || did AS signer_name,
+       '2026-01-' || lpad(CAST(num % 28 + 1 AS VARCHAR), 2, '0')
+         AS signature_date,
+       'approval' AS reason,
+       'HQ' AS location,
+       CAST(1 AS INTEGER) AS covers_document,
+       CAST(1 AS INTEGER) AS valid
+FROM d WHERE num % 2 = 0
+UNION ALL
+SELECT did, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), NULL, NULL, NULL,
+       NULL, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+FROM d WHERE num % 2 = 1
+"""
+
+
 # analysis corpus (corpus.synth.analysis_from_text): every feature is a
 # pure function of sha256(text), re-derived here digit by digit
 E16_FORM_FIELDS = f"""

@@ -65,6 +65,75 @@ def test_remove_password_wipes_security_state(spark):
     assert m["title"] == "T"
 
 
+def _doc_with_sig_field(spark):
+    spans = [
+        dict(kind="text", text="1|72.0|72.0|11.0|Helvetica\thello",
+             media_ref="", offset=0),
+        dict(kind="formfield", text="sig0|signature|", media_ref="",
+             offset=1),
+        dict(kind="formfield", text="f0|text|v", media_ref="", offset=2),
+    ]
+    return spark.createDataFrame([("doc-a", spans)], DOCS_SCHEMA)
+
+
+def test_add_cert_sign_appends_field_and_dict(spark):
+    from stirling_pdf_spark.operators.pageops import add_cert_sign
+
+    out = add_cert_sign(_doc_with_sig_field(spark), signer="CN=Me",
+                        date="2026-01-02", reason="ok", location="HQ")
+    [row] = out.collect()
+    texts = [s["text"] for s in row["spans"]]
+    # one signature field already present -> new field named sig1
+    assert "sig1|signature|" in texts
+    assert ("sig_1|CN=Me|2026-01-02|ok|HQ|ETSI.CAdES.detached|true"
+            in texts)
+    assert [s["offset"] for s in row["spans"]] == list(range(5))
+
+
+def test_remove_cert_sign_drops_fields_and_dicts_only(spark):
+    from stirling_pdf_spark.operators.pageops import (
+        add_cert_sign, remove_cert_sign,
+    )
+
+    signed = add_cert_sign(_doc_with_sig_field(spark), signer="CN=Me",
+                           date="d", reason="", location="")
+    [row] = remove_cert_sign(signed).collect()
+    kinds_texts = [(s["kind"], s["text"]) for s in row["spans"]]
+    assert kinds_texts == [
+        ("text", "1|72.0|72.0|11.0|Helvetica\thello"),
+        ("formfield", "f0|text|v"),   # non-signature field survives
+    ]
+    assert [s["offset"] for s in row["spans"]] == [0, 1]
+
+
+def test_validate_signatures_rows_and_validity(spark):
+    from stirling_pdf_spark.operators.pageops import validate_signatures
+
+    rows = [
+        ("doc-a", [dict(
+            kind="meta",
+            text="sig_0|CN=A|2026-02-03|approve|NYC|adbe.pkcs7.detached|true",
+            media_ref="", order=0)]),
+        # malformed: missing slots -> valid=false
+        ("doc-b", [dict(kind="meta", text="sig_0|CN=B|d",
+                        media_ref="", order=0)]),
+        ("doc-c", [dict(kind="meta", text="title|T", media_ref="",
+                        order=0)]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,order:int>>")
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in validate_signatures(df).collect()}
+    assert set(got) == {"doc-a", "doc-b"}     # doc-c: no signatures
+    a = got["doc-a"]
+    assert (a["sig_no"], a["signer_name"], a["signature_date"],
+            a["reason"], a["location"], a["subfilter"]) == (
+        0, "CN=A", "2026-02-03", "approve", "NYC", "adbe.pkcs7.detached")
+    assert a["covers_document"] is True and a["valid"] is True
+    b = got["doc-b"]
+    assert b["valid"] is False and b["covers_document"] is False
+
+
 def test_extract_urls_positions_and_domains(spark):
     df = spark.createDataFrame(
         [("d1", "pre https://a.example.com/x?q=1 mid www.b.org end"),
