@@ -1014,6 +1014,34 @@ def q_signature_state(spark: SparkSession, sf_dir: str,
         F.col("valid").cast("int").alias("valid"))
 
 
+def q_add_image_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/add-image (OverlayImageController.java:58-120) driven both
+    ways by doc parity — even docs stamp EVERY page, odd docs only the
+    first — then read back through real extraction: one media draw per
+    target page at the converted screen coordinates, referencing the
+    planted blob. Pageless (empty-text) docs stamp nothing."""
+    from stirling_pdf_spark.operators.pageops import add_image
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
+    every = add_image(docs.filter(num % 2 == 0), "media-stamp",
+                      x=150.0, y=500.0, w=120.0, h=80.0,
+                      every_page=True)
+    first = add_image(docs.filter(num % 2 == 1), "media-stamp",
+                      x=150.0, y=500.0, w=120.0, h=80.0)
+    from stirling_pdf_spark.operators.elements import extract_elements
+
+    els = extract_elements(every.unionByName(first))
+    # geometry reads back through the E8 structured-elements table
+    # (the extracted span wire intentionally drops media geometry;
+    # elements carry x/y/width — height is not part of that schema)
+    return els.filter((F.col("kind") == "media")
+                      & (F.col("media_ref") == "media-stamp")).select(
+        "doc_id", F.col("page").cast("long").alias("page"),
+        "x", "y", F.col("width").alias("w"))
+
+
 def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction (web-corpus hygiene; corpus-level analogue of
     the H5 autolink matcher): deterministic scheme + bare-www URLs are
@@ -2096,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW gates this round (never had a driver row)
         "auto_redact": q_auto_redact,
         "signature_state": q_signature_state,
+        "add_image_stamp": q_add_image_stamp,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2241,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
+        "add_image_stamp": O.ADD_IMAGE_STAMP,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -2037,6 +2037,43 @@ def add_watermark(docs: DataFrame, text: str, rotation: float = 0.0,
     return _regroup(originals.unionByName(painted))
 
 
+def add_image(docs: DataFrame, media_ref: str, x: float, y: float,
+              w: float, h: float, every_page: bool = False,
+              page_h: float = 792.0) -> DataFrame:
+    """/add-image (OverlayImageController.java:58-120): overlay an
+    image onto the FIRST page — or every page with everyPage — at PDF
+    coordinates (x, y), appended to the page content stream at the
+    image's intrinsic size (drawImage(image, x, y)). The span model
+    plants a media draw per target page referencing the image blob by
+    content hash; screen-space y = page_h - y - h (the wire stores the
+    top edge, PDF's origin is bottom-left). SVG branch
+    (SvgOverlayUtil) is vector rendering, out of scope."""
+    s = F.col("s")
+    exploded = docs.select("doc_id", F.explode("spans").alias("s"))
+    pages = (
+        exploded.filter(_is_page_kind(s))
+        .select("doc_id", span_page(s).alias("page"))
+        .distinct()
+    )
+    if not every_page:
+        # document.getPage(0): the first page only (:96-98 break)
+        pages = pages.groupBy("doc_id").agg(F.min("page").alias("page"))
+    sy = page_h - y - h
+    painted = pages.select(
+        "doc_id",
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.concat(F.col("page").cast("string"),
+                     F.lit(f"|{x!r}|{sy!r}|{w!r}|{h!r}")).alias("text"),
+            F.lit(media_ref).alias("media_ref"),
+            (F.lit(2_000_000) + F.col("page")).cast("long")
+            .alias("offset"),
+        ).alias("s"),
+    )
+    originals = exploded.select("doc_id", _widen_offset(s).alias("s"))
+    return _regroup(originals.unionByName(painted))
+
+
 def remove_blank_pages(docs: DataFrame) -> DataFrame:
     """/remove-blank-pages (BlankPageController.java:57-104, text
     rule): pages whose glyph runs are all whitespace-only are dropped

@@ -1846,6 +1846,29 @@ def _hexv(pos: int) -> str:
     return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
 
 
+# /add-image stamps re-derived from the line-count page model: even
+# docs stamp pages 1..n_pages, odd docs page 1 only; screen y =
+# 792 - 500 - 80 = 212. Pageless (empty-text) docs stamp nothing.
+ADD_IMAGE_STAMP = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS BIGINT) AS num,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                        AS BIGINT) END AS nl
+  FROM documents
+), pg AS (
+  SELECT did, num, (nl - 1) // 40 + 1 AS n_pages FROM d WHERE nl > 0
+)
+SELECT did AS doc_id,
+       unnest(range(1, CASE WHEN num % 2 = 0 THEN n_pages + 1
+                            ELSE 2 END)) AS page,
+       CAST(150.0 AS DOUBLE) AS x, CAST(212.0 AS DOUBLE) AS y,
+       CAST(120.0 AS DOUBLE) AS w
+FROM pg
+"""
+
+
 # cert-sign / remove-cert-sign / validate-signature state, re-derived
 # from the analysis corpus hash digits: even docs carry exactly one
 # signature dictionary (sig_no = 1 when the corpus already planted a
