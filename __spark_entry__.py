@@ -1865,6 +1865,39 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", "width", "height", "px_head")
 
 
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup over DECODED pixels: every corpus ref gets a
+    real grayscale PPM whose 9x8 cell grid carries a group base
+    pattern plus a few per-ref flips; the pipeline decodes the actual
+    rasters (decode_pixels), computes BT.601 luma, box-averages to the
+    dHash grid, and pairs images at Hamming <= 7 via banded LSH (8x8
+    bands — pigeonhole-exact at this threshold, so the brute-force
+    DuckDB oracle states the same pair set)."""
+    from stirling_pdf_spark.corpus.media import dhash_image_table
+    from stirling_pdf_spark.operators.dedup import (
+        dhash_near_dup_pairs, image_dhash,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    hashes = image_dhash(dhash_image_table(docs))
+    return dhash_near_dup_pairs(hashes, max_distance=7)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_groups(
         read_table(spark, sf_dir, "documents"), bits=O.SIMHASH_BITS
@@ -2125,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_redact": q_auto_redact,
         "signature_state": q_signature_state,
         "add_image_stamp": q_add_image_stamp,
+        "dedup_image_dhash": q_dedup_image_dhash,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2271,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,
+        "dedup_image_dhash": O.DEDUP_IMAGE_DHASH,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -253,6 +253,68 @@ def image_table(docs: DataFrame) -> DataFrame:
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
 
 
+# --- dHash fixtures: cell-constant rasters with CONTROLLED near-dups
+
+DHASH_GROUPS = 32
+DHASH_ROWS, DHASH_COLS = 8, 9   # dHash grid: 8 rows x 9 cols -> 64 bits
+_DHASH_CELLS = DHASH_ROWS * DHASH_COLS
+
+
+def dhash_cell_bits(ref: str) -> list[int]:
+    """72 binary cell values: the ref's GROUP (hash byte 4 mod 32)
+    supplies a base pattern (parity of sha256('dhg:{g}:{c}')), and the
+    ref flips k = byte5 mod 5 cells at distinct stride-7 positions
+    from byte6 mod 72 — so same-group refs sit 0..16 dHash bits apart
+    (included/excluded around the threshold) while cross-group pairs
+    are ~32 bits apart. Every quantity is a pure sha256 function the
+    DuckDB oracle re-derives."""
+    h = hashlib.sha256(ref.encode()).digest()
+    g = h[4] % DHASH_GROUPS
+    bits = [hashlib.sha256(f"dhg:{g}:{c}".encode()).digest()[0] % 2
+            for c in range(_DHASH_CELLS)]
+    k = h[5] % 5
+    fb = h[6] % _DHASH_CELLS
+    for j in range(k):
+        bits[(fb + 7 * j) % _DHASH_CELLS] ^= 1
+    return bits
+
+
+def dhash_payload_for_ref(ref: str) -> bytes:
+    """A VALID grayscale PPM of 9s x 8s pixels (s = 2 + byte7 mod 3),
+    constant on each s x s cell at luma 200 (bit 1) / 50 (bit 0) —
+    cell-aligned with the 9x8 dHash grid, so the real decode +
+    box-average pipeline reconstructs the cell bits exactly."""
+    h = hashlib.sha256(ref.encode()).digest()
+    s = 2 + h[7] % 3
+    bits = dhash_cell_bits(ref)
+    w, hgt = DHASH_COLS * s, DHASH_ROWS * s
+    px = bytearray()
+    for y in range(hgt):
+        r = y // s
+        for x in range(w):
+            v = 200 if bits[r * DHASH_COLS + x // s] else 50
+            px += bytes((v, v, v))
+    return f"P6\n{w} {hgt}\n255\n".encode() + bytes(px)
+
+
+def dhash_image_table(docs: DataFrame) -> DataFrame:
+    """dhash fixtures (media_ref, fmt='ppm', payload) for every corpus
+    ref — the visual near-dup gate's input."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["ppm"] * len(refs), pa.string()),
+                 pa.array([dhash_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 def gif_dims_for_ref(ref: str) -> tuple[int, int]:
     """(width, height) of the deterministic GIF fixture — pure
     functions of sha256(ref), dims 4..32 px."""

@@ -520,3 +520,116 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                 (F.col("n_contaminated") > 0).alias("contaminated"),
                 "n_shingles")
     )
+
+
+# ------------------------------------------------- visual near-dup (dHash)
+
+DHASH_BANDS = 8  # 8 bands x 8 bits over the 64-bit hash
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload",
+                ref_col: str = "media_ref") -> DataFrame:
+    """Perceptual difference hash over DECODED rasters — the standard
+    image-dedup stage in training pipelines (the reference only
+    byte-hash-dedups images, ExtractImagesController.java:123-128;
+    dHash catches re-encoded/resized duplicates byte hashing misses).
+
+    Per image: real decode (multimodal.decode_pixels — PNG/JPEG/GIF/
+    PPM/BMP), BT.601 integer luma, box-average down to the 9x8 dHash
+    grid, bit r*8+c = cell[r][c+1] > cell[r][c]. One narrow
+    mapInPandas, no shuffle; undecodable payloads yield null hashes
+    (per-row error isolation). Output: (media_ref, dhash int64,
+    width, height)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .multimodal import decode_pixels
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_ref": [], "dhash": [], "width": [],
+                   "height": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                dh = w = h = None
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, rgb = decode_pixels(b)
+                    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    wide = px.astype(np.int64)
+                    luma = (299 * wide[:, :, 0] + 587 * wide[:, :, 1]
+                            + 114 * wide[:, :, 2]) // 1000
+                    # box-average to 8 rows x 9 cols (exact on
+                    # cell-aligned fixtures, standard area sampling
+                    # otherwise)
+                    ys = [int(r * h / 8) for r in range(9)]
+                    xs = [int(c * w / 9) for c in range(10)]
+                    cells = np.empty((8, 9))
+                    for r in range(8):
+                        for c in range(9):
+                            cells[r, c] = luma[ys[r]:ys[r + 1],
+                                               xs[c]:xs[c + 1]].mean()
+                    v = np.uint64(0)
+                    for r in range(8):
+                        for c in range(8):
+                            if cells[r, c + 1] > cells[r, c]:
+                                v |= np.uint64(1) << np.uint64(r * 8 + c)
+                    dh = int(v.astype(np.int64))
+                except (NotImplementedError, ValueError, IndexError):
+                    w = h = dh = None
+                out["media_ref"].append(ref)
+                out["dhash"].append(dh)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_distance: int = 7,
+                         id_col: str = "media_ref",
+                         hash_col: str = "dhash") -> DataFrame:
+    """Visual near-dup pairs by banded Hamming LSH: the 64-bit dHash
+    splits into 8 bands of 8 bits; candidates are pairs equal in at
+    least one band (bucket self-join — linear in images x bands, never
+    all-pairs), verified by bit_count(xor) <= max_distance. For
+    max_distance <= 7 the pigeonhole makes banding EXACT: 7 differing
+    bits cannot touch all 8 bands, so every qualifying pair collides
+    somewhere. Output: (id_a, id_b, distance)."""
+    if max_distance >= DHASH_BANDS:
+        raise ValueError(
+            f"banding is only exact for max_distance < {DHASH_BANDS}")
+    src = (hashes.select(F.col(id_col).alias("id"),
+                         F.col(hash_col).alias("dhash"))
+           .filter(F.col("dhash").isNotNull()))
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("dhash", 8 * i)
+                 .bitwiseAND(F.lit(255)).alias("v"))
+        for i in range(DHASH_BANDS)
+    ])
+    banded = src.select("id", "dhash", F.explode(bands).alias("b")) \
+        .select("id", "dhash", "b.band", "b.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.dhash").alias("ha"), F.col("b.dhash").alias("hb"))
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("distance", dist.cast("long"))
+            .filter(F.col("distance") <= max_distance)
+            .select("id_a", "id_b", "distance"))

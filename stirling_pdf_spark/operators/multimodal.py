@@ -221,6 +221,76 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
         "compressed image codecs not available in this environment")
 
 
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL full-raster decode -> (width, height, interleaved RGB
+    bytes) for every container the engine decodes: PNG (defilter;
+    RGBA drops alpha), baseline JPEG (grayscale expands to RGB), GIF
+    (palette-mapped), binary PPM (raw triples) and 24bpp BMP
+    (bottom-up padded BGR rows re-ordered). This is the input stage
+    for pixel-consuming operators (perceptual hashing); formats that
+    need external codecs raise NotImplementedError like
+    decode_image."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, px = decode_png(payload)
+        if len(px) == 4 * w * h:        # RGBA -> RGB
+            px = bytes(b for i, b in enumerate(px) if i % 4 != 3)
+        return w, h, px
+    if payload[:3] == b"\xFF\xD8\xFF":
+        from ..kernel import jpeg
+
+        w, h, nc, px = jpeg.decode(payload)
+        if nc == 1:
+            px = bytes(v for v in px for _ in range(3))
+        return w, h, px
+    if payload[:4] == b"GIF8":
+        from ..kernel import gif
+
+        w, h, px = gif.decode(payload)
+        return w, h, px
+    if payload[:2] == b"P6":
+        w, h = decode_image(payload)
+        # pixel data starts after the third header token's whitespace
+        tokens = 0
+        i = 2
+        while tokens < 3 and i < len(payload):
+            c = payload[i:i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                while i < len(payload) and not payload[i:i + 1].isspace():
+                    i += 1
+                tokens += 1
+        i += 1  # single whitespace after maxval
+        px = payload[i:i + 3 * w * h]
+        if len(px) != 3 * w * h:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, px
+    if payload[:2] == b"BM":
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        if bpp != 24:
+            raise NotImplementedError("only 24bpp BMP")
+        h = abs(h_raw)
+        stride = (3 * w + 3) & ~3
+        rows = []
+        order = range(h) if h_raw < 0 else range(h - 1, -1, -1)
+        for r in order:
+            row = payload[data_off + r * stride:
+                          data_off + r * stride + 3 * w]
+            if len(row) != 3 * w:
+                raise ValueError("truncated BMP pixel data")
+            # BGR -> RGB
+            rows.append(bytes(row[3 * c + 2 - k] for c in range(w)
+                              for k in range(3)))
+        return w, h, b"".join(rows)
+    raise NotImplementedError(
+        "compressed image codecs not available in this environment")
+
+
 IMAGE_DECODE_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
     T.StructField("fmt", T.StringType(), True),

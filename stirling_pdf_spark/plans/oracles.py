@@ -2221,6 +2221,67 @@ WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) * 100
 """
 
 
+def _dhash_sql() -> str:
+    """Visual near-dup oracle: re-derive every fixture's 72 cell bits
+    (group base pattern + the ref's stride-7 flips — corpus.media
+    .dhash_cell_bits digit for digit), fold them into the 64-bit dHash
+    as two 32-bit halves, and brute-force ALL pairs at Hamming <= 7 —
+    which equals the engine's banded-LSH output exactly (8 bands of 8
+    bits: 7 differing bits cannot touch every band)."""
+    def term(bi: int, base: int) -> str:
+        r, c = bi // 8, bi % 8
+        left, right = r * 9 + c + 1, r * 9 + c + 2  # 1-based list idx
+        return (f"(CASE WHEN lb[{right}] > lb[{left}]"
+                f" THEN {1 << (bi - base)} ELSE 0 END)")
+
+    lo = " + ".join(term(bi, 0) for bi in range(32))
+    hi = " + ".join(term(bi, 32) for bi in range(32, 64))
+    hexb9 = ("((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1))")
+    hexb11 = ("((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1))")
+    hexb13 = ("((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1))")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS ref
+  FROM documents
+), hh AS (
+  SELECT ref, sha256(ref) AS h FROM d
+), par AS (
+  SELECT ref, {hexb9} % 32 AS g, {hexb11} % 5 AS k, {hexb13} % 72 AS fb
+  FROM hh
+), cellraw AS (
+  -- byte parity of sha256('dhg:g:c') = parity of its 2nd hex digit
+  SELECT p.ref, t.c, p.k, p.fb,
+         (strpos('0123456789abcdef',
+                 substr(sha256('dhg:' || CAST(p.g AS VARCHAR) || ':'
+                               || CAST(t.c AS VARCHAR)), 2, 1)) - 1) % 2
+           AS bb
+  FROM par p CROSS JOIN (SELECT unnest(range(0, 72)) AS c) t
+), cell AS (
+  SELECT ref, c,
+         CASE WHEN (((c - fb) % 72 + 72) % 72) < 7 * k
+                   AND ((((c - fb) % 72 + 72) % 72) % 7) = 0
+              THEN 1 - bb ELSE bb END AS bit
+  FROM cellraw
+), lbs AS (
+  SELECT ref, list(bit ORDER BY c) AS lb FROM cell GROUP BY ref
+), hv AS (
+  SELECT ref, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi
+  FROM lbs
+)
+SELECT a.ref AS id_a, b.ref AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS distance
+FROM hv a JOIN hv b ON a.ref < b.ref
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+"""
+
+
+DEDUP_IMAGE_DHASH = _dhash_sql()
+
+
 def _hexb(pos: int) -> str:
     """SQL for BYTE value at 1-based hex position ``pos`` of column h
     (two hex digits)."""
