@@ -1177,6 +1177,46 @@ def q_to_markdown_tables(spark: SparkSession, sf_dir: str,
     return to_markdown(docs)
 
 
+def q_to_html(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> HTML export (/convert/pdf/html; PDFToFile.java:99,
+    172-201 delegates to the out-of-scope pdftohtml binary — here the
+    proven Markdown block pipeline re-emitted as tags) over the rich
+    corpus: >6-word docs render <h1>first-6-words</h1> + one merged
+    <p> of the full entity-escaped text inside the standalone
+    document wrapper; <=6-word docs hit the bold-label branch
+    (<p><strong>..</strong></p>). Pinned by md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_rich_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_html
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_rich_from_documents(spark, sf_dir)
+    out = to_html(docs)
+    return out.select(
+        "doc_id", F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_chars"))
+
+
+def q_to_html_tables(spark: SparkSession, sf_dir: str,
+                     docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> HTML TABLE rendering over the E14 stream-table corpus:
+    each doc's 4x3 whitespace-column page renders as a thead/tbody
+    HTML table inside the standalone wrapper — the exact string is
+    the gate value."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_stream_table_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_html
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_stream_table_from_documents(spark, sf_dir)
+    return to_html(docs)
+
+
 def q_md_to_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown -> document ingestion (/markdown/pdf,
     ConvertMarkdownToPdf.java:124-150: commonmark + GFM tables ->
@@ -2159,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_state": q_signature_state,
         "add_image_stamp": q_add_image_stamp,
         "dedup_image_dhash": q_dedup_image_dhash,
+        "to_html": q_to_html,
+        "to_html_tables": q_to_html_tables,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2306,6 +2348,8 @@ def oracle_sql() -> dict[str, str]:
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,
         "dedup_image_dhash": O.DEDUP_IMAGE_DHASH,
+        "to_html": O.TO_HTML,
+        "to_html_tables": O.TO_HTML_TABLES,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

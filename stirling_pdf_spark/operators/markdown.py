@@ -23,6 +23,45 @@ MARKDOWN_SCHEMA = T.StructType([
 ])
 
 
+HTML_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("html", T.StringType(), False),
+])
+
+
+def to_html(docs: DataFrame,
+            num_partitions: int | None = None) -> DataFrame:
+    """PDF -> standalone HTML (/convert/pdf/html; the reference
+    delegates to the external pdftohtml binary, PDFToFile.java:99,
+    172-201 — here the proven Markdown block pipeline re-emits as
+    HTML, kernel/html_export.py). docs(doc_id, spans raw) ->
+    (doc_id, html); empty documents emit no row."""
+    from ..kernel.html_export import html_doc
+
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out_id, out_html = [], []
+            for did, spans in zip(ids, raw):
+                doc = html_doc(spans)
+                if doc:
+                    out_id.append(did)
+                    out_html.append(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.string()),
+                 pa.array(out_html, pa.string())],
+                names=["doc_id", "html"],
+            )
+
+    return docs.repartition(num_partitions, "doc_id").mapInArrow(
+        run, HTML_SCHEMA)
+
+
 def to_markdown(docs: DataFrame,
                 num_partitions: int | None = None) -> DataFrame:
     """docs(doc_id, spans raw) -> (doc_id, markdown)."""

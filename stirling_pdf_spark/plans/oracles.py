@@ -1545,6 +1545,36 @@ FROM sh LEFT JOIN hits h ON sh.id = h.id
 # body paragraphs merge (clean lowercase vocab, no sentence
 # punctuation, no markdown control characters -> escaping is identity
 # on THIS corpus; the operator still implements the full escape set).
+# PDF -> HTML over the rich corpus: same block decisions as
+# TO_MARKDOWN (6-word glyph-count tie -> bold label, else h1), with
+# entity escaping (& first, then < >) and the standalone wrapper
+TO_HTML = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w, text
+  FROM documents WHERE length(trim(text)) > 0
+), e AS (
+  SELECT did, len(w) AS nw,
+         replace(replace(replace(array_to_string(w[1:6], ' '),
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS t6,
+         replace(replace(replace(text,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS et
+  FROM d
+), m AS (
+  SELECT did,
+         '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10)
+         || '<body>' || chr(10)
+         || CASE WHEN nw > 6 THEN '<h1>' || t6 || '</h1>'
+                 ELSE '<p><strong>' || t6 || '</strong></p>' END
+         || chr(10) || '<p>' || et || '</p>' || chr(10)
+         || '</body>' || chr(10) || '</html>' AS html
+  FROM e
+)
+SELECT did AS doc_id, md5(html) AS html_md5,
+       CAST(length(html) AS BIGINT) AS n_chars
+FROM m
+"""
+
 TO_MARKDOWN = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
@@ -2475,6 +2505,37 @@ FROM wid
 
 
 TO_MARKDOWN_TABLES = _to_markdown_tables_sql()
+
+
+def _to_html_tables_sql() -> str:
+    """The stream-table page rendered as a thead/tbody HTML table
+    (kernel/html_export.render_html_table) inside the standalone
+    wrapper — same 4x3 word grid as TO_MARKDOWN_TABLES."""
+    def cell(i: int) -> str:
+        return ("replace(replace(replace(wv[((%d) %% n) + 1],"
+                " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')" % i)
+
+    th = " || ".join(f"'<th>' || {cell(c)} || '</th>'"
+                     for c in range(3))
+    body_rows = []
+    for r in range(1, 4):
+        tds = " || ".join(f"'<td>' || {cell(r * 3 + c)} || '</td>'"
+                          for c in range(3))
+        body_rows.append(f"'<tr>' || {tds} || '</tr>'")
+    tbody = " || ".join(body_rows)
+    return f"""
+WITH {_TABLE_DOCS_CTE}
+SELECT did AS doc_id,
+       '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<body>'
+       || chr(10)
+       || '<table><thead><tr>' || {th} || '</tr></thead><tbody>'
+       || {tbody} || '</tbody></table>'
+       || chr(10) || '</body>' || chr(10) || '</html>' AS html
+FROM v
+"""
+
+
+TO_HTML_TABLES = _to_html_tables_sql()
 
 H2_H3_SANITIZE = r"""
 WITH built AS (
