@@ -1972,6 +1972,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=O.ANN_K, nprobe=O.IVF_NPROBE)
 
 
+def q_ann_ivf_nprobe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=3 (vs the baseline gate's 2): the probe list
+    widens to the three nearest cells, recall rises, and the oracle
+    re-derives the SAME probe ranking — the tunable accuracy/cost dial
+    the IVF family exists for (scripts/ivf_recall.py measures recall
+    vs the exact baseline; see BENCH.md)."""
+    from stirling_pdf_spark.operators.ivf import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, O.IVF_CENTROIDS, O.ANN_QUERY_IDS,
+                    k=O.ANN_K, nprobe=3)
+
+
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: the scale path for
     dedup_embedding_pairs — same threshold, bucket-restricted candidates."""
@@ -2201,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_dhash": q_dedup_image_dhash,
         "to_html": q_to_html,
         "to_html_tables": q_to_html_tables,
+        "ann_ivf_nprobe3": q_ann_ivf_nprobe3,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "s9_page_numbers": q_s9_page_numbers,
         "streaming_ingest_resume": q_streaming_ingest_resume,
@@ -2350,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_image_dhash": O.DEDUP_IMAGE_DHASH,
         "to_html": O.TO_HTML,
         "to_html_tables": O.TO_HTML_TABLES,
+        "ann_ivf_nprobe3": O.ANN_IVF_NPROBE3,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -80,12 +80,34 @@ BENCH_QUERIES = (
     "to_markdown",
     "to_markdown_tables",
     "md_to_pdf_ingest",
+    # round-5 additions
+    "auto_redact",
+    "signature_state",
+    "add_image_stamp",
+    "dedup_image_dhash",
+    "to_html",
+    "to_html_tables",
+    "ann_ivf_nprobe3",
+)
+
+# the queries shared with the round-3 bench (same protocol/corpus) —
+# their subtotal is the one-glance cross-round regression tracker
+# (BENCH.md keeps the per-round values)
+R3_SHARED = (
+    "extract_synth", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_nation_volume", "e18_top_order_per_customer",
+    "s3_running_sum_buckets", "events_hourly_rollup",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash_groups",
+    "ann_cosine_topk", "ann_lsh_topk", "text_quality", "text_lang_id",
+    "multimodal_meta", "e14_stream_table", "e17_full_info",
+    "e18_title_inference", "f6_filter_rotation", "e16_form_fields",
+    "extract_annotations",
 )
 
 # queries that consume a shared materialized corpus (extract/derive
 # once, fan out — the deployment shape; which corpus varies by gate)
 _RICH_CONSUMERS = ("e17_full_info", "e18_title_inference",
-                   "to_markdown")
+                   "to_markdown", "to_html")
 _PLAIN_CONSUMERS = ("f6_filter_rotation", "s9_watermark_grid",
                     "remove_blank_pages")
 _REPEAT_CONSUMERS = ("s9_page_numbers", "s3_split_doc_count",
@@ -148,6 +170,43 @@ def main() -> None:
     for _ in range(ROUNDS):
         best_of("extract_sf_corpus", _sf_extract)
 
+    # --- skew torture (north-rule hardening): ONE 400-page doc among
+    # N_DOCS-1 one-pagers; the salted path must keep throughput close
+    # to the balanced corpus instead of serializing on one straggler
+    skew_path = f"/tmp/bench_skew_{N_DOCS}.parquet"
+    t0 = time.time()
+
+    def _skew_gen(batches):
+        import pandas as pd
+
+        from stirling_pdf_spark.corpus.spark_synth import _raw_dicts
+        from stirling_pdf_spark.corpus.synth import synth_from_text
+
+        for pdf in batches:
+            out_i, out_s = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                text = (" ".join(f"m{j}" for j in range(400 * 40 * 8))
+                        if i == 0 else f"tiny doc {i} body text line")
+                did, spans = synth_from_text(f"skew-{i}", text)
+                out_i.append(did)
+                out_s.append(_raw_dicts(spans))
+            yield pd.DataFrame({"doc_id": out_i, "spans": out_s})
+
+    from stirling_pdf_spark.sources.tables import DOCS_SCHEMA
+    spark.range(N_DOCS).repartition(CPUS) \
+        .mapInPandas(_skew_gen, DOCS_SCHEMA) \
+        .write.mode("overwrite").parquet(skew_path)
+    timings["synth_skew_corpus"] = round(time.time() - t0, 3)
+    skew_docs = spark.read.parquet(skew_path)
+
+    def _skew_extract():
+        extract_spans(skew_docs, salt_threshold=500,
+                      pages_per_bucket=8).count()
+
+    for _ in range(ROUNDS):
+        best_of("extract_skew", _skew_extract)
+
     # --- shared derived corpora: materialize once, fan consumers out
     rich_path = "/tmp/bench_rich_corpus.parquet"
     plain_path = "/tmp/bench_plain_corpus.parquet"
@@ -189,11 +248,14 @@ def main() -> None:
             best_of(name, fn)
 
     total = round(sum(timings.values()), 3)
+    r3_shared = round(sum(timings[n] for n in R3_SHARED
+                          if n in timings), 3)
     print(json.dumps({
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r3_shared_subtotal_sec": r3_shared,
         "sf": sf,
         "protocol": {
             "rounds": ROUNDS,

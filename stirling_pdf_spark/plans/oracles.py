@@ -635,7 +635,9 @@ IVF_SEED = 7
 IVF_CENTROIDS = make_planes(IVF_SEED, IVF_K, LSH_DIM)
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(nprobe: int = None) -> str:
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # squared L2 distance to each centroid as a left-associative term
     # sum — same fold order as ivf._sq_dist, bit-identical float64
@@ -663,7 +665,7 @@ s AS (
          list_dot_product(qp.qv, a.v) / (sqrt(list_dot_product(qp.qv, qp.qv))
            * sqrt(list_dot_product(a.v, a.v))) AS cos
   FROM qp JOIN a ON a.cluster = qp.probe
-  WHERE qp.pr <= {IVF_NPROBE} AND a.id <> qp.query_id
+  WHERE qp.pr <= {nprobe} AND a.id <> qp.query_id
 ),
 r AS (
   SELECT query_id, id,
@@ -676,6 +678,10 @@ SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
 
 
 ANN_IVF_TOPK = _ivf_topk_sql()
+
+# wider-probe variant: recall climbs with nprobe while the probe cost
+# stays nprobe/k of the corpus — the tunable the IVF family exists for
+ANN_IVF_NPROBE3 = _ivf_topk_sql(nprobe=3)
 
 TEXT_FINGERPRINT = """
 SELECT doc_id AS id,

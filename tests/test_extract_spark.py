@@ -67,6 +67,51 @@ def test_order_is_array_index(spark_result):
         assert [s[3] for s in spans] == list(range(len(spans)))
 
 
+def test_skew_torture_one_mega_among_tiny(spark):
+    """The 100x-scale skew shape: ONE ~200-page document among 300
+    one-pagers. The salted path must (a) split the mega doc into
+    page-range buckets whose sizes stay balanced — no single task ever
+    holds the whole document — and (b) reproduce the unsalted kernel
+    output bit-for-bit after reassembly."""
+    import statistics
+
+    from stirling_pdf_spark.corpus.synth import synth_from_text
+    from stirling_pdf_spark.operators.extract_pipeline import _bucket_of
+
+    words = [f"w{i}" for i in range(200 * 40 * 8)]   # 200 pages
+    mega_id, mega_spans = synth_from_text("mega-0", " ".join(words))
+    rows = [(mega_id, [dict(kind=k, text=t, media_ref=m, offset=o)
+                       for k, t, m, o in mega_spans])]
+    for i in range(300):
+        did, spans = synth_from_text(f"tiny-{i}", f"tiny doc {i} body")
+        rows.append((did, [dict(kind=k, text=t, media_ref=m, offset=o)
+                           for k, t, m, o in spans]))
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    docs = spark.createDataFrame(rows, schema)
+
+    ppb = 8
+    out = extract_spans(docs, num_partitions=16, salt_threshold=100,
+                        pages_per_bucket=ppb)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["order"]) for s in r["spans"]]
+           for r in out.collect()}
+    assert got[mega_id] == [tuple(s) for s in extract_doc(mega_spans)]
+    assert got["tiny-7"] == [tuple(s) for s in extract_doc(
+        synth_from_text("tiny-7", "tiny doc 7 body")[1])]
+
+    # bucket balance: the mega doc's spans group by page range; the
+    # largest bucket must not dominate (max/median < 2) and the doc
+    # must split into enough buckets to spread across a wave of tasks
+    counts: dict[int, int] = {}
+    for k, t, _m, _o in mega_spans:
+        b = _bucket_of(k, t, ppb)
+        counts[b] = counts.get(b, 0) + 1
+    page_buckets = [v for b, v in counts.items() if b >= 0]
+    assert len(page_buckets) >= 16
+    assert max(page_buckets) / statistics.median(page_buckets) < 2.0
+
+
 def test_stage_paths_bit_identical(spark, tmp_path):
     """The staged (persist) and plain-scan routing paths must produce
     identical spans; auto-detection picks by input plan shape."""
