@@ -259,6 +259,136 @@ def q_auto_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/edit-text (EditTextController.java:85-320) driven twice over
+    the bait corpus — whole-word 'report'->'summaries' (lookarounds,
+    length-changing), then the ordered plain list 'classified'->
+    'RESTRICTED', 'id'->'no' — and read back through real extraction.
+    The gate value is each doc's CONCATENATED line text (no
+    separator): matching runs against the page's JOINED text, and the
+    write-back redistribution preserves the joined string exactly, so
+    the oracle states it as sequential replaces on the page
+    concatenation — seam effects (a find suppressed because the
+    previous line's last word touches it) included."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_redact_from_documents,
+    )
+    from stirling_pdf_spark.operators.edittext import edit_text
+
+    _ship_package(spark)
+    docs = docs_redact_from_documents(spark, sf_dir)
+    edited = edit_text(
+        edit_text(docs, [("report", "summaries")],
+                  whole_word_search=True),
+        [("classified", "RESTRICTED"), ("id", "no")])
+    flat = explode_spans(extract_spans(edited)).filter(
+        F.col("kind") == "text")
+    assembled = flat.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order", "text"))),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("full"))
+    return assembled.select(
+        "doc_id", F.md5("full").alias("text_md5"),
+        F.length("full").cast("long").alias("n_chars"))
+
+
+def q_form_fill_unlock(spark: SparkSession, sf_dir: str,
+                       docs: DataFrame | None = None) -> DataFrame:
+    """/unlock-pdf-forms -> /form/fill -> /form/delete-fields chained
+    over the analysis corpus (plus a planted read-only text field and
+    a checkbox per doc): unlock clears the 'ro' flag, fill applies the
+    value map by name (checkbox truthy -> Yes, signature fields and
+    unknown names skipped), delete removes field1 wherever the corpus
+    created it. Field state read back through real extraction."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.forms import (
+        delete_fields, fill_form, unlock_forms,
+    )
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    extra = [("formfield", "locked0|text|old|ro"),
+             ("formfield", "cb0|checkbox|Off")]
+    extra_arr = F.array(*[
+        F.struct(F.lit(k).alias("kind"), F.lit(t).alias("text"),
+                 F.lit("").alias("media_ref"),
+                 (F.size("spans") + i).alias("offset"))
+        for i, (k, t) in enumerate(extra)
+    ])
+    appended = docs.select(
+        "doc_id", F.concat("spans", extra_arr).alias("spans"))
+    out = delete_fields(
+        fill_form(unlock_forms(appended),
+                  {"locked0": "filledv", "cb0": "true",
+                   "sig0": "evil", "absent": "x"}),
+        ["field1"])
+    flat = explode_spans(extract_spans(out)).filter(
+        F.col("kind") == "formfield")
+    return flat.select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).alias("name"),
+        F.split_part("text", F.lit("|"), F.lit(2)).alias("ftype"),
+        F.split_part("text", F.lit("|"), F.lit(3)).alias("value"),
+        F.split_part("text", F.lit("|"), F.lit(4)).alias("flags"),
+    )
+
+
+def q_add_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/add-comments (AddCommentsController.java:60-180) over the bait
+    corpus: spec 1 anchors 'classified' on page 1 under the TOLERANT
+    match (punctuation-stripped, case-insensitive, evaluated on the
+    clustered LINE text) — short docs whose bait line lands on page 1
+    anchor a 20x20 icon at that line's top-left, everything else falls
+    back to the user-space coordinates; spec 2 is pure coordinates.
+    Output = the planted Text annotations' full wire (page, rect,
+    contents, author, subject)."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_redact_from_documents,
+    )
+    from stirling_pdf_spark.operators.comments import add_comments
+
+    _ship_package(spark)
+    docs = docs_redact_from_documents(spark, sf_dir)
+    out = add_comments(docs, [
+        {"pageIndex": 0, "anchorText": "classified", "x": 10.0,
+         "y": 700.0, "width": 30.0, "height": 40.0, "text": "note1",
+         "author": "alice", "subject": "s1"},
+        {"pageIndex": 0, "x": 100.0, "y": 600.0, "width": 24.0,
+         "height": 24.0, "text": "note2", "author": "bob",
+         "subject": "s2"},
+    ])
+    s = out.select("doc_id", F.explode("spans").alias("sp")) \
+        .select("doc_id", F.col("sp.kind").alias("kind"),
+                F.col("sp.text").alias("text"))
+    head = F.substring_index("text", "\t", 1)
+    body = F.substring_index("text", "\t", -1)
+    return s.filter((F.col("kind") == "annotation")
+                    & (F.split_part(body, F.lit("|"), F.lit(1))
+                       == "Text")).select(
+        "doc_id",
+        F.split_part(body, F.lit("|"), F.lit(2)).alias("contents"),
+        F.split_part(head, F.lit("|"), F.lit(1)).cast("long")
+        .alias("page"),
+        F.split_part(head, F.lit("|"), F.lit(2)).cast("double")
+        .alias("x"),
+        F.split_part(head, F.lit("|"), F.lit(3)).cast("double")
+        .alias("y"),
+        F.split_part(head, F.lit("|"), F.lit(4)).cast("double")
+        .alias("w"),
+        F.split_part(head, F.lit("|"), F.lit(5)).cast("double")
+        .alias("h"),
+        F.split_part(body, F.lit("|"), F.lit(3)).alias("author"),
+        F.split_part(body, F.lit("|"), F.lit(4)).alias("subject"),
+    )
+
+
 def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: archetype corpus (two-column layouts, mixed
     media, HTML, mega-docs through the salted path) -> kind totals."""
@@ -2217,6 +2347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_html": q_to_html,
         "to_html_tables": q_to_html_tables,
         "ann_ivf_nprobe3": q_ann_ivf_nprobe3,
+        "edit_text": q_edit_text,
+        "form_fill_unlock": q_form_fill_unlock,
+        "add_comments": q_add_comments,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2250,13 +2383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "s12_redact_text": q_s12_redact_text,
-        "e12_unique_name_suffix": R.e12_unique_name_suffix,
         "f1_filter_contains_text": R.f1_filter_contains_text,
-        "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "f4_size_class_filter": R.f4_size_class_filter,
         "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
-        "s1_merge_comparator": R.s1_merge_comparator,
         "e17_doc_info": q_e17_doc_info,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2276,6 +2406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # resume, text_scrub_pii, dedup_paragraphs, f2_filter_contains_
         # image, s10_remove_images, remove_blank_pages — all r4
         # driver-green, unchanged since, replica-verified below.
+        # (three more r1/r2-green rotation gates yielded slots to the
+        # late-r5 additions edit_text / form_fill_unlock /
+        # add_comments: e12_unique_name_suffix -> attachment_crud
+        # in-window, f3_filter_count_comparator -> f1/f4/f6/f7
+        # siblings in-window, s1_merge_comparator -> s1_merge_by_date/
+        # title in-window)
+        "e12_unique_name_suffix": R.e12_unique_name_suffix,
+        "f3_filter_count_comparator": R.f3_filter_count_comparator,
+        "s1_merge_comparator": R.s1_merge_comparator,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "streaming_ingest_resume": q_streaming_ingest_resume,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2368,6 +2507,9 @@ def oracle_sql() -> dict[str, str]:
         "to_html": O.TO_HTML,
         "to_html_tables": O.TO_HTML_TABLES,
         "ann_ivf_nprobe3": O.ANN_IVF_NPROBE3,
+        "edit_text": O.EDIT_TEXT,
+        "form_fill_unlock": O.FORM_FILL_UNLOCK,
+        "add_comments": O.ADD_COMMENTS,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

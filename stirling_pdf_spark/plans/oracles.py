@@ -1110,6 +1110,48 @@ FROM lines
 WHERE i < 2000  -- MAX_CHUNKS_PER_DOC budget
 """
 
+# /edit-text over the bait corpus: per POSITIONAL page, the joined
+# (separator-less) line concatenation gets the ordered replace chain —
+# whole-word 'report' via \b is equivalent to the engine's lookarounds
+# here because the find is word-char-bounded and both engines evaluate
+# the SAME joined string (line seams suppress matches identically)
+EDIT_TEXT = r"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         ltrim(text || ' classified id ' || CAST(doc_id AS VARCHAR)
+               || ' code '
+               || CAST(CAST(concat('0x', substr(sha256(text), 1, 8))
+                            AS BIGINT) % 100000 AS VARCHAR)) AS t
+  FROM documents
+), w0 AS (
+  SELECT did, string_split(t, ' ') AS w FROM d
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM w0
+), lines AS (
+  SELECT did, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM l WHERE i < 2000
+), pages AS (
+  SELECT did, i // 40 AS pg, string_agg(line, '' ORDER BY i) AS jt
+  FROM lines GROUP BY did, i // 40
+), ed AS (
+  SELECT did, pg,
+         replace(replace(
+           regexp_replace(jt, '\breport\b', 'summaries', 'g'),
+           'classified', 'RESTRICTED'), 'id', 'no') AS et
+  FROM pages
+), doc AS (
+  SELECT did, string_agg(et, '' ORDER BY pg) AS ftext
+  FROM ed GROUP BY did
+)
+SELECT did AS doc_id, md5(ftext) AS text_md5,
+       CAST(length(ftext) AS BIGINT) AS n_chars
+FROM doc
+"""
+
 S12_REDACT_TEXT = f"""
 WITH {_LINES_CTE}
 SELECT did AS doc_id,
@@ -1902,6 +1944,81 @@ SELECT did AS doc_id,
        CAST(150.0 AS DOUBLE) AS x, CAST(212.0 AS DOUBLE) AS y,
        CAST(120.0 AS DOUBLE) AS w
 FROM pg
+"""
+
+
+# unlock -> fill -> delete over the analysis corpus + planted fields:
+# every doc keeps locked0 (unlocked + filled) and cb0 (checked);
+# field0 survives untouched where the corpus created >= 1 field
+# (hex digit 15 % 3 >= 1); field1 is deleted; the signature field
+# survives with its EMPTY value (fill skips signatures)
+FORM_FILL_UNLOCK = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h,
+         string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT did AS doc_id, 'field0' AS name, 'text' AS ftype,
+       coalesce(w[1], '') AS value, '' AS flags
+FROM d WHERE {_hexv(15)} % 3 >= 1
+UNION ALL
+SELECT did, 'sig0', 'signature', '', '' FROM d WHERE {_hexv(16)} % 4 = 0
+UNION ALL
+SELECT did, 'locked0', 'text', 'filledv', '' FROM d
+UNION ALL
+SELECT did, 'cb0', 'checkbox', 'Yes', '' FROM d
+"""
+
+
+# /add-comments over the bait corpus: spec 1 anchors at the FIRST
+# page-1 line whose punctuation-stripped lowercase text contains
+# 'classified' (line i -> icon top-left (72, 72+14i), 20x20), else
+# the user-space fallback (screen y = 792 - y - h); spec 2 is pure
+# coordinates. Every bait doc has a page 1.
+ADD_COMMENTS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         ltrim(text || ' classified id ' || CAST(doc_id AS VARCHAR)
+               || ' code '
+               || CAST(CAST(concat('0x', substr(sha256(text), 1, 8))
+                            AS BIGINT) % 100000 AS VARCHAR)) AS t
+  FROM documents
+), w0 AS (
+  SELECT did, string_split(t, ' ') AS w FROM d
+), l AS (
+  SELECT did, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM w0
+), lines AS (
+  SELECT did, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM l
+), m AS (
+  SELECT did, MIN(i) AS mi
+  FROM lines
+  WHERE i < 40
+    AND position('classified' IN
+          lower(regexp_replace(line, '[^A-Za-z0-9]', '', 'g'))) > 0
+  GROUP BY did
+), base AS (SELECT DISTINCT did FROM lines)
+SELECT base.did AS doc_id, 'note1' AS contents,
+       CAST(1 AS BIGINT) AS page,
+       CAST(CASE WHEN mi IS NOT NULL THEN 72.0 ELSE 10.0 END
+            AS DOUBLE) AS x,
+       CAST(CASE WHEN mi IS NOT NULL THEN 72.0 + 14.0 * mi
+                 ELSE 52.0 END AS DOUBLE) AS y,
+       CAST(CASE WHEN mi IS NOT NULL THEN 20.0 ELSE 30.0 END
+            AS DOUBLE) AS w,
+       CAST(CASE WHEN mi IS NOT NULL THEN 20.0 ELSE 40.0 END
+            AS DOUBLE) AS h,
+       'alice' AS author, 's1' AS subject
+FROM base LEFT JOIN m ON base.did = m.did
+UNION ALL
+SELECT did, 'note2', CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE),
+       CAST(168.0 AS DOUBLE), CAST(24.0 AS DOUBLE),
+       CAST(24.0 AS DOUBLE), 'bob', 's2'
+FROM base
 """
 
 
