@@ -389,6 +389,82 @@ def q_add_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image->PDF conversion (/convert/img/pdf, PdfUtils.imageToPdf +
+    addImageToDocument:439-530) at its richest setting
+    (maintainAspectRatio + autoRotate): every doc supplies two REAL
+    images — a raster fixture (PPM/BMP/PNG) and a baseline JPEG — and
+    becomes a two-page document whose page boxes (A4, landscape-swapped
+    for wide images) and centered scale-to-fit draw geometry derive
+    from the REAL decoded dimensions. Output = pagemeta + media wire
+    read back per page."""
+    import pandas as pd_  # noqa: F401 (worker-side import via closure)
+
+    from stirling_pdf_spark.corpus.media import (
+        image_payload_for_ref, jpeg_payload_for_ref,
+    )
+    from stirling_pdf_spark.operators.multimodal import images_to_pdf
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    src = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.substring(sha, 1, 8).alias("s8"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "seq": [], "media_ref": [],
+                    "payload": []}
+            for did, s8 in zip(pdf["doc_id"], pdf["s8"]):
+                for seq, ref, fn in (
+                        (0, f"media-{s8}", image_payload_for_ref),
+                        (1, f"jpg-{s8}", jpeg_payload_for_ref)):
+                    rows["doc_id"].append(did)
+                    rows["seq"].append(seq)
+                    rows["media_ref"].append(ref)
+                    rows["payload"].append(fn(ref))
+            yield pd.DataFrame(rows)
+
+    images = src.mapInPandas(
+        gen, "doc_id string, seq int, media_ref string, payload binary")
+    out = images_to_pdf(images, "maintainAspectRatio",
+                        auto_rotate=True)
+    s = out.select("doc_id", F.explode("spans").alias("sp")) \
+        .select("doc_id", F.col("sp.kind").alias("kind"),
+                F.col("sp.text").alias("text"),
+                F.col("sp.media_ref").alias("media_ref"))
+    pm = s.filter(F.col("kind") == "pagemeta").select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).cast("long")
+        .alias("page"),
+        F.split_part("text", F.lit("|"), F.lit(2)).cast("double")
+        .alias("pw"),
+        F.split_part("text", F.lit("|"), F.lit(3)).cast("double")
+        .alias("ph"),
+    )
+    md = s.filter(F.col("kind") == "media").select(
+        "doc_id",
+        F.split_part("text", F.lit("|"), F.lit(1)).cast("long")
+        .alias("page"),
+        F.split_part("text", F.lit("|"), F.lit(2)).cast("double")
+        .alias("x"),
+        F.split_part("text", F.lit("|"), F.lit(3)).cast("double")
+        .alias("y"),
+        F.split_part("text", F.lit("|"), F.lit(4)).cast("double")
+        .alias("w"),
+        F.split_part("text", F.lit("|"), F.lit(5)).cast("double")
+        .alias("h"),
+        "media_ref",
+    )
+    return pm.join(md, ["doc_id", "page"]).select(
+        "doc_id", "page", "pw", "ph", "x", "y", "w", "h", "media_ref")
+
+
 def q_extract_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: archetype corpus (two-column layouts, mixed
     media, HTML, mega-docs through the salted path) -> kind totals."""
@@ -2350,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_text": q_edit_text,
         "form_fill_unlock": q_form_fill_unlock,
         "add_comments": q_add_comments,
+        "img_to_pdf": q_img_to_pdf,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2387,7 +2464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_size_class_filter": R.f4_size_class_filter,
         "f6_filter_rotation": q_f6_filter_rotation,
         "f7_page_select_dsl": R.f7_page_select_dsl,
-        "e17_doc_info": q_e17_doc_info,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
@@ -2415,6 +2491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_unique_name_suffix": R.e12_unique_name_suffix,
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "s1_merge_comparator": R.s1_merge_comparator,
+        # (e17_doc_info yielded its slot to img_to_pdf; its widened
+        # siblings e17_full_info / e17_page_info keep fresh rows)
+        "e17_doc_info": q_e17_doc_info,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "streaming_ingest_resume": q_streaming_ingest_resume,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2510,6 +2589,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_text": O.EDIT_TEXT,
         "form_fill_unlock": O.FORM_FILL_UNLOCK,
         "add_comments": O.ADD_COMMENTS,
+        "img_to_pdf": O.IMG_TO_PDF,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -88,6 +88,10 @@ BENCH_QUERIES = (
     "to_html",
     "to_html_tables",
     "ann_ivf_nprobe3",
+    "edit_text",
+    "form_fill_unlock",
+    "add_comments",
+    "img_to_pdf",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -357,6 +357,86 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
     return src.mapInPandas(run, IMAGE_DECODE_SCHEMA)
 
 
+# PDFBox PDRectangle.A4 in points (210 x 297 mm at 72 dpi)
+A4_W, A4_H = 210 * 72 / 25.4, 297 * 72 / 25.4
+
+IMG2PDF_FITS = ("fillPage", "fitDocumentToImage", "maintainAspectRatio")
+
+
+def images_to_pdf(images: DataFrame, fit_option: str = "fillPage",
+                  auto_rotate: bool = False, page_w: float = A4_W,
+                  page_h: float = A4_H) -> DataFrame:
+    """Image(s) -> PDF (/convert/img/pdf, PdfUtils.imageToPdf +
+    addImageToDocument:439-530): one page per image in upload order —
+    A4 by default, swapped to landscape under autoRotate when the
+    image is wider than tall, or sized to the image itself under
+    fitDocumentToImage; the draw covers the whole page (fillPage /
+    fitDocumentToImage) or scales to fit and centers
+    (maintainAspectRatio). Image dimensions come from the REAL
+    decoders (decode_image); a document containing an undecodable
+    image drops entirely (the endpoint fails the whole request —
+    per-doc isolation is the batch analogue). TIFF multi-page,
+    EXIF rotation and color-type conversion need codec libraries
+    (SCOPE.md).
+
+    Input: (doc_id, seq, media_ref, payload); output: a raw docs
+    table (pagemeta + media spans) any downstream operator consumes.
+    One groupBy(doc_id) shuffle — inherent: a document is assembled
+    from its images."""
+    import struct as _struct
+
+    if fit_option not in IMG2PDF_FITS:
+        raise ValueError(f"unknown fitOption {fit_option!r}")
+    from ..kernel import wire as _wire
+    from ..sources.tables import DOCS_SCHEMA
+
+    def _empty() -> pd.DataFrame:
+        # dtype=object: an untyped empty frame defaults to float64
+        # columns, which Arrow cannot convert to the struct-list type
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                             "spans": pd.Series([], dtype=object)})
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        spans: list[dict] = []
+        page = 0
+        for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+            try:
+                iw, ih = decode_image(
+                    bytes(payload) if payload is not None else b"")
+            except (NotImplementedError, ValueError, IndexError,
+                    _struct.error):
+                return _empty()
+            page += 1
+            pw, ph = page_w, page_h
+            if auto_rotate and iw > ih:
+                pw, ph = page_h, page_w
+            if fit_option == "fitDocumentToImage":
+                pw, ph = float(iw), float(ih)
+            if fit_option == "maintainAspectRatio":
+                scale = (pw / iw if iw / ih > pw / ph else ph / ih)
+                w, h = iw * scale, ih * scale
+                x = (pw - w) / 2
+                y_pos = (ph - h) / 2        # user-space bottom offset
+                y = ph - y_pos - h          # screen top (== y_pos)
+            else:
+                x, y, w, h = 0.0, 0.0, pw, ph
+            spans.append(dict(
+                kind="pagemeta",
+                text=_wire.encode_pagemeta(page, pw, ph, 0, ""),
+                media_ref="", offset=len(spans)))
+            spans.append(dict(
+                kind="media",
+                text=f"{page}|{x!r}|{y!r}|{w!r}|{h!r}",
+                media_ref=ref, offset=len(spans)))
+        if not spans:
+            return _empty()
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
+                             "spans": [spans]})
+
+    return images.groupBy("doc_id").applyInPandas(build, DOCS_SCHEMA)
+
+
 def media_metadata(media: DataFrame, payload_col: str = "payload",
                    ref_col: str = "media_ref", fmt_col: str | None = "fmt") -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads.

@@ -2435,6 +2435,60 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
 DEDUP_IMAGE_DHASH = _dhash_sql()
 
 
+def _img_to_pdf_sql() -> str:
+    """Image->PDF at maintainAspectRatio + autoRotate: dims re-derive
+    from the fixture hash bytes (corpus.media.image_dims_for_ref /
+    jpeg_dims_for_ref), the page box swaps to landscape A4 for wide
+    images, and the centered scale-to-fit geometry repeats the SAME
+    IEEE double operation order as the operator."""
+    from ..operators.multimodal import A4_H, A4_W
+
+    def hb(pos: int) -> str:
+        return (f"((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+                f" * 16 + (strpos('0123456789abcdef',"
+                f" substr(h, {pos + 1}, 1)) - 1))")
+
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         substr(sha256(text), 1, 8) AS s8
+  FROM documents
+), refs AS (
+  SELECT did, 1 AS page, 'media-' || s8 AS ref,
+         sha256('media-' || s8) AS h, 'raster' AS k
+  FROM d
+  UNION ALL
+  SELECT did, 2, 'jpg-' || s8, sha256('jpg-' || s8), 'jpeg' FROM d
+), dims AS (
+  SELECT did, page, ref,
+         CASE WHEN k = 'raster' THEN 4 + {hb(3)} % 29
+              ELSE 8 * (1 + {hb(3)} % 4) END AS iw,
+         CASE WHEN k = 'raster' THEN 4 + {hb(5)} % 29
+              ELSE 8 * (1 + {hb(5)} % 4) END AS ih
+  FROM refs
+), fitted AS (
+  SELECT did, page, ref, iw, ih,
+         CASE WHEN iw > ih THEN {A4_H!r} ELSE {A4_W!r} END AS pw,
+         CASE WHEN iw > ih THEN {A4_W!r} ELSE {A4_H!r} END AS ph
+  FROM dims
+), geo AS (
+  SELECT did, page, ref, iw, ih, pw, ph,
+         CASE WHEN CAST(iw AS DOUBLE) / ih > pw / ph
+              THEN pw / iw ELSE ph / ih END AS scale
+  FROM fitted
+)
+SELECT did AS doc_id, CAST(page AS BIGINT) AS page, pw, ph,
+       (pw - iw * scale) / 2 AS x,
+       ph - (ph - ih * scale) / 2 - ih * scale AS y,
+       iw * scale AS w, ih * scale AS h,
+       ref AS media_ref
+FROM geo
+"""
+
+
+IMG_TO_PDF = _img_to_pdf_sql()
+
+
 def _hexb(pos: int) -> str:
     """SQL for BYTE value at 1-based hex position ``pos`` of column h
     (two hex digits)."""

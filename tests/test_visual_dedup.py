@@ -131,3 +131,44 @@ def test_dhash_pairs_rejects_inexact_threshold(spark):
     df = spark.createDataFrame([("a", 0)], "media_ref string, dhash long")
     with pytest.raises(ValueError):
         dhash_near_dup_pairs(df, max_distance=8)
+
+
+def test_images_to_pdf_fit_modes_and_drop(spark):
+    from stirling_pdf_spark.operators.multimodal import (
+        A4_H, A4_W, images_to_pdf,
+    )
+
+    ppm = b"P6\n20 10\n255\n" + bytes(20 * 10 * 3)   # landscape 20x10
+    rows = [("d1", 0, "m-a", ppm),
+            ("d1", 1, "m-b", b"P6\n4 8\n255\n" + bytes(4 * 8 * 3)),
+            ("d2", 0, "m-c", b"RIFFxxxxWEBP")]       # undecodable
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, media_ref string, payload binary")
+
+    out = {r["doc_id"]: r for r in images_to_pdf(
+        df, "fitDocumentToImage").collect()}
+    assert set(out) == {"d1"}                         # d2 dropped whole
+    texts = [(s["kind"], s["text"]) for s in out["d1"]["spans"]]
+    assert texts[0] == ("pagemeta", "1|20.0|10.0|0|")
+    assert texts[1][1] == "1|0.0|0.0|20.0|10.0"
+    assert texts[2] == ("pagemeta", "2|4.0|8.0|0|")
+
+    [row] = images_to_pdf(df.filter("doc_id = 'd1' AND seq = 0"),
+                          "fillPage", auto_rotate=True).collect()
+    pm = row["spans"][0]["text"].split("|")
+    # landscape image swaps A4 under autoRotate
+    assert (float(pm[1]), float(pm[2])) == (A4_H, A4_W)
+    md = row["spans"][1]["text"].split("|")
+    assert (float(md[3]), float(md[4])) == (A4_H, A4_W)  # fills page
+
+
+def test_images_to_pdf_rejects_unknown_fit(spark):
+    import pytest
+
+    from stirling_pdf_spark.operators.multimodal import images_to_pdf
+
+    df = spark.createDataFrame(
+        [("d", 0, "m", b"")],
+        "doc_id string, seq int, media_ref string, payload binary")
+    with pytest.raises(ValueError):
+        images_to_pdf(df, "stretchy")
