@@ -389,6 +389,24 @@ def q_add_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_form_fields_csv(spark: SparkSession, sf_dir: str,
+                      docs: DataFrame | None = None) -> DataFrame:
+    """/form/extract-csv (FormFillController.java:149-196) with the
+    optional fill-first data part: field0 fills with a quote/comma
+    torture value, then every doc's AcroForm exports as the OpenCSV
+    string — header, every cell double-quoted, inner quotes doubled,
+    trailing newline."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.forms import fields_csv
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_analysis_from_documents(spark, sf_dir)
+    return fields_csv(docs, values={"field0": 'csv,"x"'})
+
+
 def q_img_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image->PDF conversion (/convert/img/pdf, PdfUtils.imageToPdf +
     addImageToDocument:439-530) at its richest setting
@@ -2427,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_fill_unlock": q_form_fill_unlock,
         "add_comments": q_add_comments,
         "img_to_pdf": q_img_to_pdf,
+        "form_fields_csv": q_form_fields_csv,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2468,7 +2487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
         "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
@@ -2492,8 +2510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_filter_count_comparator": R.f3_filter_count_comparator,
         "s1_merge_comparator": R.s1_merge_comparator,
         # (e17_doc_info yielded its slot to img_to_pdf; its widened
-        # siblings e17_full_info / e17_page_info keep fresh rows)
+        # siblings e17_full_info / e17_page_info keep fresh rows;
+        # dedup_ngram_jaccard yielded to form_fields_csv — its binding
+        # max_df variant dedup_jaccard_maxdf stays in-window)
         "e17_doc_info": q_e17_doc_info,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
         "e13_whole_word_digit": q_e13_whole_word_digit,
         "streaming_ingest_resume": q_streaming_ingest_resume,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2590,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "form_fill_unlock": O.FORM_FILL_UNLOCK,
         "add_comments": O.ADD_COMMENTS,
         "img_to_pdf": O.IMG_TO_PDF,
+        "form_fields_csv": O.FORM_FIELDS_CSV,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

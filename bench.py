@@ -92,6 +92,7 @@ BENCH_QUERIES = (
     "form_fill_unlock",
     "add_comments",
     "img_to_pdf",
+    "form_fields_csv",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

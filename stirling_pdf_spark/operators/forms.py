@@ -126,3 +126,32 @@ def unlock_forms(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.concat(F.transform("spans", rewrite), na).alias("spans"))
+
+
+def fields_csv(docs: DataFrame,
+               values: dict[str, str] | None = None) -> DataFrame:
+    """/form/extract-csv (FormFillController.java:149-196): optional
+    fill first (the endpoint's data part -> applyFieldValues), then a
+    CSV of '"Field Name","Value"' plus one row per field in document
+    order — OpenCSV CSVWriter defaults: every cell double-quoted,
+    inner quotes doubled, '\\n' line endings incl. a trailing one.
+    Output: (doc_id, csv)."""
+    src = fill_form(docs, values) if values else docs
+
+    def cell(c: Column) -> Column:
+        return F.concat(F.lit('"'),
+                        F.replace(c, F.lit('"'), F.lit('""')),
+                        F.lit('"'))
+
+    fields = F.filter("spans", lambda sp: sp["kind"] == "formfield")
+    rows = F.transform(
+        fields,
+        lambda sp: F.concat(
+            cell(_name(sp)), F.lit(","),
+            cell(F.split_part(sp["text"], F.lit("|"), F.lit(3)))))
+    csv = F.concat(
+        F.array_join(
+            F.concat(F.array(F.lit('"Field Name","Value"')), rows),
+            "\n"),
+        F.lit("\n"))
+    return src.select("doc_id", csv.alias("csv"))

@@ -1970,6 +1970,32 @@ SELECT did, 'cb0', 'checkbox', 'Yes', '' FROM d
 """
 
 
+# /form/extract-csv with fill-first: OpenCSV defaults (all cells
+# double-quoted, inner quotes doubled, \n endings incl. trailing);
+# fields in document order: field0 (filled torture value), field1
+# (second corpus word), sig0 (empty signature value)
+FORM_FIELDS_CSV = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h,
+         string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT did AS doc_id,
+       '"Field Name","Value"' || chr(10)
+       || CASE WHEN {_hexv(15)} % 3 >= 1
+               THEN '"field0","csv,""x""' || '"' || chr(10)
+               ELSE '' END
+       || CASE WHEN {_hexv(15)} % 3 = 2
+               THEN '"field1","'
+                    || replace(coalesce(w[2], ''), '"', '""')
+                    || '"' || chr(10) ELSE '' END
+       || CASE WHEN {_hexv(16)} % 4 = 0
+               THEN '"sig0",""' || chr(10) ELSE '' END
+         AS csv
+FROM d
+"""
+
+
 # /add-comments over the bait corpus: spec 1 anchors at the FIRST
 # page-1 line whose punctuation-stripped lowercase text contains
 # 'classified' (line i -> icon top-left (72, 72+14i), 20x20), else

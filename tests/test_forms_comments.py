@@ -118,3 +118,23 @@ def test_add_comments_first_matching_line_wins(spark):
          "author": "a", "subject": "s"},
     ]).collect()
     assert _annots(row)[0].startswith("1|72.0|100.0|20.0|20.0\t")
+
+
+def test_fields_csv_quoting_and_fill_first(spark):
+    from stirling_pdf_spark.operators.forms import fields_csv
+
+    [row] = fields_csv(_form_doc(spark),
+                       values={"name0": 'a,"b"'}).collect()
+    assert row["csv"] == (
+        '"Field Name","Value"\n'
+        '"name0","a,""b"""\n'
+        '"cb0","Off"\n'
+        '"sig0",""\n'
+        '"locked0","v"\n')
+
+
+def test_fields_csv_without_fill(spark):
+    from stirling_pdf_spark.operators.forms import fields_csv
+
+    [row] = fields_csv(_form_doc(spark)).collect()
+    assert '"name0","old"' in row["csv"]
