@@ -1288,6 +1288,42 @@ def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_urls(docs)
 
 
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling (the LLM-pretraining
+    data-mixing stage; public Pile/LLaMA-style recipes): per-source
+    weights cycle [1.0x, 0.5x, 0.25x, 2.0x] — fractional weights
+    hash-downsample, the 2.0x weight REPLICATES its source — and the
+    id-hash decision reproduces the identical mixture at any
+    cluster size."""
+    from stirling_pdf_spark.operators.textstats import domain_mix_sample
+
+    return domain_mix_sample(read_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary census (tokenizer-training head): top-50
+    whitespace terms by total count (term-asc ties), with
+    document frequencies — explode + one partial-agg'd groupBy, then
+    a vocabulary-sized (not corpus-sized) top-k."""
+    from stirling_pdf_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(read_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM corpus-fit score (KenLM-style
+    quality/boilerplate signal from public CCNet-style pipelines),
+    integer-exact: avg conditional bigram probability x1000 per doc;
+    the trained model is a DataFrame joined back on its keys, never
+    driver state."""
+    from stirling_pdf_spark.operators.textstats import bigram_lm_fit
+
+    base = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    return bigram_lm_fit(base)
+
+
 def q_text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (web-pipeline guard against one host
     dominating a crawl): docs keyed by their first URL's host, at most
@@ -1439,6 +1475,47 @@ def q_to_html_tables(spark: SparkSession, sf_dir: str,
     if docs is None:
         docs = docs_stream_table_from_documents(spark, sf_dir)
     return to_html(docs)
+
+
+def q_to_xml(spark: SparkSession, sf_dir: str,
+             docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> structural XML export (/convert/pdf/xml;
+    PDFToFile.java:256,334-335 delegates to the out-of-scope
+    LibreOffice binary — here the proven block pipeline re-emitted as
+    a minimal structural vocabulary, kernel/xml_export.py) over the
+    rich corpus: >6-word docs render <heading level="1"> + one merged
+    <p> of the full entity-escaped text inside the declaration +
+    <document> wrapper; <=6-word docs hit the bold-label branch.
+    Pinned by md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_rich_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_xml
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_rich_from_documents(spark, sf_dir)
+    out = to_xml(docs)
+    return out.select(
+        "doc_id", F.md5("xml").alias("xml_md5"),
+        F.length("xml").cast("long").alias("n_chars"))
+
+
+def q_to_xml_tables(spark: SparkSession, sf_dir: str,
+                    docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> XML TABLE rendering over the E14 stream-table corpus:
+    each doc's 4x3 whitespace-column page renders as a row/cell grid
+    with a header="true" first row inside the <document> wrapper —
+    the exact string is the gate value."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_stream_table_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_xml
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_stream_table_from_documents(spark, sf_dir)
+    return to_xml(docs)
 
 
 def q_md_to_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2209,6 +2286,20 @@ def q_ann_ivf_nprobe3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=O.ANN_K, nprobe=3)
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (arXiv:2303.09540, public
+    literature): nearest-centroid assignment with the IVF literal
+    centroids, then the quadratic near-dup search confined to
+    intra-cluster pairs — a vector is pruned iff a lower-id vector in
+    the SAME cluster has cosine >= the shared dup threshold. Output
+    covers every vector with an INT keep flag."""
+    from stirling_pdf_spark.operators.ivf import semdedup_prune
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, O.IVF_CENTROIDS,
+                          threshold=O.EMB_DUP_THRESHOLD)
+
+
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: the scale path for
     dedup_embedding_pairs — same threshold, bucket-restricted candidates."""
@@ -2446,6 +2537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_comments": q_add_comments,
         "img_to_pdf": q_img_to_pdf,
         "form_fields_csv": q_form_fields_csv,
+        # late-r5 additions: pdf->xml export (prose + exact tables)
+        # over the shared block pipeline, SemDeDup semantic dedup,
+        # and three LLM-data-pipeline stages (source mixing,
+        # vocabulary census, bigram-LM corpus fit)
+        "to_xml": q_to_xml,
+        "to_xml_tables": q_to_xml_tables,
+        "semdedup_prune": q_semdedup_prune,
+        "domain_mix_sample": q_domain_mix_sample,
+        "vocab_topk": q_vocab_topk,
+        "bigram_lm_fit": q_bigram_lm_fit,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2457,20 +2558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_to_pdf_ingest": q_md_to_pdf_ingest,
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
-        "s9_page_numbers": q_s9_page_numbers,
         "attachment_crud": q_attachment_crud,
-        "toc_set_outline": q_toc_set_outline,
-        "s3_split_doc_count": q_s3_split_doc_count,
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
         "text_url_extract": q_text_url_extract,
         "text_domain_caps": q_text_domain_caps,
-        "show_javascript": q_show_javascript,
-        "dedup_decontaminate": q_dedup_decontaminate,
         "to_markdown": q_to_markdown,
         "to_markdown_tables": q_to_markdown_tables,
         "e17_page_info": q_e17_page_info,
-        "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "s1_merge_by_date": q_s1_merge_by_date,
         "s1_merge_by_title": q_s1_merge_by_title,
@@ -2493,6 +2588,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
+        # late r5: SIX r4-green stable gates yielded their slots to
+        # the six late-r5 gates (to_xml x2, semdedup_prune,
+        # domain_mix_sample, vocab_topk, bigram_lm_fit):
+        # s9_page_numbers (sibling s9_watermark_grid in-window),
+        # toc_set_outline, s3_split_doc_count (sibling
+        # s3_split_byte_size in-window), show_javascript,
+        # dedup_decontaminate, multimodal_decode (siblings
+        # decode_jpeg/decode_gif in-window) — all r4 driver-green,
+        # unchanged since, replica-verified below.
+        "s9_page_numbers": q_s9_page_numbers,
+        "toc_set_outline": q_toc_set_outline,
+        "s3_split_doc_count": q_s3_split_doc_count,
+        "show_javascript": q_show_javascript,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "multimodal_decode": q_multimodal_decode,
         # r5: SEVEN r4-green stable gates yielded their slots to the
         # seven NEW r5 gates (auto-redact, signature state, add-image,
         # dHash, pdf->html x2, ivf-nprobe3): e13_whole_word_digit
@@ -2612,6 +2722,12 @@ def oracle_sql() -> dict[str, str]:
         "add_comments": O.ADD_COMMENTS,
         "img_to_pdf": O.IMG_TO_PDF,
         "form_fields_csv": O.FORM_FIELDS_CSV,
+        "to_xml": O.TO_XML,
+        "to_xml_tables": O.TO_XML_TABLES,
+        "semdedup_prune": O.SEMDEDUP_PRUNE,
+        "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
+        "vocab_topk": O.VOCAB_TOPK,
+        "bigram_lm_fit": O.BIGRAM_LM_FIT,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

@@ -165,9 +165,11 @@ def _emit(blocks: list[tuple[str, object]]) -> str:
     return "\n".join(out)
 
 
-def html_doc(spans) -> str:
-    """Raw interleaved spans -> standalone HTML ('' for empty docs).
-    Mirrors kernel.markdown.markdown_doc block for block."""
+def typed_doc_blocks(spans) -> list[tuple[str, object]]:
+    """Raw interleaved spans -> stitched typed blocks
+    (kind, payload) with kind in heading1/heading2/bold/bullet/para/
+    table/image — the shared assembly behind the HTML and XML
+    emitters. Mirrors kernel.markdown.markdown_doc block for block."""
     runs_by_page: dict[int, list] = defaultdict(list)
     media_by_page: dict[int, list] = defaultdict(list)
     for kind, text, media_ref, _off in sorted(spans, key=lambda s: s[3]):
@@ -219,7 +221,12 @@ def html_doc(spans) -> str:
                 output[-1] = (lk, last + " " + first)
                 page_items = page_items[1:]
         output.extend(page_items)
-    stitched = _stitch_tables(output)
+    return _stitch_tables(output)
+
+
+def html_doc(spans) -> str:
+    """Raw interleaved spans -> standalone HTML ('' for empty docs)."""
+    stitched = typed_doc_blocks(spans)
     if not stitched:
         return ""
     return ("<!DOCTYPE html>\n<html>\n<body>\n" + _emit(stitched)

@@ -131,3 +131,53 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("id").alias("neighbor_id"))
     )
+
+
+def semdedup_prune(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.45,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public literature; the reference has no
+    embedding surface): assign every vector to its nearest coarse
+    centroid, then look for near-duplicate pairs ONLY within each
+    cluster and drop the higher-id member of every pair.
+
+    Output: (id, cluster, keep) for EVERY input vector — keep is an
+    INT flag (1 = survives, 0 = pruned as a semantic duplicate of a
+    lower-id same-cluster vector).
+
+    Scale shape: the quadratic candidate search is confined to
+    intra-cluster pairs (an equi-join on the cluster id — ~1/k of all
+    pairs, and the clusters are the partitioning key), which is
+    exactly the SemDeDup trick that makes semantic dedup feasible on
+    web-scale corpora; the keep-list is one distinct + one left join.
+    """
+    v = parallelize(df).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("v"))
+    assigned = v.withColumn("dists", _dists_expr("v", centroids)).select(
+        "id", "v",
+        (F.array_position("dists", F.array_min("dists")) - 1)
+        .cast("int").alias("cluster"),
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("cluster").alias("cl"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("cluster").alias("cl"))
+    pruned = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "id", "left")
+        .select(
+            "id", "cluster",
+            (F.lit(1) - F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("int").alias("keep"),
+        )
+    )

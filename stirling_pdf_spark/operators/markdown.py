@@ -62,6 +62,46 @@ def to_html(docs: DataFrame,
         run, HTML_SCHEMA)
 
 
+XML_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("xml", T.StringType(), False),
+])
+
+
+def to_xml(docs: DataFrame,
+           num_partitions: int | None = None) -> DataFrame:
+    """PDF -> structural XML (/convert/pdf/xml; the reference
+    delegates to the out-of-scope LibreOffice binary,
+    PDFToFile.java:256,334-335 — here the proven block pipeline
+    re-emits a minimal structural vocabulary, kernel/xml_export.py).
+    docs(doc_id, spans raw) -> (doc_id, xml); empty documents emit
+    no row."""
+    from ..kernel.xml_export import xml_doc
+
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out_id, out_xml = [], []
+            for did, spans in zip(ids, raw):
+                doc = xml_doc(spans)
+                if doc:
+                    out_id.append(did)
+                    out_xml.append(doc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.string()),
+                 pa.array(out_xml, pa.string())],
+                names=["doc_id", "xml"],
+            )
+
+    return docs.repartition(num_partitions, "doc_id").mapInArrow(
+        run, XML_SCHEMA)
+
+
 def to_markdown(docs: DataFrame,
                 num_partitions: int | None = None) -> DataFrame:
     """docs(doc_id, spans raw) -> (doc_id, markdown)."""

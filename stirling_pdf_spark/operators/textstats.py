@@ -324,3 +324,131 @@ def domain_caps(df: DataFrame, max_per_domain: int = 2,
         .filter(F.col("rnk") <= max_per_domain)
     )
     return capped.unionByName(no_dom)
+
+
+# Domain-mixture weights in 1/64ths, cycled by source index % 4:
+# 1.0x (keep all), 0.5x, 0.25x (downsample), 2.0x (UPSAMPLE — the
+# high-quality-source repetition idiom from LLM data-mixing recipes)
+MIX_WEIGHTS_X64: tuple[int, ...] = (64, 32, 16, 128)
+
+
+def domain_mix_sample(df: DataFrame,
+                      weights_x64: tuple[int, ...] = MIX_WEIGHTS_X64,
+                      id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Deterministic source-mixture sampling — the LLM-pretraining
+    data-mixing stage (each source gets a target weight; weights < 1
+    downsample, weights > 1 REPLICATE the source, cf. the published
+    Pile/LLaMA mixture tables — public recipes, no reference
+    analogue): a doc with weight w (in 1/64ths) emits floor(w/64)
+    copies plus one more iff its id-hash bucket falls under the
+    fractional remainder. Hash-based, so a rerun or a different
+    cluster size reproduces the SAME mixture (unlike rand()).
+
+    Output: (id, domain, copy_idx) — one row per emitted copy;
+    dropped docs emit none. Pure map + generate, no shuffle; the
+    decision pushes to the scan."""
+    sid = F.concat(F.lit("doc-"), F.col(id_col).cast("string"))
+    src_idx = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("int")
+    w_arr = F.array(*[F.lit(int(w)) for w in weights_x64])
+    w64 = F.element_at(w_arr, (src_idx % len(weights_x64)) + 1)
+    # bucket in [0, 256) from the first two md5 hex digits; the
+    # fractional remainder w64 % 64 (in 1/64ths) scales by 4 onto it
+    bucket = F.conv(F.substring(F.md5(sid), 1, 2), 16, 10).cast("int")
+    n_copies = (w64 / F.lit(64)).cast("int") + F.when(
+        bucket < (w64 % 64) * 4, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        parallelize(df)
+        .select(sid.alias("id"), F.col(source_col).alias("domain"),
+                F.explode(copies).alias("copy_idx"))
+        .select("id", "domain", F.col("copy_idx").cast("int"))
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary top-k — the tokenizer-training census
+    (WordPiece/BPE vocab building starts from exactly this table):
+    whitespace tokens ranked by total count desc, term asc. Output:
+    (rank, term, n_total, n_docs).
+
+    Scale shape: explode + one partial-agg'd groupBy on the term (the
+    map-side combine absorbs Zipf's head), then a top-k — a global
+    sort of the distinct-term table, which is vocabulary-sized, not
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    toks = (
+        parallelize(df)
+        .select(F.col(id_col).alias("id"),
+                F.explode(words_col(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("id").cast("long").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_total"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "n_total", "n_docs")
+    )
+
+
+def bigram_lm_fit(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-fit scoring with a self-trained bigram model — the
+    KenLM-style quality/boilerplate signal from public web-pipeline
+    recipes (CCNet et al.), made integer-exact so two engines agree
+    bit-for-bit: train bigram counts over the WHOLE corpus, then score
+    each document by the average conditional probability of its
+    bigrams, avg_i(1000 * c(w1w2) // c(w1 ·)) // n — formulaic
+    (high-fit) text scores high, novel text low. No floats anywhere.
+
+    Output: (id, n_bigrams, fit_x1000); docs with < 2 words emit
+    n_bigrams = 0, fit 0.
+
+    Scale shape: two keyed aggregations (bigram counts, left-word
+    counts) + two shuffle joins back on those keys + one per-doc
+    groupBy — every stage partial-aggregates; the model IS a
+    DataFrame, never driver state."""
+    d = parallelize(df).select(F.col(id_col).alias("id"),
+                               words_col(text_col).alias("w"))
+    grams = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.zip_with(F.slice("w", 1, F.size("w") - 1),
+                           F.slice("w", 2, F.size("w") - 1),
+                           lambda a, b: F.struct(a.alias("w1"),
+                                                F.concat_ws(" ", a, b)
+                                                .alias("gm")))
+            ).alias("g"),
+        )
+        .select("id", F.col("g.w1").alias("w1"), F.col("g.gm").alias("gm"))
+    )
+    c12 = grams.groupBy("gm").agg(F.count("*").alias("c12"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        grams.join(c12, "gm").join(c1, "w1")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.sum(F.expr("(1000 * c12) div c1")).alias("p_sum"))
+        .select("id", "n_bigrams",
+                F.expr("p_sum div n_bigrams").cast("long")
+                .alias("fit_x1000"))
+    )
+    # docs with < 2 words never reach the bigram table — re-attach
+    return (
+        d.select("id").join(scored, "id", "left")
+        .select("id",
+                F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                .alias("n_bigrams"),
+                F.coalesce("fit_x1000", F.lit(0)).cast("long")
+                .alias("fit_x1000"))
+    )

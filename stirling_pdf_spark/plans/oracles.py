@@ -683,6 +683,40 @@ ANN_IVF_TOPK = _ivf_topk_sql()
 # stays nprobe/k of the corpus — the tunable the IVF family exists for
 ANN_IVF_NPROBE3 = _ivf_topk_sql(nprobe=3)
 
+
+def _semdedup_sql() -> str:
+    """SemDeDup (arXiv:2303.09540): nearest-centroid assignment (same
+    literals and fold order as the IVF oracles), then a vector is
+    pruned iff a LOWER-id vector in the SAME cluster has cosine >=
+    the EMB_DUP_THRESHOLD — the quadratic search confined to
+    intra-cluster pairs."""
+    dists = ", ".join(
+        " + ".join(
+            f"(v[{i + 1}] - ({w!r})) * (v[{i + 1}] - ({w!r}))"
+            for i, w in enumerate(c)
+        )
+        for c in IVF_CENTROIDS
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT id, v, [{dists}] AS dl FROM e),
+a AS (SELECT id, v, CAST(list_indexof(dl, list_min(dl)) - 1 AS INTEGER)
+             AS cluster FROM c),
+p AS (
+  SELECT DISTINCT hi.id
+  FROM a lo JOIN a hi ON lo.cluster = hi.cluster AND lo.id < hi.id
+  WHERE list_dot_product(lo.v, hi.v)
+        / (sqrt(list_dot_product(lo.v, lo.v))
+           * sqrt(list_dot_product(hi.v, hi.v))) >= {EMB_DUP_THRESHOLD}
+)
+SELECT a.id, a.cluster,
+       CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM a LEFT JOIN p ON a.id = p.id
+"""
+
+
+SEMDEDUP_PRUNE = _semdedup_sql()
+
 TEXT_FINGERPRINT = """
 SELECT doc_id AS id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
@@ -1623,6 +1657,38 @@ SELECT did AS doc_id, md5(html) AS html_md5,
 FROM m
 """
 
+# PDF -> structural XML over the rich corpus: same block decisions as
+# TO_HTML (6-word glyph-count tie -> bold label, else heading), with
+# the XML vocabulary (kernel/xml_export.py) and the declaration +
+# <document> root wrapper
+TO_XML = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w, text
+  FROM documents WHERE length(trim(text)) > 0
+), e AS (
+  SELECT did, len(w) AS nw,
+         replace(replace(replace(array_to_string(w[1:6], ' '),
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS t6,
+         replace(replace(replace(text,
+                 '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS et
+  FROM d
+), m AS (
+  SELECT did,
+         '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+         || '<document>' || chr(10)
+         || CASE WHEN nw > 6
+                 THEN '<heading level="1">' || t6 || '</heading>'
+                 ELSE '<p><strong>' || t6 || '</strong></p>' END
+         || chr(10) || '<p>' || et || '</p>' || chr(10)
+         || '</document>' AS x
+  FROM e
+)
+SELECT did AS doc_id, md5(x) AS xml_md5,
+       CAST(length(x) AS BIGINT) AS n_chars
+FROM m
+"""
+
 TO_MARKDOWN = """
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
@@ -2391,6 +2457,74 @@ WITH toks AS (
 SELECT id, term, tf, df, rank FROM ranked WHERE rank <= 3
 """
 
+# Deterministic source-mixture sampling: weight (in 1/64ths) cycles
+# [1.0x, 0.5x, 0.25x, 2.0x] by source index % 4; a doc emits
+# floor(w/64) copies + 1 more iff its 2-hex-digit md5 bucket (0..255)
+# < 4x the fractional remainder. Mirrors textstats.domain_mix_sample.
+DOMAIN_MIX_SAMPLE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id, source,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) AS si,
+         CAST(concat('0x', substr(md5('doc-' || CAST(doc_id AS VARCHAR)),
+              1, 2)) AS INTEGER) AS b
+  FROM documents
+), w AS (
+  SELECT id, source AS domain, b,
+         ([64, 32, 16, 128])[(si % 4) + 1] AS w64
+  FROM d
+), n AS (
+  SELECT id, domain,
+         w64 // 64 + CASE WHEN b < (w64 % 64) * 4 THEN 1 ELSE 0 END AS nc
+  FROM w
+)
+SELECT id, domain, CAST(t.c AS INTEGER) AS copy_idx
+FROM n, unnest(range(0, nc)) AS t(c)
+"""
+
+# Corpus vocabulary census (tokenizer-training head): whitespace
+# terms ranked by total count desc, term asc; top 50.
+VOCAB_TOPK = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM t WHERE term <> '' GROUP BY term
+), r AS (
+  SELECT term, n_total, n_docs,
+         CAST(row_number() OVER (ORDER BY n_total DESC, term ASC)
+              AS BIGINT) AS rank
+  FROM c
+)
+SELECT rank, term, n_total, n_docs FROM r WHERE rank <= 50
+"""
+
+# Self-trained bigram-model corpus fit (integer-exact KenLM-style
+# signal): per doc, avg_i((1000 * c(w1w2)) div c(w1 .)) div n.
+BIGRAM_LM_FIT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         string_split(text, ' ') AS w
+  FROM documents
+), g AS (
+  SELECT id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gm
+  FROM d, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT gm, count(*) AS c12 FROM g GROUP BY gm
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM g GROUP BY w1
+), s AS (
+  SELECT g.id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         SUM((1000 * c12.c12) // c1.c1) AS p_sum
+  FROM g JOIN c12 USING (gm) JOIN c1 USING (w1)
+  GROUP BY g.id
+)
+SELECT d.id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(s.p_sum // s.n_bigrams, 0) AS BIGINT) AS fit_x1000
+FROM d LEFT JOIN s ON d.id = s.id
+"""
+
 TEXT_HASH_SAMPLE = """
 SELECT doc_id AS id,
        CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) AS bucket
@@ -2739,6 +2873,37 @@ FROM v
 
 
 TO_HTML_TABLES = _to_html_tables_sql()
+
+
+def _to_xml_tables_sql() -> str:
+    """The stream-table page rendered as a row/cell structural XML
+    table (kernel/xml_export.render_xml_table) inside the declaration
+    + <document> wrapper — same 4x3 word grid as TO_HTML_TABLES."""
+    def cell(i: int) -> str:
+        return ("replace(replace(replace(wv[((%d) %% n) + 1],"
+                " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')" % i)
+
+    hdr = " || ".join(f"'<cell>' || {cell(c)} || '</cell>'"
+                      for c in range(3))
+    body_rows = []
+    for r in range(1, 4):
+        tds = " || ".join(f"'<cell>' || {cell(r * 3 + c)} || '</cell>'"
+                          for c in range(3))
+        body_rows.append(f"'<row>' || {tds} || '</row>'")
+    tbody = " || ".join(body_rows)
+    return f"""
+WITH {_TABLE_DOCS_CTE}
+SELECT did AS doc_id,
+       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+       || '<document>' || chr(10)
+       || '<table><row header="true">' || {hdr} || '</row>'
+       || {tbody} || '</table>'
+       || chr(10) || '</document>' AS xml
+FROM v
+"""
+
+
+TO_XML_TABLES = _to_xml_tables_sql()
 
 H2_H3_SANITIZE = r"""
 WITH built AS (
