@@ -93,6 +93,13 @@ BENCH_QUERIES = (
     "add_comments",
     "img_to_pdf",
     "form_fields_csv",
+    # late round-5 additions
+    "to_xml",
+    "to_xml_tables",
+    "semdedup_prune",
+    "domain_mix_sample",
+    "vocab_topk",
+    "bigram_lm_fit",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —
@@ -112,7 +119,7 @@ R3_SHARED = (
 # queries that consume a shared materialized corpus (extract/derive
 # once, fan out — the deployment shape; which corpus varies by gate)
 _RICH_CONSUMERS = ("e17_full_info", "e18_title_inference",
-                   "to_markdown", "to_html")
+                   "to_markdown", "to_html", "to_xml")
 _PLAIN_CONSUMERS = ("f6_filter_rotation", "s9_watermark_grid",
                     "remove_blank_pages")
 _REPEAT_CONSUMERS = ("s9_page_numbers", "s3_split_doc_count",
