@@ -232,6 +232,25 @@ def q_s12_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/auto-rotate-pdf text-detection path (AutoRotateController.java
+    :134-243 + AutoRotateDetection.java:84-188): per-page glyph
+    direction vote (optional '@deg' font suffix carries
+    TextPosition.getDir), the 30-glyph/0.95 and 8-glyph/0.99
+    conclusiveness bars (integer-exact), floorMod correction from the
+    /Rotate state, and consensus inference for undecided pages
+    grouped by current rotation. Corpus archetypes cover all four
+    outcomes (dense dominant / sparse unanimous / too few glyphs /
+    dense split) — pure column expressions, no UDF."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_autorotate_from_documents,
+    )
+    from stirling_pdf_spark.operators.autorotate import auto_rotate
+
+    _ship_package(spark)
+    return auto_rotate(docs_autorotate_from_documents(spark, sf_dir))
+
+
 def q_auto_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-redact (RedactController.java:130-209): newline-separated
     term list -> one multi-pattern scan -> equal-length masks, driven
@@ -2547,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
         "bigram_lm_fit": q_bigram_lm_fit,
+        # post-r5 continuation: /auto-rotate-pdf text path
+        "auto_rotate": q_auto_rotate,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2586,8 +2607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         # ---------------- 50-row window boundary ----------------
+        # post-r5: ann_lsh_topk (r4 driver-green, unchanged, siblings
+        # ann_cosine_topk + ann_ivf_topk + ann_ivf_nprobe3 in-window)
+        # yielded its slot to the new auto_rotate gate.
+        "ann_lsh_topk": q_ann_lsh_topk,
         # late r5: SIX r4-green stable gates yielded their slots to
         # the six late-r5 gates (to_xml x2, semdedup_prune,
         # domain_mix_sample, vocab_topk, bigram_lm_fit):
@@ -2728,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,
         "bigram_lm_fit": O.BIGRAM_LM_FIT,
+        "auto_rotate": O.AUTO_ROTATE,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

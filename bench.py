@@ -100,6 +100,7 @@ BENCH_QUERIES = (
     "domain_mix_sample",
     "vocab_topk",
     "bigram_lm_fit",
+    "auto_rotate",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

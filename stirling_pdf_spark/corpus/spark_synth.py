@@ -197,3 +197,12 @@ def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .synth import analysis_from_text
 
     return _derive_docs(spark, sf_dir, analysis_from_text)
+
+
+def docs_autorotate_from_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Four-page orientation corpus (pagemeta /Rotate + direction-
+    suffixed fonts) for the /auto-rotate-pdf text-detection gate."""
+    from .synth import autorotate_from_text
+
+    return _derive_docs(spark, sf_dir, autorotate_from_text)

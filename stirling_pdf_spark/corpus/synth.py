@@ -567,3 +567,63 @@ def analysis_from_text(doc_id: str, text: str):
     elif hx(15) % 4 == 1:
         spans.append(("meta", "acroform_xfa|true", "", len(spans)))
     return did, spans
+
+
+def autorotate_from_text(doc_id: str, text: str):
+    """Four-page orientation corpus for the /auto-rotate-pdf TEXT
+    detection path (AutoRotateController.java:134-243 text mode +
+    AutoRotateDetection.java:84-188). Per page p (1..4) everything is
+    a pure function of sha256(text) hex digits (DuckDB mirror:
+    _hexv positions p / p+4 / p+8):
+
+      * pagemeta /Rotate state R = 90 * (hx(p-1) % 4);
+      * dominant glyph direction d = 90 * (hx(p+3) % 4), carried as a
+        ``@{degrees}`` suffix on the font style key (the wire has no
+        TextPosition.getDir slot; the font field is an opaque style
+        key through every kernel stage, so the suffix rides along
+        untouched and only the auto-rotate operator interprets it;
+        d == 0 keeps the bare font name — the default path);
+      * archetype a = hx(p+7) % 4 covers all four detection outcomes:
+          a=0 dense dominant  — 40 glyphs at d + 1 stray at d+90
+                                (MIN_GLYPHS=30 / MIN_DOMINANCE=0.95 bar)
+          a=1 sparse unanimous — 10 glyphs at d (the
+                                MIN_GLYPHS_UNANIMOUS=8 / 0.99 bar)
+          a=2 too few glyphs  — 5 glyphs at d (undecided,
+                                'tooFewGlyphs')
+          a=3 dense split     — 20 at d + 15 at d+180 (undecided,
+                                'noDominantDirection')
+
+    Undecided pages make the consensus inference
+    (AutoRotateController.inferUndetectedPages:205-243) observable:
+    whether a page is inferred depends on the OTHER pages sharing its
+    /Rotate value agreeing on one correction. Empty docs emit
+    nothing."""
+    words = text.split()
+    spans: list[tuple[str, str, str, int]] = []
+    if not words:
+        return doc_id, spans
+    h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
+
+    def hx(i: int) -> int:
+        return int(h[i], 16)
+
+    def font(d: int) -> str:
+        return FONT if d == 0 else f"{FONT}@{d}"
+
+    for p in range(1, 5):
+        rot = 90 * (hx(p - 1) % 4)
+        d = 90 * (hx(p + 3) % 4)
+        a = hx(p + 7) % 4
+        spans.append(("pagemeta",
+                      wire.encode_pagemeta(p, 612.0, 792.0, rot),
+                      "", len(spans)))
+        groups = {0: ((40, d), (1, (d + 90) % 360)),
+                  1: ((10, d),),
+                  2: ((5, d),),
+                  3: ((20, d), (15, (d + 180) % 360))}[a]
+        for j, (n, gd) in enumerate(groups):
+            run = TextRun(p, LEFT_X, TOP_Y + LINE_STEP * j, FS,
+                          font(gd), "g" * n)
+            spans.append(("text", wire.encode_text_run(run),
+                          "", len(spans)))
+    return doc_id, spans

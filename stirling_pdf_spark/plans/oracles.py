@@ -3042,3 +3042,72 @@ SELECT doc_id AS id,
             AS INTEGER) AS height
 FROM documents
 """
+
+
+def _auto_rotate_sql() -> str:
+    """The /auto-rotate-pdf text path re-derived closed-form from the
+    autorotate_from_text archetype table (corpus/synth.py): per page
+    p in 1..4, rotation / dominant direction / archetype come from
+    sha256 hex digits at 1-based positions p, p+4, p+8; archetype
+    fixes (best_c, total, conclusive, note) per the MIN_GLYPHS=30/
+    0.95 and MIN_GLYPHS_UNANIMOUS=8/0.99 bars; consensus inference
+    groups decided pages by /Rotate (AutoRotateController.java:
+    205-243)."""
+
+    def hv(pos_expr: str) -> str:
+        return ("(strpos('0123456789abcdef', "
+                f"substr(h, CAST({pos_expr} AS INTEGER), 1)) - 1)")
+
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, sha256(text) AS h
+  FROM documents WHERE length(trim(text)) > 0
+), pg AS (
+  SELECT did, h, CAST(t.p AS BIGINT) AS page
+  FROM d, unnest([1, 2, 3, 4]) AS t(p)
+), base AS (
+  SELECT did, page,
+         CAST(90 * ({hv('page')} % 4) AS BIGINT) AS rotation,
+         90 * ({hv('page + 4')} % 4) AS dd,
+         {hv('page + 8')} % 4 AS a
+  FROM pg
+), calc AS (
+  SELECT did, page, rotation, a,
+         CASE a WHEN 0 THEN 40 WHEN 1 THEN 10 WHEN 2 THEN 5
+                ELSE 20 END AS best_c,
+         CASE a WHEN 0 THEN 41 WHEN 1 THEN 10 WHEN 2 THEN 5
+                ELSE 35 END AS total,
+         CASE WHEN a IN (0, 1) THEN 1 ELSE 0 END AS decided,
+         ((dd - rotation) % 360 + 360) % 360 AS t_corr
+  FROM base
+), cons AS (
+  SELECT did, rotation, MIN(t_corr) AS cc
+  FROM calc WHERE decided = 1
+  GROUP BY did, rotation
+  HAVING COUNT(DISTINCT t_corr) = 1
+), fin AS (
+  SELECT c.did, c.page, c.rotation, c.a, c.decided, c.best_c, c.total,
+         CASE WHEN c.decided = 1 THEN 'text'
+              WHEN cons.cc IS NOT NULL THEN 'inferred'
+              ELSE 'none' END AS method,
+         CASE WHEN c.decided = 1 THEN c.t_corr
+              ELSE COALESCE(cons.cc, 0) END AS corr
+  FROM calc c
+  LEFT JOIN cons ON c.did = cons.did AND c.rotation = cons.rotation
+)
+SELECT did AS doc_id, page, rotation, method,
+       CAST(corr AS BIGINT) AS correction,
+       CAST(CASE WHEN corr <> 0 THEN 1 ELSE 0 END AS INTEGER) AS applied,
+       CAST((rotation + corr) % 360 AS BIGINT) AS new_rotation,
+       CAST(total AS BIGINT) AS n_glyphs,
+       CAST(CASE WHEN decided = 1 THEN (10000 * best_c) // total
+                 ELSE -1 END AS BIGINT) AS conf_x10000,
+       CASE WHEN decided = 1 THEN ''
+            WHEN method = 'inferred' THEN 'inferredFromDocument'
+            WHEN total < 30 THEN 'tooFewGlyphs'
+            ELSE 'noDominantDirection' END AS note
+FROM fin
+"""
+
+
+AUTO_ROTATE = _auto_rotate_sql()
