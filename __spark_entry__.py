@@ -251,6 +251,17 @@ def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_rotate(docs_autorotate_from_documents(spark, sf_dir))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Okapi BM25 top-10 per query (rational IDF so two
+    engines agree bit-for-bit) over the documents table — the sparse
+    retrieval stage of a training-data pipeline. Query list is a
+    broadcast literal; df stats broadcast (vocabulary-sized); postings
+    one partial-agg'd groupBy."""
+    from stirling_pdf_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(read_table(spark, sf_dir, "documents"))
+
+
 def q_auto_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-redact (RedactController.java:130-209): newline-separated
     term list -> one multi-pattern scan -> equal-length masks, driven
@@ -2566,8 +2577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
         "bigram_lm_fit": q_bigram_lm_fit,
-        # post-r5 continuation: /auto-rotate-pdf text path
+        # post-r5 continuation: /auto-rotate-pdf text path, BM25
+        # retrieval, gap sessionization
         "auto_rotate": q_auto_rotate,
+        "bm25_topk": q_bm25_topk,
+        "events_sessionize": R.events_sessionize,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2589,7 +2603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_page_info": q_e17_page_info,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "s1_merge_by_date": q_s1_merge_by_date,
-        "s1_merge_by_title": q_s1_merge_by_title,
         "e13_search_positions": q_e13_search_positions,
         "eml_roundtrip": q_eml_roundtrip,
         # --- r4 rotation: gates whose last driver row was r1/r2
@@ -2604,14 +2617,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
-        "dedup_simhash_groups": q_dedup_simhash,
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
         # ---------------- 50-row window boundary ----------------
-        # post-r5: ann_lsh_topk (r4 driver-green, unchanged, siblings
-        # ann_cosine_topk + ann_ivf_topk + ann_ivf_nprobe3 in-window)
-        # yielded its slot to the new auto_rotate gate.
+        # post-r5: THREE stable gates (all r4-or-earlier driver-green,
+        # unchanged since, siblings in-window) yielded slots to the
+        # new auto_rotate / bm25_topk / events_sessionize gates:
+        # ann_lsh_topk (siblings ann_cosine_topk + ann_ivf_topk +
+        # ann_ivf_nprobe3), s1_merge_by_title (sibling
+        # s1_merge_by_date), dedup_simhash_groups (siblings
+        # dedup_exact/jaccard_maxdf/minhash/embedding_pairs).
         "ann_lsh_topk": q_ann_lsh_topk,
+        "s1_merge_by_title": q_s1_merge_by_title,
+        "dedup_simhash_groups": q_dedup_simhash,
         # late r5: SIX r4-green stable gates yielded their slots to
         # the six late-r5 gates (to_xml x2, semdedup_prune,
         # domain_mix_sample, vocab_topk, bigram_lm_fit):
@@ -2753,6 +2771,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": O.VOCAB_TOPK,
         "bigram_lm_fit": O.BIGRAM_LM_FIT,
         "auto_rotate": O.AUTO_ROTATE,
+        "bm25_topk": O.BM25_TOPK,
+        "events_sessionize": O.EVENTS_SESSIONIZE,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

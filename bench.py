@@ -101,6 +101,8 @@ BENCH_QUERIES = (
     "vocab_topk",
     "bigram_lm_fit",
     "auto_rotate",
+    "bm25_topk",
+    "events_sessionize",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

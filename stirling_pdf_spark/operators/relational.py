@@ -303,6 +303,52 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 480) -> DataFrame:
+    """Gap-based sessionization — the canonical stateful-stream shape
+    (Structured Streaming's session_window / flatMapGroupsWithState
+    semantics), computed batch-exact so the DuckDB oracle can pin it:
+    per user, events ordered by (ts, event_id) chain into one session
+    while consecutive gaps stay STRICTLY UNDER ``gap_minutes``; a gap
+    >= the threshold opens the next session (session_window's
+    end-exclusive [t, t+gap) convention, so the batch operator and the
+    streaming-native one agree bit-for-bit — pinned in
+    tests/test_retrieval_sessionize.py). Output one row per session:
+    (user_id,
+    session_idx 1-based, n_events, start_us, end_us epoch-micros,
+    sum_value_micro).
+
+    Scale shape: one window partitioned by user_id (the natural key —
+    no global ordering anywhere) for the lag + running sum, then the
+    same-keyed groupBy; both stages share the user_id shuffle. Epoch
+    MICROseconds keep the arithmetic integer-exact."""
+    ev = read_table(spark, sf_dir, "events")
+    # parquet yields TIMESTAMP_NTZ; the session pins UTC, so the
+    # ltz cast is the identity DuckDB's epoch_us applies to naive ts
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id", "ts", "event_id", us.alias("us"),
+        micro(F.col("value")).alias("v_micro"),
+    ).withColumn(
+        "new_s",
+        (F.lag("us").over(w).isNull()
+         | ((F.col("us") - F.lag("us").over(w)) >= gap_us)).cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.sum("v_micro").alias("sum_value_micro"),
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-props extraction (the reference's JSON round-trip,
     ConvertPdfJsonController): parse props JSON, aggregate by key."""

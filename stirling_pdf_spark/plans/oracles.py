@@ -3111,3 +3111,94 @@ FROM fin
 
 
 AUTO_ROTATE = _auto_rotate_sql()
+
+
+# Gap-based sessionization (operators/relational.events_sessionize):
+# per user, (ts, event_id)-ordered events chain while gaps stay
+# STRICTLY UNDER 480 min (session_window's end-exclusive convention);
+# epoch-microsecond integer arithmetic end-to-end.
+EVENTS_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         {micro('value')} AS v_micro
+  FROM events
+), f AS (
+  SELECT user_id, event_id, us, v_micro,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 480 * 60 * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us, v_micro,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(SUM(v_micro) AS BIGINT) AS sum_value_micro
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def _bm25_sql() -> str:
+    """Integer-exact Okapi BM25 with the rational IDF surrogate
+    (operators/retrieval.bm25_topk): k1 = 1.2 / b = 0.75 as x10/x100
+    integers, every division a positive floor div."""
+    q_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in (("q0", ("hash", "join")),
+                           ("q1", ("window", "agg", "batch")),
+                           ("q2", ("slow", "scan", "filter")))
+        for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT id, term FROM toks WHERE term <> ''
+), dl AS (
+  SELECT id, count(*) AS dl FROM tk GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs,
+         (100 * SUM(dl)) // count(*) AS avgdl_x100
+  FROM dl
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM tk GROUP BY id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q(query_id, term) AS (VALUES {q_rows}),
+j AS (
+  SELECT q.query_id, tf.id, tf.tf, dft.df, dl.dl,
+         stats.n_docs, stats.avgdl_x100,
+         100 - 75 + (75 * 100 * dl.dl) // stats.avgdl_x100 AS norm_x100
+  FROM q
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.id = dl.id
+  CROSS JOIN stats
+), c AS (
+  SELECT query_id, id,
+         ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+         * ((1000 * 2200 * tf) // (1000 * tf + 12 * norm_x100))
+         AS contrib
+  FROM j
+), s AS (
+  SELECT query_id, id, CAST(SUM(contrib) AS BIGINT) AS score_x1e6
+  FROM c GROUP BY query_id, id
+), r AS (
+  SELECT query_id, id, score_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_x1e6 DESC, id ASC) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, id AS doc_id, score_x1e6
+FROM r WHERE rank <= 10
+"""
+
+
+BM25_TOPK = _bm25_sql()

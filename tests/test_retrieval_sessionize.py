@@ -1,0 +1,92 @@
+"""BM25 retrieval + gap sessionization edge semantics.
+
+The driver gates pin both against DuckDB oracles at sf0.01; these
+tests pin hand-computed scores, the exact gap boundary, and parity
+with Spark's built-in session_window (the structured-streaming
+operator whose batch semantics events_sessionize reproduces)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_hand_computed(spark):
+    from stirling_pdf_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b b b c")], ["doc_id", "text"])
+    out = [(r["rank"], r["doc_id"], r["score_x1e6"])
+           for r in bm25_topk(df, queries=(("q", ("a", "b")),), k=10)
+           .orderBy("rank").collect()]
+    # N=3 tot=9 avgdl_x100=300; df(a)=df(b)=2 -> idf_x1000=600
+    # d0: a tf2 norm100 -> 600*1375; b tf1 -> 600*1000 = 1,425,000
+    # d2: b tf3 norm125 -> 600*1466 = 879,600
+    # d1: a tf1 norm75  -> 600*1157 = 694,200
+    assert out == [(1, 0, 1425000), (2, 2, 879600), (3, 1, 694200)]
+
+
+def test_bm25_score_ties_break_by_doc_id(spark):
+    from stirling_pdf_spark.operators.retrieval import bm25_topk
+
+    # identical docs -> identical scores -> doc_id asc order
+    df = spark.createDataFrame(
+        [(5, "a b"), (3, "a b"), (9, "c d")], ["doc_id", "text"])
+    out = [(r["rank"], r["doc_id"])
+           for r in bm25_topk(df, queries=(("q", ("a",)),), k=10)
+           .orderBy("rank").collect()]
+    assert out == [(1, 3), (2, 5)]          # doc 9 has no query term
+
+
+def _write_events(spark, tmp_path, rows):
+    base = datetime.datetime(2024, 1, 1)
+    data = [(i, base + datetime.timedelta(seconds=s), u, "t", v, "{}")
+            for i, (s, u, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    from stirling_pdf_spark.operators.relational import events_sessionize
+
+    gap = 10  # minutes
+    sf = _write_events(spark, tmp_path, [
+        (0, 1, 1.0),
+        (599, 1, 1.0),        # diff < gap: same session
+        (1199, 1, 1.0),       # diff == gap exactly: NEW session
+                              # (session_window's end-exclusive rule)
+        (0, 2, 2.0),          # second user independent
+    ])
+    out = {(r["user_id"], r["session_idx"]): r["n_events"]
+           for r in events_sessionize(spark, sf, gap_minutes=gap).collect()}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """events_sessionize == F.session_window on the sf0.001 events
+    table: same session count per user, same (start, end, n) multiset.
+    session_window is the streaming-native operator; the batch
+    operator must agree with it for the streaming story to hold."""
+    from stirling_pdf_spark.operators.relational import events_sessionize
+    from stirling_pdf_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    gap = 480
+    ours = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in events_sessionize(spark, sf, gap_minutes=gap).collect()}
+    ev = read_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    builtin = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n"])
+        for r in ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{gap} minutes").alias("w"))
+        .agg(F.min(us).alias("start_us"), F.max(us).alias("end_us"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    assert ours == builtin and len(ours) > 0
