@@ -1640,6 +1640,50 @@ def q_streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup through REAL Structured
+    Streaming (streaming/rollup.py): run 1 drains the events feed
+    (append mode holds every window in state until the watermark
+    passes its end), a sentinel event 3 h past the corpus max lands,
+    and run 2 restarts from the checkpoint and flushes the remaining
+    windows — finalization + cross-restart state recovery both
+    certified, because the appended output must equal the batch
+    hourly rollup bit-for-bit (same oracle shape as
+    events_hourly_rollup, no dedup bookkeeping anywhere)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from stirling_pdf_spark.streaming.rollup import stream_hourly_rollup
+
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    in_dir, out_dir, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    try:
+        ev.write.mode("append").parquet(in_dir)
+        stream_hourly_rollup(spark, in_dir, out_dir, cp).awaitTermination()
+        # bounded 1-row collect: the sentinel needs the corpus max ts
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sent = [(int(-1), max_ts + datetime.timedelta(hours=3), int(-1),
+                 "sentinel", 0.0, "{}")]
+        spark.createDataFrame(
+            sent, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("append").parquet(in_dir)
+        stream_hourly_rollup(spark, in_dir, out_dir, cp).awaitTermination()
+        result = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("event_type") != "sentinel")
+            .select("hour_epoch", "event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "sum_value_micro")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_s11_metadata_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 metadata update (MetadataController.java:80-190) through the
     real pipeline: delete 'title', add 'producer', everything else
@@ -2582,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_rotate": q_auto_rotate,
         "bm25_topk": q_bm25_topk,
         "events_sessionize": R.events_sessionize,
+        "streaming_window_rollup": q_streaming_window_rollup,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2599,7 +2644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_extract": q_text_url_extract,
         "text_domain_caps": q_text_domain_caps,
         "to_markdown": q_to_markdown,
-        "to_markdown_tables": q_to_markdown_tables,
         "e17_page_info": q_e17_page_info,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -2630,6 +2674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "s1_merge_by_title": q_s1_merge_by_title,
         "dedup_simhash_groups": q_dedup_simhash,
+        # post-r5: to_markdown_tables (r4 driver-green, unchanged;
+        # siblings to_markdown / to_html_tables / to_xml_tables
+        # in-window exercise the same table pipeline) yielded its
+        # slot to streaming_window_rollup.
+        "to_markdown_tables": q_to_markdown_tables,
         # late r5: SIX r4-green stable gates yielded their slots to
         # the six late-r5 gates (to_xml x2, semdedup_prune,
         # domain_mix_sample, vocab_topk, bigram_lm_fit):
@@ -2773,6 +2822,9 @@ def oracle_sql() -> dict[str, str]:
         "auto_rotate": O.AUTO_ROTATE,
         "bm25_topk": O.BM25_TOPK,
         "events_sessionize": O.EVENTS_SESSIONIZE,
+        # the streaming rollup must equal the batch rollup exactly —
+        # same oracle, different engine path
+        "streaming_window_rollup": O.EVENTS_HOURLY_ROLLUP,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,
