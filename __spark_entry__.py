@@ -1684,6 +1684,38 @@ def q_streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_timestamp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/timestamp-pdf (TimestampController.java) state path: docs
+    cycle through all five preset TSAs (num % 5 — each call carries
+    ONE allowlist-checked URL, like one request), the DocTimeStamp
+    signature dictionary lands with subfilter ETSI.RFC3161, and
+    /validate-signature reads it back through real extraction; docs
+    whose corpus already planted a signature field take sig1."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_analysis_from_documents,
+    )
+    from stirling_pdf_spark.operators.pageops import (
+        TSA_PRESETS, add_doc_timestamp, validate_signatures,
+    )
+
+    _ship_package(spark)
+    docs = docs_analysis_from_documents(spark, sf_dir)
+    num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
+    date = F.concat(F.lit("2026-02-"),
+                    F.lpad((num % 28 + 1).cast("string"), 2, "0"))
+    stamped = None
+    for i, (url, _label) in enumerate(TSA_PRESETS):
+        part = add_doc_timestamp(docs.filter(num % 5 == i), url, date)
+        stamped = part if stamped is None else stamped.unionByName(part)
+    sigs = validate_signatures(extract_spans(stamped))
+    return sigs.select(
+        "doc_id", "sig_no", "signer_name", "signature_date",
+        F.col("reason").alias("tsa_url"), "subfilter",
+        F.col("covers_document").cast("int").alias("covers_document"),
+        F.col("valid").cast("int").alias("valid"),
+    )
+
+
 def q_s11_metadata_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 metadata update (MetadataController.java:80-190) through the
     real pipeline: delete 'title', add 'producer', everything else
@@ -2627,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "events_sessionize": R.events_sessionize,
         "streaming_window_rollup": q_streaming_window_rollup,
+        "timestamp_state": q_timestamp_state,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -2642,7 +2675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
         "text_url_extract": q_text_url_extract,
-        "text_domain_caps": q_text_domain_caps,
         "to_markdown": q_to_markdown,
         "e17_page_info": q_e17_page_info,
         "multimodal_decode_gif": q_multimodal_decode_gif,
@@ -2677,8 +2709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-r5: to_markdown_tables (r4 driver-green, unchanged;
         # siblings to_markdown / to_html_tables / to_xml_tables
         # in-window exercise the same table pipeline) yielded its
-        # slot to streaming_window_rollup.
+        # slot to streaming_window_rollup; text_domain_caps (r4
+        # driver-green, sibling text_url_extract in-window) yielded
+        # its slot to timestamp_state.
         "to_markdown_tables": q_to_markdown_tables,
+        "text_domain_caps": q_text_domain_caps,
         # late r5: SIX r4-green stable gates yielded their slots to
         # the six late-r5 gates (to_xml x2, semdedup_prune,
         # domain_mix_sample, vocab_topk, bigram_lm_fit):
@@ -2825,6 +2860,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming rollup must equal the batch rollup exactly —
         # same oracle, different engine path
         "streaming_window_rollup": O.EVENTS_HOURLY_ROLLUP,
+        "timestamp_state": O.TIMESTAMP_STATE,
         "extract_text_spans": O.EXTRACT_TEXT_SPANS,
         "extract_twocol_text_spans": O.EXTRACT_TWOCOL_TEXT_SPANS,
         "extract_attachments": O.EXTRACT_ATTACHMENTS,

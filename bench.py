@@ -103,6 +103,7 @@ BENCH_QUERIES = (
     "auto_rotate",
     "bm25_topk",
     "events_sessionize",
+    "timestamp_state",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -2345,6 +2345,38 @@ def add_cert_sign(docs: DataFrame, signer: Column | str,
         "doc_id", F.concat("spans", new_spans).alias("spans"))
 
 
+# TimestampController.TSA_PRESETS — the built-in trusted TSA allowlist
+TSA_PRESETS: tuple[tuple[str, str], ...] = (
+    ("http://timestamp.digicert.com", "DigiCert"),
+    ("http://timestamp.sectigo.com", "Sectigo"),
+    ("http://ts.ssl.com", "SSL.com"),
+    ("https://freetsa.org/tsr", "FreeTSA"),
+    ("http://tsa.mesign.com", "MeSign"),
+)
+
+
+def add_doc_timestamp(docs: DataFrame, tsa_url: str,
+                      date: Column | str) -> DataFrame:
+    """/timestamp-pdf (TimestampController.java): embed an RFC 3161
+    document timestamp. The controller validates the TSA URL against
+    its preset allowlist BEFORE any work (one URL per request —
+    mirrored as one URL per call, rejected with ValueError), then
+    contacts the TSA and embeds the token as a DocTimeStamp signature
+    with subfilter ETSI.RFC3161. The network round-trip and the
+    BouncyCastle token are out of scope (SCOPE.md real-crypto row);
+    the resulting STATE — a new signature field whose dictionary
+    carries the TSA identity, the timestamp date and the RFC3161
+    subfilter — rides the proven cert-sign wire and validates back
+    through /validate-signature."""
+    labels = dict(TSA_PRESETS)
+    if tsa_url not in labels:
+        raise ValueError(
+            f"TSA URL not in the preset allowlist: {tsa_url}")
+    return add_cert_sign(docs, signer=f"TSA:{labels[tsa_url]}",
+                         date=date, reason=tsa_url, location="",
+                         subfilter="ETSI.RFC3161")
+
+
 def remove_cert_sign(docs: DataFrame) -> DataFrame:
     """/remove-cert-sign (RemoveCertSignController.java:50-80):
     acroForm.flatten(signatureFields, false) — every PDSignatureField

@@ -3202,3 +3202,29 @@ FROM r WHERE rank <= 10
 
 
 BM25_TOPK = _bm25_sql()
+
+
+# /timestamp-pdf DocTimeStamp state over the analysis corpus: every
+# doc timestamped by its num % 5 preset TSA; docs whose corpus planted
+# a signature field (hex digit 16 % 4 = 0) take sig1
+TIMESTAMP_STATE = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS BIGINT) AS num, sha256(text) AS h
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST(CASE WHEN {_hexv(16)} % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS sig_no,
+       'TSA:' || (['DigiCert', 'Sectigo', 'SSL.com', 'FreeTSA',
+                   'MeSign'])[(num % 5) + 1] AS signer_name,
+       '2026-02-' || lpad(CAST(num % 28 + 1 AS VARCHAR), 2, '0')
+         AS signature_date,
+       (['http://timestamp.digicert.com', 'http://timestamp.sectigo.com',
+         'http://ts.ssl.com', 'https://freetsa.org/tsr',
+         'http://tsa.mesign.com'])[(num % 5) + 1] AS tsa_url,
+       'ETSI.RFC3161' AS subfilter,
+       CAST(1 AS INTEGER) AS covers_document,
+       CAST(1 AS INTEGER) AS valid
+FROM d
+"""

@@ -24,6 +24,7 @@ R5_NEW_OR_CHANGED = [
     "form_fields_csv", "to_xml", "to_xml_tables", "semdedup_prune",
     "domain_mix_sample", "vocab_topk", "bigram_lm_fit", "auto_rotate",
     "bm25_topk", "events_sessionize", "streaming_window_rollup",
+    "timestamp_state",
     # changed in r5 (jpeg fill bytes, long offsets, sanitize slots,
     # markdown-ingest inline protection)
     "multimodal_decode_jpeg", "s9_watermark_grid", "s11_flatten_forms",
