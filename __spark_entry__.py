@@ -1767,6 +1767,26 @@ def q_e14_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables_stream(docs_stream_table_from_documents(spark, sf_dir))
 
 
+def q_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdf->csv export (ExtractCSVController.java:60-133): lattice
+    docs carry two ruled grids on page 1 (entries _p1_t1/_p1_t2); the
+    's'-prefixed clones carry no rules, so their page-1 whitespace
+    grid comes back as one STREAM fragment (TabulaTableParser.java:
+    53-75 per-page mode selection) — all re-emitted in the Excel
+    quote-all dialect with CRLF separators, trailing record breaks
+    and generateEntryName filenames (:66-68, :123-126)."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_stream_table_from_documents, docs_tables_from_documents,
+    )
+    from stirling_pdf_spark.operators.tables import pdf_to_csv
+
+    _ship_package(spark)
+    lat = docs_tables_from_documents(spark, sf_dir)
+    stream = docs_stream_table_from_documents(spark, sf_dir).select(
+        F.concat(F.lit("s"), F.col("doc_id")).alias("doc_id"), "spans")
+    return pdf_to_csv(lat.unionByName(stream))
+
+
 def q_f6_filter_rotation(spark: SparkSession, sf_dir: str,
                          docs: DataFrame | None = None) -> DataFrame:
     """F6 filter-page-rotation (FilterController.java:229-245 reads the
@@ -2628,6 +2648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r1/r2 CORRECTNESS files, unchanged since) rotate past the
     window but stay registered for scripts/check_queries.py."""
     return {
+        # --- NEWEST gates (r5 continuation session, never had a
+        # driver row): pdf->csv export (ExtractCSVController parity)
+        "extract_csv": q_extract_csv,
         # --- NEW gates this round (never had a driver row): r5 adds
         # auto-redact, signature state, add-image, dHash visual
         # near-dup, pdf->html (prose + exact tables), IVF nprobe=3
@@ -2683,7 +2706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_roundtrip": q_eml_roundtrip,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
-        "s12_redact_text": q_s12_redact_text,
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "f4_size_class_filter": R.f4_size_class_filter,
         "f6_filter_rotation": q_f6_filter_rotation,
@@ -2696,6 +2718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
         # ---------------- 50-row window boundary ----------------
+        # r5 continuation: s12_redact_text (r5 driver-green, unchanged
+        # since; the in-window auto_redact gate composes the same
+        # find+mask path) yielded its slot to extract_csv.
+        "s12_redact_text": q_s12_redact_text,
         # post-r5: THREE stable gates (all r4-or-earlier driver-green,
         # unchanged since, siblings in-window) yielded slots to the
         # new auto_rotate / bm25_topk / events_sessionize gates:
@@ -2897,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "e2_page_text": O.E2_PAGE_TEXT,
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,
+        "extract_csv": O.EXTRACT_CSV,
         "e14_stream_table": O.E14_STREAM_TABLE,
         "e18_title_inference": O.E18_TITLE_INFERENCE,
         "s4_split_chapters": O.S4_SPLIT_CHAPTERS,

@@ -65,3 +65,81 @@ def tables_stream(docs: DataFrame,
         docs.repartition(num_partitions, "doc_id")
         .mapInArrow(run, STREAM_TABLES_SCHEMA)
     )
+
+
+PDF_TO_CSV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("page", T.LongType(), False),
+    T.StructField("table_no", T.LongType(), False),
+    T.StructField("filename", T.StringType(), False),
+    T.StructField("csv", T.StringType(), False),
+])
+
+
+def pdf_to_csv(docs: DataFrame,
+               num_partitions: int | None = None) -> DataFrame:
+    """pdf->csv export (ExtractCSVController.java:60-133): per page,
+    parse tables — LATTICE when the page carries ruled lines, STREAM
+    (whitespace columns) otherwise, mirroring TabulaTableParser's
+    per-page mode selection (TabulaTableParser.java:53-75) — and
+    re-emit every fragment in the controller's CSV dialect:
+    CSVFormat.EXCEL + QuoteMode.ALL + escape '"'
+    (ExtractCSVController.java:66-68), i.e. all fields quoted, quotes
+    doubled, CRLF record separators INCLUDING a trailing record break
+    (CSVPrinter.printRecord appends the separator after every row).
+    Entry names follow generateEntryName (:123-126):
+    '{base}_p{page}_t{idx}.csv', page and table index 1-based.
+
+    Scale shape: same contract as tables_stream — repartition by
+    doc_id then one mapInArrow pass, pages local to their document,
+    nothing driver-side; the multi-entry zip packaging in the
+    controller is presentation, the table here IS the zip manifest."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    from ..kernel.tables import extract_table_csvs, parse_rule
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            o_id, o_page, o_tno, o_name, o_csv = [], [], [], [], []
+            for did, spans in zip(ids, raw):
+                runs_by_page: dict[int, list] = {}
+                rules_by_page: dict[int, list] = {}
+                for kind, text, _ref, _off in sorted(spans,
+                                                     key=lambda s: s[3]):
+                    if kind == "text":
+                        r = wire.parse_text_run(text)
+                        runs_by_page.setdefault(r.page, []).append(r)
+                    elif kind == "rule":
+                        rl = parse_rule(text)
+                        rules_by_page.setdefault(rl.page, []).append(rl)
+                for page in sorted(set(runs_by_page) | set(rules_by_page)):
+                    if page in rules_by_page:
+                        csvs = extract_table_csvs(
+                            rules_by_page[page],
+                            runs_by_page.get(page, []))
+                    else:
+                        one = stream_table_csv(runs_by_page[page])
+                        csvs = [one] if one is not None else []
+                    for idx, csv in enumerate(csvs, start=1):
+                        o_id.append(did)
+                        o_page.append(page)
+                        o_tno.append(idx)
+                        o_name.append(f"{did}_p{page}_t{idx}.csv")
+                        o_csv.append(csv.replace("\n", "\r\n") + "\r\n")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.string()),
+                 pa.array(o_page, pa.int64()),
+                 pa.array(o_tno, pa.int64()),
+                 pa.array(o_name, pa.string()),
+                 pa.array(o_csv, pa.string())],
+                names=["doc_id", "page", "table_no", "filename", "csv"],
+            )
+
+    return (
+        docs.repartition(num_partitions, "doc_id")
+        .mapInArrow(run, PDF_TO_CSV_SCHEMA)
+    )

@@ -2817,6 +2817,33 @@ FROM v
 E14_STREAM_TABLE = _e14_stream_sql()
 
 
+def _extract_csv_sql() -> str:
+    """pdf->csv oracle (ExtractCSVController.java:60-133 parity): the
+    two lattice grids per doc plus the 's'-cloned stream grid,
+    re-stated in the controller's Excel quote-all dialect — CRLF
+    record separators with a trailing record break — and the
+    generateEntryName filename '{base}_p{page}_t{idx}.csv'."""
+    return f"""
+WITH {_TABLE_DOCS_CTE},
+t AS (
+  SELECT did, 1 AS tno, {_csv_grid(0, 2, 3)} AS csv FROM v
+  UNION ALL
+  SELECT did, 2 AS tno, {_csv_grid(6, 3, 2)} AS csv FROM v
+  UNION ALL
+  SELECT 's' || did, 1 AS tno, {_csv_grid(0, 4, 3)} AS csv FROM v
+)
+SELECT did AS doc_id, CAST(1 AS BIGINT) AS page,
+       CAST(tno AS BIGINT) AS table_no,
+       did || '_p1_t' || CAST(tno AS VARCHAR) || '.csv' AS filename,
+       replace(csv, chr(10), chr(13) || chr(10)) || chr(13) || chr(10)
+         AS csv
+FROM t
+"""
+
+
+EXTRACT_CSV = _extract_csv_sql()
+
+
 # Markdown pipe-table rendering of the E14 stream-mode page
 # (TableRenderer.java:8-78): widths = max(3, longest cell per column),
 # right-padded cells, dashed separator; corpus cells are single

@@ -144,3 +144,55 @@ def test_tables_through_spark_pipeline(spark):
         csv = r["s"]["text"]
         lines = csv.split("\n")
         assert len(lines) == 2 and all(len(l.split('","')) == 3 for l in lines)
+
+
+def test_pdf_to_csv_mode_selection_and_dialect(spark):
+    """ExtractCSVController parity: ruled pages go LATTICE, unruled
+    table pages go STREAM; output rides the Excel quote-all dialect
+    with CRLF separators, a trailing record break, and
+    generateEntryName filenames."""
+    from stirling_pdf_spark.corpus.synth import (
+        stream_table_from_text, tables_from_text,
+    )
+    from stirling_pdf_spark.operators.tables import pdf_to_csv
+
+    rows = [tables_from_text("doc-lat", "alpha beta gamma delta eps"),
+            stream_table_from_text("doc-str", "one two three four")]
+    df = spark.createDataFrame(
+        [(d, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+              for s in spans]) for d, spans in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {(r["doc_id"], r["table_no"]): r
+           for r in pdf_to_csv(df, num_partitions=2).collect()}
+    # lattice doc: two ruled grids -> two entries on page 1
+    assert set(got) == {("doc-lat", 1), ("doc-lat", 2), ("doc-str", 1)}
+    lat1 = got[("doc-lat", 1)]
+    assert lat1["page"] == 1
+    assert lat1["filename"] == "doc-lat_p1_t1.csv"
+    # 2x3 grid, CRLF joints + trailing record break, quote-all
+    assert lat1["csv"] == ('"alpha","beta","gamma"\r\n'
+                           '"delta","eps","alpha"\r\n')
+    assert got[("doc-lat", 2)]["filename"] == "doc-lat_p1_t2.csv"
+    # stream doc: no rules -> whitespace-column fallback, 4x3 grid
+    st = got[("doc-str", 1)]
+    assert st["filename"] == "doc-str_p1_t1.csv"
+    lines = st["csv"].split("\r\n")
+    assert lines[-1] == "" and len(lines) == 5  # trailing break
+    assert lines[0] == '"one","two","three"'
+
+
+def test_pdf_to_csv_prose_only_pages_yield_nothing(spark):
+    from stirling_pdf_spark.corpus.synth import synth_from_text
+    from stirling_pdf_spark.operators.tables import pdf_to_csv
+
+    d, spans = synth_from_text("doc-p", "plain prose words only here")
+    df = spark.createDataFrame(
+        [(d, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+              for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    # one short prose line: stream needs >= 2 rows AND >= 2 columns
+    assert pdf_to_csv(df, num_partitions=1).count() == 0
