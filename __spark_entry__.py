@@ -1787,6 +1787,101 @@ def q_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_to_csv(lat.unionByName(stream))
 
 
+def q_analysis_font_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/analysis/font-info (AnalysisController.java:184-206): the
+    distinct font-name inventory per document plus its count, read
+    from the raw text-run wire heads. Rich corpus: Helvetica body +
+    Helvetica-Bold title always; Courier joins on every 5th body
+    line, i.e. once the doc has >= 5 lines (>= 33 words)."""
+    from stirling_pdf_spark.corpus.spark_synth import docs_rich_from_documents
+    from stirling_pdf_spark.operators.elements import font_info
+
+    _ship_package(spark)
+    return font_info(docs_rich_from_documents(spark, sf_dir))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RFC 3986 section 6 normalization +
+    tracking-param strip): three crafted variants per doc exercise
+    scheme/host case-folding, default-port drop, fragment drop,
+    utm/fbclid/ref stripping with case-sensitive param names, the
+    bare-www scheme promotion and the empty-path '/' rule."""
+    from stirling_pdf_spark.operators.textstats import normalize_urls
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    urls = F.array(
+        F.concat(F.lit("HTTPS://Site"), (n % 7).cast("string"),
+                 F.lit(".Example.COM:443/Path/"), n.cast("string"),
+                 F.lit("?utm_source=x&id="), n.cast("string"),
+                 F.lit("&fbclid=1#frag")),
+        F.concat(F.lit("http://www.Mirror"), (n % 5).cast("string"),
+                 F.lit(".ORG:80?utm_campaign=z")),
+        F.concat(F.lit("www.Bare"), (n % 3).cast("string"),
+                 F.lit(".net/x?ref=home&q=1&REF=up")),
+    )
+    src = base.select(
+        F.concat(F.lit("doc-"), n.cast("string")).alias("id"),
+        F.explode(urls).alias("url"))
+    return normalize_urls(src)
+
+
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ftfy-style UTF-8-read-as-Latin-1 fix): four
+    crafted variants per doc — 2-byte mojibake (caf\u00c3\u00a9),
+    clean ASCII (untouched), 3-byte mojibake (it\u00e2\u0080\u0099s
+    -> it\u2019s), and an INVALID sequence with a dangling lead byte
+    that the strict UTF-8 guard must leave byte-identical."""
+    from stirling_pdf_spark.operators.textstats import fix_encoding
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    texts = F.array(
+        F.concat(F.lit("caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 no "), n),
+        F.concat(F.lit("plain ascii "), n),
+        F.concat(F.lit("it\u00e2\u0080\u0099s fine "), n),
+        F.concat(F.lit("x\u00c3\u00a9\u00c3 bad "), n),
+    )
+    src = base.select(
+        F.concat(F.lit("doc-"), n).alias("id"),
+        F.explode(texts).alias("text"))
+    return fix_encoding(src).select("id", "fixed", "changed")
+
+
+def q_dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash visual near-dup: every corpus ref gets a real
+    grayscale PPM constant on the 8x8 aHash cell grid (group base
+    pattern + per-ref flips, sibling of the dHash fixtures); the
+    pipeline decodes the rasters, box-averages luma to 8x8, sets bit
+    = cell > global mean, and pairs images at Hamming <= 7 via the
+    same banded LSH (pigeonhole-exact), so the brute-force DuckDB
+    oracle states the identical pair set."""
+    from stirling_pdf_spark.corpus.media import ahash_image_table
+    from stirling_pdf_spark.operators.dedup import (
+        dhash_near_dup_pairs, image_ahash,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    hashes = image_ahash(ahash_image_table(docs))
+    return dhash_near_dup_pairs(hashes, max_distance=7,
+                                hash_col="ahash")
+
+
 def q_f6_filter_rotation(spark: SparkSession, sf_dir: str,
                          docs: DataFrame | None = None) -> DataFrame:
     """F6 filter-page-rotation (FilterController.java:229-245 reads the
@@ -2649,8 +2744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window but stay registered for scripts/check_queries.py."""
     return {
         # --- NEWEST gates (r5 continuation session, never had a
-        # driver row): pdf->csv export (ExtractCSVController parity)
+        # driver row): pdf->csv export (ExtractCSVController parity),
+        # /analysis/font-info, URL canonicalization, mojibake repair,
+        # aHash visual near-dup
         "extract_csv": q_extract_csv,
+        "analysis_font_info": q_analysis_font_info,
+        "url_normalize": q_url_normalize,
+        "fix_encoding": q_fix_encoding,
+        "dedup_image_ahash": q_dedup_image_ahash,
         # --- NEW gates this round (never had a driver row): r5 adds
         # auto-redact, signature state, add-image, dHash visual
         # near-dup, pdf->html (prose + exact tables), IVF nprobe=3
@@ -2703,25 +2804,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "s1_merge_by_date": q_s1_merge_by_date,
         "e13_search_positions": q_e13_search_positions,
-        "eml_roundtrip": q_eml_roundtrip,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "f1_filter_contains_text": R.f1_filter_contains_text,
-        "f4_size_class_filter": R.f4_size_class_filter,
         "f6_filter_rotation": q_f6_filter_rotation,
-        "f7_page_select_dsl": R.f7_page_select_dsl,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
-        "dedup_embedding_pairs": q_dedup_embedding,
         "ann_cosine_topk": q_ann_topk,
         # ---------------- 50-row window boundary ----------------
-        # r5 continuation: s12_redact_text (r5 driver-green, unchanged
-        # since; the in-window auto_redact gate composes the same
-        # find+mask path) yielded its slot to extract_csv.
+        # r5 continuation: FIVE stable gates yielded slots to the five
+        # continuation gates. s12_redact_text (r5 driver-green; the
+        # in-window auto_redact composes the same find+mask path),
+        # f4_size_class_filter + f7_page_select_dsl (r1/r2-green
+        # rotation, unchanged, siblings f1/f6 in-window),
+        # dedup_embedding_pairs (r4-green; siblings semdedup_prune +
+        # the ANN family in-window), eml_roundtrip (r4-green,
+        # unchanged since).
         "s12_redact_text": q_s12_redact_text,
+        "f4_size_class_filter": R.f4_size_class_filter,
+        "f7_page_select_dsl": R.f7_page_select_dsl,
+        "dedup_embedding_pairs": q_dedup_embedding,
+        "eml_roundtrip": q_eml_roundtrip,
         # post-r5: THREE stable gates (all r4-or-earlier driver-green,
         # unchanged since, siblings in-window) yielded slots to the
         # new auto_rotate / bm25_topk / events_sessionize gates:
@@ -2924,6 +3030,10 @@ def oracle_sql() -> dict[str, str]:
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,
         "extract_csv": O.EXTRACT_CSV,
+        "analysis_font_info": O.ANALYSIS_FONT_INFO,
+        "url_normalize": O.URL_NORMALIZE,
+        "fix_encoding": O.FIX_ENCODING,
+        "dedup_image_ahash": O.DEDUP_IMAGE_AHASH,
         "e14_stream_table": O.E14_STREAM_TABLE,
         "e18_title_inference": O.E18_TITLE_INFERENCE,
         "s4_split_chapters": O.S4_SPLIT_CHAPTERS,

@@ -315,6 +315,68 @@ def dhash_image_table(docs: DataFrame) -> DataFrame:
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
 
 
+# --- aHash fixtures: 8x8 cell-constant rasters with CONTROLLED
+# near-dups (average-hash grid; same construction as the dHash
+# fixtures above, distinct salt so the two hash families get
+# independent group patterns)
+
+AHASH_GROUPS = 32
+AHASH_DIM = 8                   # aHash grid: 8 x 8 -> 64 bits
+_AHASH_CELLS = AHASH_DIM * AHASH_DIM
+
+
+def ahash_cell_bits(ref: str) -> list[int]:
+    """64 binary cell values: group g = byte4 mod 32 supplies the
+    base pattern (parity of sha256('ahg:{g}:{c}')), the ref flips
+    k = byte5 mod 5 cells at stride-7 positions from byte6 mod 64 -
+    all pure sha256 functions the DuckDB oracle re-derives."""
+    h = hashlib.sha256(ref.encode()).digest()
+    g = h[4] % AHASH_GROUPS
+    bits = [hashlib.sha256(f"ahg:{g}:{c}".encode()).digest()[0] % 2
+            for c in range(_AHASH_CELLS)]
+    k = h[5] % 5
+    fb = h[6] % _AHASH_CELLS
+    for j in range(k):
+        bits[(fb + 7 * j) % _AHASH_CELLS] ^= 1
+    return bits
+
+
+def ahash_payload_for_ref(ref: str) -> bytes:
+    """A VALID grayscale PPM of 8s x 8s pixels (s = 2 + byte7 mod 3),
+    constant on each s x s cell at luma 200 (bit 1) / 50 (bit 0) -
+    cell-aligned with the 8x8 aHash grid, so decode + box-average
+    reconstructs the cell bits exactly."""
+    h = hashlib.sha256(ref.encode()).digest()
+    s = 2 + h[7] % 3
+    bits = ahash_cell_bits(ref)
+    side = AHASH_DIM * s
+    px = bytearray()
+    for y in range(side):
+        r = y // s
+        for x in range(side):
+            v = 200 if bits[r * AHASH_DIM + x // s] else 50
+            px += bytes((v, v, v))
+    return f"P6\n{side} {side}\n255\n".encode() + bytes(px)
+
+
+def ahash_image_table(docs: DataFrame) -> DataFrame:
+    """aHash fixtures (media_ref, fmt='ppm', payload) for every
+    corpus ref - the average-hash near-dup gate's input."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["ppm"] * len(refs), pa.string()),
+                 pa.array([ahash_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 def gif_dims_for_ref(ref: str) -> tuple[int, int]:
     """(width, height) of the deterministic GIF fixture — pure
     functions of sha256(ref), dims 4..32 px."""

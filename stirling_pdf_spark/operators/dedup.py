@@ -633,3 +633,72 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_distance: int = 7,
     return (cand.withColumn("distance", dist.cast("long"))
             .filter(F.col("distance") <= max_distance)
             .select("id_a", "id_b", "distance"))
+
+
+def image_ahash(media: DataFrame, payload_col: str = "payload",
+                ref_col: str = "media_ref") -> DataFrame:
+    """Average hash (aHash) over DECODED rasters — the
+    brightness-threshold sibling of image_dhash (both standard
+    members of the perceptual-hash family training pipelines run
+    side by side; dHash ranks gradients, aHash ranks absolute
+    brightness, so each catches near-dups the other misses).
+
+    Per image: real decode (multimodal.decode_pixels), BT.601 integer
+    luma, box-average down to the 8x8 aHash grid, bit r*8+c =
+    cell[r][c] > mean(all 64 cells). Same narrow mapInPandas shape as
+    image_dhash — no shuffle, undecodable payloads yield null hashes.
+    Output: (media_ref, ahash int64, width, height); pair generation
+    reuses dhash_near_dup_pairs(hash_col='ahash') — the banded
+    Hamming LSH is hash-family agnostic."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .multimodal import decode_pixels
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_ref": [], "ahash": [], "width": [],
+                   "height": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                ah = w = h = None
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, rgb = decode_pixels(b)
+                    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    wide = px.astype(np.int64)
+                    luma = (299 * wide[:, :, 0] + 587 * wide[:, :, 1]
+                            + 114 * wide[:, :, 2]) // 1000
+                    ys = [int(r * h / 8) for r in range(9)]
+                    xs = [int(c * w / 8) for c in range(9)]
+                    cells = np.empty((8, 8))
+                    for r in range(8):
+                        for c in range(8):
+                            cells[r, c] = luma[ys[r]:ys[r + 1],
+                                               xs[c]:xs[c + 1]].mean()
+                    mean = cells.mean()
+                    v = np.uint64(0)
+                    for r in range(8):
+                        for c in range(8):
+                            if cells[r, c] > mean:
+                                v |= np.uint64(1) << np.uint64(r * 8 + c)
+                    ah = int(v.astype(np.int64))
+                except (NotImplementedError, ValueError, IndexError):
+                    w = h = ah = None
+                out["media_ref"].append(ref)
+                out["ahash"].append(ah)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)

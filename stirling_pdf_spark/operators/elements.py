@@ -116,3 +116,40 @@ def extract_elements(docs: DataFrame, num_partitions: int | None = None) -> Data
     return docs.repartition(num_partitions, "doc_id").mapInArrow(
         run, ELEMENTS_SCHEMA
     )
+
+
+def font_info(docs: DataFrame) -> DataFrame:
+    """Document font inventory — /analysis/font-info
+    (AnalysisController.java:184-206 collects the distinct font names
+    over every page's resources, plus their count).
+
+    Font names ride the raw text-run wire head
+    ('page|x|y|size|font\\tcontent', kernel/wire.py:11), so the whole
+    derivation is JVM-side column algebra: explode -> split_part ->
+    collect_set -> array_sort; no Python worker touches a row. Docs
+    without text spans report an empty inventory (count 0), exactly
+    like a PDF whose pages carry no font resources.
+
+    Scale shape: one partial-agg'd groupBy on doc_id — the collect_set
+    is bounded by the font universe per document (tiny), never by page
+    count, so hot mega-docs combine map-side.
+
+    Output: (doc_id, font_count, fonts) — fonts name-sorted,
+    comma-joined."""
+    from pyspark.sql import functions as F
+
+    flat = docs.select("doc_id", F.explode_outer("spans").alias("s"))
+    font = F.when(
+        F.col("s.kind") == "text",
+        F.split_part(F.split_part(F.col("s.text"), F.lit("\t"), F.lit(1)),
+                     F.lit("|"), F.lit(5)),
+    )
+    return (
+        flat.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set(font)).alias("farr"))
+        .select(
+            "doc_id",
+            F.size("farr").cast("long").alias("font_count"),
+            F.array_join("farr", ",").alias("fonts"),
+        )
+    )

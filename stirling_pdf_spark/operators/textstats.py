@@ -452,3 +452,110 @@ def bigram_lm_fit(df: DataFrame, id_col: str = "doc_id",
                 F.coalesce("fit_x1000", F.lit(0)).cast("long")
                 .alias("fit_x1000"))
     )
+
+
+# Tracking query params stripped by URL canonicalization - campaign /
+# click identifiers every public web-dedup recipe (CCNet, RefinedWeb)
+# drops before URL-level dedup. RE2-safe, embeds verbatim in the
+# DuckDB oracle's list_filter.
+TRACKING_PARAM_REGEX = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def normalize_urls(df: DataFrame, id_col: str = "id",
+                   url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl-frontier / corpus URL dedup -
+    RFC 3986 section 6 syntax-based normalization plus the
+    tracking-param strip, the step that makes URL-keyed dedup
+    actually collapse mirror fetches:
+
+      1. bare 'www.' URLs get the http:// scheme (same promotion as
+         the H5 autolinker, EmlProcessingUtils);
+      2. fragment dropped;
+      3. scheme + host lowercased (path/query case preserved);
+      4. default ports dropped (:80 for http, :443 for https);
+      5. tracking query params dropped (TRACKING_PARAM_REGEX), the
+         '?' dropped too when nothing survives;
+      6. empty path becomes '/'.
+
+    Pure column expressions end-to-end (regexp algebra + one
+    higher-order filter over the split query) - JVM-side, no UDF, so
+    the same plan canonicalizes 10^12 URLs with zero Python workers.
+    Output: (id, url, canon_url), one row per input row."""
+    u0 = F.col(url_col)
+    u1 = F.when(u0.rlike(r"^(?i)www\."),
+                F.concat(F.lit("http://"), u0)).otherwise(u0)
+    u1 = F.regexp_replace(u1, r"#.*$", "")
+    head = F.regexp_extract(u1, r"^(?i)(https?://[^/?#]*)", 1)
+    tail = F.regexp_replace(u1, r"^(?i)https?://[^/?#]*", "")
+    host = F.lower(head)
+    host = F.regexp_replace(host, r"^(http://[^/?#]*):80$", "$1")
+    host = F.regexp_replace(host, r"^(https://[^/?#]*):443$", "$1")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(tail.contains("?"),
+                   F.regexp_replace(tail, r"^[^?]*\?", "")
+                   ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (~x.rlike(TRACKING_PARAM_REGEX)) & (x != ""),
+    )
+    q2 = F.array_join(params, "&")
+    canon = F.concat(
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return df.select(F.col(id_col).alias("id"), u0.alias("url"),
+                     canon.alias("canon_url"))
+
+
+# A mojibake bigram: an UTF-8 lead byte read as Latin-1 (\u00c2 /
+# \u00c3 / \u00e2) followed by a continuation byte (U+0080-U+00BF) -
+# the signature of UTF-8 text decoded with a single-byte codec.
+MOJIBAKE_INDICATOR = "[\u00c2-\u00c3\u00e2][\u0080-\u00bf]"
+
+# Full-match: the string, reinterpreted as Latin-1 bytes, is strict
+# RFC 3629 UTF-8 (no overlongs, no surrogates, <= U+10FFFF). Chars
+# >= U+0100 fail automatically, making the Latin-1-range check
+# implicit.
+UTF8_AS_LATIN1_REGEX = (
+    "^(?:[\u0000-\u007f]"
+    "|[\u00c2-\u00df][\u0080-\u00bf]"
+    "|\u00e0[\u00a0-\u00bf][\u0080-\u00bf]"
+    "|[\u00e1-\u00ec][\u0080-\u00bf]{2}"
+    "|\u00ed[\u0080-\u009f][\u0080-\u00bf]"
+    "|[\u00ee-\u00ef][\u0080-\u00bf]{2}"
+    "|\u00f0[\u0090-\u00bf][\u0080-\u00bf]{2}"
+    "|[\u00f1-\u00f3][\u0080-\u00bf]{3}"
+    "|\u00f4[\u0080-\u008f][\u0080-\u00bf]{2})*$"
+)
+
+
+def fix_encoding(df: DataFrame, id_col: str = "id",
+                 text_col: str = "text") -> DataFrame:
+    """Mojibake repair - the ftfy-style fix for UTF-8 text that was
+    decoded as Latin-1 upstream ('caf\u00e9' arriving as
+    'caf\u00c3\u00a9'), a standard cleaning pass in public
+    web-corpus pipelines.
+
+    A document is repaired only when ALL THREE hold, otherwise it
+    passes through byte-identical:
+      (a) it shows a MOJIBAKE_INDICATOR bigram,
+      (b) read as Latin-1 bytes, the whole string is STRICTLY valid
+          UTF-8 (UTF8_AS_LATIN1_REGEX below - RFC 3629 table
+          inlined, overlongs and surrogates excluded). The guard
+          runs BEFORE the decode, because Spark 4's ANSI decode
+          raises MALFORMED_CHARACTER_CODING instead of emitting
+          U+FFFD; CASE WHEN branches evaluate lazily per row, so
+          guarded rows never reach the decoder.
+
+    The repair itself is decode(encode(text, 'ISO-8859-1'), 'UTF-8')
+    - both JVM codec expressions, whole-stage-codegen friendly, no
+    Python. Output: (id, text, fixed, changed 0/1)."""
+    t = F.col(text_col)
+    candidate = (t.rlike(UTF8_AS_LATIN1_REGEX)
+                 & t.rlike(MOJIBAKE_INDICATOR))
+    repaired = F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
+    fixed = F.when(candidate, repaired).otherwise(t)
+    return df.select(F.col(id_col).alias("id"), t.alias("text"),
+                     fixed.alias("fixed"),
+                     (fixed != t).cast("long").alias("changed"))

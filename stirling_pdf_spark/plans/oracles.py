@@ -2595,6 +2595,131 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
 DEDUP_IMAGE_DHASH = _dhash_sql()
 
 
+def _ahash_sql() -> str:
+    """Average-hash oracle: re-derive each fixture's 64 cell bits
+    (group base pattern + the ref's stride-7 flips -
+    corpus.media.ahash_cell_bits digit for digit), zero the hash when
+    the grid is all-bright (cell > global mean fails everywhere when
+    all cells are equal), fold into two 32-bit halves and brute-force
+    ALL pairs at Hamming <= 7 - identical to the engine's banded LSH
+    by the same 8x8-band pigeonhole as the dHash gate."""
+    def term(bi: int, base: int) -> str:
+        return (f"(CASE WHEN lb[{bi + 1}] = 1"
+                f" THEN {1 << (bi - base)} ELSE 0 END)")
+
+    lo = " + ".join(term(bi, 0) for bi in range(32))
+    hi = " + ".join(term(bi, 32) for bi in range(32, 64))
+    hexb9 = ("((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1))")
+    hexb11 = ("((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1))")
+    hexb13 = ("((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1))")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS ref
+  FROM documents
+), hh AS (
+  SELECT ref, sha256(ref) AS h FROM d
+), par AS (
+  SELECT ref, {hexb9} % 32 AS g, {hexb11} % 5 AS k, {hexb13} % 64 AS fb
+  FROM hh
+), cellraw AS (
+  SELECT p.ref, t.c, p.k, p.fb,
+         (strpos('0123456789abcdef',
+                 substr(sha256('ahg:' || CAST(p.g AS VARCHAR) || ':'
+                               || CAST(t.c AS VARCHAR)), 2, 1)) - 1) % 2
+           AS bb
+  FROM par p CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t
+), cell AS (
+  SELECT ref, c,
+         CASE WHEN (((c - fb) % 64 + 64) % 64) < 7 * k
+                   AND ((((c - fb) % 64 + 64) % 64) % 7) = 0
+              THEN 1 - bb ELSE bb END AS bit
+  FROM cellraw
+), lbs AS (
+  SELECT ref, list(bit ORDER BY c) AS lb, sum(bit) AS ones
+  FROM cell GROUP BY ref
+), hv AS (
+  SELECT ref,
+         CASE WHEN ones = 64 THEN 0
+              ELSE CAST({lo} AS BIGINT) END AS lo,
+         CASE WHEN ones = 64 THEN 0
+              ELSE CAST({hi} AS BIGINT) END AS hi
+  FROM lbs
+)
+SELECT a.ref AS id_a, b.ref AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS distance
+FROM hv a JOIN hv b ON a.ref < b.ref
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+"""
+
+
+DEDUP_IMAGE_AHASH = _ahash_sql()
+
+
+# /analysis/font-info over the rich corpus: Helvetica body +
+# Helvetica-Bold title always; Courier appears on every 5th body line,
+# i.e. once ceil(n_words/8) >= 5 (n_words >= 33).
+ANALYSIS_FONT_INFO = """
+WITH d AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+                  len(string_split(text, ' ')) AS n
+           FROM documents)
+SELECT did AS doc_id,
+       CAST(CASE WHEN n >= 33 THEN 3 ELSE 2 END AS BIGINT) AS font_count,
+       CASE WHEN n >= 33 THEN 'Courier,Helvetica,Helvetica-Bold'
+            ELSE 'Helvetica,Helvetica-Bold' END AS fonts
+FROM d
+"""
+
+# URL canonicalization: per-branch closed forms of the three crafted
+# variants (scheme/host case-fold, :443/:80 drop, fragment drop,
+# tracking-param strip keeping case-sensitive 'REF=up', bare-www
+# scheme promotion, empty path -> '/').
+URL_NORMALIZE = """
+WITH d AS (SELECT doc_id AS n, 'doc-' || CAST(doc_id AS VARCHAR) AS did
+           FROM documents)
+SELECT did AS id,
+       'HTTPS://Site' || (n % 7) || '.Example.COM:443/Path/' || n
+         || '?utm_source=x&id=' || n || '&fbclid=1#frag' AS url,
+       'https://site' || (n % 7) || '.example.com/Path/' || n
+         || '?id=' || n AS canon_url
+FROM d
+UNION ALL
+SELECT did,
+       'http://www.Mirror' || (n % 5) || '.ORG:80?utm_campaign=z',
+       'http://www.mirror' || (n % 5) || '.org/'
+FROM d
+UNION ALL
+SELECT did,
+       'www.Bare' || (n % 3) || '.net/x?ref=home&q=1&REF=up',
+       'http://www.bare' || (n % 3) || '.net/x?q=1&REF=up'
+FROM d
+"""
+
+# Mojibake repair: the two repairable variants come back in real
+# UTF-8 (chr(233)=e-acute, chr(8217)=right single quote), clean ASCII
+# and the invalid dangling-lead variant pass through byte-identical.
+FIX_ENCODING = """
+WITH d AS (SELECT doc_id AS n, 'doc-' || CAST(doc_id AS VARCHAR) AS did
+           FROM documents)
+SELECT did AS id,
+       'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+         || ' no ' || n AS fixed,
+       CAST(1 AS BIGINT) AS changed
+FROM d
+UNION ALL
+SELECT did, 'plain ascii ' || n, CAST(0 AS BIGINT) FROM d
+UNION ALL
+SELECT did, 'it' || chr(8217) || 's fine ' || n, CAST(1 AS BIGINT) FROM d
+UNION ALL
+SELECT did, 'x' || chr(195) || chr(169) || chr(195) || ' bad ' || n,
+       CAST(0 AS BIGINT)
+FROM d
+"""
+
+
 def _img_to_pdf_sql() -> str:
     """Image->PDF at maintainAspectRatio + autoRotate: dims re-derive
     from the fixture hash bytes (corpus.media.image_dims_for_ref /

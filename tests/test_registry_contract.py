@@ -30,7 +30,8 @@ R5_NEW_OR_CHANGED = [
     "multimodal_decode_jpeg", "s9_watermark_grid", "s11_flatten_forms",
     "sanitize_pdf", "md_to_pdf_ingest",
     # r5 continuation session (never had a driver row)
-    "extract_csv",
+    "extract_csv", "analysis_font_info", "url_normalize",
+    "fix_encoding", "dedup_image_ahash",
 ]
 
 

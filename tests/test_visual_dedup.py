@@ -172,3 +172,65 @@ def test_images_to_pdf_rejects_unknown_fit(spark):
         "doc_id string, seq int, media_ref string, payload binary")
     with pytest.raises(ValueError):
         images_to_pdf(df, "stretchy")
+
+
+def expected_ahash(ref: str) -> int:
+    """Closed-form aHash of a fixture: bits = cell bits unless the
+    grid is uniform (cell > global mean is then false everywhere)."""
+    from stirling_pdf_spark.corpus.media import ahash_cell_bits
+
+    bits = ahash_cell_bits(ref)
+    ones = sum(bits)
+    if ones in (0, 64):
+        return 0
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_image_ahash_matches_closed_form(spark):
+    from stirling_pdf_spark.corpus.media import ahash_payload_for_ref
+    from stirling_pdf_spark.operators.dedup import image_ahash
+
+    refs = [f"media-{hashlib.sha256(str(i).encode()).hexdigest()[:8]}"
+            for i in range(12)]
+    rows = [(r, "ppm", ahash_payload_for_ref(r)) for r in refs]
+    media = spark.createDataFrame(
+        rows, "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r for r in image_ahash(media).collect()}
+    for ref in refs:
+        assert got[ref]["ahash"] == expected_ahash(ref)
+        s = 2 + hashlib.sha256(ref.encode()).digest()[7] % 3
+        assert (got[ref]["width"], got[ref]["height"]) == (8 * s, 8 * s)
+
+
+def test_image_ahash_uniform_raster_hashes_to_zero(spark):
+    from stirling_pdf_spark.operators.dedup import image_ahash
+
+    # all-bright and all-dark 8x8 PPMs: no cell exceeds the mean
+    bright = b"P6\n8 8\n255\n" + bytes([200]) * (8 * 8 * 3)
+    dark = b"P6\n8 8\n255\n" + bytes([50]) * (8 * 8 * 3)
+    media = spark.createDataFrame(
+        [("m-b", "ppm", bright), ("m-d", "ppm", dark)],
+        "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert got == {"m-b": 0, "m-d": 0}
+
+
+def test_ahash_pairs_ride_the_generic_band_join(spark):
+    from stirling_pdf_spark.corpus.media import ahash_payload_for_ref
+    from stirling_pdf_spark.operators.dedup import (
+        dhash_near_dup_pairs, image_ahash,
+    )
+
+    # force a known distance-0 pair by reusing one payload twice
+    p = ahash_payload_for_ref("media-equal")
+    media = spark.createDataFrame(
+        [("m-1", "ppm", p), ("m-2", "ppm", p)],
+        "media_ref string, fmt string, payload binary")
+    pairs = dhash_near_dup_pairs(image_ahash(media), max_distance=7,
+                                 hash_col="ahash").collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in pairs] \
+        == [("m-1", "m-2", 0)]
