@@ -1848,6 +1848,43 @@ def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_encoding(src).select("id", "fixed", "changed")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 table A1, the public
+    rule set): the whole corpus plus crafted doc_id%4 tails that
+    force bullet-ratio, ellipsis-line and symbol-ratio failures; all
+    seven flags + keep are integer cross-multiplications the oracle
+    re-derives exactly."""
+    from stirling_pdf_spark.operators.textstats import gopher_quality_filter
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    tail1 = "".join("\n- " + c for c in "abcdefghij")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(n % 4 == 1, F.lit(tail1))
+        .when(n % 4 == 2, F.lit("\nwait...\nmore..."))
+        .when(n % 4 == 3, F.lit(" ## ## ##"))
+        .otherwise(F.lit("")),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), n.cast("string")).alias("doc_id"),
+        t2.alias("text"))
+    return gopher_quality_filter(docs)
+
+
+def q_lm_quality_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/tail corpus partition at the corpus-mean
+    bigram-LM fit: the threshold is one broadcast row and the
+    decision the integer rule fit*count >= sum(fit) - no global sort,
+    no single-partition window."""
+    from stirling_pdf_spark.operators.textstats import lm_quality_partition
+
+    base = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    return lm_quality_partition(base)
+
+
 def q_dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-hash visual near-dup: every corpus ref gets a real
     grayscale PPM constant on the 8x8 aHash cell grid (group base
@@ -2752,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "fix_encoding": q_fix_encoding,
         "dedup_image_ahash": q_dedup_image_ahash,
+        "gopher_quality": q_gopher_quality,
+        "lm_quality_partition": q_lm_quality_partition,
         # --- NEW gates this round (never had a driver row): r5 adds
         # auto-redact, signature state, add-image, dHash visual
         # near-dup, pdf->html (prose + exact tables), IVF nprobe=3
@@ -2807,12 +2846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "f1_filter_contains_text": R.f1_filter_contains_text,
-        "f6_filter_rotation": q_f6_filter_rotation,
         "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
-        "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
         "ann_cosine_topk": q_ann_topk,
         # ---------------- 50-row window boundary ----------------
         # r5 continuation: FIVE stable gates yielded slots to the five
@@ -2824,6 +2861,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ANN family in-window), eml_roundtrip (r4-green,
         # unchanged since).
         "s12_redact_text": q_s12_redact_text,
+        # gopher_quality + lm_quality_partition took the slots of
+        # f6_filter_rotation (r1/r2-green rotation, siblings f1 +
+        # f4/f7 below) and dedup_jaccard_maxdf (r4-green; siblings
+        # dedup_exact/minhash in-window).
+        "f6_filter_rotation": q_f6_filter_rotation,
+        "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
         "f4_size_class_filter": R.f4_size_class_filter,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "dedup_embedding_pairs": q_dedup_embedding,
@@ -3034,6 +3077,8 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": O.URL_NORMALIZE,
         "fix_encoding": O.FIX_ENCODING,
         "dedup_image_ahash": O.DEDUP_IMAGE_AHASH,
+        "gopher_quality": O.GOPHER_QUALITY,
+        "lm_quality_partition": O.LM_QUALITY_PARTITION,
         "e14_stream_table": O.E14_STREAM_TABLE,
         "e18_title_inference": O.E18_TITLE_INFERENCE,
         "s4_split_chapters": O.S4_SPLIT_CHAPTERS,

@@ -559,3 +559,94 @@ def fix_encoding(df: DataFrame, id_col: str = "id",
     return df.select(F.col(id_col).alias("id"), t.alias("text"),
                      fixed.alias("fixed"),
                      (fixed != t).cast("long").alias("changed"))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_filter(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    table A1 - the rule set most public pretraining pipelines start
+    from), as one pass of integer-exact column algebra. A document
+    KEEPS only when every rule holds:
+
+      r_wc     50 <= word count <= 100,000
+      r_mwl    mean word length in [3, 10]      (as 3n <= chars <= 10n)
+      r_sym    (hash + ellipsis) / words <= 0.1 (as 10*sym <= n)
+      r_bullet <= 90% of lines start with a bullet
+      r_ell    <= 30% of lines end with an ellipsis
+      r_alpha  >= 80% of words contain an alphabetic char
+      r_stop   >= 2 distinct designated stop words present
+
+    Every ratio is restated as an integer cross-multiplication, so
+    the DuckDB oracle reproduces the flags bit-for-bit with no float
+    in sight. One projection, no shuffle, no UDF - at 10^12 docs this
+    is a map-only stage fused into the scan."""
+    t = F.col(text_col)
+    w = F.split(t, r"\s+")
+    lines = F.split(t, "\n")
+    n = F.size(w).cast("long")
+    chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_hash = (F.length(t) - F.length(F.regexp_replace(t, "#", ""))) \
+        .cast("long")
+    n_ell = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)) \
+        .cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullets = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^\s*[-*]"))).cast("long")
+    ell_ends = F.size(F.filter(
+        lines, lambda x: x.rlike(r"\.\.\.$"))).cast("long")
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) \
+        .cast("long")
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(w),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    r_wc = flag((n >= 50) & (n <= 100_000))
+    r_mwl = flag((3 * n <= chars) & (chars <= 10 * n))
+    r_sym = flag(10 * (n_hash + n_ell) <= n)
+    r_bullet = flag(10 * bullets <= 9 * n_lines)
+    r_ell = flag(10 * ell_ends <= 3 * n_lines)
+    r_alpha = flag(5 * alpha >= 4 * n)
+    r_stop = flag(n_stop >= 2)
+    keep = (r_wc.cast("boolean") & r_mwl.cast("boolean")
+            & r_sym.cast("boolean") & r_bullet.cast("boolean")
+            & r_ell.cast("boolean") & r_alpha.cast("boolean")
+            & r_stop.cast("boolean"))
+    return df.select(
+        F.col(id_col).alias("id"), n.alias("n_words"),
+        r_wc.alias("r_wc"), r_mwl.alias("r_mwl"), r_sym.alias("r_sym"),
+        r_bullet.alias("r_bullet"), r_ell.alias("r_ell"),
+        r_alpha.alias("r_alpha"), r_stop.alias("r_stop"),
+        flag(keep).alias("keep"))
+
+
+def lm_quality_partition(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus partition by language-model fit: score each
+    document with the self-trained bigram LM (bigram_lm_fit) and
+    split at the CORPUS MEAN - head (above or at the mean) is the
+    high-quality slice public pipelines feed first. The mean rule is
+    the integer cross-multiplication fit*count >= sum(fit), so both
+    engines decide each doc with pure integer arithmetic.
+
+    Scale shape: the LM fit is two counting shuffles (shared with
+    bigram_lm_fit); the threshold is ONE extra row broadcast back -
+    no global sort, no window over a single partition, which is what
+    a naive percentile split would cost at 10^12 docs."""
+    fit = bigram_lm_fit(df, id_col=id_col, text_col=text_col)
+    stats = fit.agg(
+        F.sum("fit_x1000").cast("long").alias("sum_fit"),
+        F.count("*").cast("long").alias("n_docs"))
+    joined = fit.crossJoin(F.broadcast(stats))
+    head = (F.col("fit_x1000") * F.col("n_docs")
+            >= F.col("sum_fit"))
+    return joined.select(
+        "id", "fit_x1000",
+        F.when(head, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("head"))

@@ -2525,6 +2525,79 @@ SELECT d.id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
 FROM d LEFT JOIN s ON d.id = s.id
 """
 
+
+# CCNet-style head/tail partition at the corpus-mean LM fit, integer
+# cross-multiplied so both engines decide each doc exactly.
+LM_QUALITY_PARTITION = f"""
+WITH base AS ({BIGRAM_LM_FIT})
+SELECT id, fit_x1000,
+       CAST(CASE WHEN fit_x1000 * (SELECT count(*) FROM base)
+                      >= (SELECT sum(fit_x1000) FROM base)
+                 THEN 1 ELSE 0 END AS BIGINT) AS head
+FROM base
+"""
+
+# Gopher rules (Rae et al. 2021 table A1) over the crafted corpus:
+# doc_id%4 tails exercise bullet-ratio (10 bullet lines), ellipsis
+# line-ends, and symbol-ratio failures; every ratio is an integer
+# cross-multiplication shared verbatim with the engine.
+GOPHER_QUALITY = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         text || CASE CAST(doc_id AS BIGINT) % 4
+           WHEN 1 THEN chr(10) || '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d' || chr(10) || '- e' || chr(10) || '- f' || chr(10) || '- g' || chr(10) || '- h' || chr(10) || '- i' || chr(10) || '- j'
+           WHEN 2 THEN chr(10) || 'wait...' || chr(10) || 'more...'
+           WHEN 3 THEN ' ## ## ##'
+           ELSE '' END AS t2
+  FROM documents
+), f AS (
+  SELECT id, t2,
+         string_split_regex(t2, '\s+') AS w,
+         string_split(t2, chr(10)) AS lines
+  FROM d
+), m AS (
+  SELECT id,
+         CAST(len(w) AS BIGINT) AS n,
+         CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+              AS BIGINT) AS chars,
+         CAST(length(t2) - length(replace(t2, '#', ''))
+              AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(t2, '\.\.\.'))
+              AS BIGINT) AS n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '^\s*[-*]'))) AS BIGINT) AS bullets,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '\.\.\.$'))) AS BIGINT) AS ell_ends,
+         CAST(len(list_filter(w,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         CAST(len(list_intersect(list_distinct(w),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stop
+  FROM f
+), r AS (
+  SELECT id, n,
+    CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS r_wc,
+    CASE WHEN 3 * n <= chars AND chars <= 10 * n THEN 1 ELSE 0 END AS r_mwl,
+    CASE WHEN 10 * (n_hash + n_ell) <= n THEN 1 ELSE 0 END AS r_sym,
+    CASE WHEN 10 * bullets <= 9 * n_lines THEN 1 ELSE 0 END AS r_bullet,
+    CASE WHEN 10 * ell_ends <= 3 * n_lines THEN 1 ELSE 0 END AS r_ell,
+    CASE WHEN 5 * alpha >= 4 * n THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM m
+)
+SELECT id, n AS n_words,
+       CAST(r_wc AS BIGINT) AS r_wc, CAST(r_mwl AS BIGINT) AS r_mwl,
+       CAST(r_sym AS BIGINT) AS r_sym,
+       CAST(r_bullet AS BIGINT) AS r_bullet,
+       CAST(r_ell AS BIGINT) AS r_ell,
+       CAST(r_alpha AS BIGINT) AS r_alpha,
+       CAST(r_stop AS BIGINT) AS r_stop,
+       CAST(r_wc * r_mwl * r_sym * r_bullet * r_ell * r_alpha * r_stop
+            AS BIGINT) AS keep
+FROM r
+"""
+
 TEXT_HASH_SAMPLE = """
 SELECT doc_id AS id,
        CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) AS bucket

@@ -77,3 +77,51 @@ def test_font_info_inventory_and_empty_doc(spark):
     assert got["doc-2"]["fonts"] == "Courier,Helvetica"
     assert got["doc-empty"]["font_count"] == 0
     assert got["doc-empty"]["fonts"] == ""
+
+
+def test_gopher_rules_each_fire_independently(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        GOPHER_STOPWORDS, gopher_quality_filter,
+    )
+
+    good = ("the be words of and that have with " * 7).strip()  # 56 words
+    rows = [
+        ("keep", good),
+        ("short", "the be of and"),                      # r_wc fails
+        ("longwords", " ".join(["the", "be"] + ["x" * 40] * 54)),  # r_mwl
+        ("symbols", good + " " + "# " * 12),             # r_sym
+        ("bullets", good + "".join("\n- b" for _ in range(10))),   # r_bullet
+        ("ellipsis", good + "\nwait...\nmore...\nend..."),          # r_ell
+        ("numeric", good + " " + "123 " * 60),           # r_alpha
+        ("nostop", "alpha beta gamma " * 20),            # r_stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["id"]: r for r in gopher_quality_filter(df).collect()}
+    assert got["keep"]["keep"] == 1
+    assert got["short"]["r_wc"] == 0
+    assert got["longwords"]["r_mwl"] == 0
+    assert got["symbols"]["r_sym"] == 0
+    assert got["bullets"]["r_bullet"] == 0 and got["bullets"]["keep"] == 0
+    assert got["ellipsis"]["r_ell"] == 0
+    assert got["numeric"]["r_alpha"] == 0
+    assert got["nostop"]["r_stop"] == 0
+    # every failing doc fails ONLY at its targeted rule or keep
+    for name in ("short", "longwords", "symbols", "bullets",
+                 "ellipsis", "numeric", "nostop"):
+        assert got[name]["keep"] == 0
+    assert len(GOPHER_STOPWORDS) == 8
+
+
+def test_lm_quality_partition_mean_rule(spark):
+    from stirling_pdf_spark.operators.textstats import lm_quality_partition
+
+    # d1 repeats the corpus-dominant bigram; d2 spends most of its
+    # 'a' continuations on minority bigrams (fit 625 vs 525, mean
+    # 575) -> exactly one head, one tail around the mean
+    df = spark.createDataFrame(
+        [("d1", "a a a a a a"), ("d2", "a b a b a c")],
+        "doc_id string, text string")
+    got = {r["id"]: r for r in lm_quality_partition(df).collect()}
+    assert got["d1"]["head"] == 1
+    assert got["d2"]["head"] == 0
+    assert got["d1"]["fit_x1000"] > got["d2"]["fit_x1000"]

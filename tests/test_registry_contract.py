@@ -31,7 +31,8 @@ R5_NEW_OR_CHANGED = [
     "sanitize_pdf", "md_to_pdf_ingest",
     # r5 continuation session (never had a driver row)
     "extract_csv", "analysis_font_info", "url_normalize",
-    "fix_encoding", "dedup_image_ahash",
+    "fix_encoding", "dedup_image_ahash", "gopher_quality",
+    "lm_quality_partition",
 ]
 
 
