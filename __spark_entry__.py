@@ -1848,6 +1848,38 @@ def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_encoding(src).select("id", "fixed", "changed")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact-dedup through REAL Structured
+    Streaming (streaming/dedupe.py): run 1 drains the events feed
+    plus an in-run duplicate slice (event_id % 5 == 0 written
+    twice), then the WHOLE feed lands again and run 2 restarts from
+    the checkpoint — the recovered keyed state store must drop every
+    replayed row, so the appended output equals the batch events
+    table bit-for-bit (first-arrival semantics, integer-exact
+    columns)."""
+    import shutil
+    import tempfile
+
+    from stirling_pdf_spark.streaming.dedupe import stream_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir, out_dir, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    try:
+        ev.write.mode("append").parquet(in_dir)
+        ev.filter(F.col("event_id") % 5 == 0) \
+            .write.mode("append").parquet(in_dir)
+        stream_dedup(spark, in_dir, out_dir, cp).awaitTermination()
+        ev.write.mode("append").parquet(in_dir)
+        stream_dedup(spark, in_dir, out_dir, cp).awaitTermination()
+        result = spark.read.parquet(out_dir).select(
+            "event_id", "ts_us", "user_id", "event_type", "value_micro")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 table A1, the public
     rule set): the whole corpus plus crafted doc_id%4 tails that
@@ -2791,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_ahash": q_dedup_image_ahash,
         "gopher_quality": q_gopher_quality,
         "lm_quality_partition": q_lm_quality_partition,
+        "streaming_dedup": q_streaming_dedup,
         # --- NEW gates this round (never had a driver row): r5 adds
         # auto-redact, signature state, add-image, dHash visual
         # near-dup, pdf->html (prose + exact tables), IVF nprobe=3
@@ -2846,7 +2879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "f1_filter_contains_text": R.f1_filter_contains_text,
-        "dedup_minhash_lsh": q_dedup_minhash,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
@@ -2867,6 +2899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_exact/minhash in-window).
         "f6_filter_rotation": q_f6_filter_rotation,
         "dedup_jaccard_maxdf": q_dedup_jaccard_maxdf,
+        # streaming_dedup took the slot of dedup_minhash_lsh
+        # (r4-green, unchanged; siblings dedup_exact + the banded
+        # image-hash gates in-window exercise the same LSH shapes).
+        "dedup_minhash_lsh": q_dedup_minhash,
         "f4_size_class_filter": R.f4_size_class_filter,
         "f7_page_select_dsl": R.f7_page_select_dsl,
         "dedup_embedding_pairs": q_dedup_embedding,
@@ -3079,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_image_ahash": O.DEDUP_IMAGE_AHASH,
         "gopher_quality": O.GOPHER_QUALITY,
         "lm_quality_partition": O.LM_QUALITY_PARTITION,
+        "streaming_dedup": O.STREAMING_DEDUP,
         "e14_stream_table": O.E14_STREAM_TABLE,
         "e18_title_inference": O.E18_TITLE_INFERENCE,
         "s4_split_chapters": O.S4_SPLIT_CHAPTERS,

@@ -3342,6 +3342,16 @@ AUTO_ROTATE = _auto_rotate_sql()
 # per user, (ts, event_id)-ordered events chain while gaps stay
 # STRICTLY UNDER 480 min (session_window's end-exclusive convention);
 # epoch-microsecond integer arithmetic end-to-end.
+
+# Streaming exact-dedup: first-arrival semantics over a feed whose
+# every row is replayed — the final appended output is exactly the
+# batch events table in integer-exact columns.
+STREAMING_DEDUP = f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       {micro('value')} AS value_micro
+FROM events
+"""
+
 EVENTS_SESSIONIZE = f"""
 WITH e AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,

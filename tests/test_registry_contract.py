@@ -32,7 +32,7 @@ R5_NEW_OR_CHANGED = [
     # r5 continuation session (never had a driver row)
     "extract_csv", "analysis_font_info", "url_normalize",
     "fix_encoding", "dedup_image_ahash", "gopher_quality",
-    "lm_quality_partition",
+    "lm_quality_partition", "streaming_dedup",
 ]
 
 

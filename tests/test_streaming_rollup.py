@@ -65,3 +65,37 @@ def test_append_mode_holds_unfinalized_windows(spark, dirs):
     all_rows = [r for r in spark.read.parquet(out_dir).collect()
                 if r["event_type"] != "sentinel"]
     assert len(all_rows) == 3
+
+
+def test_streaming_dedup_replay_and_restart(spark, tmp_path):
+    """First arrival wins; in-run duplicates AND a full replay after
+    checkpoint restart are all dropped by the recovered state."""
+    import datetime
+
+    from stirling_pdf_spark.streaming.dedupe import stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(minutes=i), i % 3,
+             f"t{i % 2}", float(i) / 7.0, "{}") for i in range(40)]
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    ev = spark.createDataFrame(rows, schema)
+    ev.write.mode("append").parquet(in_dir)
+    ev.filter("event_id % 5 = 0").write.mode("append").parquet(in_dir)
+    stream_dedup(spark, in_dir, out_dir, cp).awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 40  # in-run dups dropped
+    # full replay + restart: recovered state drops every row
+    ev.write.mode("append").parquet(in_dir)
+    stream_dedup(spark, in_dir, out_dir, cp).awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 40
+    got = {r["event_id"]: r for r in out.collect()}
+    assert sorted(got) == list(range(40))
+    # integer-exact columns
+    r7 = got[7]
+    assert r7["value_micro"] == 1000000
+    assert r7["ts_us"] % 60_000_000 == 0  # whole-minute fixture ts
