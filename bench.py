@@ -104,6 +104,17 @@ BENCH_QUERIES = (
     "bm25_topk",
     "events_sessionize",
     "timestamp_state",
+    # round-5 continuation session
+    "extract_csv",
+    "analysis_font_info",
+    "url_normalize",
+    "fix_encoding",
+    "dedup_image_ahash",
+    "gopher_quality",
+    "lm_quality_partition",
+    # streaming_dedup deliberately NOT benched: like
+    # streaming_ingest_resume it measures temp-dir IO + two
+    # micro-batch restarts, not engine throughput
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —
