@@ -1787,6 +1787,25 @@ def q_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_to_csv(lat.unionByName(stream))
 
 
+def q_to_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdf->xlsx workbook export (ConvertPDFToExcelController.java:
+    51-137): lattice-only table extraction (Spreadsheet algorithm —
+    ruleless pages contribute NO sheets), one sheet per table, one row
+    per cell. Base docs carry two ruled grids on page 1, so their
+    sheets are 'Page 1 Table 1'/'Page 1 Table 2'; the 's'-prefixed
+    single-grid clones take the single-table 'Page 1' name (:82-86)."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_single_table_from_documents, docs_tables_from_documents,
+    )
+    from stirling_pdf_spark.operators.tables import pdf_to_xlsx
+
+    _ship_package(spark)
+    two = docs_tables_from_documents(spark, sf_dir)
+    one = docs_single_table_from_documents(spark, sf_dir).select(
+        F.concat(F.lit("s"), F.col("doc_id")).alias("doc_id"), "spans")
+    return pdf_to_xlsx(two.unionByName(one))
+
+
 def q_analysis_font_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/analysis/font-info (AnalysisController.java:184-206): the
     distinct font-name inventory per document plus its count, read
@@ -2817,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # /analysis/font-info, URL canonicalization, mojibake repair,
         # aHash visual near-dup
         "extract_csv": q_extract_csv,
+        "to_xlsx": q_to_xlsx,
         "analysis_font_info": q_analysis_font_info,
         "url_normalize": q_url_normalize,
         "fix_encoding": q_fix_encoding,
@@ -3109,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "s12_redact_text": O.S12_REDACT_TEXT,
         "e14_lattice_tables": O.E14_LATTICE_TABLES,
         "extract_csv": O.EXTRACT_CSV,
+        "to_xlsx": O.TO_XLSX,
         "analysis_font_info": O.ANALYSIS_FONT_INFO,
         "url_normalize": O.URL_NORMALIZE,
         "fix_encoding": O.FIX_ENCODING,

@@ -112,6 +112,8 @@ BENCH_QUERIES = (
     "dedup_image_ahash",
     "gopher_quality",
     "lm_quality_partition",
+    # round-5 third session
+    "to_xlsx",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

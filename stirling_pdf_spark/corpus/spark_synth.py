@@ -114,6 +114,14 @@ def docs_tables_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derive_docs(spark, sf_dir, tables_from_text)
 
 
+def docs_single_table_from_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """One lattice table per doc (the pdf->xlsx single-sheet path)."""
+    from .synth import single_table_from_text
+
+    return _derive_docs(spark, sf_dir, single_table_from_text)
+
+
 def docs_stream_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One whitespace-column table page per doc (E14 stream gate)."""
     from .synth import stream_table_from_text

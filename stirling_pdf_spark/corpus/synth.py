@@ -462,6 +462,16 @@ def tables_from_text(doc_id: str, text: str):
     return doc_id, spans
 
 
+def single_table_from_text(doc_id: str, text: str):
+    """Derive a ONE-lattice-table page (the pdf->xlsx 'Page {p}'
+    single-table sheet-naming path): just tables_from_text's grid A —
+    the 2x3 grid at y 100..140, cell (r, c) = word[(r*3 + c) %
+    n_words] clipped to TABLE_CELL_MAX_CHARS."""
+    _did, spans = tables_from_text(doc_id, text)
+    # grid A = 3 horizontal + 4 vertical rules + 6 cell runs = spans 0-12
+    return doc_id, spans[:13]
+
+
 def stream_table_from_text(doc_id: str, text: str):
     """Derive a STREAM-mode table page (E14 whitespace columns): 4 rows
     x 3 columns at x = 72/272/472, y = 100 + 20r; cell (r, c) holds

@@ -62,9 +62,11 @@ def _csv_field(s: str) -> str:
     return '"' + s.replace('"', '""') + '"'
 
 
-def _grid_csv(rules: list[Rule], runs: list[TextRun]) -> str | None:
-    """One rule component's rules + the page's glyph runs -> CSV, or
-    None when the component doesn't form a >= 2x2 lattice."""
+def _grid_cells(rules: list[Rule],
+                runs: list[TextRun]) -> list[list[str]] | None:
+    """One rule component's rules + the page's glyph runs -> the cell
+    text grid (rows of column strings), or None when the component
+    doesn't form a >= 2x2 lattice."""
     hs = sorted({r.y1 for r in rules if r.y1 == r.y2})
     vs = sorted({r.x1 for r in rules if r.x1 == r.x2})
     if len(hs) < 2 or len(vs) < 2:
@@ -87,11 +89,16 @@ def _grid_csv(rules: list[Rule], runs: list[TextRun]) -> str | None:
                 break
         if r is not None and c is not None:
             cells[r][c].append(run)
-    lines = []
-    for row in cells:
-        fields = [" ".join(t.content for t in cell) for cell in row]
-        lines.append(",".join(_csv_field(f) for f in fields))
-    return "\n".join(lines)
+    return [[" ".join(t.content for t in cell) for cell in row]
+            for row in cells]
+
+
+def _grid_csv(rules: list[Rule], runs: list[TextRun]) -> str | None:
+    grid = _grid_cells(rules, runs)
+    if grid is None:
+        return None
+    return "\n".join(
+        ",".join(_csv_field(f) for f in row) for row in grid)
 
 
 def _rule_components(rules: list[Rule]) -> list[list[Rule]]:
@@ -138,6 +145,20 @@ def extract_table_csvs(rules: list[Rule], runs: list[TextRun]) -> list[str]:
         csv = _grid_csv(comp, runs)
         if csv is not None:
             out.append(csv)
+    return out
+
+
+def extract_table_grids(rules: list[Rule],
+                        runs: list[TextRun]) -> list[list[list[str]]]:
+    """All lattice tables on one page as cell grids, in (top, left)
+    order — the SpreadsheetExtractionAlgorithm view the reference's
+    pdf->xlsx converter consumes (ConvertPDFToExcelController.java:
+    72-101 walks table.getRows() cell by cell)."""
+    out = []
+    for comp in _rule_components(rules):
+        grid = _grid_cells(comp, runs)
+        if grid is not None:
+            out.append(grid)
     return out
 
 

@@ -143,3 +143,120 @@ def pdf_to_csv(docs: DataFrame,
         docs.repartition(num_partitions, "doc_id")
         .mapInArrow(run, PDF_TO_CSV_SCHEMA)
     )
+
+
+PDF_TO_XLSX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("page", T.LongType(), False),
+    T.StructField("table_no", T.LongType(), False),
+    T.StructField("sheet_name", T.StringType(), False),
+    T.StructField("row_idx", T.LongType(), False),
+    T.StructField("col_idx", T.LongType(), False),
+    T.StructField("value", T.StringType(), False),
+])
+
+_XLSX_BAD_CHARS = set('\\/?*[]:')
+_XLSX_NAME_MAX = 31
+
+
+def _safe_sheet_name(name: str) -> str:
+    """POI WorkbookUtil.createSafeSheetName: illegal chars -> space,
+    31-char cap, empty -> 'null' (the naming helper the reference's
+    getUniqueSheetName starts from, ConvertPDFToExcelController.java:
+    124-137)."""
+    if not name:
+        return "null"
+    safe = "".join(" " if ch in _XLSX_BAD_CHARS else ch for ch in name)
+    return safe[:_XLSX_NAME_MAX]
+
+
+def _unique_sheet_name(base: str, used: set[str]) -> str:
+    """ConvertPDFToExcelController.getUniqueSheetName: append ' (n)',
+    re-truncating so name + suffix still fits 31 chars."""
+    safe = _safe_sheet_name(base)
+    name, count = safe, 1
+    while name in used:
+        suffix = f" ({count})"
+        if len(safe) + len(suffix) > _XLSX_NAME_MAX:
+            name = safe[:_XLSX_NAME_MAX - len(suffix)] + suffix
+        else:
+            name = safe + suffix
+        count += 1
+    used.add(name)
+    return name
+
+
+def pdf_to_xlsx(docs: DataFrame,
+                num_partitions: int | None = None) -> DataFrame:
+    """pdf->xlsx export (ConvertPDFToExcelController.java:51-137): the
+    workbook model of the reference's /pdf/xlsx converter. Tables come
+    from Tabula's SpreadsheetExtractionAlgorithm — LATTICE ONLY (ruled
+    grids; pages without rules contribute no sheets, unlike
+    pdf_to_csv's per-page mode fallback) — one SHEET per table, one
+    output row per CELL (sheet.createRow/createCell walk, :91-99 —
+    0-based row/col indices like POI's). Sheet names follow :82-86:
+    'Page {p}' when the page holds exactly one table, else
+    'Page {p} Table {t}' (1-based), made workbook-unique through
+    createSafeSheetName + the ' (n)' suffix loop (:124-137).
+
+    Scale shape: identical to pdf_to_csv — repartition by doc_id then
+    one mapInArrow pass; a workbook's sheets live inside one document
+    so uniqueness needs no cross-partition state; nothing driver-side.
+    The XLSX zip container is presentation — this table IS the
+    workbook manifest."""
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    from ..kernel.tables import extract_table_grids, parse_rule
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            o_id, o_page, o_tno = [], [], []
+            o_sheet, o_row, o_col, o_val = [], [], [], []
+            for did, spans in zip(ids, raw):
+                runs_by_page: dict[int, list] = {}
+                rules_by_page: dict[int, list] = {}
+                for kind, text, _ref, _off in sorted(spans,
+                                                     key=lambda s: s[3]):
+                    if kind == "text":
+                        r = wire.parse_text_run(text)
+                        runs_by_page.setdefault(r.page, []).append(r)
+                    elif kind == "rule":
+                        rl = parse_rule(text)
+                        rules_by_page.setdefault(rl.page, []).append(rl)
+                used: set[str] = set()
+                for page in sorted(rules_by_page):
+                    grids = extract_table_grids(
+                        rules_by_page[page], runs_by_page.get(page, []))
+                    for tno, grid in enumerate(grids, start=1):
+                        base = (f"Page {page}" if len(grids) == 1
+                                else f"Page {page} Table {tno}")
+                        sheet = _unique_sheet_name(base, used)
+                        for ri, row in enumerate(grid):
+                            for ci, val in enumerate(row):
+                                o_id.append(did)
+                                o_page.append(page)
+                                o_tno.append(tno)
+                                o_sheet.append(sheet)
+                                o_row.append(ri)
+                                o_col.append(ci)
+                                o_val.append(val)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.string()),
+                 pa.array(o_page, pa.int64()),
+                 pa.array(o_tno, pa.int64()),
+                 pa.array(o_sheet, pa.string()),
+                 pa.array(o_row, pa.int64()),
+                 pa.array(o_col, pa.int64()),
+                 pa.array(o_val, pa.string())],
+                names=["doc_id", "page", "table_no", "sheet_name",
+                       "row_idx", "col_idx", "value"],
+            )
+
+    return (
+        docs.repartition(num_partitions, "doc_id")
+        .mapInArrow(run, PDF_TO_XLSX_SCHEMA)
+    )

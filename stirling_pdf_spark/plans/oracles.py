@@ -3042,6 +3042,42 @@ FROM t
 EXTRACT_CSV = _extract_csv_sql()
 
 
+def _to_xlsx_sql() -> str:
+    """pdf->xlsx oracle (ConvertPDFToExcelController.java:51-137
+    parity): lattice cells only. Base docs carry grid A (2x3, word
+    index r*3+c) and grid B (3x2, word index 6 + r*2+c) on page 1 —
+    two tables, so sheets are 'Page 1 Table {t}'; the 's'-cloned
+    single-grid docs carry grid A alone — one table, sheet 'Page 1'
+    (:82-86 single-vs-multi naming). One row per cell with POI's
+    0-based row/col indices."""
+    return f"""
+WITH {_TABLE_DOCS_CTE},
+grid(tno, r, c, b) AS (VALUES
+  (1,0,0,0),(1,0,1,1),(1,0,2,2),(1,1,0,3),(1,1,1,4),(1,1,2,5),
+  (2,0,0,6),(2,0,1,7),(2,1,0,8),(2,1,1,9),(2,2,0,10),(2,2,1,11)
+),
+base_rows AS (
+  SELECT did AS doc_id, tno,
+         'Page 1 Table ' || CAST(tno AS VARCHAR) AS sheet_name,
+         r, c, wv[((b) % n) + 1] AS value
+  FROM v CROSS JOIN grid
+),
+single_rows AS (
+  SELECT 's' || did AS doc_id, tno, 'Page 1' AS sheet_name,
+         r, c, wv[((b) % n) + 1] AS value
+  FROM v CROSS JOIN grid WHERE tno = 1
+),
+u AS (SELECT * FROM base_rows UNION ALL SELECT * FROM single_rows)
+SELECT doc_id, CAST(1 AS BIGINT) AS page, CAST(tno AS BIGINT) AS table_no,
+       sheet_name, CAST(r AS BIGINT) AS row_idx,
+       CAST(c AS BIGINT) AS col_idx, value
+FROM u
+"""
+
+
+TO_XLSX = _to_xlsx_sql()
+
+
 # Markdown pipe-table rendering of the E14 stream-mode page
 # (TableRenderer.java:8-78): widths = max(3, longest cell per column),
 # right-padded cells, dashed separator; corpus cells are single

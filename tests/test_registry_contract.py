@@ -33,6 +33,8 @@ R5_NEW_OR_CHANGED = [
     "extract_csv", "analysis_font_info", "url_normalize",
     "fix_encoding", "dedup_image_ahash", "gopher_quality",
     "lm_quality_partition", "streaming_dedup",
+    # r5 third session (never had a driver row)
+    "to_xlsx",
 ]
 
 

@@ -196,3 +196,63 @@ def test_pdf_to_csv_prose_only_pages_yield_nothing(spark):
     )
     # one short prose line: stream needs >= 2 rows AND >= 2 columns
     assert pdf_to_csv(df, num_partitions=1).count() == 0
+
+
+def test_xlsx_sheet_name_helpers():
+    """POI createSafeSheetName + the reference's getUniqueSheetName
+    loop (ConvertPDFToExcelController.java:124-137): illegal chars ->
+    space, 31-char cap, ' (n)' suffixes re-truncate to fit."""
+    from stirling_pdf_spark.operators.tables import (
+        _safe_sheet_name, _unique_sheet_name,
+    )
+
+    assert _safe_sheet_name("Page 1") == "Page 1"
+    assert _safe_sheet_name("a/b\\c?d*e[f]g:h") == "a b c d e f g h"
+    assert _safe_sheet_name("") == "null"
+    assert _safe_sheet_name("x" * 40) == "x" * 31
+    used: set[str] = set()
+    assert _unique_sheet_name("Page 1", used) == "Page 1"
+    assert _unique_sheet_name("Page 1", used) == "Page 1 (1)"
+    assert _unique_sheet_name("Page 1", used) == "Page 1 (2)"
+    # long base: suffix must displace tail chars to stay at 31
+    long = "x" * 31
+    assert _unique_sheet_name(long, used) == long
+    assert _unique_sheet_name(long, used) == "x" * 27 + " (1)"
+    assert len(_unique_sheet_name(long, used)) == 31
+
+
+def test_pdf_to_xlsx_lattice_only_and_naming(spark):
+    """/pdf/xlsx parity: SpreadsheetExtractionAlgorithm = lattice only
+    (a stream-table page yields NO sheets); single-table pages name
+    their sheet 'Page {p}', multi-table pages 'Page {p} Table {t}';
+    cells come out row-major with 0-based POI indices."""
+    from stirling_pdf_spark.corpus.synth import (
+        single_table_from_text, stream_table_from_text, tables_from_text,
+    )
+    from stirling_pdf_spark.operators.tables import pdf_to_xlsx
+
+    rows = [tables_from_text("doc-two", "alpha beta gamma delta eps"),
+            single_table_from_text("doc-one", "alpha beta gamma delta eps"),
+            stream_table_from_text("doc-str", "one two three four")]
+    df = spark.createDataFrame(
+        [(d, [dict(zip(("kind", "text", "media_ref", "offset"), s))
+              for s in spans]) for d, spans in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = pdf_to_xlsx(df, num_partitions=2).collect()
+    assert not [r for r in out if r["doc_id"] == "doc-str"]
+    sheets = {(r["doc_id"], r["sheet_name"]) for r in out}
+    assert sheets == {("doc-two", "Page 1 Table 1"),
+                      ("doc-two", "Page 1 Table 2"),
+                      ("doc-one", "Page 1")}
+    cells = {(r["doc_id"], r["table_no"], r["row_idx"], r["col_idx"]):
+             r["value"] for r in out}
+    # grid A is 2x3 over words 0..5 (mod 5)
+    assert cells[("doc-one", 1, 0, 0)] == "alpha"
+    assert cells[("doc-one", 1, 1, 2)] == "alpha"   # word 5 % 5
+    assert cells[("doc-two", 1, 1, 1)] == "eps"
+    # grid B is 3x2 over words 6..11 (mod 5)
+    assert cells[("doc-two", 2, 0, 0)] == "beta"    # word 6 % 5
+    assert cells[("doc-two", 2, 2, 1)] == "beta"    # word 11 % 5
+    assert len([r for r in out if r["doc_id"] == "doc-two"]) == 12
