@@ -1548,6 +1548,33 @@ def q_to_xml_tables(spark: SparkSession, sf_dir: str,
     return to_xml(docs)
 
 
+def q_to_epub(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> EPUB structural export (/convert/pdf/epub;
+    ConvertPDFToEpubController.java:34-60 delegates to the
+    out-of-scope Calibre binary — here the OCF members emit over the
+    shared block pipeline with the reference's
+    SMART_CHAPTER_EXPRESSION rule, kernel/epub_export.py) over the
+    two-chapter corpus (docs >= 24 words; smaller docs derive empty
+    and emit nothing): six members per doc — constant mimetype +
+    container.xml, doc_id-keyed content.opf + nav.xhtml, and one
+    XHTML spine item per 'Chapter N' heading whose single paragraph
+    is the ceil-half word split. Pinned by member md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_chapters_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_epub
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_chapters_from_documents(spark, sf_dir)
+    out = to_epub(docs)
+    return out.select(
+        "doc_id", F.col("ord").cast("int").alias("ord"), "member",
+        F.md5("content").alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"))
+
+
 def q_md_to_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown -> document ingestion (/markdown/pdf,
     ConvertMarkdownToPdf.java:124-150: commonmark + GFM tables ->
@@ -2865,6 +2892,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary census, bigram-LM corpus fit)
         "to_xml": q_to_xml,
         "to_xml_tables": q_to_xml_tables,
+        # r5 fourth session: pdf->epub OCF member export (took the
+        # slot of to_markdown — r4 driver-green, unchanged since;
+        # siblings to_html/to_xml in-window exercise the same block
+        # pipeline)
+        "to_epub": q_to_epub,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -2891,7 +2923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
         "text_url_extract": q_text_url_extract,
-        "to_markdown": q_to_markdown,
         "e17_page_info": q_e17_page_info,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "s1_merge_by_date": q_s1_merge_by_date,
@@ -2913,6 +2944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ANN family in-window), eml_roundtrip (r4-green,
         # unchanged since).
         "s12_redact_text": q_s12_redact_text,
+        # r5 fourth session: to_markdown yielded its slot to to_epub
+        # (r4 driver-green, unchanged; block-pipeline siblings
+        # to_html/to_xml/to_epub in-window)
+        "to_markdown": q_to_markdown,
         # gopher_quality + lm_quality_partition took the slots of
         # f6_filter_rotation (r1/r2-green rotation, siblings f1 +
         # f4/f7 below) and dedup_jaccard_maxdf (r4-green; siblings
@@ -3081,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "form_fields_csv": O.FORM_FIELDS_CSV,
         "to_xml": O.TO_XML,
         "to_xml_tables": O.TO_XML_TABLES,
+        "to_epub": O.TO_EPUB,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -114,6 +114,8 @@ BENCH_QUERIES = (
     "lm_quality_partition",
     # round-5 third session
     "to_xlsx",
+    # round-5 fourth session
+    "to_epub",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

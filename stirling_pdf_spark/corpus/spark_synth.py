@@ -214,3 +214,12 @@ def docs_autorotate_from_documents(spark: SparkSession,
     from .synth import autorotate_from_text
 
     return _derive_docs(spark, sf_dir, autorotate_from_text)
+
+
+def docs_chapters_from_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Two-chapter corpus for the pdf->epub gate (docs under 24 words
+    derive to empty span lists and emit no members)."""
+    from .synth import chapters_from_text
+
+    return _derive_docs(spark, sf_dir, chapters_from_text)

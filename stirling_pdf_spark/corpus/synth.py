@@ -637,3 +637,38 @@ def autorotate_from_text(doc_id: str, text: str):
             spans.append(("text", wire.encode_text_run(run),
                           "", len(spans)))
     return doc_id, spans
+
+
+def chapters_from_text(doc_id: str, text: str):
+    """Derive a two-CHAPTER document from plain text — the corpus for
+    the pdf->epub gate (ConvertPDFToEpubController.java:26-27
+    SMART_CHAPTER_EXPRESSION: a heading containing 'Chapter ' starts
+    a spine item).
+
+    Docs under 24 words yield NO spans (kept docs must have a body
+    glyph majority so the weighted glyph-size median stays at the
+    11 pt body size and the 18 pt 'Chapter N' lines land in the
+    heading1 branch: 18/11 > 1.4). Kept docs split their words in
+    half (ceil) — 'Chapter 1' + first-half body lines of 6 words,
+    then 'Chapter 2' + the rest, all on page 1, consecutive y steps
+    of 14 so every chapter body merges into ONE paragraph (gap
+    14-11=3 < 0.8*11)."""
+    words = text.split()
+    if len(words) < 24:
+        return doc_id, []
+    half = (len(words) + 1) // 2
+    spans: list[tuple[str, str, str, int]] = []
+    line_no = 0
+
+    def emit(content: str, size: float) -> None:
+        nonlocal line_no
+        run = TextRun(1, LEFT_X, TOP_Y + LINE_STEP * line_no, size,
+                      FONT, content)
+        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        line_no += 1
+
+    for ch, chunk in ((1, words[:half]), (2, words[half:])):
+        emit(f"Chapter {ch}", 18.0)
+        for i in range(0, len(chunk), 6):
+            emit(" ".join(chunk[i:i + 6]), FS)
+    return doc_id, spans

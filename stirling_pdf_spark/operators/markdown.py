@@ -127,3 +127,52 @@ def to_markdown(docs: DataFrame,
 
     return docs.repartition(num_partitions, "doc_id").mapInArrow(
         run, MARKDOWN_SCHEMA)
+
+
+EPUB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("ord", T.IntegerType(), False),
+    T.StructField("member", T.StringType(), False),
+    T.StructField("content", T.StringType(), False),
+])
+
+
+def to_epub(docs: DataFrame,
+            num_partitions: int | None = None) -> DataFrame:
+    """PDF -> EPUB structural export (/convert/pdf/epub; the reference
+    delegates to Calibre's ebook-convert binary,
+    ConvertPDFToEpubController.java:34-60 — here the OCF members are
+    emitted deterministically over the shared block pipeline,
+    kernel/epub_export.py, with the reference's
+    SMART_CHAPTER_EXPRESSION chapter rule). docs(doc_id, spans raw) ->
+    one row per container member (doc_id, ord, member, content);
+    empty documents emit no rows. Per-document kernel work only — one
+    narrow Arrow stage after the doc_id repartition, no shuffle
+    inside."""
+    from ..kernel.epub_export import epub_members
+
+    if num_partitions is None:
+        num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            raw = _decode_span_lists(rb.column(names.index("spans")))
+            out = ([], [], [], [])
+            for did, spans in zip(ids, raw):
+                for order, member, content in epub_members(did, spans):
+                    out[0].append(did)
+                    out[1].append(order)
+                    out[2].append(member)
+                    out[3].append(content)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[0], pa.string()),
+                 pa.array(out[1], pa.int32()),
+                 pa.array(out[2], pa.string()),
+                 pa.array(out[3], pa.string())],
+                names=["doc_id", "ord", "member", "content"],
+            )
+
+    return docs.repartition(num_partitions, "doc_id").mapInArrow(
+        run, EPUB_SCHEMA)

@@ -3499,3 +3499,87 @@ SELECT did AS doc_id,
        CAST(1 AS INTEGER) AS valid
 FROM d
 """
+
+
+def _to_epub_sql() -> str:
+    """pdf->epub over the two-chapter corpus (docs >= 24 words): the
+    six OCF members restated closed-form — constants for mimetype /
+    container.xml, doc_id-substituted content.opf / nav.xhtml, and
+    the two chapter XHTML docs whose single paragraph is the ceil-
+    half word split (the whole corpus is quote/entity-free, so the
+    escape chain is the identity and the oracle may omit it)."""
+    xhead = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+             '<!DOCTYPE html>\n'
+             '<html xmlns="http://www.w3.org/1999/xhtml">\n'
+             '<head>\n<title>{title}</title>\n</head>\n<body>\n')
+    container = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:'
+        'opendocument:xmlns:container">\n<rootfiles>\n'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/>\n'
+        '</rootfiles>\n</container>')
+    nav = (xhead.format(title="Contents")
+           + '<nav epub:type="toc" '
+             'xmlns:epub="http://www.idpf.org/2007/ops">\n<ol>\n'
+             '<li><a href="chapter-1.xhtml">Chapter 1</a></li>\n'
+             '<li><a href="chapter-2.xhtml">Chapter 2</a></li>\n'
+             '</ol>\n</nav>\n</body>\n</html>')
+    opf_a = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="bookid">\n'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">\n'
+        '<dc:identifier id="bookid">')
+    opf_b = '</dc:identifier>\n<dc:title>'
+    opf_c = (
+        '</dc:title>\n<dc:language>en</dc:language>\n</metadata>\n'
+        '<manifest>\n'
+        '<item id="nav" href="nav.xhtml" '
+        'media-type="application/xhtml+xml" properties="nav"/>\n'
+        '<item id="chapter-1" href="chapter-1.xhtml" '
+        'media-type="application/xhtml+xml"/>\n'
+        '<item id="chapter-2" href="chapter-2.xhtml" '
+        'media-type="application/xhtml+xml"/>\n'
+        '</manifest>\n<spine>\n'
+        '<itemref idref="chapter-1"/>\n<itemref idref="chapter-2"/>\n'
+        '</spine>\n</package>')
+
+    def chap(k: str, words: str) -> str:
+        return ("'" + xhead.format(title=f"Chapter {k}")
+                + f"<h1>Chapter {k}</h1>\n<p>' || {words} || "
+                  "'</p>\n</body>\n</html>'")
+
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 24
+), e AS (
+  SELECT did,
+         array_to_string(w[1:(len(w)+1)//2], ' ') AS c1,
+         array_to_string(w[(len(w)+1)//2+1:], ' ') AS c2
+  FROM d
+), m AS (
+  SELECT did, 0 AS o, 'mimetype' AS member,
+         'application/epub+zip' AS content FROM e
+  UNION ALL
+  SELECT did, 1, 'META-INF/container.xml', '{container}' FROM e
+  UNION ALL
+  SELECT did, 2, 'OEBPS/content.opf',
+         '{opf_a}' || did || '{opf_b}' || did || '{opf_c}' FROM e
+  UNION ALL
+  SELECT did, 3, 'OEBPS/nav.xhtml', '{nav}' FROM e
+  UNION ALL
+  SELECT did, 4, 'OEBPS/chapter-1.xhtml', {chap('1', 'c1')} FROM e
+  UNION ALL
+  SELECT did, 5, 'OEBPS/chapter-2.xhtml', {chap('2', 'c2')} FROM e
+)
+SELECT did AS doc_id, CAST(o AS INTEGER) AS ord, member,
+       md5(content) AS content_md5,
+       CAST(length(content) AS BIGINT) AS n_chars
+FROM m
+"""
+
+
+TO_EPUB = _to_epub_sql()

@@ -35,6 +35,8 @@ R5_NEW_OR_CHANGED = [
     "lm_quality_partition", "streaming_dedup",
     # r5 third session (never had a driver row)
     "to_xlsx",
+    # r5 fourth session (never had a driver row)
+    "to_epub",
 ]
 
 
