@@ -1575,6 +1575,89 @@ def q_to_epub(spark: SparkSession, sf_dir: str,
         F.length("content").cast("long").alias("n_chars"))
 
 
+def q_to_docx(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> DOCX structural export (/convert/pdf/word;
+    PDFToFile.java:99 delegates to the out-of-scope LibreOffice binary
+    — here the OOXML package members emit over the shared block
+    pipeline, kernel/docx_export.py) over the two-chapter corpus
+    (docs >= 24 words; smaller docs derive empty and emit nothing):
+    four OPC members per doc — constant [Content_Types].xml +
+    _rels/.rels + word/styles.xml, and word/document.xml as
+    Heading1/paragraph WordprocessingML pairs over the ceil-half word
+    split. Pinned by member md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_chapters_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_docx
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_chapters_from_documents(spark, sf_dir)
+    out = to_docx(docs)
+    return out.select(
+        "doc_id", F.col("ord").cast("int").alias("ord"), "member",
+        F.md5("content").alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"))
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/PCM16 audio decode (kernel/wav.py — chunk walk,
+    PCM sample statistics): the fixtures are alternating-sign sawtooth
+    streams whose |sample| stats are closed-form, so channels/rate/
+    frames AND the decoded peak + sum|s| are pinned against the
+    oracle's model (operators/multimodal.decode_audio — per-row error
+    isolation, same contract as decode_images)."""
+    from stirling_pdf_spark.corpus.media import wav_table
+    from stirling_pdf_spark.operators.multimodal import decode_audio
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return decode_audio(wav_table(docs)).select(
+        "media_ref", "channels", "sample_rate", "n_frames",
+        "duration_ms", "peak", "sum_abs")
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with deterministic
+    literal codebooks: vectors encode to 8 one-byte codes (the 32x
+    scan-size cut at 100 TB), queries score by the ADC LUT sum only —
+    top-3 by ascending approx distance, fp-exact vs the oracle
+    (operators/similarity.pq_topk)."""
+    from stirling_pdf_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, O.PQ_CODEBOOKS, O.ANN_QUERY_IDS, k=O.ANN_K)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk, the GPT-style
+    pretraining batcher): documents in doc_id order concatenate into
+    one whitespace-token stream sliced into 512-token sequences; one
+    row per (doc, overlapped sequence) with the in-sequence offset
+    and contributed token count. Global offsets come from a two-phase
+    prefix sum (range shuffle + per-partition totals), never a
+    single-partition window (operators/packing.py)."""
+    from stirling_pdf_spark.operators.packing import pack_sequences
+
+    return pack_sequences(read_table(spark, sf_dir, "documents"),
+                          seq_len=512)
+
+
 def q_md_to_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown -> document ingestion (/markdown/pdf,
     ConvertMarkdownToPdf.java:124-150: commonmark + GFM tables ->
@@ -2897,6 +2980,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings to_html/to_xml in-window exercise the same block
         # pipeline)
         "to_epub": q_to_epub,
+        # r5 fourth session: pdf->docx OPC member export (took the
+        # slot of multimodal_decode_gif — r4 driver-green, unchanged
+        # since; sibling multimodal_decode_jpeg stays in-window)
+        "to_docx": q_to_docx,
+        # r5 fourth session: training-sequence packing (took the slot
+        # of e13_search_positions — r4 driver-green, unchanged;
+        # in-window auto_redact composes the same find+mask path and
+        # e13_whole_word_digit sits below the boundary)
+        "pack_sequences": q_pack_sequences,
+        # r5 fourth session: REAL RIFF/PCM audio decode — the corpus'
+        # third decoded modality (took the slot of s1_merge_by_date —
+        # r4 driver-green, unchanged; comparator siblings
+        # s1_merge_by_title/comparator below the boundary)
+        "multimodal_decode_wav": q_multimodal_decode_wav,
+        # r5 fourth session: PQ/ADC ANN — completes the ANN family's
+        # compression axis (took the slot of e17_page_info — r4
+        # driver-green, unchanged; siblings e17_doc_info/e17_full_info
+        # below the boundary)
+        "ann_pq_topk": q_ann_pq_topk,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -2923,10 +3025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
         "text_url_extract": q_text_url_extract,
-        "e17_page_info": q_e17_page_info,
-        "multimodal_decode_gif": q_multimodal_decode_gif,
-        "s1_merge_by_date": q_s1_merge_by_date,
-        "e13_search_positions": q_e13_search_positions,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "f1_filter_contains_text": R.f1_filter_contains_text,
@@ -2944,6 +3042,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ANN family in-window), eml_roundtrip (r4-green,
         # unchanged since).
         "s12_redact_text": q_s12_redact_text,
+        # r5 fourth session: multimodal_decode_gif yielded its slot to
+        # to_docx (r4 driver-green, unchanged; sibling decode_jpeg —
+        # the richer codec — in-window)
+        "multimodal_decode_gif": q_multimodal_decode_gif,
+        # r5 fourth session: e13_search_positions yielded its slot to
+        # pack_sequences (r4 driver-green, unchanged; auto_redact
+        # in-window composes the same find path) and s1_merge_by_date
+        # yielded its slot to multimodal_decode_wav (r4 driver-green,
+        # unchanged; comparator siblings s1_merge_by_title/comparator
+        # also below the boundary)
+        "e13_search_positions": q_e13_search_positions,
+        "s1_merge_by_date": q_s1_merge_by_date,
+        # r5 fourth session: e17_page_info yielded its slot to
+        # ann_pq_topk (r4 driver-green, unchanged; e17 siblings
+        # doc_info/full_info also below the boundary)
+        "e17_page_info": q_e17_page_info,
         # r5 fourth session: to_markdown yielded its slot to to_epub
         # (r4 driver-green, unchanged; block-pipeline siblings
         # to_html/to_xml/to_epub in-window)
@@ -3117,6 +3231,10 @@ def oracle_sql() -> dict[str, str]:
         "to_xml": O.TO_XML,
         "to_xml_tables": O.TO_XML_TABLES,
         "to_epub": O.TO_EPUB,
+        "to_docx": O.TO_DOCX,
+        "pack_sequences": O.PACK_SEQUENCES,
+        "multimodal_decode_wav": O.MULTIMODAL_DECODE_WAV,
+        "ann_pq_topk": O.ANN_PQ_TOPK,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

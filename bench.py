@@ -116,6 +116,10 @@ BENCH_QUERIES = (
     "to_xlsx",
     # round-5 fourth session
     "to_epub",
+    "to_docx",
+    "pack_sequences",
+    "multimodal_decode_wav",
+    "ann_pq_topk",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -421,3 +421,52 @@ def gif_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def wav_dims_for_ref(ref: str) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, n_frames, amp) for the deterministic
+    PCM16 WAV fixture — pure functions of sha256(ref) so the DuckDB
+    oracle re-derives them. n_frames is a multiple of 256, so the
+    interleaved sample count is always a multiple of 16 and the
+    sawtooth's |sample| statistics stay closed-form."""
+    h = hashlib.sha256(ref.encode()).digest()
+    channels = 1 + h[1] % 2
+    rate = (8000, 16000, 32000, 48000)[h[2] % 4]
+    n_frames = 256 * (1 + h[3] % 8)
+    amp = 1000 + 100 * (h[4] % 10)
+    return channels, rate, n_frames, amp
+
+
+def wav_sample(i: int, amp: int) -> int:
+    """i-th interleaved sample: alternating-sign 16-step sawtooth,
+    |sample| = amp + (i % 16) — so over any multiple of 16 samples
+    peak = amp + 15 and sum|s| = N*amp + (N/16)*120."""
+    mag = amp + (i % 16)
+    return mag if i % 2 == 0 else -mag
+
+
+def wav_payload_for_ref(ref: str) -> bytes:
+    """A VALID canonical-header PCM16 WAV whose sample statistics the
+    oracle states closed-form."""
+    from ..kernel import wav
+
+    channels, rate, n_frames, amp = wav_dims_for_ref(ref)
+    samples = [wav_sample(i, amp) for i in range(n_frames * channels)]
+    return wav.encode_pcm16(channels, rate, samples)
+
+
+def wav_table(docs: DataFrame) -> DataFrame:
+    """wav(media_ref, fmt='wav', payload) for every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["wav"] * len(refs), pa.string()),
+                 pa.array([wav_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -137,20 +137,12 @@ EPUB_SCHEMA = T.StructType([
 ])
 
 
-def to_epub(docs: DataFrame,
-            num_partitions: int | None = None) -> DataFrame:
-    """PDF -> EPUB structural export (/convert/pdf/epub; the reference
-    delegates to Calibre's ebook-convert binary,
-    ConvertPDFToEpubController.java:34-60 — here the OCF members are
-    emitted deterministically over the shared block pipeline,
-    kernel/epub_export.py, with the reference's
-    SMART_CHAPTER_EXPRESSION chapter rule). docs(doc_id, spans raw) ->
-    one row per container member (doc_id, ord, member, content);
-    empty documents emit no rows. Per-document kernel work only — one
-    narrow Arrow stage after the doc_id repartition, no shuffle
-    inside."""
-    from ..kernel.epub_export import epub_members
-
+def _to_members(docs: DataFrame, members_fn,
+                num_partitions: int | None = None) -> DataFrame:
+    """Shared container-export stage: per-document kernel fn
+    ``(doc_id, spans) -> [(order, member, content)]`` fanned into one
+    row per member. One narrow Arrow stage after the doc_id
+    repartition, no shuffle inside; empty docs emit no rows."""
     if num_partitions is None:
         num_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
 
@@ -161,7 +153,7 @@ def to_epub(docs: DataFrame,
             raw = _decode_span_lists(rb.column(names.index("spans")))
             out = ([], [], [], [])
             for did, spans in zip(ids, raw):
-                for order, member, content in epub_members(did, spans):
+                for order, member, content in members_fn(did, spans):
                     out[0].append(did)
                     out[1].append(order)
                     out[2].append(member)
@@ -176,3 +168,29 @@ def to_epub(docs: DataFrame,
 
     return docs.repartition(num_partitions, "doc_id").mapInArrow(
         run, EPUB_SCHEMA)
+
+
+def to_epub(docs: DataFrame,
+            num_partitions: int | None = None) -> DataFrame:
+    """PDF -> EPUB structural export (/convert/pdf/epub; the reference
+    delegates to Calibre's ebook-convert binary,
+    ConvertPDFToEpubController.java:34-60 — here the OCF members are
+    emitted deterministically over the shared block pipeline,
+    kernel/epub_export.py, with the reference's
+    SMART_CHAPTER_EXPRESSION chapter rule). docs(doc_id, spans raw) ->
+    one row per container member (doc_id, ord, member, content)."""
+    from ..kernel.epub_export import epub_members
+
+    return _to_members(docs, epub_members, num_partitions)
+
+
+def to_docx(docs: DataFrame,
+            num_partitions: int | None = None) -> DataFrame:
+    """PDF -> DOCX structural export (/convert/pdf/word; the reference
+    delegates to LibreOffice, PDFToFile.java:99 — here the OOXML
+    package members emit deterministically over the shared block
+    pipeline, kernel/docx_export.py). docs(doc_id, spans raw) -> one
+    row per OPC member (doc_id, ord, member, content)."""
+    from ..kernel.docx_export import docx_members
+
+    return _to_members(docs, docx_members, num_partitions)

@@ -518,3 +518,62 @@ def text_payload_metadata(docs: DataFrame, id_col: str = "doc_id",
         (F.lit(1) + (n * 2654435761) % 4096).cast("int").alias("width"),
         (F.lit(1) + (n * 2246822519) % 4096).cast("int").alias("height"),
     )
+
+
+AUDIO_DECODE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("bits", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    # integer |sample| statistics (peak / sum) — proof the PCM stream
+    # was actually decoded, not header-sniffed
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("sum_abs", T.LongType(), True),
+    T.StructField("reason", T.StringType(), True),
+])
+
+
+def decode_audio(media: DataFrame, payload_col: str = "payload",
+                 ref_col: str = "media_ref",
+                 fmt_col: str = "fmt") -> DataFrame:
+    """Arrow-batched REAL audio decode stage (kernel/wav.py RIFF/PCM):
+    one narrow mapInPandas, no shuffle; undecodable payloads yield
+    null stats + a reason instead of failing the batch — the same
+    per-row error isolation as decode_images."""
+    from ..kernel import wav
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(fmt_col).alias("fmt"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "fmt", "n_bytes", "channels",
+                "sample_rate", "bits", "n_frames", "duration_ms",
+                "peak", "sum_abs", "reason")}
+            for ref, fmt, payload in zip(pdf["media_ref"], pdf["fmt"],
+                                         pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                info = reason = None
+                try:
+                    info = wav.decode(b)
+                except (NotImplementedError, ValueError,
+                        struct.error) as e:
+                    reason = str(e) or type(e).__name__
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["n_bytes"].append(len(b))
+                for field in ("channels", "sample_rate", "bits",
+                              "n_frames", "duration_ms", "peak",
+                              "sum_abs"):
+                    out[field].append(
+                        getattr(info, field) if info else None)
+                out["reason"].append(reason)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_DECODE_SCHEMA)

@@ -1,0 +1,99 @@
+"""Training-sequence packing (concat-and-chunk) for LLM pretraining.
+
+The standard pretraining batcher (GPT-2/3 style; also the default in
+most open dataloaders) concatenates all documents in a deterministic
+order into one token stream and slices it into fixed-length training
+sequences; a document that straddles a boundary is split across the
+two sequences. This is the canonical "pack the corpus into 2048-token
+rows" op a 100-TB training pipeline runs LAST, after dedup/filtering.
+
+`pack_sequences` assigns every document its sequence span without
+materializing the token stream:
+
+  1. tokens per doc = whitespace token count (the corpus convention
+     shared with textstats.token_counts);
+  2. the GLOBAL token offset of each doc comes from a two-phase
+     prefix sum — repartitionByRange on the order key, a local
+     window cumsum per range, then per-partition totals (one bounded
+     collect, one row per partition — the s1-merge pattern,
+     pageops.py:197-226) broadcast back as a literal map. No global
+     single-partition window anywhere;
+  3. each doc explodes into the sequences it overlaps:
+     seq_id in [start div L, (end-1) div L], with the token offset
+     inside the sequence and the contributed token count as closed-
+     form column arithmetic.
+
+Output: one row per (doc, overlapped sequence) —
+(doc_id, n_tokens, seq_id, tok_start, n_in_seq) where tok_start is
+the document's first token position WITHIN that sequence and
+n_in_seq how many of its tokens land there; sum(n_in_seq) per doc ==
+n_tokens, and sum(n_in_seq) per seq_id == L for every full sequence.
+
+Scale shape: one range shuffle + one explode; the collect is bounded
+by the partition count, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..runtime.staging import stage
+from .dedup import words_col
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_ranges: int | None = None) -> DataFrame:
+    """Assign each document its spans in the packed token stream."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    spark = df.sparkSession
+    nr = num_ranges or spark.sparkContext.defaultParallelism
+
+    # split(trim('')) yields [''] (size 1), so whitespace-only docs
+    # must be dropped on the trimmed text, not the token count
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.size(words_col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    ranged = toks.repartitionByRange(nr, F.col(id_col)) \
+        .withColumn("_pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.select(
+        id_col, "n_tokens", "_pid",
+        F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)).alias("_lps"),
+    )
+    local = stage(local)  # two consumers: totals + final projection
+
+    totals = sorted(
+        local.groupBy("_pid").agg(F.sum("n_tokens").alias("sp")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    off: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        off[r["_pid"]] = acc
+        acc += int(r["sp"] or 0)
+    po = (F.coalesce(F.element_at(
+        F.create_map(*[F.lit(v) for kv in off.items() for v in kv]),
+        F.col("_pid")), F.lit(0)) if off else F.lit(0))
+
+    start = (F.col("_lps") + po).alias("tok_off")
+    spanned = local.select(id_col, "n_tokens", start).withColumn(
+        "seq_id",
+        F.explode(F.sequence(
+            F.expr(f"tok_off DIV {seq_len}"),
+            F.expr(f"(tok_off + n_tokens - 1) DIV {seq_len}"))),
+    )
+    seq_base = F.col("seq_id") * seq_len
+    doc_end = F.col("tok_off") + F.col("n_tokens")
+    first_in_seq = F.greatest(F.col("tok_off"), seq_base)
+    return spanned.select(
+        id_col, "n_tokens", "seq_id",
+        (first_in_seq - seq_base).cast("long").alias("tok_start"),
+        (F.least(doc_end, seq_base + seq_len) - first_in_seq)
+        .cast("long").alias("n_in_seq"),
+    )

@@ -3583,3 +3583,205 @@ FROM m
 
 
 TO_EPUB = _to_epub_sql()
+
+
+def _to_docx_sql() -> str:
+    """pdf->docx over the two-chapter corpus (docs >= 24 words): the
+    four OPC members restated closed-form — constant
+    [Content_Types].xml / _rels/.rels / word/styles.xml, and
+    word/document.xml as heading+paragraph WordprocessingML pairs over
+    the ceil-half word split (corpus is entity-free, so the escape
+    chain is the identity and the oracle may omit it)."""
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">\n'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>\n'
+        '<Default Extension="xml" ContentType="application/xml"/>\n'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'wordprocessingml.document.main+xml"/>\n'
+        '<Override PartName="/word/styles.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'wordprocessingml.styles+xml"/>\n'
+        '</Types>')
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">\n'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="word/document.xml"/>\n'
+        '</Relationships>')
+
+    def style(sid: str, name: str) -> str:
+        return (f'<w:style w:type="paragraph" w:styleId="{sid}">'
+                f'<w:name w:val="{name}"/></w:style>')
+
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<w:styles xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main">\n'
+        + style("Heading1", "heading 1") + "\n"
+        + style("Heading2", "heading 2") + "\n"
+        + style("ListParagraph", "List Paragraph") + "\n"
+        + '</w:styles>')
+    head = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main">\n<w:body>\n')
+    tail = '<w:sectPr/>\n</w:body>\n</w:document>'
+
+    def hpara(text: str) -> str:
+        return ('<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+                '<w:r><w:t xml:space="preserve">' + text
+                + '</w:t></w:r></w:p>')
+
+    def ppara(words: str) -> str:
+        return ("'<w:p><w:r><w:t xml:space=\"preserve\">' || "
+                + words + " || '</w:t></w:r></w:p>'")
+
+    doc_expr = ("'" + head + hpara("Chapter 1") + "\n' || "
+                + ppara("c1") + " || '\n" + hpara("Chapter 2")
+                + "\n' || " + ppara("c2") + " || '\n" + tail + "'")
+
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 24
+), e AS (
+  SELECT did,
+         array_to_string(w[1:(len(w)+1)//2], ' ') AS c1,
+         array_to_string(w[(len(w)+1)//2+1:], ' ') AS c2
+  FROM d
+), m AS (
+  SELECT did, 0 AS o, '[Content_Types].xml' AS member,
+         '{content_types}' AS content FROM e
+  UNION ALL
+  SELECT did, 1, '_rels/.rels', '{rels}' FROM e
+  UNION ALL
+  SELECT did, 2, 'word/styles.xml', '{styles}' FROM e
+  UNION ALL
+  SELECT did, 3, 'word/document.xml', {doc_expr} FROM e
+)
+SELECT did AS doc_id, CAST(o AS INTEGER) AS ord, member,
+       md5(content) AS content_md5,
+       CAST(length(content) AS BIGINT) AS n_chars
+FROM m
+"""
+
+
+TO_DOCX = _to_docx_sql()
+
+
+# Training-sequence packing: cumulative whitespace-token offsets in
+# doc_id order (the oracle may use the global window DuckDB runs
+# single-node anyway; the Spark side uses the two-phase prefix sum),
+# then each doc unnests into the 512-token sequences it overlaps.
+PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS tok_off
+  FROM t
+)
+SELECT c.doc_id, c.n_tokens,
+       CAST(s.seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(tok_off, s.seq_id * 512) - s.seq_id * 512
+            AS BIGINT) AS tok_start,
+       CAST(LEAST(tok_off + n_tokens, (s.seq_id + 1) * 512)
+            - GREATEST(tok_off, s.seq_id * 512) AS BIGINT) AS n_in_seq
+FROM c, unnest(generate_series(tok_off // 512,
+                               (tok_off + n_tokens - 1) // 512))
+         AS s(seq_id)
+"""
+
+
+# WAV decode (corpus.media.wav_payload_for_ref): channels/rate/frames/
+# amp are pure functions of sha256(ref); the alternating-sign 16-step
+# sawtooth makes |sample| statistics closed-form over the N = frames *
+# channels interleaved samples (N is always a multiple of 16):
+# peak = amp + 15, sum|s| = N*amp + (N/16)*120.
+MULTIMODAL_DECODE_WAV = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), p AS (
+  SELECT media_ref,
+         1 + {_hexb(3)} % 2 AS channels,
+         CASE {_hexb(5)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 32000 ELSE 48000 END AS rate,
+         256 * (1 + {_hexb(7)} % 8) AS frames,
+         1000 + 100 * ({_hexb(9)} % 10) AS amp
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(amp + 15 AS BIGINT) AS peak,
+       CAST(frames * channels * amp
+            + (frames * channels // 16) * 120 AS BIGINT) AS sum_abs
+FROM p
+"""
+
+
+# Product-quantization ANN (Jégou et al. 2011): 8 subspaces of 8 dims,
+# 8 codewords each — deterministic literal codebooks (the LSH_PLANES /
+# IVF_CENTROIDS literal-embedding trick) so the DuckDB oracle encodes
+# and ADC-scores bit-identically: per-subspace squared-L2 terms as
+# left-associated chains, codes as 1-based first-occurrence argmin,
+# approx distance as the explicit 8-term LUT sum.
+PQ_M = 8
+PQ_K = 8
+PQ_SUB = LSH_DIM // PQ_M
+PQ_SEED = 11
+PQ_CODEBOOKS = [make_planes(PQ_SEED + m, PQ_K, PQ_SUB)
+                for m in range(PQ_M)]
+
+
+def _ann_pq_topk_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    dls = ", ".join(
+        "[" + ", ".join(
+            " + ".join(
+                f"(v[{m * PQ_SUB + i + 1}] - ({w!r}))"
+                f" * (v[{m * PQ_SUB + i + 1}] - ({w!r}))"
+                for i, w in enumerate(cw)
+            )
+            for cw in PQ_CODEBOOKS[m]
+        ) + "]"
+        for m in range(PQ_M)
+    )
+    approx = " + ".join(
+        f"q.qdls[{m + 1}][k.code[{m + 1}]]" for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT id, v, [{dls}] AS dls FROM e),
+k AS (SELECT id,
+             list_transform(dls, dl -> list_indexof(dl, list_min(dl)))
+               AS code
+      FROM c),
+q AS (SELECT id AS query_id, dls AS qdls FROM c WHERE id IN ({ids})),
+s AS (SELECT q.query_id, k.id, {approx} AS approx
+      FROM q JOIN k ON k.id <> q.query_id),
+r AS (SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx ASC, id ASC)
+                  AS BIGINT) AS rank
+      FROM s)
+SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ANN_PQ_TOPK = _ann_pq_topk_sql()

@@ -36,7 +36,8 @@ R5_NEW_OR_CHANGED = [
     # r5 third session (never had a driver row)
     "to_xlsx",
     # r5 fourth session (never had a driver row)
-    "to_epub",
+    "to_epub", "to_docx", "pack_sequences", "multimodal_decode_wav",
+    "ann_pq_topk",
 ]
 
 
