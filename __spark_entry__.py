@@ -1632,6 +1632,32 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "peak", "sum_abs")
 
 
+def q_to_pptx(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
+    """PDF -> PPTX structural export (/convert/pdf/presentation;
+    PDFToFile.java:99 delegates to the out-of-scope LibreOffice binary
+    — here the OOXML members emit over the per-page block view with
+    one slide per page, kernel/pptx_export.py) over the two-page
+    corpus (docs >= 24 words; smaller docs derive empty and emit
+    nothing): six OPC members per doc — [Content_Types].xml with the
+    two slide overrides, _rels/.rels, presentation.xml + its rels,
+    and one slide XML per page ('Part N' heading + the ceil-half word
+    split paragraph). Pinned by member md5 + length."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_slides_from_documents,
+    )
+    from stirling_pdf_spark.operators.markdown import to_pptx
+
+    _ship_package(spark)
+    if docs is None:
+        docs = docs_slides_from_documents(spark, sf_dir)
+    out = to_pptx(docs)
+    return out.select(
+        "doc_id", F.col("ord").cast("int").alias("ord"), "member",
+        F.md5("content").alias("content_md5"),
+        F.length("content").cast("long").alias("n_chars"))
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with deterministic
     literal codebooks: vectors encode to 8 one-byte codes (the 32x
@@ -2999,6 +3025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
         # below the boundary)
         "ann_pq_topk": q_ann_pq_topk,
+        # r5 fourth session: pdf->pptx OPC member export, one slide
+        # per page (took the slot of ann_cosine_topk — r4
+        # driver-green, unchanged; the ANN family stays represented
+        # in-window by ann_ivf_topk/ann_ivf_nprobe3/ann_pq_topk)
+        "to_pptx": q_to_pptx,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3031,8 +3062,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
         "dedup_exact_groups": q_dedup_exact,
-        "ann_cosine_topk": q_ann_topk,
         # ---------------- 50-row window boundary ----------------
+        # r5 fourth session: ann_cosine_topk yielded its slot to
+        # to_pptx (r4 driver-green, unchanged; ANN siblings
+        # ivf/nprobe3/pq in-window)
+        "ann_cosine_topk": q_ann_topk,
         # r5 continuation: FIVE stable gates yielded slots to the five
         # continuation gates. s12_redact_text (r5 driver-green; the
         # in-window auto_redact composes the same find+mask path),
@@ -3235,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": O.PACK_SEQUENCES,
         "multimodal_decode_wav": O.MULTIMODAL_DECODE_WAV,
         "ann_pq_topk": O.ANN_PQ_TOPK,
+        "to_pptx": O.TO_PPTX,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -120,6 +120,7 @@ BENCH_QUERIES = (
     "pack_sequences",
     "multimodal_decode_wav",
     "ann_pq_topk",
+    "to_pptx",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -223,3 +223,12 @@ def docs_chapters_from_documents(spark: SparkSession,
     from .synth import chapters_from_text
 
     return _derive_docs(spark, sf_dir, chapters_from_text)
+
+
+def docs_slides_from_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Two-page corpus for the pdf->pptx gate (docs under 24 words
+    derive to empty span lists and emit no members)."""
+    from .synth import slides_from_text
+
+    return _derive_docs(spark, sf_dir, slides_from_text)

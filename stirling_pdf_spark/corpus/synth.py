@@ -672,3 +672,37 @@ def chapters_from_text(doc_id: str, text: str):
         for i in range(0, len(chunk), 6):
             emit(" ".join(chunk[i:i + 6]), FS)
     return doc_id, spans
+
+
+def slides_from_text(doc_id: str, text: str):
+    """Derive a two-PAGE document from plain text — the corpus for the
+    pdf->pptx gate (one slide per page, the soffice invariant).
+
+    Same keep rule as chapters_from_text (docs under 24 words yield NO
+    spans; the 11 pt body majority keeps 18 pt 'Part N' lines in the
+    heading1 branch). Kept docs split their words in half (ceil):
+    page 1 carries 'Part 1' + first-half body lines of 6 words,
+    page 2 'Part 2' + the rest — page 2 opens with a heading, so the
+    cross-page continuation quirk never fires and the per-page and
+    stitched views agree."""
+    words = text.split()
+    if len(words) < 24:
+        return doc_id, []
+    half = (len(words) + 1) // 2
+    spans: list[tuple[str, str, str, int]] = []
+
+    for page, part, chunk in ((1, 1, words[:half]), (2, 2, words[half:])):
+        line_no = 0
+
+        def emit(content: str, size: float) -> None:
+            nonlocal line_no
+            run = TextRun(page, LEFT_X, TOP_Y + LINE_STEP * line_no,
+                          size, FONT, content)
+            spans.append(("text", wire.encode_text_run(run),
+                          "", len(spans)))
+            line_no += 1
+
+        emit(f"Part {part}", 18.0)
+        for i in range(0, len(chunk), 6):
+            emit(" ".join(chunk[i:i + 6]), FS)
+    return doc_id, spans

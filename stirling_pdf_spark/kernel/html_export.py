@@ -165,11 +165,11 @@ def _emit(blocks: list[tuple[str, object]]) -> str:
     return "\n".join(out)
 
 
-def typed_doc_blocks(spans) -> list[tuple[str, object]]:
-    """Raw interleaved spans -> stitched typed blocks
-    (kind, payload) with kind in heading1/heading2/bold/bullet/para/
-    table/image — the shared assembly behind the HTML and XML
-    emitters. Mirrors kernel.markdown.markdown_doc block for block."""
+def typed_pages(spans) -> list[tuple[int, list[tuple[str, object]]]]:
+    """Raw interleaved spans -> PER-PAGE typed blocks
+    [(page, [(kind, payload)])] BEFORE cross-page stitching — the
+    slide-granular view the PPTX exporter consumes; typed_doc_blocks
+    folds these pages into the stitched document stream."""
     runs_by_page: dict[int, list] = defaultdict(list)
     media_by_page: dict[int, list] = defaultdict(list)
     for kind, text, media_ref, _off in sorted(spans, key=lambda s: s[3]):
@@ -195,7 +195,7 @@ def typed_doc_blocks(spans) -> list[tuple[str, object]]:
     median_size = _weighted_median(glyph_counts, FALLBACK_MEDIAN)
     median_height = _median(line_heights, FALLBACK_MEDIAN)
 
-    output: list[tuple[str, object]] = []
+    pages: list[tuple[int, list[tuple[str, object]]]] = []
     for page in sorted(set(runs_by_page) | set(media_by_page)):
         page_lines = lines_by_page.get(page, [])
         grid = (None if is_two_column(page_lines)
@@ -210,6 +210,17 @@ def typed_doc_blocks(spans) -> list[tuple[str, object]]:
                 page_lines, median_size, median_height)
         page_items.extend(
             ("image", _image_alt(d)) for d in media_by_page.get(page, ()))
+        pages.append((page, page_items))
+    return pages
+
+
+def typed_doc_blocks(spans) -> list[tuple[str, object]]:
+    """Raw interleaved spans -> stitched typed blocks
+    (kind, payload) with kind in heading1/heading2/bold/bullet/para/
+    table/image — the shared assembly behind the HTML and XML
+    emitters. Mirrors kernel.markdown.markdown_doc block for block."""
+    output: list[tuple[str, object]] = []
+    for _page, page_items in typed_pages(spans):
         # cross-page sentence continuation: any STRING block absorbs
         # (the reference quirk), never into/out of a table
         if output and page_items:

@@ -184,6 +184,18 @@ def to_epub(docs: DataFrame,
     return _to_members(docs, epub_members, num_partitions)
 
 
+def to_pptx(docs: DataFrame,
+            num_partitions: int | None = None) -> DataFrame:
+    """PDF -> PPTX structural export (/convert/pdf/presentation; the
+    reference delegates to LibreOffice, PDFToFile.java:99 — here the
+    OOXML package members emit deterministically with ONE SLIDE PER
+    PAGE over the per-page block view, kernel/pptx_export.py).
+    docs(doc_id, spans raw) -> one row per OPC member."""
+    from ..kernel.pptx_export import pptx_members
+
+    return _to_members(docs, pptx_members, num_partitions)
+
+
 def to_docx(docs: DataFrame,
             num_partitions: int | None = None) -> DataFrame:
     """PDF -> DOCX structural export (/convert/pdf/word; the reference

@@ -3785,3 +3785,101 @@ SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
 
 
 ANN_PQ_TOPK = _ann_pq_topk_sql()
+
+
+def _to_pptx_sql() -> str:
+    """pdf->pptx over the two-page corpus (docs >= 24 words): the six
+    OPC members restated closed-form — slide-count-2 [Content_Types]/
+    presentation/rels skeletons as constants, and the two slide XMLs
+    as 'Part N' heading + ceil-half word-split paragraph (corpus is
+    entity-free, the escape chain is the identity)."""
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">\n'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>\n'
+        '<Default Extension="xml" ContentType="application/xml"/>\n'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'presentationml.presentation.main+xml"/>\n'
+        + "".join(
+            f'<Override PartName="/ppt/slides/slide{i}.xml" '
+            'ContentType="application/vnd.openxmlformats-'
+            'officedocument.presentationml.slide+xml"/>\n'
+            for i in (1, 2))
+        + '</Types>')
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">\n'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="ppt/presentation.xml"/>\n'
+        '</Relationships>')
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">\n'
+        '<p:sldIdLst>\n'
+        '<p:sldId id="256" r:id="rId1"/>\n'
+        '<p:sldId id="257" r:id="rId2"/>\n'
+        '</p:sldIdLst>\n</p:presentation>')
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">\n'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/'
+            f'slide" Target="slides/slide{i}.xml"/>\n'
+            for i in (1, 2))
+        + '</Relationships>')
+    slide_head = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+        '2006/main" xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main">\n'
+        '<p:cSld><p:spTree>\n<p:sp><p:txBody>\n')
+    slide_tail = '</p:txBody></p:sp>\n</p:spTree></p:cSld>\n</p:sld>'
+
+    def slide(part: int, words: str) -> str:
+        return ("'" + slide_head
+                + f'<a:p><a:r><a:rPr b="1" sz="3200"/><a:t>Part {part}'
+                  '</a:t></a:r></a:p>\n'
+                  "<a:p><a:r><a:rPr/><a:t>' || " + words
+                + " || '</a:t></a:r></a:p>\n" + slide_tail + "'")
+
+    return f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 24
+), e AS (
+  SELECT did,
+         array_to_string(w[1:(len(w)+1)//2], ' ') AS c1,
+         array_to_string(w[(len(w)+1)//2+1:], ' ') AS c2
+  FROM d
+), m AS (
+  SELECT did, 0 AS o, '[Content_Types].xml' AS member,
+         '{ct}' AS content FROM e
+  UNION ALL
+  SELECT did, 1, '_rels/.rels', '{rels}' FROM e
+  UNION ALL
+  SELECT did, 2, 'ppt/presentation.xml', '{pres}' FROM e
+  UNION ALL
+  SELECT did, 3, 'ppt/_rels/presentation.xml.rels', '{pres_rels}' FROM e
+  UNION ALL
+  SELECT did, 4, 'ppt/slides/slide1.xml', {slide(1, 'c1')} FROM e
+  UNION ALL
+  SELECT did, 5, 'ppt/slides/slide2.xml', {slide(2, 'c2')} FROM e
+)
+SELECT did AS doc_id, CAST(o AS INTEGER) AS ord, member,
+       md5(content) AS content_md5,
+       CAST(length(content) AS BIGINT) AS n_chars
+FROM m
+"""
+
+
+TO_PPTX = _to_pptx_sql()
