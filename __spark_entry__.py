@@ -3061,11 +3061,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s3_running_sum_buckets": R.s3_running_sum_buckets,
-        "dedup_exact_groups": q_dedup_exact,
         # ---------------- 50-row window boundary ----------------
-        # r5 fourth session: ann_cosine_topk yielded its slot to
-        # to_pptx (r4 driver-green, unchanged; ANN siblings
-        # ivf/nprobe3/pq in-window)
+        # r5 fourth session: ann_cosine_topk and dedup_exact_groups
+        # yielded their slots to to_pptx and the fourth-session count
+        # (both r4 driver-green, unchanged; ANN siblings
+        # ivf/nprobe3/pq and dedup siblings minhash/simhash/jaccard
+        # families remain exercised by in-window gates)
+        "dedup_exact_groups": q_dedup_exact,
         "ann_cosine_topk": q_ann_topk,
         # r5 continuation: FIVE stable gates yielded slots to the five
         # continuation gates. s12_redact_text (r5 driver-green; the
