@@ -1670,6 +1670,19 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, O.PQ_CODEBOOKS, O.ANN_QUERY_IDS, k=O.ANN_K)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS's default index family): IVF cells prune
+    candidates to the 2 nearest lists, PQ codes prune bytes per
+    candidate — both dials compose multiplicatively; ranked by the
+    ADC LUT sum, fp-exact vs the oracle
+    (operators/similarity.ivfpq_topk)."""
+    from stirling_pdf_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, O.IVF_CENTROIDS, O.PQ_CODEBOOKS,
+                      O.ANN_QUERY_IDS, k=O.ANN_K, nprobe=O.IVF_NPROBE)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (concat-and-chunk, the GPT-style
     pretraining batcher): documents in doc_id order concatenate into
@@ -3030,6 +3043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green, unchanged; the ANN family stays represented
         # in-window by ann_ivf_topk/ann_ivf_nprobe3/ann_pq_topk)
         "to_pptx": q_to_pptx,
+        # r5 fourth session: IVF-PQ composition (took the slot of
+        # s3_running_sum_buckets — r4 driver-green, unchanged;
+        # running-sum siblings s3_split_doc_count/byte_size in-window)
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3060,8 +3077,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green then, re-verified locally since)
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "s3_running_sum_buckets": R.s3_running_sum_buckets,
         # ---------------- 50-row window boundary ----------------
+        # r5 fourth session: s3_running_sum_buckets yielded its slot
+        # to ann_ivfpq_topk (r4 driver-green, unchanged; running-sum
+        # siblings s3_split_doc_count/byte_size and pack_sequences
+        # in-window)
+        "s3_running_sum_buckets": R.s3_running_sum_buckets,
         # r5 fourth session: ann_cosine_topk and dedup_exact_groups
         # yielded their slots to to_pptx and the fourth-session count
         # (both r4 driver-green, unchanged; ANN siblings
@@ -3272,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_wav": O.MULTIMODAL_DECODE_WAV,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
+        "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -121,6 +121,7 @@ BENCH_QUERIES = (
     "multimodal_decode_wav",
     "ann_pq_topk",
     "to_pptx",
+    "ann_ivfpq_topk",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

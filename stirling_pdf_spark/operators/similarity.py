@@ -238,3 +238,62 @@ def pq_codes_expr(vec_col: str, codebooks):
     return F.transform(
         dls, lambda dl: F.array_position(dl, F.array_min(dl)).cast("int")
     ).alias("codes")
+
+
+def ivfpq_topk(df: DataFrame, centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               query_ids: list[int], k: int = 3, nprobe: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ — the production ANN shape (FAISS's default index
+    family, Jégou et al. 2011 §V): the IVF coarse quantizer prunes
+    CANDIDATES to the query's nprobe nearest cells (touch nprobe/k of
+    the corpus) while PQ prunes BYTES per candidate (M code lookups
+    instead of a dim-float scan). Candidates rank by the ADC LUT sum;
+    output (query_id, rank, neighbor_id), fp-exact vs the oracle.
+
+    At 100 TB the inverted list is the partitioning key and the code
+    table is the only per-row payload read — both dials compose
+    multiplicatively."""
+    from .ivf import _dists_expr
+
+    v = parallelize(df).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("v"))
+    with_d = v.withColumn("cdists", _dists_expr("v", centroids))
+    coded = with_d.select(
+        "id",
+        (F.array_position("cdists", F.array_min("cdists")) - 1)
+        .cast("int").alias("cluster"),
+        pq_codes_expr("v", codebooks),
+    )
+    probe_lists = F.slice(
+        F.expr("array_sort(transform(cdists,"
+               " (d, i) -> struct(d as d, i as i)))"),
+        1, nprobe,
+    )
+    q = (
+        with_d.filter(F.col("id").isin([int(x) for x in query_ids]))
+        .select(
+            F.col("id").alias("query_id"),
+            F.transform(probe_lists, lambda s: s["i"]).alias("probes"),
+            pq_dist_lists("v", codebooks).alias("qdls"),
+        )
+    )
+    m_terms = None
+    for m in range(len(codebooks)):
+        term = F.element_at(
+            F.element_at(F.col("qdls"), m + 1),
+            F.element_at(F.col("codes"), m + 1))
+        m_terms = term if m_terms is None else m_terms + term
+    scored = (
+        F.broadcast(q)
+        .join(coded, F.array_contains(F.col("probes"), F.col("cluster")))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("approx", m_terms)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"))
+    )

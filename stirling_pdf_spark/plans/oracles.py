@@ -3883,3 +3883,60 @@ FROM m
 
 
 TO_PPTX = _to_pptx_sql()
+
+
+def _ann_ivfpq_topk_sql(nprobe: int = IVF_NPROBE) -> str:
+    """IVF-PQ: the IVF oracle's probe CTE composed with the PQ
+    oracle's ADC sum — candidates from the nprobe nearest cells,
+    ranked by the 8-term LUT distance."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cdl = ", ".join(
+        " + ".join(
+            f"(v[{i + 1}] - ({w!r})) * (v[{i + 1}] - ({w!r}))"
+            for i, w in enumerate(c)
+        )
+        for c in IVF_CENTROIDS
+    )
+    dls = ", ".join(
+        "[" + ", ".join(
+            " + ".join(
+                f"(v[{m * PQ_SUB + i + 1}] - ({w!r}))"
+                f" * (v[{m * PQ_SUB + i + 1}] - ({w!r}))"
+                for i, w in enumerate(cw)
+            )
+            for cw in PQ_CODEBOOKS[m]
+        ) + "]"
+        for m in range(PQ_M)
+    )
+    approx = " + ".join(
+        f"qp.qdls[{m + 1}][a.code[{m + 1}]]" for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT id, v, [{cdl}] AS cdl, [{dls}] AS dls FROM e),
+a AS (SELECT id, list_indexof(cdl, list_min(cdl)) AS cluster,
+             list_transform(dls, dl -> list_indexof(dl, list_min(dl)))
+               AS code
+      FROM c),
+q0 AS (SELECT id AS query_id, cdl AS qcdl, dls AS qdls FROM c
+       WHERE id IN ({ids})),
+qp AS (
+  SELECT query_id, qdls, i AS probe,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcdl[i] ASC, i ASC) AS pr
+  FROM q0, unnest(range(1, {IVF_K} + 1)) AS t(i)
+),
+s AS (
+  SELECT qp.query_id, a.id, {approx} AS approx
+  FROM qp JOIN a ON a.cluster = qp.probe
+  WHERE qp.pr <= {nprobe} AND a.id <> qp.query_id
+),
+r AS (SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx ASC, id ASC)
+                  AS BIGINT) AS rank
+      FROM s)
+SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ANN_IVFPQ_TOPK = _ann_ivfpq_topk_sql()

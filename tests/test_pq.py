@@ -49,6 +49,34 @@ def test_codes_valid_and_match_numpy(spark, emb):
         assert list(got) == list(expect[r["vec_id"]])
 
 
+def test_ivfpq_prunes_candidates_and_matches_numpy(spark, emb):
+    from stirling_pdf_spark.operators.similarity import ivfpq_topk
+
+    cents = make_planes(200, 3, M * SUB)      # 3 coarse cells
+    queries = [0, 9]
+    out = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                 for r in ivfpq_topk(emb, cents, CODEBOOKS, queries,
+                                     k=3, nprobe=2).collect())
+    x = np.asarray(np.float32(_vectors(40)), dtype=np.float64)
+    cb = np.asarray(CODEBOOKS)
+    cents_np = np.asarray(cents)
+    cd = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+    cluster = cd.argmin(axis=1)
+    codes = _np_codes(x) - 1
+    expect = []
+    for qid in queries:
+        probes = set(np.argsort(cd[qid], kind="stable")[:2])
+        luts = [((x[qid, m * SUB:(m + 1) * SUB][None, :] - cb[m]) ** 2)
+                .sum(axis=1) for m in range(M)]
+        cands = [i for i in range(len(x))
+                 if i != qid and cluster[i] in probes]
+        cands.sort(key=lambda i: (
+            sum(luts[m][codes[i, m]] for m in range(M)), i))
+        expect += [(qid, rank + 1, i) for rank, i in
+                   enumerate(cands[:3])]
+    assert out == sorted(expect)
+
+
 def test_adc_ranking_matches_numpy(spark, emb):
     queries = [0, 5, 9]
     out = sorted((r["query_id"], r["rank"], r["neighbor_id"])
