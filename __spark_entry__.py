@@ -1670,6 +1670,19 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, O.PQ_CODEBOOKS, O.ANN_QUERY_IDS, k=O.ANN_K)
 
 
+def q_dedup_substring_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-substring coverage (Lee et al.
+    2022): global 8-token-shingle frequency >= 2 marks dup positions;
+    per-doc covered-token union via the sorted-positions fold; keep
+    flag = dup coverage under half the doc
+    (operators/dedup.substring_dup_coverage — inverted-index shuffle,
+    per-doc window, no driver state)."""
+    from stirling_pdf_spark.operators.dedup import substring_dup_coverage
+
+    return substring_dup_coverage(
+        read_table(spark, sf_dir, "documents"), w=8)
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (FAISS's default index family): IVF cells prune
     candidates to the 2 nearest lists, PQ codes prune bytes per
@@ -3047,6 +3060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s3_running_sum_buckets — r4 driver-green, unchanged;
         # running-sum siblings s3_split_doc_count/byte_size in-window)
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # r5 fourth session: ExactSubstr-style coverage (took the slot
+        # of f1_filter_contains_text — r4 driver-green, unchanged;
+        # in-window auto_redact exercises the same contains path)
+        "dedup_substring_cov": q_dedup_substring_cov,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3075,9 +3092,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_extract": q_text_url_extract,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
-        "f1_filter_contains_text": R.f1_filter_contains_text,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---------------- 50-row window boundary ----------------
+        # r5 fourth session: f1_filter_contains_text yielded its slot
+        # to dedup_substring_cov (r4 driver-green, unchanged;
+        # in-window auto_redact exercises the same contains path)
+        "f1_filter_contains_text": R.f1_filter_contains_text,
         # r5 fourth session: s3_running_sum_buckets yielded its slot
         # to ann_ivfpq_topk (r4 driver-green, unchanged; running-sum
         # siblings s3_split_doc_count/byte_size and pack_sequences
@@ -3294,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,
+        "dedup_substring_cov": O.DEDUP_SUBSTRING_COV,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

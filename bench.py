@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "ann_pq_topk",
     "to_pptx",
     "ann_ivfpq_topk",
+    "dedup_substring_cov",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -702,3 +702,74 @@ def image_ahash(media: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema)
+
+
+def substring_dup_coverage(df: DataFrame, w: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style duplicate-substring coverage (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — public literature; the suffix-array pass is
+    replaced by the Spark-native equivalent: every duplicated
+    substring of >= w tokens contains a duplicated w-token shingle,
+    so fixed-w shingle matching detects exactly the >= w repeats).
+
+    Per document: every w-token shingle position; a shingle is DUP
+    when its global corpus frequency >= 2 (cross-doc or self-repeat,
+    like ExactSubstr); covered tokens = union length of the [pos,
+    pos+w-1] intervals at dup positions (sorted-positions fold:
+    min(w, next_pos - pos), last takes w). Output one row per doc —
+    (doc_id, n_tokens, dup_starts, dup_cov, keep) with keep = 1 when
+    dup coverage is under half the doc (INT flag, house style).
+
+    Scale shape: one explode + one partial-agg'd groupBy on the
+    shingle (the inverted-index shuffle, same as the n-gram Jaccard
+    family), one join back, one per-doc window. No driver state; the
+    shingle-frequency table is corpus-vocabulary-sized, not
+    position-sized, after the partial agg."""
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        words_col(text_col).alias("wd"),
+    ).withColumn("n_tokens", F.size("wd").cast("long"))
+    sh = toks.select(
+        "id", "n_tokens",
+        F.posexplode(
+            F.when(
+                F.size("wd") >= w,
+                F.expr(f"transform(sequence(0, size(wd) - {w}),"
+                       f" i -> concat_ws(' ', slice(wd, i + 1, {w})))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "sh"),
+    )
+    from ..runtime.staging import stage
+
+    sh = stage(sh)  # two consumers: frequency table + position join
+    dup = sh.groupBy("sh").agg(F.count("*").alias("n")) \
+        .filter(F.col("n") >= 2).select("sh")
+    p = sh.join(dup, "sh").select("id", "pos")
+    nxt = F.lead("pos").over(Window.partitionBy("id").orderBy("pos"))
+    g = (
+        p.withColumn("nxt", nxt)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("dup_starts"),
+            F.sum(F.least(F.lit(w),
+                          F.coalesce(F.col("nxt") - F.col("pos"),
+                                     F.lit(w))))
+            .cast("long").alias("dup_cov"),
+        )
+    )
+    return (
+        toks.select("id", "n_tokens")
+        .join(g, "id", "left")
+        .select(
+            F.col("id").alias(id_col), "n_tokens",
+            F.coalesce("dup_starts", F.lit(0)).cast("long")
+            .alias("dup_starts"),
+            F.coalesce("dup_cov", F.lit(0)).cast("long")
+            .alias("dup_cov"),
+            F.when(F.coalesce("dup_cov", F.lit(0)) * 2
+                   < F.col("n_tokens"), 1).otherwise(0)
+            .cast("int").alias("keep"),
+        )
+    )

@@ -3940,3 +3940,40 @@ SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= {ANN_K}
 
 
 ANN_IVFPQ_TOPK = _ann_ivfpq_topk_sql()
+
+
+# ExactSubstr-style duplicate-substring coverage (Lee et al. 2022):
+# dup = global w-shingle frequency >= 2; covered tokens = union of
+# fixed-length intervals at dup positions via the sorted-positions
+# fold min(w, next - pos).
+DEDUP_SUBSTRING_COV = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE trim(text) <> ''
+), t AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM d
+), s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[i+1 : i+8], ' ') AS sh
+  FROM t, unnest(range(0, greatest(len(w) - 7, 0))) AS u(i)
+), c AS (
+  SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2
+), p AS (
+  SELECT s.doc_id, s.pos FROM s JOIN c USING (sh)
+), g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts,
+         CAST(SUM(LEAST(8, COALESCE(nxt - pos, 8))) AS BIGINT)
+           AS dup_cov
+  FROM (SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS nxt
+        FROM p)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(g.dup_starts, 0) AS dup_starts,
+       COALESCE(g.dup_cov, 0) AS dup_cov,
+       CAST(CASE WHEN COALESCE(g.dup_cov, 0) * 2 < t.n_tokens
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM t LEFT JOIN g USING (doc_id)
+"""
