@@ -1670,6 +1670,34 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, O.PQ_CODEBOOKS, O.ANN_QUERY_IDS, k=O.ANN_K)
 
 
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (UAX #15) over documents with a
+    deterministic DECOMPOSED tail (doc_id mod 3 picks one of three
+    NFD sequences: cafe+combining-acute, u+combining-diaeresis+ber,
+    A+combining-ring+ngstro+combining-diaeresis+m); the operator is a
+    real unicodedata pass (operators/textstats.nfc_normalize), the
+    oracle restates the COMPOSED forms closed-form — so the gate pins
+    actual canonical composition, not identity on ASCII."""
+    from stirling_pdf_spark.operators.textstats import nfc_normalize
+
+    base = read_table(spark, sf_dir, "documents")
+    tails = ["cafe\u0301", "u\u0308ber", "A\u030Angstro\u0308m"]
+    src = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.element_at(F.array(*[F.lit(t) for t in tails]),
+                         (F.col("doc_id") % 3 + 1).cast("int")),
+        ).alias("text"))
+    out = nfc_normalize(src)
+    return out.select(
+        "doc_id", "n_chars_src",
+        F.length("text_nfc").cast("long").alias("n_chars_nfc"),
+        (F.col("n_chars_src") - F.length("text_nfc")).cast("int")
+        .alias("n_composed"),
+        F.md5(F.col("text_nfc").cast("binary")).alias("text_md5"))
+
+
 def q_dedup_substring_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-substring coverage (Lee et al.
     2022): global 8-token-shingle frequency >= 2 marks dup positions;
@@ -3064,6 +3092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of f1_filter_contains_text — r4 driver-green, unchanged;
         # in-window auto_redact exercises the same contains path)
         "dedup_substring_cov": q_dedup_substring_cov,
+        # r5 fourth session: real NFC normalization (took the slot of
+        # text_url_extract -- r4 driver-green, unchanged; sibling
+        # url_normalize/fix_encoding text cleaners in-window)
+        "text_nfc_normalize": q_text_nfc_normalize,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3089,15 +3121,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attachment_crud": q_attachment_crud,
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
-        "text_url_extract": q_text_url_extract,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---------------- 50-row window boundary ----------------
         # r5 fourth session: f1_filter_contains_text yielded its slot
-        # to dedup_substring_cov (r4 driver-green, unchanged;
-        # in-window auto_redact exercises the same contains path)
+        # to dedup_substring_cov and text_url_extract yielded its slot
+        # to text_nfc_normalize (both r4 driver-green, unchanged;
+        # in-window auto_redact exercises the contains path, in-window
+        # url_normalize/fix_encoding the text-cleaner family)
         "f1_filter_contains_text": R.f1_filter_contains_text,
+        "text_url_extract": q_text_url_extract,
         # r5 fourth session: s3_running_sum_buckets yielded its slot
         # to ann_ivfpq_topk (r4 driver-green, unchanged; running-sum
         # siblings s3_split_doc_count/byte_size and pack_sequences
@@ -3315,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,
         "dedup_substring_cov": O.DEDUP_SUBSTRING_COV,
+        "text_nfc_normalize": O.TEXT_NFC_NORMALIZE,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

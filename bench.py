@@ -123,6 +123,7 @@ BENCH_QUERIES = (
     "to_pptx",
     "ann_ivfpq_topk",
     "dedup_substring_cov",
+    "text_nfc_normalize",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -650,3 +650,39 @@ def lm_quality_partition(df: DataFrame, id_col: str = "doc_id",
         "id", "fit_x1000",
         F.when(head, F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("head"))
+
+
+NFC_SCHEMA = "doc_id long, n_chars_src long, text_nfc string"
+
+
+def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization (UAX #15) — the canonical-composition
+    cleanup a multilingual text pipeline runs before tokenization and
+    hashing (decomposed 'e'+U+0301 and composed 'é' must not hash to
+    different dedup keys). Spark ships no normalizer built-in, so this
+    is one narrow Arrow stage over Python's unicodedata (the stdlib's
+    full UCD tables) — the sanctioned slow path for work the JVM can't
+    express; no shuffle, per-row nulls pass through.
+
+    Output: (doc_id, n_chars_src, text_nfc) — the source char count
+    rides along so callers can derive composed-char deltas without
+    re-reading the input."""
+    import pandas as pd
+    import unicodedata
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_chars_src": pdf["text"].map(
+                    lambda s: len(s) if s is not None else None),
+                "text_nfc": pdf["text"].map(
+                    lambda s: unicodedata.normalize("NFC", s)
+                    if s is not None else None),
+            })
+
+    return src.mapInPandas(run, NFC_SCHEMA)

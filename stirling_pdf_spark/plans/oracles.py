@@ -3977,3 +3977,31 @@ SELECT t.doc_id, t.n_tokens,
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM t LEFT JOIN g USING (doc_id)
 """
+
+
+
+# Unicode NFC normalization: the crafted NFD tails restated as their
+# COMPOSED forms (closed-form, independent of any normalizer library);
+# the ASCII document body is NFC-invariant so concatenation is exact.
+_NFC_TAILS = ("caf\u00e9", "\u00fcber", "\u00c5ngstr\u00f6m")
+_NFD_TAIL_LENS = (5, 5, 10)  # decomposed char counts appended Spark-side
+
+TEXT_NFC_NORMALIZE = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % 3
+             WHEN 0 THEN '{_NFC_TAILS[0]}'
+             WHEN 1 THEN '{_NFC_TAILS[1]}'
+             ELSE '{_NFC_TAILS[2]}' END AS ntext,
+         CAST(length(text) + 1 + CASE doc_id % 3
+             WHEN 0 THEN {_NFD_TAIL_LENS[0]}
+             WHEN 1 THEN {_NFD_TAIL_LENS[1]}
+             ELSE {_NFD_TAIL_LENS[2]} END AS BIGINT) AS n_chars_src
+  FROM documents
+)
+SELECT doc_id, n_chars_src,
+       CAST(length(ntext) AS BIGINT) AS n_chars_nfc,
+       CAST(n_chars_src - length(ntext) AS INTEGER) AS n_composed,
+       md5(ntext) AS text_md5
+FROM t
+"""
