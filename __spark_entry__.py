@@ -1601,6 +1601,37 @@ def q_to_docx(spark: SparkSession, sf_dir: str,
         F.length("content").cast("long").alias("n_chars"))
 
 
+def q_multimodal_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF container probe (kernel/mp4.py — box walk,
+    mvhd/tkhd/hdlr/mdhd parse; the ffprobe-shaped video metadata
+    stage, frame decode honestly out of scope): brand, movie
+    timescale, floor-ms duration, track layout and 16.16-fixed visual
+    dimensions pinned against the oracle's closed-form model
+    (operators/multimodal.probe_video — per-row error isolation)."""
+    from stirling_pdf_spark.corpus.media import mp4_table
+    from stirling_pdf_spark.operators.multimodal import probe_video
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return probe_video(mp4_table(docs)).select(
+        "media_ref", "major_brand", "timescale", "duration_ms",
+        "n_tracks", "n_video", "n_audio", "width", "height")
+
+
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RIFF/PCM16 audio decode (kernel/wav.py — chunk walk,
     PCM sample statistics): the fixtures are alternating-sign sawtooth
@@ -3096,6 +3127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_url_extract -- r4 driver-green, unchanged; sibling
         # url_normalize/fix_encoding text cleaners in-window)
         "text_nfc_normalize": q_text_nfc_normalize,
+        # r5 fourth session: ISO-BMFF video probe -- fourth modality
+        # (took the slot of attachment_crud -- r4 driver-green,
+        # unchanged; attachment extraction stays exercised below the
+        # boundary by extract_attachments/e12)
+        "multimodal_probe_mp4": q_multimodal_probe_mp4,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3118,7 +3154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_to_pdf_ingest": q_md_to_pdf_ingest,
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
-        "attachment_crud": q_attachment_crud,
         "s3_split_byte_size": q_s3_split_byte_size,
         "security_password": q_security_password,
         # --- r4 rotation: gates whose last driver row was r1/r2
@@ -3132,6 +3167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_normalize/fix_encoding the text-cleaner family)
         "f1_filter_contains_text": R.f1_filter_contains_text,
         "text_url_extract": q_text_url_extract,
+        # r5 fourth session: attachment_crud yielded its slot to
+        # multimodal_probe_mp4 (r4 driver-green, unchanged;
+        # extract_attachments/e12_unique_name_suffix siblings below)
+        "attachment_crud": q_attachment_crud,
         # r5 fourth session: s3_running_sum_buckets yielded its slot
         # to ann_ivfpq_topk (r4 driver-green, unchanged; running-sum
         # siblings s3_split_doc_count/byte_size and pack_sequences
@@ -3350,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,
         "dedup_substring_cov": O.DEDUP_SUBSTRING_COV,
         "text_nfc_normalize": O.TEXT_NFC_NORMALIZE,
+        "multimodal_probe_mp4": O.MULTIMODAL_PROBE_MP4,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

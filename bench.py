@@ -124,6 +124,7 @@ BENCH_QUERIES = (
     "ann_ivfpq_topk",
     "dedup_substring_cov",
     "text_nfc_normalize",
+    "multimodal_probe_mp4",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

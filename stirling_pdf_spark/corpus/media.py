@@ -470,3 +470,48 @@ def wav_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def mp4_dims_for_ref(ref: str) -> tuple[str, int, int, int, int, int]:
+    """(brand, timescale, duration_units, layout, width, height) for
+    the deterministic ISO-BMFF fixture — pure functions of
+    sha256(ref). layout: 0 = video only, 1 = video+audio,
+    2 = audio only."""
+    h = hashlib.sha256(ref.encode()).digest()
+    brand = ("isom", "mp42", "avc1", "dash")[h[1] % 4]
+    timescale = (600, 1000, 90000, 48000)[h[2] % 4]
+    duration = timescale * (1 + h[3] % 30) + h[4] * 7
+    layout = h[5] % 3
+    w = 16 * (4 + h[6] % 60)
+    hgt = 16 * (3 + h[7] % 40)
+    return brand, timescale, duration, layout, w, hgt
+
+
+def mp4_payload_for_ref(ref: str) -> bytes:
+    """A VALID metadata-only ISO-BMFF container (ftyp + moov with
+    mvhd/trak/tkhd/hdlr/mdhd) whose probe surface the oracle states
+    closed-form."""
+    from ..kernel import mp4
+
+    brand, ts, dur, layout, w, hgt = mp4_dims_for_ref(ref)
+    tracks = {0: [("vide", w, hgt)],
+              1: [("vide", w, hgt), ("soun", 0, 0)],
+              2: [("soun", 0, 0)]}[layout]
+    return mp4.encode_minimal_mp4(brand, ts, dur, tracks)
+
+
+def mp4_table(docs: DataFrame) -> DataFrame:
+    """mp4(media_ref, fmt='mp4', payload) for every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["mp4"] * len(refs), pa.string()),
+                 pa.array([mp4_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -577,3 +577,62 @@ def decode_audio(media: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, AUDIO_DECODE_SCHEMA)
+
+
+VIDEO_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("major_brand", T.StringType(), True),
+    T.StructField("timescale", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("n_video", T.IntegerType(), True),
+    T.StructField("n_audio", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("reason", T.StringType(), True),
+])
+
+
+def probe_video(media: DataFrame, payload_col: str = "payload",
+                ref_col: str = "media_ref",
+                fmt_col: str = "fmt") -> DataFrame:
+    """Arrow-batched REAL ISO-BMFF container probe (kernel/mp4.py box
+    walk — the ffprobe-shaped metadata stage; frame decode needs
+    codec libraries and stays out of scope per SCOPE.md): one narrow
+    mapInPandas, unparseable payloads yield null metadata + a reason,
+    never a batch failure."""
+    from ..kernel import mp4
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(fmt_col).alias("fmt"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "fmt", "n_bytes", "major_brand",
+                "timescale", "duration_ms", "n_tracks", "n_video",
+                "n_audio", "width", "height", "reason")}
+            for ref, fmt, payload in zip(pdf["media_ref"], pdf["fmt"],
+                                         pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                info = reason = None
+                try:
+                    info = mp4.probe(b)
+                except (NotImplementedError, ValueError,
+                        struct.error) as e:
+                    reason = str(e) or type(e).__name__
+                out["media_ref"].append(ref)
+                out["fmt"].append(fmt)
+                out["n_bytes"].append(len(b))
+                for field in ("major_brand", "timescale",
+                              "duration_ms", "n_tracks", "n_video",
+                              "n_audio", "width", "height"):
+                    out[field].append(
+                        getattr(info, field) if info else None)
+                out["reason"].append(reason)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, VIDEO_PROBE_SCHEMA)

@@ -4005,3 +4005,42 @@ SELECT doc_id, n_chars_src,
        md5(ntext) AS text_md5
 FROM t
 """
+
+
+# ISO-BMFF probe (corpus.media.mp4_payload_for_ref): every field is a
+# pure function of sha256(ref); duration_ms floors exactly like the
+# kernel (duration * 1000 // timescale, both nonnegative ints).
+MULTIMODAL_PROBE_MP4 = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), p AS (
+  SELECT media_ref,
+         CASE {_hexb(3)} % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+              WHEN 2 THEN 'avc1' ELSE 'dash' END AS brand,
+         CASE {_hexb(5)} % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+         1 + {_hexb(7)} % 30 AS dur_s,
+         {_hexb(9)} * 7 AS dur_extra,
+         {_hexb(11)} % 3 AS layout,
+         16 * (4 + {_hexb(13)} % 60) AS w,
+         16 * (3 + {_hexb(15)} % 40) AS hgt
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       brand AS major_brand,
+       CAST(ts AS INTEGER) AS timescale,
+       CAST((ts * dur_s + dur_extra) * 1000 // ts AS BIGINT)
+         AS duration_ms,
+       CAST(CASE layout WHEN 1 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_tracks,
+       CAST(CASE WHEN layout IN (0, 1) THEN 1 ELSE 0 END AS INTEGER)
+         AS n_video,
+       CAST(CASE WHEN layout IN (1, 2) THEN 1 ELSE 0 END AS INTEGER)
+         AS n_audio,
+       CAST(CASE WHEN layout IN (0, 1) THEN w END AS INTEGER)
+         AS width,
+       CAST(CASE WHEN layout IN (0, 1) THEN hgt END AS INTEGER)
+         AS height
+FROM p
+"""

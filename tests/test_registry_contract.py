@@ -38,7 +38,7 @@ R5_NEW_OR_CHANGED = [
     # r5 fourth session (never had a driver row)
     "to_epub", "to_docx", "pack_sequences", "multimodal_decode_wav",
     "ann_pq_topk", "to_pptx", "ann_ivfpq_topk", "dedup_substring_cov",
-    "text_nfc_normalize",
+    "text_nfc_normalize", "multimodal_probe_mp4",
 ]
 
 
