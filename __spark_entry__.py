@@ -1601,6 +1601,28 @@ def q_to_docx(spark: SparkSession, sf_dir: str,
         F.length("content").cast("long").alias("n_chars"))
 
 
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (98/1/1
+    permille of the first 4 md5 bytes of the text) — stable under
+    re-shuffles and dedup re-runs, copies land in the same split
+    (operators/serialize.hash_split, pure column algebra)."""
+    from stirling_pdf_spark.operators.serialize import hash_split
+
+    return hash_split(read_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL serialization through Spark's REAL JVM-side to_json
+    (JacksonGenerator): one {"doc_id":...,"text":...} record per doc;
+    the oracle restates the record closed-form (the corpus is
+    verified quote/backslash/control-free, so JSON escaping is the
+    identity) — pinning the serializer's shape, not a UDF
+    (operators/serialize.to_jsonl)."""
+    from stirling_pdf_spark.operators.serialize import to_jsonl
+
+    return to_jsonl(read_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF container probe (kernel/mp4.py — box walk,
     mvhd/tkhd/hdlr/mdhd parse; the ffprobe-shaped video metadata
@@ -3132,6 +3154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged; attachment extraction stays exercised below the
         # boundary by extract_attachments/e12)
         "multimodal_probe_mp4": q_multimodal_probe_mp4,
+        # r5 fourth session: content-hash holdout split + JSONL
+        # serialization (took the slots of s3_split_byte_size and
+        # security_password -- both r4 driver-green, unchanged;
+        # s3_split_doc_count stays in-window for the split family and
+        # sanitize/signature/timestamp cover the security family)
+        "corpus_hash_split": q_corpus_hash_split,
+        "corpus_to_jsonl": q_corpus_to_jsonl,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3154,8 +3183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_to_pdf_ingest": q_md_to_pdf_ingest,
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
-        "s3_split_byte_size": q_s3_split_byte_size,
-        "security_password": q_security_password,
         # --- r4 rotation: gates whose last driver row was r1/r2
         # (driver-green then, re-verified locally since)
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3171,6 +3198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_probe_mp4 (r4 driver-green, unchanged;
         # extract_attachments/e12_unique_name_suffix siblings below)
         "attachment_crud": q_attachment_crud,
+        # r5 fourth session: s3_split_byte_size + security_password
+        # yielded their slots to corpus_hash_split + corpus_to_jsonl
+        # (both r4 driver-green, unchanged; s3_split_doc_count and the
+        # sanitize/signature/timestamp gates stay in-window)
+        "s3_split_byte_size": q_s3_split_byte_size,
+        "security_password": q_security_password,
         # r5 fourth session: s3_running_sum_buckets yielded its slot
         # to ann_ivfpq_topk (r4 driver-green, unchanged; running-sum
         # siblings s3_split_doc_count/byte_size and pack_sequences
@@ -3390,6 +3423,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_cov": O.DEDUP_SUBSTRING_COV,
         "text_nfc_normalize": O.TEXT_NFC_NORMALIZE,
         "multimodal_probe_mp4": O.MULTIMODAL_PROBE_MP4,
+        "corpus_hash_split": O.CORPUS_HASH_SPLIT,
+        "corpus_to_jsonl": O.CORPUS_TO_JSONL,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -125,6 +125,8 @@ BENCH_QUERIES = (
     "dedup_substring_cov",
     "text_nfc_normalize",
     "multimodal_probe_mp4",
+    "corpus_hash_split",
+    "corpus_to_jsonl",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

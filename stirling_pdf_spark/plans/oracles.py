@@ -4044,3 +4044,31 @@ SELECT media_ref,
          AS height
 FROM p
 """
+
+
+# Content-hash holdout split: first 4 md5 bytes (= first 8 hex chars,
+# big-endian) as an integer, permille bucket, 98/1/1 thresholds.
+CORPUS_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+# JSONL serialization: the corpus is printable-ASCII without quotes
+# or backslashes (verified), so JSON string escaping is the identity
+# and the record restates closed-form; Spark runs its REAL JVM-side
+# to_json serializer.
+CORPUS_TO_JSONL = """
+SELECT doc_id,
+       '{"doc_id":' || CAST(doc_id AS VARCHAR)
+         || ',"text":"' || text || '"}' AS line
+FROM documents
+"""
