@@ -1623,6 +1623,44 @@ def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_jsonl(read_table(spark, sf_dir, "documents"))
 
 
+def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stage error ISOLATION as a first-class contract: four
+    deterministic corruption modes (float-tag WAV, non-RIFF junk,
+    moov-less ISO-BMFF, v2 tkhd) each hit a different kernel guard;
+    the stage must yield one null+reason row per damaged payload --
+    never a batch failure -- and the reasons are pinned against the
+    oracle (corpus.media.corrupted_media_table,
+    multimodal.decode_audio/probe_video)."""
+    from stirling_pdf_spark.corpus.media import corrupted_media_table
+    from stirling_pdf_spark.operators.multimodal import (
+        decode_audio, probe_video)
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    tbl = corrupted_media_table(docs)
+    audio = decode_audio(
+        tbl.filter(F.col("fmt").isin("bad0", "bad1"))
+    ).select("media_ref", "fmt", "reason")
+    video = probe_video(
+        tbl.filter(F.col("fmt").isin("bad2", "bad3"))
+    ).select("media_ref", "fmt", "reason")
+    return audio.unionByName(video)
+
+
 def q_multimodal_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF container probe (kernel/mp4.py — box walk,
     mvhd/tkhd/hdlr/mdhd parse; the ffprobe-shaped video metadata
@@ -3161,6 +3199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sanitize/signature/timestamp cover the security family)
         "corpus_hash_split": q_corpus_hash_split,
         "corpus_to_jsonl": q_corpus_to_jsonl,
+        # r5 fourth session: decode-error isolation contract (took
+        # the slot of ann_ivf_topk -- r4 driver-green, unchanged; the
+        # ANN family stays in-window via nprobe3/pq/ivfpq)
+        "multimodal_decode_errors": q_multimodal_decode_errors,
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
@@ -3183,10 +3225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_to_pdf_ingest": q_md_to_pdf_ingest,
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
-        # --- r4 rotation: gates whose last driver row was r1/r2
-        # (driver-green then, re-verified locally since)
-        "ann_ivf_topk": q_ann_ivf_topk,
         # ---------------- 50-row window boundary ----------------
+        # r5 fourth session: ann_ivf_topk yielded its slot to
+        # multimodal_decode_errors (r4 driver-green, unchanged; ANN
+        # siblings nprobe3/pq/ivfpq in-window)
+        "ann_ivf_topk": q_ann_ivf_topk,
         # r5 fourth session: f1_filter_contains_text yielded its slot
         # to dedup_substring_cov and text_url_extract yielded its slot
         # to text_nfc_normalize (both r4 driver-green, unchanged;
@@ -3425,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_probe_mp4": O.MULTIMODAL_PROBE_MP4,
         "corpus_hash_split": O.CORPUS_HASH_SPLIT,
         "corpus_to_jsonl": O.CORPUS_TO_JSONL,
+        "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

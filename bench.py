@@ -127,6 +127,7 @@ BENCH_QUERIES = (
     "multimodal_probe_mp4",
     "corpus_hash_split",
     "corpus_to_jsonl",
+    "multimodal_decode_errors",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -515,3 +515,51 @@ def mp4_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def corrupt_mode_for_ref(ref: str) -> int:
+    """0 = WAV with an IEEE-float format tag, 1 = non-RIFF junk,
+    2 = ISO-BMFF with no moov, 3 = ISO-BMFF with a v2 tkhd."""
+    return hashlib.sha256(ref.encode()).digest()[8] % 4
+
+
+def corrupted_payload_for_ref(ref: str) -> bytes:
+    """Deterministically damaged media payload per mode — each mode
+    hits a DIFFERENT guard in the wav/mp4 kernels, so the decode
+    stage's per-row reasons are pinned end-to-end."""
+    import struct as _struct
+
+    from ..kernel import mp4, wav
+
+    mode = corrupt_mode_for_ref(ref)
+    if mode == 0:
+        payload = bytearray(wav.encode_pcm16(1, 8000, [1, -1, 2, -2]))
+        _struct.pack_into("<H", payload, 20, 3)  # IEEE float tag
+        return bytes(payload)
+    if mode == 1:
+        return hashlib.sha256(b"junk:" + ref.encode()).digest()
+    if mode == 2:
+        return _struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    payload = bytearray(mp4.encode_minimal_mp4(
+        "isom", 600, 1200, [("vide", 64, 48)]))
+    payload[payload.index(b"tkhd") + 4] = 2
+    return bytes(payload)
+
+
+def corrupted_media_table(docs: DataFrame) -> DataFrame:
+    """corrupted(media_ref, fmt, payload) — fmt carries the mode as
+    'bad0'..'bad3' so consumers can route audio vs video probes."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array([f"bad{corrupt_mode_for_ref(r)}" for r in refs],
+                          pa.string()),
+                 pa.array([corrupted_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -4072,3 +4072,24 @@ SELECT doc_id,
          || ',"text":"' || text || '"}' AS line
 FROM documents
 """
+
+
+# Decode-stage error isolation: each corruption mode (sha byte 8 % 4)
+# hits a distinct kernel guard; the per-row reasons are the kernels'
+# own messages, pinned end-to-end.
+MULTIMODAL_DECODE_ERRORS = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), m AS (
+  SELECT media_ref, {_hexb(17)} % 4 AS mode
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       'bad' || CAST(mode AS VARCHAR) AS fmt,
+       CASE mode WHEN 0 THEN 'non-PCM wFormatTag=3'
+            WHEN 1 THEN 'not a RIFF container'
+            WHEN 2 THEN 'missing moov/mvhd'
+            ELSE 'tkhd version=2' END AS reason
+FROM m
+"""

@@ -39,7 +39,7 @@ R5_NEW_OR_CHANGED = [
     "to_epub", "to_docx", "pack_sequences", "multimodal_decode_wav",
     "ann_pq_topk", "to_pptx", "ann_ivfpq_topk", "dedup_substring_cov",
     "text_nfc_normalize", "multimodal_probe_mp4",
-    "corpus_hash_split", "corpus_to_jsonl",
+    "corpus_hash_split", "corpus_to_jsonl", "multimodal_decode_errors",
 ]
 
 
