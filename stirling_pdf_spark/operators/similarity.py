@@ -297,3 +297,36 @@ def ivfpq_topk(df: DataFrame, centroids: list[list[float]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("id").alias("neighbor_id"))
     )
+
+
+def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 8,
+                       iters: int = 5, sample: int = 2048,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd's k-means on a fixed sample
+    (ordered by id) — the trained counterpart of the gate's literal
+    codebooks; same bounded driver-side collect as ivf.train_centroids
+    (the one sanctioned collect: the trained state is m*k*sub floats).
+    Rounded to 6 decimals so literals embed exactly in both engines."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(sample).collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    sub = x.shape[1] // m
+    books = []
+    for mi in range(m):
+        xs = x[:, mi * sub:(mi + 1) * sub]
+        rng = np.random.default_rng(seed + mi)
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[round(float(v), 6) for v in c] for c in cents])
+    return books
