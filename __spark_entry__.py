@@ -1623,6 +1623,18 @@ def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_jsonl(read_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistics (Sennrich et al. 2016): adjacent
+    symbol pairs (char bigrams + last-char||'</w>') weighted by the
+    corpus word-frequency table; top-20 by total desc, pair asc —
+    the top row is exactly BPE's first merge
+    (operators/textstats.bpe_pair_counts; both shuffles run over
+    vocabulary-sized data)."""
+    from stirling_pdf_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(read_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stage error ISOLATION as a first-class contract: four
     deterministic corruption modes (float-tag WAV, non-RIFF junk,
@@ -3226,6 +3238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
         # ---------------- 50-row window boundary ----------------
+        # bpe_pair_counts: born below the boundary -- the r5 window is
+        # saturated with gates that still need their first r5 driver
+        # row; replica-green at sf0.01 (check_queries) and FIRST
+        # r6-window candidate.
+        "bpe_pair_counts": q_bpe_pair_counts,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3469,6 +3486,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hash_split": O.CORPUS_HASH_SPLIT,
         "corpus_to_jsonl": O.CORPUS_TO_JSONL,
         "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
+        "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -686,3 +686,47 @@ def nfc_normalize(df: DataFrame, id_col: str = "doc_id",
             })
 
     return src.mapInPandas(run, NFC_SCHEMA)
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 20, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """BPE merge statistics, iteration 1 (Sennrich et al. 2016,
+    arXiv:1508.07909 — the tokenizer-training op one step past
+    vocab_topk's census): adjacent SYMBOL pairs inside each word —
+    char bigrams plus the final char paired with the '</w>'
+    end-of-word marker — weighted by corpus word frequency; the top-k
+    pair is exactly BPE's first merge. Output: (rank, pair, total).
+
+    Scale shape: the corpus collapses to the word-frequency table
+    FIRST (one partial-agg'd groupBy; Zipf's head absorbed map-side),
+    pairs explode from the vocabulary (vocabulary-sized, not
+    corpus-sized), and the top-k sorts the distinct-pair table. The
+    full BPE loop is this op iterated with merged symbols — each
+    round the same two shuffles over vocabulary-sized data."""
+    wordfreq = (
+        parallelize(df)
+        .select(F.explode(words_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    )
+    bigrams = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1),"
+               " i -> substring(word, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.concat(
+        F.substring(F.col("word"), -1, 1), F.lit("</w>"))
+    pairs = wordfreq.select(
+        "freq",
+        F.explode(F.concat(bigrams, F.array(tail))).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "total")
+    )

@@ -4093,3 +4093,29 @@ SELECT media_ref,
             ELSE 'tkhd version=2' END AS reason
 FROM m
 """
+
+
+# BPE iteration-1 pair statistics: word-frequency table first, then
+# char bigrams + the last-char||'</w>' marker pair, weighted by freq.
+BPE_PAIR_COUNTS = """
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+), p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM w, unnest(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+  UNION ALL
+  SELECT substr(word, length(word), 1) || '</w>', freq FROM w
+), c AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS total FROM p GROUP BY pair
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY total DESC, pair ASC)
+              AS BIGINT) AS rank,
+         pair, total
+  FROM c
+)
+SELECT rank, pair, total FROM r WHERE rank <= 20
+"""
