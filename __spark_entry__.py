@@ -1635,6 +1635,36 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(read_table(spark, sf_dir, "documents"))
 
 
+def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training build (the capstone the
+    per-stage gates exist for): Gopher quality -> first-occurrence
+    exact dedup -> train hash slice -> 512-token packing, each stage
+    the already-gated operator chained by operators/serialize.
+    build_training_corpus. The raw synthetic corpus has no English
+    stopwords (the stop rule would kill ALL docs and the gate would
+    compare empty to empty), so the gate corpus makes every stage
+    bite: doc_id%10 in (4,5) -> one CONSTANT 56-word block (collapses
+    in the dedup stage), other even doc_ids get a stopword tail
+    (pass the stop rule; odd docs fail it), and the split stage drops
+    its 2% holdout. Pins stage order and survivor sets."""
+    from stirling_pdf_spark.operators.serialize import (
+        build_training_corpus,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    dup_block = " ".join(
+        ["the of and that have with be to"] * 7)  # 56 words
+    t = F.col("text")
+    src = base.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 10).isin(4, 5),
+               F.lit(dup_block))
+        .when(F.col("doc_id") % 2 == 0,
+              F.concat(t, F.lit(" the of and that have")))
+        .otherwise(t).alias("text"))
+    return build_training_corpus(src)
+
+
 def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stage error ISOLATION as a first-class contract: four
     deterministic corruption modes (float-tag WAV, non-RIFF junk,
@@ -3238,11 +3268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-green gates keeping their slots (driver rows in
         # CORRECTNESS_r04, unchanged since)
         # ---------------- 50-row window boundary ----------------
-        # bpe_pair_counts: born below the boundary -- the r5 window is
-        # saturated with gates that still need their first r5 driver
-        # row; replica-green at sf0.01 (check_queries) and FIRST
-        # r6-window candidate.
+        # bpe_pair_counts + pipeline_training_corpus: born below the
+        # boundary -- the r5 window is saturated with gates that still
+        # need their first r5 driver row; both replica-green at sf0.01
+        # (check_queries) and FIRST r6-window candidates.
         "bpe_pair_counts": q_bpe_pair_counts,
+        "pipeline_training_corpus": q_pipeline_training_corpus,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3487,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_to_jsonl": O.CORPUS_TO_JSONL,
         "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
+        "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -129,6 +129,7 @@ BENCH_QUERIES = (
     "corpus_to_jsonl",
     "multimodal_decode_errors",
     "bpe_pair_counts",
+    "pipeline_training_corpus",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -4119,3 +4119,83 @@ WITH w AS (
 )
 SELECT rank, pair, total FROM r WHERE rank <= 20
 """
+
+
+# Composed training-corpus pipeline: Gopher rules (over RAW text, no
+# crafted tails) -> first-occurrence exact dedup -> train hash slice
+# -> 512-token packing. Pins stage ORDER and survivor sets; each
+# stage's rules have their own dedicated oracles.
+PIPELINE_TRAINING_CORPUS = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 IN (4, 5) THEN
+                trim(repeat('the of and that have with be to ', 7))
+              WHEN doc_id % 2 = 0 THEN
+                text || ' the of and that have'
+              ELSE text END AS text
+  FROM documents
+), f AS (
+  SELECT doc_id, text,
+         string_split_regex(text, '\s+') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM src
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n,
+         CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+              AS BIGINT) AS chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\.\.\.'))
+              AS BIGINT) AS n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '^\s*[-*]'))) AS BIGINT) AS bullets,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '\.\.\.$'))) AS BIGINT) AS ell_ends,
+         CAST(len(list_filter(w,
+              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         CAST(len(list_intersect(list_distinct(w),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stop
+  FROM f
+), k AS (
+  SELECT f.doc_id, f.text
+  FROM f JOIN m USING (doc_id)
+  WHERE m.n >= 50 AND m.n <= 100000
+    AND 3 * m.n <= m.chars AND m.chars <= 10 * m.n
+    AND 10 * (m.n_hash + m.n_ell) <= m.n
+    AND 10 * m.bullets <= 9 * m.n_lines
+    AND 10 * m.ell_ends <= 3 * m.n_lines
+    AND 5 * m.alpha >= 4 * m.n
+    AND m.n_stop >= 2
+), dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS fid
+    FROM k) WHERE doc_id = fid
+), tr AS (
+  SELECT doc_id, text FROM dd
+  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 980
+), t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM tr WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS tok_off
+  FROM t
+)
+SELECT c.doc_id, c.n_tokens,
+       CAST(s.seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(tok_off, s.seq_id * 512) - s.seq_id * 512
+            AS BIGINT) AS tok_start,
+       CAST(LEAST(tok_off + n_tokens, (s.seq_id + 1) * 512)
+            - GREATEST(tok_off, s.seq_id * 512) AS BIGINT) AS n_in_seq
+FROM c, unnest(generate_series(tok_off // 512,
+                               (tok_off + n_tokens - 1) // 512))
+         AS s(seq_id)
+"""
