@@ -1665,6 +1665,18 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(src)
 
 
+def q_lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling (head-language cap): integer
+    permille keep-rate floor(70*1000/n_lang) per language, kept iff
+    the content-hash permille falls under it — counts broadcast back,
+    map-only thinning, no per-language window
+    (operators/textstats.lang_balance_sample)."""
+    from stirling_pdf_spark.operators.textstats import lang_balance_sample
+
+    return lang_balance_sample(read_table(spark, sf_dir, "documents"),
+                               target_per_lang=70)
+
+
 def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stage error ISOLATION as a first-class contract: four
     deterministic corruption modes (float-tag WAV, non-RIFF junk,
@@ -3274,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (check_queries) and FIRST r6-window candidates.
         "bpe_pair_counts": q_bpe_pair_counts,
         "pipeline_training_corpus": q_pipeline_training_corpus,
+        "lang_balance_sample": q_lang_balance_sample,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3519,6 +3532,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
+        "lang_balance_sample": O.LANG_BALANCE_SAMPLE,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

@@ -130,6 +130,7 @@ BENCH_QUERIES = (
     "multimodal_decode_errors",
     "bpe_pair_counts",
     "pipeline_training_corpus",
+    "lang_balance_sample",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

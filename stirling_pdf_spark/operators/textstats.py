@@ -730,3 +730,42 @@ def bpe_pair_counts(df: DataFrame, k: int = 20, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select("rank", "pair", "total")
     )
+
+
+def lang_balance_sample(df: DataFrame, target_per_lang: int = 70,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Language-balanced downsampling — the head-language cap every
+    multilingual pretraining mix applies (cf. CCNet/ROOTS language
+    budgets). NOT a per-language window: at 10^12 docs a language
+    partition is corpus-scale and a rank-based cap would global-sort
+    it. Instead the standard scalable shape: per-language counts (a
+    tiny agg, broadcast back) set an INTEGER permille keep-rate
+    floor(target*1000/n_lang), and each doc keeps iff its
+    content-hash permille (same bucket as hash_split) falls under its
+    language's rate — deterministic, map-only after one broadcast
+    join, reproducible across cluster sizes, and exact copies get one
+    fate. Expected kept ~= target per language (hash-thinning, not an
+    exact top-k — the 100-TB-honest trade).
+
+    Output: (id, lang, n_lang, bucket, keep) for EVERY input row."""
+    counts = df.groupBy(lang_col).agg(
+        F.count("*").cast("long").alias("n_lang"))
+    rate = F.least(
+        F.lit(1000).cast("long"),
+        F.floor(F.lit(target_per_lang) * 1000 / F.col("n_lang"))
+        .cast("long"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8),
+               16, 10).cast("long") % 1000
+    )
+    return (
+        df.join(F.broadcast(counts), lang_col)
+        .select(
+            F.col(id_col).alias("id"), F.col(lang_col).alias("lang"),
+            "n_lang", bucket.alias("bucket"),
+            F.when(bucket < rate, 1).otherwise(0).cast("int")
+            .alias("keep"),
+        )
+    )

@@ -4199,3 +4199,25 @@ FROM c, unnest(generate_series(tok_off // 512,
                                (tok_off + n_tokens - 1) // 512))
          AS s(seq_id)
 """
+
+
+# Language-balanced hash-thinning: per-language counts set an integer
+# permille rate floor(target*1000/n); keep iff the content-hash
+# permille (hash_split's bucket) is under the rate.
+LANG_BALANCE_SAMPLE = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang
+), b AS (
+  SELECT d.doc_id AS id, d.lang, c.n_lang,
+         CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000
+              AS BIGINT) AS bucket,
+         LEAST(1000, CAST(FLOOR(70 * 1000 / c.n_lang) AS BIGINT))
+           AS rate
+  FROM documents d JOIN c USING (lang)
+)
+SELECT id, lang, n_lang, bucket,
+       CAST(CASE WHEN bucket < rate THEN 1 ELSE 0 END AS INTEGER)
+         AS keep
+FROM b
+"""
