@@ -1665,6 +1665,29 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(src)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl exact dedup (new batch vs the accepted
+    corpus + within-batch first-wins): the derived batch makes every
+    path bite — doc_id%3==0 copies existing text (dropped),
+    %3==1 is novel (kept), %3==2 shares one constant block (only the
+    lowest id keeps). operators/dedup.dedup_incremental — the
+    anti-join-by-content-hash verifier a bloom-filtered production
+    ingest sits on top of."""
+    from stirling_pdf_spark.operators.dedup import dedup_incremental
+
+    base = read_table(spark, sf_dir, "documents")
+    newb = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" fresh crawl content")))
+        .otherwise(F.lit("constant repeated batch block payload"))
+        .alias("text"))
+    return dedup_incremental(newb, base).select(
+        F.col("id").alias("doc_id"), "in_existing", "batch_first",
+        "keep")
+
+
 def q_lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced downsampling (head-language cap): integer
     permille keep-rate floor(70*1000/n_lang) per language, kept iff
@@ -3287,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "lang_balance_sample": q_lang_balance_sample,
+        "dedup_incremental": q_dedup_incremental,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3533,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
         "lang_balance_sample": O.LANG_BALANCE_SAMPLE,
+        "dedup_incremental": O.DEDUP_INCREMENTAL,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

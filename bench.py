@@ -131,6 +131,7 @@ BENCH_QUERIES = (
     "bpe_pair_counts",
     "pipeline_training_corpus",
     "lang_balance_sample",
+    "dedup_incremental",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

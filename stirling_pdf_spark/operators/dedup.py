@@ -773,3 +773,40 @@ def substring_dup_coverage(df: DataFrame, w: int = 8,
             .cast("int").alias("keep"),
         )
     )
+
+
+def dedup_incremental(new_df: DataFrame, existing_df: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental-crawl exact dedup — the production shape: every
+    ingest batch dedups against the ALREADY-ACCEPTED corpus (by
+    content hash) AND within itself (first occurrence by id wins).
+    Output one row per NEW doc: (id, in_existing, batch_first, keep)
+    with keep = not-in-existing AND first-in-batch (INT flags).
+
+    Scale shape: the existing side reduces to its DISTINCT hash set
+    (one partial-agg'd projection of the accepted corpus — hashes
+    only, never text) joined on the content hash; at 10^13 accepted
+    docs the standard optimization is a bloom filter broadcast with
+    this exact join verifying the positives — the semantics gated
+    here are the verifier's."""
+    h_new = F.md5(F.col(text_col).cast("binary"))
+    ex = existing_df.select(
+        F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).distinct().withColumn("in_ex", F.lit(1))
+    n = new_df.select(F.col(id_col).alias("id"), h_new.alias("h"))
+    firsts = n.groupBy("h").agg(F.min("id").alias("fid"))
+    return (
+        n.join(ex, "h", "left")
+        .join(firsts, "h")
+        .select(
+            "id",
+            F.coalesce("in_ex", F.lit(0)).cast("int")
+            .alias("in_existing"),
+            F.when(F.col("id") == F.col("fid"), 1).otherwise(0)
+            .cast("int").alias("batch_first"),
+            F.when(F.col("in_ex").isNull()
+                   & (F.col("id") == F.col("fid")), 1).otherwise(0)
+            .cast("int").alias("keep"),
+        )
+    )

@@ -307,23 +307,35 @@ IMAGE_DECODE_SCHEMA = T.StructType([
 
 def decode_images(media: DataFrame, payload_col: str = "payload",
                   ref_col: str = "media_ref",
-                  fmt_col: str = "fmt") -> DataFrame:
+                  fmt_col: str = "fmt",
+                  with_reason: bool = False) -> DataFrame:
     """Arrow-batched REAL decode stage over raster payloads: one
     narrow mapInPandas, no shuffle; undecodable payloads yield null
     dims instead of failing the batch (per-row error isolation, the
-    behavior a 100 TB sweep needs)."""
+    behavior a 100 TB sweep needs). ``with_reason=True`` appends the
+    per-row failure message column (the decode_audio/probe_video
+    contract); the default keeps the original schema the r4 gates
+    pinned."""
     src = media.select(F.col(ref_col).alias("media_ref"),
                        F.col(fmt_col).alias("fmt"),
                        F.col(payload_col).alias("payload"))
+    schema = IMAGE_DECODE_SCHEMA
+    if with_reason:
+        schema = T.StructType(
+            IMAGE_DECODE_SCHEMA.fields
+            + [T.StructField("reason", T.StringType(), True)])
 
     def run(batches):
         for pdf in batches:
             out = {"media_ref": [], "fmt": [], "width": [],
                    "height": [], "n_bytes": [], "px_head": []}
+            if with_reason:
+                out["reason"] = []
             for ref, fmt, payload in zip(pdf["media_ref"], pdf["fmt"],
                                          pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 px_head = None
+                reason = None
                 try:
                     if b[:8] == b"\x89PNG\r\n\x1a\n":
                         w, h, px = decode_png(b)
@@ -341,11 +353,14 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                     else:
                         w, h = decode_image(b)
                 except (NotImplementedError, ValueError, IndexError,
-                        struct.error):
+                        struct.error) as e:
                     # struct.error: truncated container headers ('BM'
                     # prefix shorter than its fixed fields) must stay a
                     # per-row null, not an Arrow-batch failure
                     w = h = None
+                    reason = str(e) or type(e).__name__
+                if with_reason:
+                    out["reason"].append(reason)
                 out["media_ref"].append(ref)
                 out["fmt"].append(fmt)
                 out["width"].append(w)
@@ -354,7 +369,7 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                 out["px_head"].append(px_head)
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, IMAGE_DECODE_SCHEMA)
+    return src.mapInPandas(run, schema)
 
 
 # PDFBox PDRectangle.A4 in points (210 x 297 mm at 72 dpi)

@@ -4221,3 +4221,34 @@ SELECT id, lang, n_lang, bucket,
          AS keep
 FROM b
 """
+
+
+# Incremental-crawl dedup: existing = the corpus; the new batch
+# derives per doc_id%3 — 0: exact copy of the doc's own existing text
+# (dropped as in_existing), 1: novel unique text (kept), 2: one
+# constant novel block shared by all mode-2 docs (exactly the lowest
+# id keeps — the batch-internal dedup path).
+DEDUP_INCREMENTAL = """
+WITH newb AS (
+  SELECT doc_id + 10000 AS id,
+         CASE doc_id % 3
+           WHEN 0 THEN text
+           WHEN 1 THEN text || ' fresh crawl content'
+           ELSE 'constant repeated batch block payload' END AS text
+  FROM documents
+), ex AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+), n AS (
+  SELECT id, md5(text) AS h FROM newb
+), f AS (
+  SELECT h, min(id) AS fid FROM n GROUP BY h
+)
+SELECT n.id AS doc_id,
+       CAST(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS in_existing,
+       CAST(CASE WHEN n.id = f.fid THEN 1 ELSE 0 END AS INTEGER)
+         AS batch_first,
+       CAST(CASE WHEN ex.h IS NULL AND n.id = f.fid THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM n LEFT JOIN ex ON n.h = ex.h JOIN f ON n.h = f.h
+"""

@@ -388,3 +388,27 @@ def test_paragraph_dedup_first_occurrence(spark):
     assert out[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
     assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 1)
     assert out[3]["kept_md5"] == hashlib.md5(b"tail").hexdigest()
+
+
+def test_decode_images_with_reason_opt_in(spark):
+    """with_reason=True appends the per-row failure message (the
+    decode_audio/probe_video contract) without disturbing the default
+    schema the r4 gates pinned."""
+    from pyspark.sql import Row
+
+    from stirling_pdf_spark.corpus.media import image_payload_for_ref
+    from stirling_pdf_spark.operators.multimodal import decode_images
+
+    rows = [
+        Row(media_ref="good", fmt="png",
+            payload=image_payload_for_ref("media-0001")),
+        Row(media_ref="bad", fmt="png", payload=b"\x89PNGnope"),
+    ]
+    df = spark.createDataFrame(rows)
+    assert "reason" not in decode_images(df).columns
+    got = {r["media_ref"]: r
+           for r in decode_images(df, with_reason=True).collect()}
+    assert got["good"]["reason"] is None
+    assert got["good"]["width"] is not None
+    assert got["bad"]["width"] is None
+    assert got["bad"]["reason"]  # non-empty message
