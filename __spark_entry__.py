@@ -1665,6 +1665,18 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(src)
 
 
+def q_pack_seq_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence document boundaries off the packed stream (the
+    attention-reset offsets a trainer consumes): one groupBy over
+    pack_sequences — (seq_id, n_docs, sorted boundary offsets,
+    n_tokens); full sequences carry exactly 512 tokens
+    (operators/packing.pack_seq_boundaries)."""
+    from stirling_pdf_spark.operators.packing import pack_seq_boundaries
+
+    return pack_seq_boundaries(read_table(spark, sf_dir, "documents"),
+                               seq_len=512)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup (new batch vs the accepted
     corpus + within-batch first-wins): the derived batch makes every
@@ -3311,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "lang_balance_sample": q_lang_balance_sample,
         "dedup_incremental": q_dedup_incremental,
+        "pack_seq_boundaries": q_pack_seq_boundaries,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3558,6 +3571,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
         "lang_balance_sample": O.LANG_BALANCE_SAMPLE,
         "dedup_incremental": O.DEDUP_INCREMENTAL,
+        "pack_seq_boundaries": O.PACK_SEQ_BOUNDARIES,
         "semdedup_prune": O.SEMDEDUP_PRUNE,
         "domain_mix_sample": O.DOMAIN_MIX_SAMPLE,
         "vocab_topk": O.VOCAB_TOPK,

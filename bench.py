@@ -132,6 +132,7 @@ BENCH_QUERIES = (
     "pipeline_training_corpus",
     "lang_balance_sample",
     "dedup_incremental",
+    "pack_seq_boundaries",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -97,3 +97,22 @@ def pack_sequences(df: DataFrame, seq_len: int = 512,
         (F.least(doc_end, seq_base + seq_len) - first_in_seq)
         .cast("long").alias("n_in_seq"),
     )
+
+
+def pack_seq_boundaries(df: DataFrame, seq_len: int = 512,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_ranges: int | None = None) -> DataFrame:
+    """Per-sequence document boundaries — the attention-reset
+    metadata a trainer consumes alongside the packed stream (each
+    boundary offset is where cross-document attention masking
+    resets). One groupBy over pack_sequences' output: (seq_id,
+    n_docs, boundaries sorted ascending, n_tokens); every full
+    sequence has n_tokens == seq_len."""
+    packed = pack_sequences(df, seq_len=seq_len, id_col=id_col,
+                            text_col=text_col, num_ranges=num_ranges)
+    return packed.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list("tok_start")).alias("boundaries"),
+        F.sum("n_in_seq").cast("long").alias("n_tokens"),
+    )

@@ -4252,3 +4252,15 @@ SELECT n.id AS doc_id,
             AS INTEGER) AS keep
 FROM n LEFT JOIN ex ON n.h = ex.h JOIN f ON n.h = f.h
 """
+
+
+# Per-sequence boundary metadata: the packing oracle re-grouped by
+# sequence (nested WITH inside the subquery is valid DuckDB).
+PACK_SEQ_BOUNDARIES = f"""
+WITH p AS ({PACK_SEQUENCES})
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       list(tok_start ORDER BY tok_start) AS boundaries,
+       CAST(sum(n_in_seq) AS BIGINT) AS n_tokens
+FROM p GROUP BY seq_id
+"""

@@ -46,7 +46,8 @@ R5_NEW_OR_CHANGED = [
 # needing their first r5 driver row); replica-green via
 # scripts/check_queries.py and first candidates for the r6 window
 R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
-                        "lang_balance_sample", "dedup_incremental"]
+                        "lang_balance_sample", "dedup_incremental",
+                        "pack_seq_boundaries"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
