@@ -1635,6 +1635,30 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(read_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_train_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training (Sennrich et al. 2016): six merge
+    iterations, each a vocabulary-sized pair-count aggregation +
+    1-row argmax collect + double-replace vocabulary rewrite
+    (operators/textstats.bpe_train_merges — verified identical to
+    canonical token-list BPE in tests/test_bpe.py). Output: the
+    learned merge table (rank, lhs, rhs, merged, total); the oracle
+    unrolls all six iterations as materialized CTEs."""
+    from stirling_pdf_spark.operators.textstats import bpe_train_table
+
+    return bpe_train_table(read_table(spark, sf_dir, "documents"))
+
+
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode after training: the corpus symbol census once the
+    six learned merges are applied — any wrong merge shifts the
+    census, so this validates the whole loop distributively
+    (operators/textstats.bpe_encode_tokens). Output: top-25
+    (rank, symbol, total)."""
+    from stirling_pdf_spark.operators.textstats import bpe_encode_tokens
+
+    return bpe_encode_tokens(read_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed end-to-end training build (the capstone the
     per-stage gates exist for): Gopher quality -> first-occurrence
@@ -3320,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # need their first r5 driver row; both replica-green at sf0.01
         # (check_queries) and FIRST r6-window candidates.
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train_table": q_bpe_train_table,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "lang_balance_sample": q_lang_balance_sample,
         "dedup_incremental": q_dedup_incremental,
@@ -3568,6 +3594,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_to_jsonl": O.CORPUS_TO_JSONL,
         "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
+        "bpe_train_table": O.BPE_TRAIN_TABLE,
+        "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,
         "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
         "lang_balance_sample": O.LANG_BALANCE_SAMPLE,
         "dedup_incremental": O.DEDUP_INCREMENTAL,

@@ -133,6 +133,8 @@ BENCH_QUERIES = (
     "lang_balance_sample",
     "dedup_incremental",
     "pack_seq_boundaries",
+    "bpe_train_table",
+    "bpe_encode_tokens",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

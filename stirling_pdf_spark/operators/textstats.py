@@ -769,3 +769,124 @@ def lang_balance_sample(df: DataFrame, target_per_lang: int = 70,
             .alias("keep"),
         )
     )
+
+
+def _bpe_apply_merge(seq, left: str, right: str):
+    """Merge one BPE pair inside a space-separated symbol sequence
+    column, EXACTLY matching canonical leftmost token-list pairing
+    (tests/test_bpe.py proves it, same-symbol runs included).
+
+    A naive replace of ' left right ' on the single-spaced string is
+    wrong twice over: back-to-back occurrences share their boundary
+    space (only every other one matches per pass), and same-symbol
+    runs ('b b b b b') pair 1-2/4-5 instead of the canonical 1-2/3-4.
+    The fix: widen separators to TWO spaces, then the pattern
+    ' left  right ' consumes exactly one space on each side, so the
+    leftmost non-overlapping scan both engines' replace() implements
+    re-acquires the very next occurrence — canonical pairing in ONE
+    pass. Separators stay exactly two spaces afterwards (one left
+    over from each consumed side + one reinserted), so collapsing
+    back is a plain '  '->' ' replace. Symbols never contain spaces,
+    so the pattern cannot match inside a longer symbol."""
+    pat = f" {left}  {right} "
+    rep = f" {left}{right} "
+    wide = F.concat(F.lit(" "), F.replace(seq, F.lit(" "), F.lit("  ")),
+                    F.lit(" "))
+    merged = F.replace(wide, F.lit(pat), F.lit(rep))
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 6,
+                     text_col: str = "text"):
+    """Full BPE training loop (Sennrich et al. 2016,
+    arXiv:1508.07909) — bpe_pair_counts iterated: each round counts
+    adjacent symbol pairs over the word-frequency table, merges the
+    most frequent pair (ties broken by pair string ascending), and
+    rewrites the vocabulary. Returns (merges, vocab): merges =
+    [(left, right, total)] in merge order, vocab = DataFrame
+    (word, freq, seq) after all merges.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    ONCE (the only corpus-sized shuffle); every iteration then runs
+    two vocabulary-sized aggregations plus a 1-row argmax collect —
+    the same bounded driver-side collect the IVF trainer uses
+    (n_merges rows total, independent of corpus size). At 10^12 docs
+    the vocabulary is millions of rows, not trillions; caching it
+    between iterations keeps each round O(vocab)."""
+    wordfreq = (
+        parallelize(df)
+        .select(F.explode(words_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = wordfreq.select(
+        "word", "freq",
+        F.concat(F.regexp_replace("word", "(.)", "$1 "),
+                 F.lit("</w>")).alias("seq"),
+    )
+    vocab.persist()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = F.expr(
+            "transform(sequence(0, size(split(seq, ' ')) - 2),"
+            " i -> concat(split(seq, ' ')[i], ' ',"
+            " split(seq, ' ')[i + 1]))")
+        counted = (
+            vocab.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("total"))
+            .orderBy(F.desc("total"), F.asc("pair"))
+            .limit(1)
+        )
+        best = counted.collect()[0]  # bounded: 1 row per merge
+        left, right = best["pair"].split(" ", 1)
+        merges.append((left, right, int(best["total"])))
+        nxt = vocab.select(
+            "word", "freq",
+            _bpe_apply_merge(F.col("seq"), left, right).alias("seq"),
+        )
+        nxt.persist()
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def bpe_train_table(df: DataFrame, n_merges: int = 6,
+                    text_col: str = "text") -> DataFrame:
+    """The learned merge table as a DataFrame: (rank, lhs, rhs,
+    merged, total) — rank is merge order ('lhs'/'rhs' because
+    LEFT/RIGHT are SQL reserved words). Each total comes from a
+    distributed vocabulary aggregation; the table itself is n_merges
+    rows (driver-assembled, the sanctioned bounded-collect pattern)."""
+    spark = df.sparkSession
+    merges, vocab = bpe_train_merges(df, n_merges, text_col)
+    vocab.unpersist()
+    rows = [(i + 1, a, b, a + b, t)
+            for i, (a, b, t) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, lhs string, rhs string, merged string,"
+        " total long")
+
+
+def bpe_encode_tokens(df: DataFrame, n_merges: int = 6, k: int = 25,
+                      text_col: str = "text") -> DataFrame:
+    """Train BPE then encode: the symbol census of the corpus after
+    n_merges merges — token totals weighted by word frequency, top-k
+    by (total desc, symbol asc). Wrong ANY merge and the census
+    shifts, so this gate validates the whole training loop
+    distributively. Output: (rank, symbol, total)."""
+    _, vocab = bpe_train_merges(df, n_merges, text_col)
+    syms = vocab.select(
+        "freq", F.explode(F.split("seq", " ")).alias("symbol"))
+    counts = syms.groupBy("symbol").agg(
+        F.sum("freq").cast("long").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total"), F.asc("symbol"))
+    out = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "symbol", "total")
+    )
+    vocab.unpersist()
+    return out

@@ -4264,3 +4264,80 @@ SELECT seq_id,
        CAST(sum(n_in_seq) AS BIGINT) AS n_tokens
 FROM p GROUP BY seq_id
 """
+
+
+# Full BPE training loop, unrolled: 6 iterations, each one pair-count
+# aggregation + argmax + the widened-separator rewrite
+# (textstats._bpe_apply_merge's exact-canonical-pairing trick:
+# double-space the separators so the pattern ' lhs  rhs ' consumes
+# one space per side and leftmost replace() re-acquires back-to-back
+# occurrences — same-symbol runs pair canonically in one pass). Every
+# intermediate is MATERIALIZED — without it DuckDB inlines each CTE
+# at every reference site and the multi-reference-per-iteration chain
+# re-evaluates the whole prefix exponentially.
+_BPE_N_MERGES = 6
+
+
+def _bpe_train_prefix(n: int) -> str:
+    parts = ["""WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq
+  FROM w
+)"""]
+    for i in range(1, n + 1):
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT s.t[CAST(u.j AS INTEGER)] || ' '
+           || s.t[CAST(u.j AS INTEGER) + 1] AS pair, s.freq
+  FROM (SELECT freq, string_split(seq, ' ') AS t FROM v{i - 1}) s,
+       unnest(range(1, len(s.t))) AS u(j)
+), b{i} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS total
+  FROM p{i} GROUP BY pair ORDER BY total DESC, pair ASC LIMIT 1
+), v{i} AS MATERIALIZED (
+  SELECT word, freq,
+    trim(replace(replace(
+         ' ' || replace(seq, ' ', '  ') || ' ',
+         ' ' || replace((SELECT pair FROM b{i}), ' ', '  ') || ' ',
+         ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+         '  ', ' ')) AS seq
+  FROM v{i - 1}
+)""")
+    return "".join(parts)
+
+
+def _bpe_train_table_sql(n: int = _BPE_N_MERGES) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS rank, (SELECT pair FROM b{i}) AS pair,"
+        f" (SELECT total FROM b{i}) AS total"
+        for i in range(1, n + 1))
+    return _bpe_train_prefix(n) + f""", m AS (
+{union}
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       split_part(pair, ' ', 1) AS lhs,
+       split_part(pair, ' ', 2) AS rhs,
+       replace(pair, ' ', '') AS merged, total
+FROM m
+"""
+
+
+def _bpe_encode_tokens_sql(n: int = _BPE_N_MERGES) -> str:
+    return _bpe_train_prefix(n) + f""", sy AS (
+  SELECT freq, unnest(string_split(seq, ' ')) AS symbol FROM v{n}
+), c AS (
+  SELECT symbol, CAST(SUM(freq) AS BIGINT) AS total
+  FROM sy GROUP BY symbol
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY total DESC, symbol ASC)
+              AS BIGINT) AS rank, symbol, total FROM c
+)
+SELECT rank, symbol, total FROM r WHERE rank <= 25
+"""
+
+
+BPE_TRAIN_TABLE = _bpe_train_table_sql()
+BPE_ENCODE_TOKENS = _bpe_encode_tokens_sql()

@@ -47,7 +47,9 @@ R5_NEW_OR_CHANGED = [
 # scripts/check_queries.py and first candidates for the r6 window
 R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "lang_balance_sample", "dedup_incremental",
-                        "pack_seq_boundaries"]
+                        "pack_seq_boundaries",
+                        # r5 fifth session
+                        "bpe_train_table", "bpe_encode_tokens"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
