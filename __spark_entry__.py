@@ -1659,6 +1659,19 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_tokens(read_table(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText shape, Joulin et
+    al. 2016): md5 feature hashing into 64 buckets, integer weight
+    lookup, per-doc weight sum + sign label — pure JVM column
+    expressions, map-only, no shuffle
+    (operators/textstats.quality_classifier_score)."""
+    from stirling_pdf_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    return quality_classifier_score(read_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed end-to-end training build (the capstone the
     per-stage gates exist for): Gopher quality -> first-occurrence
@@ -3346,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train_table": q_bpe_train_table,
         "bpe_encode_tokens": q_bpe_encode_tokens,
+        "quality_classifier_score": q_quality_classifier,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "lang_balance_sample": q_lang_balance_sample,
         "dedup_incremental": q_dedup_incremental,
@@ -3596,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,
+        "quality_classifier_score": O.QUALITY_CLASSIFIER_SCORE,
         "pipeline_training_corpus": O.PIPELINE_TRAINING_CORPUS,
         "lang_balance_sample": O.LANG_BALANCE_SAMPLE,
         "dedup_incremental": O.DEDUP_INCREMENTAL,

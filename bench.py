@@ -135,6 +135,7 @@ BENCH_QUERIES = (
     "pack_seq_boundaries",
     "bpe_train_table",
     "bpe_encode_tokens",
+    "quality_classifier_score",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

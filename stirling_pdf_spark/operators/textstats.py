@@ -890,3 +890,51 @@ def bpe_encode_tokens(df: DataFrame, n_merges: int = 6, k: int = 25,
     )
     vocab.unpersist()
     return out
+
+
+# fastText-style hashed linear quality classifier: 64 hash buckets,
+# integer weights in [-500, 500] derived from sha256('qcw:{i}') — a
+# deterministic stand-in for trained weights (training a real
+# classifier needs labeled data this corpus doesn't ship; the Spark
+# plumbing — feature hashing, bucket lookup, per-doc reduction — is
+# the part that transfers). Integer weights keep the per-doc score an
+# exact associative sum, so Spark and DuckDB agree bit for bit
+# regardless of reduction order.
+QC_BUCKETS = 64
+QC_WEIGHTS: list[int] = [
+    (int.from_bytes(__import__("hashlib").sha256(
+        f"qcw:{i}".encode()).digest()[:4], "big") % 1001) - 500
+    for i in range(QC_BUCKETS)
+]
+
+
+def quality_classifier_score(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Hashed linear text classifier (the fastText/CCNet quality-
+    classifier shape, Joulin et al. 2016 arXiv:1607.01759): each token
+    hashes to one of QC_BUCKETS buckets (first 8 hex chars of md5, the
+    repo-standard portable hash), the bucket indexes a weight vector,
+    and the document score is the weight sum; label = score > 0.
+
+    Scale shape: pure per-row column expressions — transform() maps
+    tokens to weights inside the JVM, aggregate() folds the sum; NO
+    explode, NO shuffle, map-only over the corpus (the only correct
+    shape at 10^12 docs: a classifier pass must not cost a shuffle).
+    Output: (id, n_tokens, score, label int)."""
+    wlit = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    words = words_col(text_col)
+    weights = F.transform(
+        words,
+        lambda t: F.element_at(
+            wlit,
+            (F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+             .cast("long") % QC_BUCKETS + 1).cast("int")),
+    )
+    score = F.aggregate(weights, F.lit(0).cast("long"),
+                        lambda acc, w: acc + w)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).cast("int").alias("label"),
+    )

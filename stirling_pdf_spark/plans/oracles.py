@@ -4341,3 +4341,34 @@ SELECT rank, symbol, total FROM r WHERE rank <= 25
 
 BPE_TRAIN_TABLE = _bpe_train_table_sql()
 BPE_ENCODE_TOKENS = _bpe_encode_tokens_sql()
+
+
+def _quality_classifier_sql() -> str:
+    """Hashed linear classifier oracle: same QC_WEIGHTS constants
+    (imported, the sanctioned shared-constant pattern), independent
+    md5-bucket + list fold. Integer weights make the sum exact on
+    both engines regardless of reduction order."""
+    from ..operators.textstats import QC_BUCKETS, QC_WEIGHTS
+
+    wlit = "[" + ", ".join(str(w) for w in QC_WEIGHTS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(w, x ->
+              {wlit}[CAST(('0x' || substr(md5(x), 1, 8))::BIGINT
+                          % {QC_BUCKETS} AS INTEGER) + 1]), 'sum')
+              AS BIGINT) AS score
+  FROM t
+)
+SELECT doc_id AS id, n_tokens, score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+FROM s
+"""
+
+
+QUALITY_CLASSIFIER_SCORE = _quality_classifier_sql()

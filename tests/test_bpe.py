@@ -102,3 +102,27 @@ def test_overlap_words_match_canonical(spark, word, n):
     vocab.unpersist()
     assert merges == ref_merges
     assert got == ref_vocab
+
+
+def test_quality_classifier_matches_python_and_is_map_only(spark, sf_smoke):
+    import hashlib
+
+    from stirling_pdf_spark.operators.textstats import (
+        QC_BUCKETS, QC_WEIGHTS, quality_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = quality_classifier_score(docs)
+    # map-only claim: a classifier pass must not cost a shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["id"]: (r["n_tokens"], r["score"], r["label"])
+           for r in out.collect()}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].split()
+        score = sum(
+            QC_WEIGHTS[int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                       % QC_BUCKETS]
+            for t in toks)
+        assert got[r["doc_id"]] == (len(toks), score,
+                                    1 if score > 0 else 0)

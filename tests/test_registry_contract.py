@@ -49,7 +49,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "lang_balance_sample", "dedup_incremental",
                         "pack_seq_boundaries",
                         # r5 fifth session
-                        "bpe_train_table", "bpe_encode_tokens"]
+                        "bpe_train_table", "bpe_encode_tokens",
+                        "quality_classifier_score"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
