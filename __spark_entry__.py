@@ -1849,6 +1849,40 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "peak", "sum_abs")
 
 
+def q_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim feature stage over REAL decoded PCM (the ASR-
+    corpus preprocessing step): fixtures carry a deterministic run of
+    16*(sha256[5] % 64) leading zero samples before the closed-form
+    sawtooth, so the trim offsets, trimmed duration AND the post-trim
+    energy are all pinned against the oracle's model
+    (operators/multimodal.audio_silence_stats — narrow mapInPandas,
+    per-row error isolation, no shuffle)."""
+    from stirling_pdf_spark.corpus.media import wav_silence_table
+    from stirling_pdf_spark.operators.multimodal import (
+        audio_silence_stats,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return audio_silence_stats(wav_silence_table(docs)).select(
+        "media_ref", "n_samples", "lead_silence", "trail_silence",
+        "trimmed_ms", "peak", "energy_abs")
+
+
 def q_to_pptx(spark: SparkSession, sf_dir: str,
               docs: DataFrame | None = None) -> DataFrame:
     """PDF -> PPTX structural export (/convert/pdf/presentation;
@@ -3291,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 driver-green, unchanged; comparator siblings
         # s1_merge_by_title/comparator below the boundary)
         "multimodal_decode_wav": q_multimodal_decode_wav,
+        "audio_silence_trim": q_audio_silence_trim,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3598,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
         "to_docx": O.TO_DOCX,
         "pack_sequences": O.PACK_SEQUENCES,
         "multimodal_decode_wav": O.MULTIMODAL_DECODE_WAV,
+        "audio_silence_trim": O.AUDIO_SILENCE_TRIM,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,

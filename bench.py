@@ -136,6 +136,7 @@ BENCH_QUERIES = (
     "bpe_train_table",
     "bpe_encode_tokens",
     "quality_classifier_score",
+    "audio_silence_trim",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -472,6 +472,48 @@ def wav_table(docs: DataFrame) -> DataFrame:
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
 
 
+def wav_silence_pad_for_ref(ref: str) -> int:
+    """Leading-silence length in interleaved SAMPLES for the
+    silence-padded WAV fixture — 16 * (sha256(ref)[5] % 64), i.e.
+    0..1008 zero samples, always a multiple of 16 so the non-silent
+    sawtooth tail keeps its closed-form |sample| statistics."""
+    return 16 * (hashlib.sha256(ref.encode()).digest()[5] % 64)
+
+
+def wav_silence_payload_for_ref(ref: str) -> bytes:
+    """A VALID PCM16 WAV with a deterministic run of leading zero
+    samples before the sawtooth of wav_payload_for_ref — the fixture
+    for the silence-trim feature stage. The sawtooth phase starts at
+    0 at the first non-silent sample, so over the N = frames *
+    channels non-silent samples peak = amp + 15 and
+    sum|s| = N*amp + (N/16)*120, exactly as in the un-padded fixture."""
+    from ..kernel import wav
+
+    channels, rate, n_frames, amp = wav_dims_for_ref(ref)
+    pad = wav_silence_pad_for_ref(ref)
+    samples = [0] * pad + [wav_sample(i, amp)
+                           for i in range(n_frames * channels)]
+    return wav.encode_pcm16(channels, rate, samples)
+
+
+def wav_silence_table(docs: DataFrame) -> DataFrame:
+    """wav(media_ref, fmt='wav', payload) silence-padded fixtures for
+    every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["wav"] * len(refs), pa.string()),
+                 pa.array([wav_silence_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 def mp4_dims_for_ref(ref: str) -> tuple[str, int, int, int, int, int]:
     """(brand, timescale, duration_units, layout, width, height) for
     the deterministic ISO-BMFF fixture — pure functions of

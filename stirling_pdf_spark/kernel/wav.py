@@ -41,8 +41,13 @@ class WavInfo(NamedTuple):
     sum_abs: int
 
 
-def decode(payload: bytes) -> WavInfo:
-    """Parse a RIFF/WAVE container and compute integer sample stats."""
+def decode_samples(payload: bytes):
+    """Parse a RIFF/WAVE container and return the raw interleaved
+    integer samples: (channels, sample_rate, bits, ndarray[int64]).
+    8-bit streams are re-centered to signed (-128..127). The feature
+    stages (decode -> aggregate stats, audio_silence_stats -> trim
+    offsets) share this one parser so container handling never
+    diverges between them."""
     if len(payload) < 12 or payload[0:4] != b"RIFF":
         raise ValueError("not a RIFF container")
     if payload[8:12] != b"WAVE":
@@ -82,7 +87,13 @@ def decode(payload: bytes) -> WavInfo:
                             dtype="<i2").astype(np.int64)
     else:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
-    a = np.abs(arr)
+    return channels, rate, bits, arr
+
+
+def decode(payload: bytes) -> WavInfo:
+    """Parse a RIFF/WAVE container and compute integer sample stats."""
+    channels, rate, bits, arr = decode_samples(payload)
+    a = abs(arr)
     peak = int(a.max()) if a.size else 0
     sum_abs = int(a.sum())
     n_frames = arr.size // channels

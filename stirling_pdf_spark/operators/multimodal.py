@@ -594,6 +594,77 @@ def decode_audio(media: DataFrame, payload_col: str = "payload",
     return src.mapInPandas(run, AUDIO_DECODE_SCHEMA)
 
 
+AUDIO_SILENCE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    # leading / trailing runs of exactly-zero samples, in interleaved
+    # samples; an all-silent stream reports lead = n_samples, trail = 0
+    T.StructField("lead_silence", T.LongType(), True),
+    T.StructField("trail_silence", T.LongType(), True),
+    T.StructField("trimmed_ms", T.LongType(), True),
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("energy_abs", T.LongType(), True),
+    T.StructField("reason", T.StringType(), True),
+])
+
+
+def audio_silence_stats(media: DataFrame, payload_col: str = "payload",
+                        ref_col: str = "media_ref") -> DataFrame:
+    """Silence-trim feature stage over decoded PCM — the standard ASR
+    training-corpus preprocessing step (find the leading/trailing
+    zero-sample runs, report the trimmed duration and the energy of
+    what remains). Consumes kernel/wav.decode_samples, the same parser
+    as decode_audio, so container handling never diverges.
+
+    Scale shape: one narrow mapInPandas over the payload column, no
+    shuffle; per-row error isolation (null stats + reason) exactly as
+    decode_audio/decode_images. Integer outputs keep the DuckDB
+    oracle exact."""
+    from ..kernel import wav
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "n_samples", "lead_silence",
+                "trail_silence", "trimmed_ms", "peak", "energy_abs",
+                "reason")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                row = reason = None
+                try:
+                    channels, rate, _bits, arr = wav.decode_samples(b)
+                    n = int(arr.size)
+                    nz = np.flatnonzero(arr)
+                    if nz.size:
+                        lead = int(nz[0])
+                        trail = n - 1 - int(nz[-1])
+                    else:
+                        lead, trail = n, 0
+                    kept = arr[lead:n - trail]
+                    a = np.abs(kept)
+                    row = (n, lead, trail,
+                           (kept.size // channels) * 1000 // rate,
+                           int(a.max()) if a.size else 0,
+                           int(a.sum()))
+                except (NotImplementedError, ValueError,
+                        struct.error) as e:
+                    reason = str(e) or type(e).__name__
+                out["media_ref"].append(ref)
+                for i, field in enumerate((
+                        "n_samples", "lead_silence", "trail_silence",
+                        "trimmed_ms", "peak", "energy_abs")):
+                    out[field].append(row[i] if row else None)
+                out["reason"].append(reason)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_SILENCE_SCHEMA)
+
+
 VIDEO_PROBE_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
     T.StructField("fmt", T.StringType(), True),

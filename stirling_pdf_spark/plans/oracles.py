@@ -3736,6 +3736,36 @@ FROM p
 """
 
 
+# Silence-trim stage (corpus.media.wav_silence_payload_for_ref): the
+# fixture prepends pad = 16*(sha256(ref)[5] % 64) zero samples to the
+# sawtooth, whose first and last samples are always non-zero (|s| >=
+# amp >= 1000), so lead = pad exactly, trail = 0, and the post-trim
+# energy/peak are the un-padded fixture's closed forms.
+AUDIO_SILENCE_TRIM = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), p AS (
+  SELECT media_ref,
+         (1 + {_hexb(3)} % 2) * 256 * (1 + {_hexb(7)} % 8) AS n,
+         CASE {_hexb(5)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 32000 ELSE 48000 END AS rate,
+         256 * (1 + {_hexb(7)} % 8) AS frames,
+         1000 + 100 * ({_hexb(9)} % 10) AS amp,
+         16 * ({_hexb(11)} % 64) AS pad
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       CAST(pad + n AS BIGINT) AS n_samples,
+       CAST(pad AS BIGINT) AS lead_silence,
+       CAST(0 AS BIGINT) AS trail_silence,
+       CAST(frames * 1000 // rate AS BIGINT) AS trimmed_ms,
+       CAST(amp + 15 AS BIGINT) AS peak,
+       CAST(n * amp + (n // 16) * 120 AS BIGINT) AS energy_abs
+FROM p
+"""
+
+
 # Product-quantization ANN (Jégou et al. 2011): 8 subspaces of 8 dims,
 # 8 codewords each — deterministic literal codebooks (the LSH_PLANES /
 # IVF_CENTROIDS literal-embedding trick) so the DuckDB oracle encodes

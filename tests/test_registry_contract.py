@@ -50,7 +50,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "pack_seq_boundaries",
                         # r5 fifth session
                         "bpe_train_table", "bpe_encode_tokens",
-                        "quality_classifier_score"]
+                        "quality_classifier_score",
+                        "audio_silence_trim"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

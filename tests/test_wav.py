@@ -79,3 +79,74 @@ def test_malformed_containers_raise_valueerror():
                       b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
     with pytest.raises(ValueError, match="missing data"):
         wav.decode(hdr)
+
+
+def _silence_ref(samples: list[int], channels: int, rate: int):
+    """Pure-Python reference for the silence-trim feature."""
+    n = len(samples)
+    nz = [i for i, s in enumerate(samples) if s != 0]
+    if nz:
+        lead, trail = nz[0], n - 1 - nz[-1]
+    else:
+        lead, trail = n, 0
+    kept = samples[lead:n - trail]
+    return (n, lead, trail, (len(kept) // channels) * 1000 // rate,
+            max((abs(s) for s in kept), default=0),
+            sum(abs(s) for s in kept))
+
+
+@pytest.mark.parametrize("samples,channels,rate", [
+    ([0, 0, 0, 5, -7, 0, 3, 0, 0], 1, 1000),     # both-end runs
+    ([0, 0, 0, 0], 2, 8000),                      # all silent
+    ([1, -1], 1, 8000),                           # nothing to trim
+    ([0, 9], 2, 8000),                            # lead only, stereo
+])
+def test_silence_stats_spark_matches_python(spark, samples, channels,
+                                            rate):
+    from stirling_pdf_spark.operators.multimodal import (
+        audio_silence_stats,
+    )
+
+    payload = wav.encode_pcm16(channels, rate, samples)
+    media = spark.createDataFrame(
+        [("m1", payload)], "media_ref string, payload binary")
+    row = audio_silence_stats(media).collect()[0]
+    assert (row["n_samples"], row["lead_silence"], row["trail_silence"],
+            row["trimmed_ms"], row["peak"], row["energy_abs"]) == \
+        _silence_ref(samples, channels, rate)
+    assert row["reason"] is None
+
+
+def test_silence_stats_error_isolation(spark):
+    from stirling_pdf_spark.operators.multimodal import (
+        audio_silence_stats,
+    )
+
+    media = spark.createDataFrame(
+        [("good", wav.encode_pcm16(1, 8000, [0, 4, 0])),
+         ("bad", b"JUNKJUNKJUNKJUNK")],
+        "media_ref string, payload binary")
+    rows = {r["media_ref"]: r for r in audio_silence_stats(media).collect()}
+    assert rows["good"]["lead_silence"] == 1
+    assert rows["good"]["trail_silence"] == 1
+    assert rows["bad"]["n_samples"] is None
+    assert "RIFF" in rows["bad"]["reason"]
+
+
+def test_silence_fixture_closed_form():
+    from stirling_pdf_spark.corpus.media import (
+        wav_dims_for_ref, wav_silence_pad_for_ref,
+        wav_silence_payload_for_ref,
+    )
+
+    ref = "media-deadbeef"
+    channels, rate, n_frames, amp = wav_dims_for_ref(ref)
+    pad = wav_silence_pad_for_ref(ref)
+    ch, r, bits, arr = wav.decode_samples(wav_silence_payload_for_ref(ref))
+    n = n_frames * channels
+    assert (ch, r, bits) == (channels, rate, 16)
+    assert arr.size == pad + n
+    assert not arr[:pad].any() and arr[pad] != 0 and arr[-1] != 0
+    kept = arr[pad:]
+    assert int(abs(kept).max()) == amp + 15
+    assert int(abs(kept).sum()) == n * amp + (n // 16) * 120
