@@ -1962,6 +1962,28 @@ def q_dedup_substring_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"), w=8)
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003, the MOSS
+    algorithm): 3-word shingle hashes, window-of-4 minima, per-doc
+    distinct — retains ~2/(w+1) of the shingle index while still
+    guaranteeing detection of any shared run of >= w+k-1 words
+    (operators/dedup.winnow_fingerprints — JVM higher-order
+    functions, one explode, no shuffle)."""
+    from stirling_pdf_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS similarity report: document pairs sharing >= 2 winnowing
+    fingerprints via the inverted-index self-join over the winnowed
+    (i.e. ~2/(w+1)-sized) index
+    (operators/dedup.winnow_match_pairs)."""
+    from stirling_pdf_spark.operators.dedup import winnow_match_pairs
+
+    return winnow_match_pairs(read_table(spark, sf_dir, "documents"))
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (FAISS's default index family): IVF cells prune
     candidates to the 2 nearest lists, PQ codes prune bytes per
@@ -3326,6 +3348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s1_merge_by_title/comparator below the boundary)
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "audio_silence_trim": q_audio_silence_trim,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "winnow_match_pairs": q_winnow_match_pairs,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3634,6 +3658,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": O.PACK_SEQUENCES,
         "multimodal_decode_wav": O.MULTIMODAL_DECODE_WAV,
         "audio_silence_trim": O.AUDIO_SILENCE_TRIM,
+        "fingerprint_winnow": O.FINGERPRINT_WINNOW,
+        "winnow_match_pairs": O.WINNOW_MATCH_PAIRS,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,

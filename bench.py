@@ -137,6 +137,8 @@ BENCH_QUERIES = (
     "bpe_encode_tokens",
     "quality_classifier_score",
     "audio_silence_trim",
+    "fingerprint_winnow",
+    "winnow_match_pairs",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -810,3 +810,88 @@ def dedup_incremental(new_df: DataFrame, existing_df: DataFrame,
             .cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm, public literature): hash every
+    k-word shingle, slide a window of w consecutive hashes, keep the
+    minimum of each window, dedup per document. Guarantees every
+    shared token run of >= w + k - 1 words produces a shared
+    fingerprint while the retained set is ~2/(w+1) of all shingle
+    hashes — the index-size reduction that makes fingerprint joins
+    affordable at 100 TB where a full shingle index is not.
+
+    Docs shorter than k words yield no fingerprints; docs with fewer
+    than w shingles yield the single global minimum (the standard
+    short-document convention). Hash = first 8 hex chars of md5, the
+    repo-standard portable integer hash. Output: (id, fp bigint),
+    distinct per document.
+
+    Scale shape: whole-stage-codegen higher-order functions (hash +
+    window-min inside the JVM, no Python), one explode; the only
+    shuffle is whatever the consumer does with the (id, fp) index."""
+    words = df.select(F.col(id_col).alias("id"),
+                      words_col(text_col).alias("w"))
+    # repartition AFTER tokenizing, same reason as _shingled: the
+    # shuffle materializes the split array so the hash lambda can't
+    # inline the regex split per element
+    base = parallelize(words)
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    hs_expr = (
+        f"transform(sequence(0, size(w) - {k}), i -> "
+        f"cast(conv(substr(md5(cast(({joined}) as binary)), 1, 8),"
+        f" 16, 10) as bigint))"
+    )
+    hs = base.select(
+        "id",
+        F.when(F.size("w") >= k, F.expr(hs_expr))
+        .otherwise(F.array().cast("array<bigint>")).alias("hs"),
+    )
+    sel_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, CASE WHEN size(hs) < {w} THEN 1"
+        f" ELSE size(hs) - {w} + 1 END), "
+        f"j -> array_min(slice(hs, j, {w}))))"
+    )
+    fps = hs.select(
+        "id",
+        F.when(F.size("hs") > 0, F.expr(sel_expr))
+        .otherwise(F.array().cast("array<bigint>")).alias("fps"),
+    )
+    return (
+        fps.select("id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_match_pairs(df: DataFrame, k: int = 3, w: int = 4,
+                       min_shared: int = 2, max_df: int | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    the MOSS similarity report. The inverted-index self-join runs on
+    the winnowed index (~2/(w+1) the size of the full shingle index,
+    the whole point of winnowing at corpus scale); max_df optionally
+    drops fingerprints appearing in more than max_df docs, the same
+    hot-key cap as ngram_jaccard_pairs — at 100 TB a boilerplate
+    fingerprint shared by millions of docs must never reach the join.
+    Output: (id_a, id_b, n_shared), id_a < id_b."""
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col,
+                              text_col=text_col)
+    if max_df is not None:
+        freq = fps.groupBy("fp").agg(F.count("*").alias("df_"))
+        fps = (fps.join(freq.filter(F.col("df_") <= max_df), "fp")
+               .select("id", "fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -4402,3 +4402,43 @@ FROM s
 
 
 QUALITY_CLASSIFIER_SCORE = _quality_classifier_sql()
+
+
+def _winnow_fps_cte(k: int = 3, w: int = 4) -> str:
+    """Shared winnowing CTE (Schleimer et al. 2003): k-word shingle
+    hashes (the repo-standard md5-prefix integer hash), window-of-w
+    minima, per-doc distinct. Docs shorter than k words emit nothing;
+    docs with fewer than w shingles emit the single global minimum —
+    both matching the Spark operator's conventions."""
+    gram = " || ' ' || ".join(f"wd[i + {j}]" for j in range(k))
+    return f"""
+d AS (SELECT doc_id AS id, string_split(text, ' ') AS wd FROM documents),
+h AS (
+  SELECT id,
+         list_transform(range(1, len(wd) - {k} + 2), i ->
+           CAST(('0x' || substr(md5({gram}), 1, 8)) AS BIGINT)) AS hs
+  FROM d WHERE len(wd) >= {k}
+), s AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, CASE WHEN len(hs) < {w} THEN 1
+                         ELSE len(hs) - {w} + 1 END + 1),
+           j -> list_aggregate(hs[j:j + {w - 1}], 'min'))) AS fps
+  FROM h
+), f AS (SELECT id, unnest(fps) AS fp FROM s)
+"""
+
+
+FINGERPRINT_WINNOW = f"""
+WITH {_winnow_fps_cte()}
+SELECT id, fp FROM f
+"""
+
+WINNOW_MATCH_PAIRS = f"""
+WITH {_winnow_fps_cte()}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""

@@ -51,7 +51,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         # r5 fifth session
                         "bpe_train_table", "bpe_encode_tokens",
                         "quality_classifier_score",
-                        "audio_silence_trim"]
+                        "audio_silence_trim",
+                        "fingerprint_winnow", "winnow_match_pairs"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
