@@ -1672,6 +1672,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(read_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (the datasheet rollup, Gebru et al. 2021):
+    per (predicted language, length bucket) doc counts and token/byte
+    totals — one scan, map-side partial agg onto ~40 keys, a
+    constant-size exchange regardless of corpus size
+    (operators/textstats.corpus_stats_report)."""
+    from stirling_pdf_spark.operators.textstats import (
+        corpus_stats_report,
+    )
+
+    return corpus_stats_report(read_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed end-to-end training build (the capstone the
     per-stage gates exist for): Gopher quality -> first-occurrence
@@ -3350,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_silence_trim": q_audio_silence_trim,
         "fingerprint_winnow": q_fingerprint_winnow,
         "winnow_match_pairs": q_winnow_match_pairs,
+        "corpus_stats_report": q_corpus_stats_report,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3660,6 +3674,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_silence_trim": O.AUDIO_SILENCE_TRIM,
         "fingerprint_winnow": O.FINGERPRINT_WINNOW,
         "winnow_match_pairs": O.WINNOW_MATCH_PAIRS,
+        "corpus_stats_report": O.CORPUS_STATS_REPORT,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,

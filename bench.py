@@ -139,6 +139,7 @@ BENCH_QUERIES = (
     "audio_silence_trim",
     "fingerprint_winnow",
     "winnow_match_pairs",
+    "corpus_stats_report",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -938,3 +938,50 @@ def quality_classifier_score(df: DataFrame, id_col: str = "doc_id",
         score.alias("score"),
         (score > 0).cast("int").alias("label"),
     )
+
+
+def corpus_stats_report(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bucket_tokens: int = 64,
+                        n_buckets: int = 8) -> DataFrame:
+    """Corpus data card (the 'datasheet' rollup every released
+    training corpus publishes — Gebru et al. 2021 arXiv:1803.09010):
+    per (predicted language, doc-length bucket) document counts,
+    token/byte totals, and token min/max. Language uses the lang_id
+    stopword-argmax inline (recomputed in the same projection, not a
+    join — a data card must cost one pass, not two shuffles); length
+    buckets are floor(n_tokens / bucket_tokens) capped at
+    n_buckets - 1.
+
+    Scale shape: map-side partial aggregation onto at most
+    |LANGS|+1 times n_buckets keys — the shuffle moves one row per
+    (task, key), so the report costs a scan plus a ~40-row exchange
+    regardless of corpus size. All-integer outputs keep the oracle
+    exact (sums, not means: the reader divides)."""
+    base = parallelize(df).select(
+        words_col(text_col).alias("w"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+    scored = base.select(
+        "w", "n_bytes",
+        *[_stopword_hits(lang).alias(f"s_{lang}") for lang in LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANGS:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    n_tokens = F.size("w").cast("long")
+    keyed = scored.select(
+        pred.alias("lang"),
+        F.least(F.floor(n_tokens / bucket_tokens),
+                F.lit(n_buckets - 1)).cast("long").alias("len_bucket"),
+        n_tokens.alias("n_tokens"),
+        "n_bytes",
+    )
+    return keyed.groupBy("lang", "len_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

@@ -4442,3 +4442,48 @@ FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+
+def _corpus_stats_sql(bucket_tokens: int = 64, n_buckets: int = 8) -> str:
+    """Data-card oracle: the lang_id stopword-argmax inline (same
+    constants via LANG_STOPWORDS import), length-bucketed integer
+    aggregates. strlen = BYTES in DuckDB, matching Spark
+    octet_length."""
+    score_cols = []
+    for lang in LANGS:
+        vals = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({vals}))) AS s_{lang}"
+        )
+    best = "GREATEST({})".format(
+        ", ".join(f"s_{lang}" for lang in LANGS))
+    pred = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+WITH d AS (
+  SELECT string_split(text, ' ') AS w,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+), s AS (SELECT w, n_bytes, {', '.join(score_cols)} FROM d),
+b AS (SELECT *, {best} AS best FROM s),
+p AS (
+  SELECT {pred} AS lang,
+         CAST(LEAST(len(w) // {bucket_tokens}, {n_buckets - 1})
+              AS BIGINT) AS len_bucket,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         n_bytes
+  FROM b
+)
+SELECT lang, len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM p
+GROUP BY lang, len_bucket
+"""
+
+
+CORPUS_STATS_REPORT = _corpus_stats_sql()

@@ -52,7 +52,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "bpe_train_table", "bpe_encode_tokens",
                         "quality_classifier_score",
                         "audio_silence_trim",
-                        "fingerprint_winnow", "winnow_match_pairs"]
+                        "fingerprint_winnow", "winnow_match_pairs",
+                        "corpus_stats_report"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

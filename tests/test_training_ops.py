@@ -412,3 +412,32 @@ def test_decode_images_with_reason_opt_in(spark):
     assert got["good"]["width"] is not None
     assert got["bad"]["width"] is None
     assert got["bad"]["reason"]  # non-empty message
+
+
+def test_corpus_stats_report_exact_and_single_exchange(spark):
+    from stirling_pdf_spark.operators.textstats import corpus_stats_report
+
+    docs = [
+        (1, "the cat and the dog of the house"),      # en, 8 tokens
+        (2, "el perro y el gato de la casa grande"),  # es, 9 tokens
+        (3, "qqq www eee"),                           # und, 3 tokens
+        (4, "the " * 70 + "end"),                     # en, 71 tok, bucket 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = corpus_stats_report(df, bucket_tokens=64, n_buckets=8)
+    rows = {(r["lang"], r["len_bucket"]): r for r in out.collect()}
+    assert set(rows) == {("en", 0), ("es", 0), ("und", 0), ("en", 1)}
+    en0 = rows[("en", 0)]
+    assert (en0["n_docs"], en0["sum_tokens"], en0["min_tokens"],
+            en0["max_tokens"]) == (1, 8, 8, 8)
+    assert en0["sum_bytes"] == len(docs[0][1].encode())
+    en1 = rows[("en", 1)]
+    assert (en1["n_docs"], en1["sum_tokens"]) == (1, 71)
+    # the report must cost one exchange beyond the input repartition:
+    # map-side partial agg onto a constant key space, then one shuffle
+    # (fresh plan, pre-AQE: the executed string would repeat both the
+    # initial and final plans and double-count)
+    plan = (corpus_stats_report(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
