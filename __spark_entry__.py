@@ -1672,6 +1672,54 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(read_table(spark, sf_dir, "documents"))
 
 
+def _qc_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + integer label = (lang_id == 'en'), computed inline
+    in one projection after a materializing repartition (no join)."""
+    from stirling_pdf_spark.operators.dedup import parallelize, words_col
+    from stirling_pdf_spark.operators.textstats import lang_pred_expr
+
+    words = read_table(spark, sf_dir, "documents").select(
+        "text", words_col("text").alias("w"))
+    return parallelize(words).select(
+        "text",
+        (lang_pred_expr("w") == F.lit("en")).cast("long").alias("label"),
+    )
+
+
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED classifier training (the other half of
+    quality_classifier_score): per-bucket token counts by class ->
+    ppm rate-difference weights, one explode + partial agg onto 64
+    keys + a one-row broadcast totals join; labels are the lang_id
+    argmax computed inline
+    (operators/textstats.train_quality_classifier)."""
+    from stirling_pdf_spark.operators.textstats import (
+        train_quality_classifier,
+    )
+
+    return train_quality_classifier(_qc_labeled_docs(spark, sf_dir))
+
+
+def q_quality_classifier_trained_score(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Train -> deploy round trip: the trained 64-row model is
+    collected (bounded BY CONSTRUCTION, the IVF-centroid pattern),
+    broadcast as a literal weight array, and inference runs map-only
+    with zero shuffle — the production shape for classifier passes at
+    10^12 docs (operators/textstats.trained_weights_list +
+    quality_classifier_score)."""
+    from stirling_pdf_spark.operators.textstats import (
+        quality_classifier_score,
+        train_quality_classifier,
+        trained_weights_list,
+    )
+
+    wdf = train_quality_classifier(_qc_labeled_docs(spark, sf_dir))
+    ws = trained_weights_list(wdf)
+    return quality_classifier_score(
+        read_table(spark, sf_dir, "documents"), weights=ws)
+
+
 def q_corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (the datasheet rollup, Gebru et al. 2021):
     per (predicted language, length bucket) doc counts and token/byte
@@ -3364,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "winnow_match_pairs": q_winnow_match_pairs,
         "corpus_stats_report": q_corpus_stats_report,
+        "quality_classifier_train": q_quality_classifier_train,
+        "quality_classifier_trained_score": q_quality_classifier_trained_score,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3675,6 +3725,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_winnow": O.FINGERPRINT_WINNOW,
         "winnow_match_pairs": O.WINNOW_MATCH_PAIRS,
         "corpus_stats_report": O.CORPUS_STATS_REPORT,
+        "quality_classifier_train": O.QUALITY_CLASSIFIER_TRAIN,
+        "quality_classifier_trained_score": O.QUALITY_CLASSIFIER_TRAINED_SCORE,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,

@@ -140,6 +140,8 @@ BENCH_QUERIES = (
     "fingerprint_winnow",
     "winnow_match_pairs",
     "corpus_stats_report",
+    "quality_classifier_train",
+    "quality_classifier_trained_score",
     # streaming_dedup deliberately NOT benched: like
     # streaming_ingest_resume it measures temp-dir IO + two
     # micro-batch restarts, not engine throughput

@@ -909,7 +909,8 @@ QC_WEIGHTS: list[int] = [
 
 
 def quality_classifier_score(df: DataFrame, id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             weights: list[int] | None = None) -> DataFrame:
     """Hashed linear text classifier (the fastText/CCNet quality-
     classifier shape, Joulin et al. 2016 arXiv:1607.01759): each token
     hashes to one of QC_BUCKETS buckets (first 8 hex chars of md5, the
@@ -920,17 +921,20 @@ def quality_classifier_score(df: DataFrame, id_col: str = "doc_id",
     tokens to weights inside the JVM, aggregate() folds the sum; NO
     explode, NO shuffle, map-only over the corpus (the only correct
     shape at 10^12 docs: a classifier pass must not cost a shuffle).
-    Output: (id, n_tokens, score, label int)."""
-    wlit = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    `weights` defaults to the deterministic QC_WEIGHTS stand-in; pass
+    trained_weights_list(train_quality_classifier(...)) to run the
+    actually-trained model. Output: (id, n_tokens, score, label int)."""
+    ws = QC_WEIGHTS if weights is None else weights
+    wlit = F.array(*[F.lit(w) for w in ws])
     words = words_col(text_col)
-    weights = F.transform(
+    wexpr = F.transform(
         words,
         lambda t: F.element_at(
             wlit,
             (F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
-             .cast("long") % QC_BUCKETS + 1).cast("int")),
+             .cast("long") % len(ws) + 1).cast("int")),
     )
-    score = F.aggregate(weights, F.lit(0).cast("long"),
+    score = F.aggregate(wexpr, F.lit(0).cast("long"),
                         lambda acc, w: acc + w)
     return df.select(
         F.col(id_col).alias("id"),
@@ -985,3 +989,72 @@ def corpus_stats_report(df: DataFrame, id_col: str = "doc_id",
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+def lang_pred_expr(words: str = "w"):
+    """The lang_id stopword-argmax as a single column expression over
+    an already-materialized word-array column — for pipelines that
+    need the label inside an existing projection without a join."""
+    hits = {lang: _stopword_hits(lang, words) for lang in LANGS}
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANGS:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return pred
+
+
+def train_quality_classifier(df: DataFrame, label_col: str = "label",
+                             text_col: str = "text",
+                             buckets: int = QC_BUCKETS) -> DataFrame:
+    """DISTRIBUTED training of the hashed linear classifier that
+    quality_classifier_score runs inference for (fastText shape,
+    Joulin et al. 2016): per hash bucket, count token occurrences in
+    positive vs negative documents and emit the class-balanced rate
+    difference as the weight —
+        weight_b = n_pos_b * 10^6 div total_pos
+                 - n_neg_b * 10^6 div total_neg
+    an integer parts-per-million log-odds surrogate (integer div keeps
+    both engines bit-exact; ppm normalization keeps the arithmetic in
+    BIGINT at any corpus size, where a raw cross-product of counts
+    would overflow).
+
+    Scale shape: one explode + map-side partial agg onto `buckets`
+    keys (the shuffle moves one row per task per bucket); the totals
+    join is a broadcast of ONE row. The model is `buckets` rows — tiny
+    by construction — which is what makes the collect-to-literal
+    scoring path legitimate. Output: (bucket, n_pos, n_neg, weight)."""
+    toks = parallelize(df).select(
+        F.col(label_col).cast("long").alias("y"),
+        F.explode(words_col(text_col)).alias("t"),
+    )
+    bucket = (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8),
+                     16, 10).cast("long") % buckets).alias("bucket")
+    agg = toks.groupBy(bucket).agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+    totals = agg.agg(
+        F.greatest(F.sum("n_pos"), F.lit(1)).alias("tp"),
+        F.greatest(F.sum("n_neg"), F.lit(1)).alias("tn"),
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (F.expr("n_pos * 1000000 div tp")
+         - F.expr("n_neg * 1000000 div tn"))
+        .cast("long").alias("weight"),
+    )
+
+
+def trained_weights_list(weights_df: DataFrame,
+                         buckets: int = QC_BUCKETS) -> list[int]:
+    """Collect a trained (bucket, weight) table into the dense weight
+    list quality_classifier_score consumes. The collect is bounded at
+    `buckets` rows BY CONSTRUCTION (the model, not the data) — the
+    same sanctioned pattern as the IVF centroid literals; untrained
+    buckets default to weight 0."""
+    ws = [0] * buckets
+    for r in weights_df.select("bucket", "weight").collect():
+        ws[int(r["bucket"])] = int(r["weight"])
+    return ws

@@ -4487,3 +4487,74 @@ GROUP BY lang, len_bucket
 
 
 CORPUS_STATS_REPORT = _corpus_stats_sql()
+
+
+def _qc_train_ctes() -> str:
+    """Shared CTE chain for classifier training: lang_id argmax
+    labels (en = positive), token->bucket hashing, per-bucket class
+    counts, ppm rate-difference weights — mirroring
+    textstats.train_quality_classifier over the same constants."""
+    from ..operators.textstats import LANG_STOPWORDS, LANGS, QC_BUCKETS
+
+    score_cols = []
+    for lang in LANGS:
+        vals = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({vals}))) AS s_{lang}"
+        )
+    best = "GREATEST({})".format(
+        ", ".join(f"s_{lang}" for lang in LANGS))
+    pred = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+d AS (SELECT string_split(text, ' ') AS w FROM documents),
+s AS (SELECT w, {', '.join(score_cols)} FROM d),
+b AS (SELECT *, {best} AS best FROM s),
+l AS (SELECT w, CASE WHEN ({pred}) = 'en' THEN 1 ELSE 0 END AS y FROM b),
+t AS (SELECT y, unnest(w) AS tk FROM l),
+k AS (SELECT CAST(('0x' || substr(md5(tk), 1, 8))::BIGINT
+                  % {QC_BUCKETS} AS BIGINT) AS bucket, y FROM t),
+a AS (SELECT bucket,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM k GROUP BY bucket),
+tot AS (SELECT GREATEST(CAST(SUM(n_pos) AS BIGINT), 1) AS tp,
+               GREATEST(CAST(SUM(n_neg) AS BIGINT), 1) AS tn
+        FROM a),
+wts AS (SELECT bucket, n_pos, n_neg,
+               CAST(n_pos * 1000000 // tp
+                    - n_neg * 1000000 // tn AS BIGINT) AS weight
+        FROM a, tot)
+"""
+
+
+QUALITY_CLASSIFIER_TRAIN = f"""
+WITH {_qc_train_ctes()}
+SELECT bucket, n_pos, n_neg, weight FROM wts
+"""
+
+
+def _qc_trained_score_sql() -> str:
+    from ..operators.textstats import QC_BUCKETS
+
+    return f"""
+WITH {_qc_train_ctes()},
+w8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              unnest(w) AS tk FROM w8),
+db AS (SELECT doc_id, n_tokens,
+              CAST(('0x' || substr(md5(tk), 1, 8))::BIGINT
+                   % {QC_BUCKETS} AS BIGINT) AS bucket FROM dt),
+sc AS (SELECT db.doc_id,
+              CAST(MAX(db.n_tokens) AS BIGINT) AS n_tokens,
+              CAST(SUM(COALESCE(wt.weight, 0)) AS BIGINT) AS score
+       FROM db LEFT JOIN wts wt USING (bucket)
+       GROUP BY db.doc_id)
+SELECT doc_id AS id, n_tokens, score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+FROM sc
+"""
+
+
+QUALITY_CLASSIFIER_TRAINED_SCORE = _qc_trained_score_sql()

@@ -126,3 +126,52 @@ def test_quality_classifier_matches_python_and_is_map_only(spark, sf_smoke):
             for t in toks)
         assert got[r["doc_id"]] == (len(toks), score,
                                     1 if score > 0 else 0)
+
+
+def _py_train(docs: list[tuple[int, str]], buckets: int):
+    import hashlib
+
+    n = {}
+    tp = tn = 0
+    for y, text in docs:
+        for t in text.split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+            pos, neg = n.get(b, (0, 0))
+            n[b] = (pos + y, neg + (1 - y))
+            tp += y
+            tn += 1 - y
+    tp, tn = max(tp, 1), max(tn, 1)
+    return {b: (pos, neg, pos * 1_000_000 // tp - neg * 1_000_000 // tn)
+            for b, (pos, neg) in n.items()}
+
+
+def test_train_quality_classifier_matches_python(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        QC_BUCKETS, train_quality_classifier,
+    )
+
+    docs = [(1, "good fine nice good"), (1, "fine day"),
+            (0, "bad awful bad"), (0, "awful junk day")]
+    df = spark.createDataFrame(docs, "label long, text string")
+    got = {r["bucket"]: (r["n_pos"], r["n_neg"], r["weight"])
+           for r in train_quality_classifier(df).collect()}
+    assert got == _py_train(docs, QC_BUCKETS)
+
+
+def test_train_then_score_separates_classes(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        quality_classifier_score,
+        train_quality_classifier,
+        trained_weights_list,
+    )
+
+    pos = [(i, 1, "alpha beta gamma delta") for i in range(8)]
+    neg = [(i + 8, 0, "omega sigma tau rho") for i in range(8)]
+    df = spark.createDataFrame(pos + neg,
+                               "doc_id int, label long, text string")
+    ws = trained_weights_list(train_quality_classifier(df))
+    scored = {r["id"]: r["label"]
+              for r in quality_classifier_score(df, weights=ws).collect()}
+    # a linearly separable vocabulary must be perfectly recovered
+    for doc_id, y, _ in pos + neg:
+        assert scored[doc_id] == y

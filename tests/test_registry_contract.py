@@ -53,7 +53,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "quality_classifier_score",
                         "audio_silence_trim",
                         "fingerprint_winnow", "winnow_match_pairs",
-                        "corpus_stats_report"]
+                        "corpus_stats_report",
+                        "quality_classifier_train",
+                        "quality_classifier_trained_score"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
