@@ -2423,6 +2423,69 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    streaming/packer.py): the sequence packer's running token offset
+    carried in the state store across micro-batches and a checkpoint
+    restart. The feed is four doc_id-ascending slices (one micro-batch
+    each, maxFilesPerTrigger=1); slices 1-3 drain in run 1, slice 4
+    lands and run 2 restarts from the checkpoint — the recovered
+    offset must continue seamlessly, making the appended output
+    bit-identical to the batch pack_sequences oracle (batch-stream
+    parity against the SAME DuckDB SQL)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from stirling_pdf_spark.operators.dedup import words_col
+    from stirling_pdf_spark.streaming.packer import stream_pack
+
+    _ship_package(spark)
+    base = tempfile.mkdtemp(prefix="stream_pack_")
+    in_dir, out_dir, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    os.makedirs(in_dir)
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(words_col("text")).cast("long").alias("n_tokens"),
+            F.lit(0).cast("int").alias("shard"),
+        )
+    )
+
+    def write_slice(df, idx: int) -> None:
+        # one parquet FILE per slice with strictly increasing mtimes:
+        # the file source orders micro-batches by modification time
+        stage = f"{base}/stage{idx}"
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/slice{idx}.parquet"
+        shutil.move(part, dst)
+        t = time.time() - 40 + idx * 10
+        os.utime(dst, (t, t))
+
+    try:
+        lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        step = max((int(hi) - int(lo)) // 4 + 1, 1)
+        cuts = [int(lo) + step * i for i in range(1, 4)]
+        write_slice(toks.filter(F.col("doc_id") < cuts[0]), 0)
+        write_slice(toks.filter((F.col("doc_id") >= cuts[0])
+                                & (F.col("doc_id") < cuts[1])), 1)
+        write_slice(toks.filter((F.col("doc_id") >= cuts[1])
+                                & (F.col("doc_id") < cuts[2])), 2)
+        stream_pack(spark, in_dir, out_dir, cp).awaitTermination()
+        write_slice(toks.filter(F.col("doc_id") >= cuts[2]), 3)
+        stream_pack(spark, in_dir, out_dir, cp).awaitTermination()
+        result = spark.read.parquet(out_dir).select(
+            "doc_id", "n_tokens", "seq_id", "tok_start", "n_in_seq")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 table A1, the public
     rule set): the whole corpus plus crafted doc_id%4 tails that
@@ -3414,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_report": q_corpus_stats_report,
         "quality_classifier_train": q_quality_classifier_train,
         "quality_classifier_trained_score": q_quality_classifier_trained_score,
+        "streaming_pack": q_streaming_pack,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3727,6 +3791,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats_report": O.CORPUS_STATS_REPORT,
         "quality_classifier_train": O.QUALITY_CLASSIFIER_TRAIN,
         "quality_classifier_trained_score": O.QUALITY_CLASSIFIER_TRAINED_SCORE,
+        # streaming_pack reuses the batch packer's oracle verbatim —
+        # THE batch-stream parity statement
+        "streaming_pack": O.PACK_SEQUENCES,
         "ann_pq_topk": O.ANN_PQ_TOPK,
         "to_pptx": O.TO_PPTX,
         "ann_ivfpq_topk": O.ANN_IVFPQ_TOPK,

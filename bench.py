@@ -142,9 +142,9 @@ BENCH_QUERIES = (
     "corpus_stats_report",
     "quality_classifier_train",
     "quality_classifier_trained_score",
-    # streaming_dedup deliberately NOT benched: like
-    # streaming_ingest_resume it measures temp-dir IO + two
-    # micro-batch restarts, not engine throughput
+    # streaming_dedup / streaming_pack deliberately NOT benched: like
+    # streaming_ingest_resume they measure temp-dir IO + micro-batch
+    # restarts, not engine throughput
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

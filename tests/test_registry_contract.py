@@ -55,7 +55,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "fingerprint_winnow", "winnow_match_pairs",
                         "corpus_stats_report",
                         "quality_classifier_train",
-                        "quality_classifier_trained_score"]
+                        "quality_classifier_trained_score",
+                        "streaming_pack"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
