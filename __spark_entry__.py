@@ -3471,13 +3471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 driver-green, unchanged; comparator siblings
         # s1_merge_by_title/comparator below the boundary)
         "multimodal_decode_wav": q_multimodal_decode_wav,
-        "audio_silence_trim": q_audio_silence_trim,
-        "fingerprint_winnow": q_fingerprint_winnow,
-        "winnow_match_pairs": q_winnow_match_pairs,
-        "corpus_stats_report": q_corpus_stats_report,
-        "quality_classifier_train": q_quality_classifier_train,
-        "quality_classifier_trained_score": q_quality_classifier_trained_score,
-        "streaming_pack": q_streaming_pack,
         # r5 fourth session: PQ/ADC ANN — completes the ANN family's
         # compression axis (took the slot of e17_page_info — r4
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
@@ -3547,6 +3540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_table": q_bpe_train_table,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "quality_classifier_score": q_quality_classifier,
+        # r5 fifth session: all born below the saturated window;
+        # replica-green at sf0.01 (check_queries) and listed in
+        # R6_WINDOW_CANDIDATES for rotation next round
+        "audio_silence_trim": q_audio_silence_trim,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "winnow_match_pairs": q_winnow_match_pairs,
+        "corpus_stats_report": q_corpus_stats_report,
+        "quality_classifier_train": q_quality_classifier_train,
+        "quality_classifier_trained_score": q_quality_classifier_trained_score,
+        "streaming_pack": q_streaming_pack,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "lang_balance_sample": q_lang_balance_sample,
         "dedup_incremental": q_dedup_incremental,
