@@ -3405,6 +3405,136 @@ def q_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ----------------------------------------------- round 5, sixth session
+
+
+def q_extract_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's observability surface driven end-to-end:
+    run-1 extracts the full corpus through the checkpointed commit
+    protocol (runtime/checkpoint.py — spans, then per-partition
+    metrics, then lineage LAST as the commit point); run-2 under a new
+    run_id resumes against the committed lineage, finds an EMPTY
+    pending set and must write NO metrics row. The gate rolls the
+    metrics table up per run_id — idempotency is visible as the
+    absence of a second run, and the run-1 totals must equal the
+    span-counts oracle summed over every kind."""
+    import shutil
+    import tempfile
+
+    from stirling_pdf_spark.runtime.checkpoint import (
+        run_extract_with_checkpoint,
+    )
+
+    _ship_package(spark)
+    base = tempfile.mkdtemp(prefix="lineage_gate_")
+    try:
+        docs = docs_from_documents_table(spark, sf_dir)
+        run_extract_with_checkpoint(spark, docs, base, run_id="run-1")
+        run_extract_with_checkpoint(spark, docs, base, run_id="run-2")
+        m = spark.read.parquet(f"{base}/metrics")
+        out = m.groupBy("run_id").agg(
+            F.sum("doc_count").cast("long").alias("docs"),
+            F.sum("span_count").cast("long").alias("spans"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_extract_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence equality validator (operators/validate.py) — the
+    north rule's per-row invariant as a distributed operator: side B
+    perturbs the extracted text-span view (docs with num % 7 == 0 get
+    span text_rank = num % 3 prefixed, docs with num % 11 == 0 lose
+    their last span) and the diff must localize exactly those
+    divergences: counts per side, mismatch count, equality flag and
+    the first divergent order per document."""
+    from stirling_pdf_spark.operators.validate import span_diff
+
+    a = q_extract_text_spans(spark, sf_dir)
+    num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
+    b = (
+        a.withColumn("num", num)
+        .withColumn(
+            "max_rank",
+            F.max("text_rank").over(Window.partitionBy("doc_id")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("num") % 7 == 0)
+                & (F.col("text_rank") == F.col("num") % 3),
+                F.concat(F.lit("EDITED "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .filter(
+            ~((F.col("num") % 11 == 0)
+              & (F.col("text_rank") == F.col("max_rank")))
+        )
+        .select("doc_id", "text_rank", "text")
+    )
+    return span_diff(a, b, order_col="text_rank")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (keep-BEST, the published LLM
+    dedup idiom): MinHash pairs -> connected components -> the LONGEST
+    member of each cluster survives (byte length, min-id ties) instead
+    of the arbitrary min-id label that dedup_keep_corpus keeps."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, n=O.NGRAM_N, num_hashes=O.MINHASH_K, bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT,
+    )
+    return D.keep_best_corpus(docs, pairs)
+
+
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-blocklist filter (web-pipeline hygiene): docs
+    with num % 5 != 0 carry two deterministic URLs; an entry blocks a
+    host on exact or dot-suffix match ('mirror3.org' blocks
+    'www.mirror3.org'), URL-less docs pass vacuously."""
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" see https://site"), (d % 7).cast("string"),
+        F.lit(".example.com/p/"), d.cast("string"),
+        F.lit(" or www.mirror"), (d % 7).cast("string"), F.lit(".org done"),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        F.when(d % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), tail)).alias("text"),
+    )
+    return TS.url_blocklist_filter(docs)
+
+
+def q_html_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus extraction (functions/html.py): every <a>
+    tag in tag order with href, anchor text and registrable host —
+    relative hrefs keep a NULL domain. Three anchors per synthesized
+    page (absolute article link, relative nav link, absolute mirror
+    link)."""
+    from stirling_pdf_spark.functions.html import extract_anchors
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://site'),
+        (d % 7).cast("string"), F.lit(".example.com/p/"), d.cast("string"),
+        F.lit('">read more '), d.cast("string"),
+        F.lit('</a> mid <a class="nav" href="/rel/'), d.cast("string"),
+        F.lit('">local</a> <a href="https://www.mirror'),
+        (d % 3).cast("string"), F.lit('.org">mirror '), d.cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        html.alias("html"),
+    )
+    return extract_anchors(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -3554,6 +3684,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_balance_sample": q_lang_balance_sample,
         "dedup_incremental": q_dedup_incremental,
         "pack_seq_boundaries": q_pack_seq_boundaries,
+        # r5 sixth session: born below the saturated window;
+        # replica-green at sf0.01 (check_queries), listed in
+        # R6_WINDOW_CANDIDATES for rotation next round
+        "extract_lineage_metrics": q_extract_lineage_metrics,
+        "extract_span_diff": q_extract_span_diff,
+        "dedup_keep_best": q_dedup_keep_best,
+        "url_blocklist_filter": q_url_blocklist_filter,
+        "html_anchor_extract": q_html_anchor_extract,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3806,6 +3944,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hash_split": O.CORPUS_HASH_SPLIT,
         "corpus_to_jsonl": O.CORPUS_TO_JSONL,
         "multimodal_decode_errors": O.MULTIMODAL_DECODE_ERRORS,
+        "extract_lineage_metrics": O.EXTRACT_LINEAGE_METRICS,
+        "extract_span_diff": O.EXTRACT_SPAN_DIFF,
+        "dedup_keep_best": O.DEDUP_KEEP_BEST,
+        "url_blocklist_filter": O.URL_BLOCKLIST_FILTER,
+        "html_anchor_extract": O.HTML_ANCHOR_EXTRACT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -142,6 +142,13 @@ BENCH_QUERIES = (
     "corpus_stats_report",
     "quality_classifier_train",
     "quality_classifier_trained_score",
+    # round-5 sixth-session additions (extract_lineage_metrics is NOT
+    # benched — like streaming_ingest_resume it measures temp-dir IO
+    # plus a second no-op resume run, not engine throughput)
+    "extract_span_diff",
+    "dedup_keep_best",
+    "url_blocklist_filter",
+    "html_anchor_extract",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

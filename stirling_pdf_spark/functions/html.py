@@ -95,3 +95,41 @@ def main_blocks_udf():
         return s.map(lambda v: extract_main_blocks(v or ""))
 
     return _blocks
+
+
+# one <a> tag per match; group 1 = the whole tag so the per-tag href /
+# anchor-text extraction below stays a plain column expression
+ANCHOR_TAG_RE = r'(<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>)'
+
+
+def extract_anchors(df, id_col: str = "doc_id",
+                    html_col: str = "html"):
+    """Anchor-text corpus extraction — the web-pipeline stage that
+    feeds anchor-text retrieval datasets (link graph + anchor terms,
+    cf. the public Common-Crawl anchor-corpus recipes): every <a> tag
+    in tag order with href, anchor text and registrable host; relative
+    hrefs keep a NULL domain.
+
+    Pure column expressions (regexp_extract_all + posexplode + two
+    per-tag regexp_extract) — no Python, no shuffle at all; the output
+    stays partitioned like the scan.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import url_host
+
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TAG_RE), 1)
+    tag = F.col("tag")
+    href = F.regexp_extract(tag, r'href="([^"]*)"', 1)
+    anchor = F.regexp_extract(tag, r">([^<]*)</a>", 1)
+    return (
+        df.select(F.col(id_col).alias("id"), tags.alias("tags"))
+        .select("id", F.posexplode("tags").alias("pos", "tag"))
+        .select(
+            "id", F.col("pos").cast("long").alias("pos"),
+            href.alias("href"), anchor.alias("anchor"),
+            F.when(href.rlike("^https?://"), url_host(href))
+            .alias("domain"),
+        )
+    )

@@ -895,3 +895,41 @@ def winnow_match_pairs(df: DataFrame, k: int = 3, w: int = 4,
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def keep_best_corpus(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id",
+                     score_col: str = "text") -> DataFrame:
+    """Quality-aware canonical selection — the keep-BEST idiom from
+    published LLM dedup recipes (keep the longest / highest-quality
+    member of each near-dup cluster, not the arbitrary min id; cf.
+    keep_corpus in q_dedup_keep_corpus which keeps the label).
+
+    ``score_col`` names a text column whose byte length ranks members
+    (longest wins, min-id ties). Components + one score join + one
+    window per component: the window input per component is bounded by
+    cluster size, so the plan holds at corpus scale.
+
+    Output: (doc_id, doc_bytes, n_absorbed) — one row per kept doc.
+    """
+    comp = connected_components(
+        pairs, docs.select(F.col(id_col).alias("id")))
+    scored = comp.join(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.octet_length(F.col(score_col)).cast("long")
+            .alias("doc_bytes"),
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("doc_bytes"), F.asc("id"))
+    return (
+        scored
+        .withColumn("n_absorbed", (F.count("*").over(w) - 1).cast("long"))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id").cast("long").alias("doc_id"),
+                "doc_bytes", "n_absorbed")
+    )

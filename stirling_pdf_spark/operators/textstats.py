@@ -1058,3 +1058,53 @@ def trained_weights_list(weights_df: DataFrame,
     for r in weights_df.select("bucket", "weight").collect():
         ws[int(r["bucket"])] = int(r["weight"])
     return ws
+
+
+# UT1/blocklist-style banned domains for the gate corpus; real
+# deployments broadcast a list of ~1e6 entries the same way (literal
+# array below a few thousand, broadcast-joined lookup table above).
+URL_BLOCKLIST: tuple[str, ...] = (
+    "site2.example.com", "mirror3.org", "tracker.test",
+)
+
+
+def url_blocklist_filter(df: DataFrame,
+                         blocklist: tuple[str, ...] = URL_BLOCKLIST,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Domain-blocklist filtering — the UT1-style web-pipeline hygiene
+    stage: a document is dropped when ANY of its URLs' hosts matches a
+    blocklist entry exactly or as a dot-suffix ('mirror3.org' blocks
+    'www.mirror3.org'). URL-less documents pass.
+
+    The blocklist rides as a literal array (the broadcast-as-literal
+    pattern from ivf.py); the match is a pure F.exists column
+    expression, so the whole filter is scan + one groupBy on the doc
+    id — no Python, no extra shuffle beyond the per-doc rollup.
+
+    Output: (id, n_urls, n_blocked, keep:int) — keep = 1 iff no URL
+    is blocked (vacuously for URL-less docs).
+    """
+    urls = extract_urls(df, id_col=id_col, text_col=text_col)
+    b = F.array(*[F.lit(x) for x in blocklist])
+    blocked = F.exists(
+        b,
+        lambda d: (F.col("domain") == d)
+        | F.col("domain").endswith(F.concat(F.lit("."), d)),
+    ).cast("int")
+    agg = urls.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(blocked).cast("long").alias("n_blocked"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_urls", F.lit(0)).cast("long").alias("n_urls"),
+            F.coalesce("n_blocked", F.lit(0)).cast("long")
+            .alias("n_blocked"),
+            (F.coalesce("n_blocked", F.lit(0)) == 0).cast("int")
+            .alias("keep"),
+        )
+    )

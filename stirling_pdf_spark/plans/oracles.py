@@ -4558,3 +4558,133 @@ FROM sc
 
 
 QUALITY_CLASSIFIER_TRAINED_SCORE = _qc_trained_score_sql()
+
+
+# ------------------------------------------------- round 5, sixth session
+
+# Run-level rollup of the checkpoint runtime's metrics table
+# (runtime/checkpoint.py): run-1 extracts the full corpus, the
+# immediately repeated run-2 resumes to an EMPTY pending set and must
+# write NO metrics row — idempotency is visible as the absence of a
+# second run_id. docs = every corpus row (extract emits one span row
+# per doc, empty-span docs included); spans = the span-counts oracle
+# summed over all kinds.
+EXTRACT_LINEAGE_METRICS = f"""
+WITH sc AS ({EXTRACT_SPAN_COUNTS})
+SELECT 'run-1' AS run_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs,
+       CAST(SUM(n_spans) AS BIGINT) AS spans
+FROM sc
+"""
+
+# Span-sequence equality validator (the north rule's per-row
+# invariant as a first-class operator): side B perturbs the text-span
+# view — docs with num % 7 = 0 get span text_rank = num % 3 prefixed
+# 'EDITED ', docs with num % 11 = 0 lose their LAST span — and the
+# diff must localize exactly those divergences per document.
+EXTRACT_SPAN_DIFF = f"""
+WITH a0 AS ({EXTRACT_TEXT_SPANS}),
+a AS (SELECT doc_id, text_rank, text,
+             CAST(substr(doc_id, 5) AS BIGINT) AS num FROM a0),
+b0 AS (SELECT doc_id, text_rank, num,
+              CASE WHEN num % 7 = 0 AND text_rank = num % 3
+                   THEN 'EDITED ' || text ELSE text END AS text,
+              MAX(text_rank) OVER (PARTITION BY doc_id) AS max_rank
+       FROM a),
+b AS (SELECT doc_id, text_rank, text FROM b0
+      WHERE NOT (num % 11 = 0 AND text_rank = max_rank)),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.text_rank, b.text_rank) AS ord,
+         CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL
+                   OR a.text IS DISTINCT FROM b.text
+              THEN 1 ELSE 0 END AS mism,
+         CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM a FULL OUTER JOIN b
+    ON a.doc_id = b.doc_id AND a.text_rank = b.text_rank
+)
+SELECT doc_id,
+       CAST(SUM(in_a) AS BIGINT) AS n_a,
+       CAST(SUM(in_b) AS BIGINT) AS n_b,
+       CAST(SUM(mism) AS BIGINT) AS n_mismatch,
+       CAST(CASE WHEN SUM(mism) = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS equal,
+       CAST(COALESCE(MIN(CASE WHEN mism = 1 THEN ord END), -1) AS BIGINT)
+         AS first_diverge
+FROM j GROUP BY doc_id
+"""
+
+# Quality-aware canonical selection: per near-dup component keep the
+# LONGEST member (byte length, min-id ties) instead of the min id —
+# the keep-best idiom from published LLM dedup recipes.
+DEDUP_KEEP_BEST = f"""
+WITH comp AS ({DEDUP_COMPONENTS}),
+j AS (
+  SELECT c.id, c.component, CAST(strlen(d.text) AS BIGINT) AS doc_bytes
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, doc_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY component) - 1 AS BIGINT)
+         AS n_absorbed
+FROM j
+QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY doc_bytes DESC, id) = 1
+"""
+
+# UT1-style domain blocklist filter: docs whose URL tail was appended
+# (num % 5 <> 0) carry site(n%7).example.com + www.mirror(n%7).org; an
+# entry blocks a host when equal OR a dot-suffix ('mirror3.org' blocks
+# 'www.mirror3.org'); URL-less docs pass.
+URL_BLOCKLIST_FILTER = """
+WITH m AS (SELECT doc_id AS n FROM documents),
+u AS (
+  SELECT n, 'site' || (n % 7) || '.example.com' AS domain
+  FROM m WHERE n % 5 <> 0
+  UNION ALL
+  SELECT n, 'www.mirror' || (n % 7) || '.org' FROM m WHERE n % 5 <> 0
+),
+b(dom) AS (SELECT * FROM (VALUES ('site2.example.com'), ('mirror3.org'),
+                                 ('tracker.test')) t(dom)),
+f AS (
+  SELECT u.n,
+         CASE WHEN EXISTS (SELECT 1 FROM b WHERE u.domain = b.dom
+                              OR u.domain LIKE '%.' || b.dom)
+              THEN 1 ELSE 0 END AS blk
+  FROM u
+),
+agg AS (SELECT n, COUNT(*) AS n_urls, SUM(blk) AS n_blocked
+        FROM f GROUP BY n)
+SELECT 'doc-' || CAST(m.n AS VARCHAR) AS id,
+       CAST(COALESCE(agg.n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(COALESCE(agg.n_blocked, 0) AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN COALESCE(agg.n_blocked, 0) = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM m LEFT JOIN agg ON m.n = agg.n
+"""
+
+# Anchor-text corpus extraction (the web-pipeline stage that feeds
+# retrieval/anchor-text datasets): every <a> tag in tag order with
+# href, anchor text and registrable host (absolute http(s) only —
+# relative hrefs keep a NULL domain).
+HTML_ANCHOR_EXTRACT = """
+WITH d AS (SELECT doc_id AS n FROM documents),
+t AS (
+  SELECT n, 0 AS pos,
+         'https://site' || (n % 7) || '.example.com/p/' || n AS href,
+         'read more ' || n AS anchor
+  FROM d
+  UNION ALL
+  SELECT n, 1, '/rel/' || n, 'local' FROM d
+  UNION ALL
+  SELECT n, 2, 'https://www.mirror' || (n % 3) || '.org', 'mirror ' || n
+  FROM d
+)
+SELECT 'doc-' || CAST(n AS VARCHAR) AS id,
+       CAST(pos AS BIGINT) AS pos, href, anchor,
+       CASE WHEN href LIKE 'https://%' THEN
+         CASE WHEN pos = 0 THEN 'site' || (n % 7) || '.example.com'
+              ELSE 'www.mirror' || (n % 3) || '.org' END
+       END AS domain
+FROM t
+"""

@@ -56,7 +56,11 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "corpus_stats_report",
                         "quality_classifier_train",
                         "quality_classifier_trained_score",
-                        "streaming_pack"]
+                        "streaming_pack",
+                        # r5 sixth session
+                        "extract_lineage_metrics", "extract_span_diff",
+                        "dedup_keep_best", "url_blocklist_filter",
+                        "html_anchor_extract"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -1,0 +1,127 @@
+"""Round-5 sixth-session operators: span-sequence diff validation,
+quality-aware keep-best dedup, URL blocklist filtering, anchor-text
+extraction, and the lineage-metrics idempotency rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stirling_pdf_spark.functions.html import extract_anchors
+from stirling_pdf_spark.operators.dedup import keep_best_corpus
+from stirling_pdf_spark.operators.textstats import url_blocklist_filter
+from stirling_pdf_spark.operators.validate import span_diff
+
+
+def _spans(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, order long, "
+                                       "kind string, text string")
+
+
+def test_span_diff_equal_and_divergent(spark):
+    a = _spans(spark, [
+        ("d1", 0, "text", "alpha"), ("d1", 1, "text", "beta"),
+        ("d2", 0, "text", "gamma"), ("d2", 1, "media", "m0"),
+        ("d3", 0, "text", "delta"),
+    ])
+    b = _spans(spark, [
+        ("d1", 0, "text", "alpha"), ("d1", 1, "text", "beta"),
+        ("d2", 0, "text", "gamma"), ("d2", 1, "text", "m0"),  # kind flip
+        ("d3", 0, "text", "delta"), ("d3", 1, "text", "extra"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in span_diff(a, b).collect()}
+    assert out["d1"] == {"doc_id": "d1", "n_a": 2, "n_b": 2,
+                         "n_mismatch": 0, "equal": 1,
+                         "first_diverge": -1}
+    assert out["d2"]["equal"] == 0 and out["d2"]["first_diverge"] == 1
+    # one-sided extra span is a mismatch at its order slot
+    assert out["d3"] == {"doc_id": "d3", "n_a": 1, "n_b": 2,
+                         "n_mismatch": 1, "equal": 0,
+                         "first_diverge": 1}
+
+
+def test_span_diff_doc_missing_from_one_side(spark):
+    a = _spans(spark, [("only-a", 0, "text", "x")])
+    b = _spans(spark, [("only-b", 0, "text", "y")])
+    out = {r["doc_id"]: r.asDict() for r in span_diff(a, b).collect()}
+    assert out["only-a"]["n_b"] == 0 and out["only-a"]["equal"] == 0
+    assert out["only-b"]["n_a"] == 0 and out["only-b"]["first_diverge"] == 0
+
+
+def test_span_diff_null_safe_payload(spark):
+    a = _spans(spark, [("d", 0, "text", None)])
+    b = _spans(spark, [("d", 0, "text", None)])
+    [row] = span_diff(a, b).collect()
+    assert row["equal"] == 1
+
+
+def test_keep_best_prefers_longest_member(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text of all"), (3, "mid-size"),
+         (4, "singleton")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r.asDict()
+           for r in keep_best_corpus(docs, pairs).collect()}
+    # cluster {1,2,3}: doc 2 is longest -> kept, absorbing 2 others
+    assert set(out) == {2, 4}
+    assert out[2]["n_absorbed"] == 2 and out[2]["doc_bytes"] == 23
+    assert out[4]["n_absorbed"] == 0
+
+
+def test_keep_best_ties_break_to_min_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "same"), (5, "same")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    [row] = keep_best_corpus(docs, pairs).collect()
+    assert row["doc_id"] == 5
+
+
+def test_url_blocklist_suffix_and_exact_and_urlless(spark):
+    docs = spark.createDataFrame(
+        [("a", "go to https://site2.example.com/x now"),       # exact
+         ("b", "see www.mirror3.org please"),                   # suffix
+         ("c", "clean https://site1.example.com/y here"),
+         ("d", "no urls at all"),
+         # NOT blocked: 'mirror3.org' must not match as a bare substring
+         ("e", "https://notmirror3.org/z")],
+        "doc_id string, text string")
+    out = {r["id"]: r.asDict()
+           for r in url_blocklist_filter(docs).collect()}
+    assert out["a"]["keep"] == 0 and out["a"]["n_blocked"] == 1
+    assert out["b"]["keep"] == 0
+    assert out["c"] == {"id": "c", "n_urls": 1, "n_blocked": 0, "keep": 1}
+    assert out["d"] == {"id": "d", "n_urls": 0, "n_blocked": 0, "keep": 1}
+    assert out["e"]["keep"] == 1
+
+
+def test_extract_anchors_order_href_text_domain(spark):
+    html = ('<p>x</p><a href="https://www.Example.com:8080/a">first</a>'
+            '<a class="nav" href="/rel">second</a>'
+            '<a href="http://h.test/p?q=1">third</a>')
+    docs = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = (extract_anchors(docs).orderBy("pos")).collect()
+    assert [(r["pos"], r["href"], r["anchor"], r["domain"])
+            for r in rows] == [
+        (0, "https://www.Example.com:8080/a", "first", "www.example.com"),
+        (1, "/rel", "second", None),
+        (2, "http://h.test/p?q=1", "third", "h.test"),
+    ]
+
+
+def test_lineage_metrics_second_run_writes_nothing(spark, tmp_path):
+    from stirling_pdf_spark.corpus.spark_synth import synth_docs_df
+    from stirling_pdf_spark.runtime.checkpoint import (
+        run_extract_with_checkpoint,
+    )
+
+    docs = synth_docs_df(spark, n_docs=6)
+    out = str(tmp_path / "ck")
+    s1 = run_extract_with_checkpoint(spark, docs, out, run_id="r1")
+    s2 = run_extract_with_checkpoint(spark, docs, out, run_id="r2")
+    assert s1["docs_done"] == 6 and s2["docs_done"] == 0
+    m = spark.read.parquet(f"{out}/metrics")
+    per_run = {r["run_id"]: r["docs"] for r in
+               m.groupBy("run_id").agg(F.sum("doc_count").alias("docs"))
+               .collect()}
+    assert per_run == {"r1": 6}
