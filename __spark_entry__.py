@@ -3408,6 +3408,18 @@ def q_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- round 5, sixth session
 
 
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (operators/retrieval.py
+    mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
+    both JVM float64 folds, then the greedy 0.7*rel - 0.3*max-sim
+    selection over bounded per-query groups; the oracle replays the
+    greedy loop as a recursive CTE."""
+    from stirling_pdf_spark.operators.retrieval import mmr_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, O.ANN_QUERY_IDS, k=O.MMR_K, pool=O.MMR_POOL)
+
+
 def q_extract_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's observability surface driven end-to-end:
     run-1 extracts the full corpus through the checkpointed commit
@@ -3692,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "url_blocklist_filter": q_url_blocklist_filter,
         "html_anchor_extract": q_html_anchor_extract,
+        "retrieval_mmr": q_retrieval_mmr,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3949,6 +3962,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": O.DEDUP_KEEP_BEST,
         "url_blocklist_filter": O.URL_BLOCKLIST_FILTER,
         "html_anchor_extract": O.HTML_ANCHOR_EXTRACT,
+        "retrieval_mmr": O.RETRIEVAL_MMR,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -149,6 +149,7 @@ BENCH_QUERIES = (
     "dedup_keep_best",
     "url_blocklist_filter",
     "html_anchor_extract",
+    "retrieval_mmr",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

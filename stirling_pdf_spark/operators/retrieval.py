@@ -96,3 +96,92 @@ def bm25_topk(df: DataFrame,
         .select("query_id", "rank", F.col("id").alias("doc_id"),
                 "score_x1e6")
     )
+
+
+def mmr_topk(df: DataFrame, query_ids: list[int], k: int = 5,
+             pool: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware retrieval stage layered over exact
+    cosine top-pool: greedily pick k results maximizing
+    0.7 * rel(q, d) - 0.3 * max_{s in picked} sim(d, s).
+
+    Distributed shape: relevance pool (broadcast queries x one corpus
+    scan, windowed top-``pool``) and the pool's pairwise similarity
+    matrix (pool x pool self-join per query, bounded at pool^2 rows)
+    are both JVM-side ``cosine_expr`` folds — bit-identical to the
+    DuckDB oracle. Only the greedy CONTROL FLOW runs in Python, via a
+    cogrouped applyInPandas whose groups are bounded by ``pool``
+    candidates — never corpus-sized. Output (query_id, mmr_rank,
+    doc_id), rank 1..k, score ties broken by id ascending.
+    """
+    import pandas as pd
+
+    from .dedup import cosine_expr, parallelize
+
+    v = parallelize(df).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("v"))
+    q = v.filter(F.col("id").isin([int(x) for x in query_ids])).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        F.broadcast(q).crossJoin(v)
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("rel", cosine_expr("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("id"))
+    # the pool (queries x pool rows, tiny) feeds three consumers —
+    # pair a-side, pair b-side, and the cogroup — so persist it once
+    # instead of re-running the corpus scan + window per consumer
+    from ..runtime.staging import stage
+
+    pooled = stage(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "id", "v", "rel")
+    )
+    a = pooled.select(F.col("query_id").alias("qa"),
+                      F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = pooled.select(F.col("query_id").alias("qb"),
+                      F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, (F.col("qa") == F.col("qb"))
+               & (F.col("ia") != F.col("ib")))
+        .withColumn("sim", cosine_expr("va", "vb"))
+        .select(F.col("qa").alias("query_id"), "ia", "ib", "sim")
+    )
+
+    def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "mmr_rank": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64")})
+        qid = int(left["query_id"].iloc[0])
+        rel = dict(zip(left["id"].astype("int64"), left["rel"]))
+        sim: dict[tuple[int, int], float] = {}
+        for ia, ib, s in zip(right["ia"].astype("int64"),
+                             right["ib"].astype("int64"), right["sim"]):
+            sim[(int(ia), int(ib))] = float(s)
+        picked: list[int] = []
+        out = []
+        while len(picked) < k and len(picked) < len(rel):
+            best_id, best_score = None, None
+            for cand in sorted(rel):
+                if cand in picked:
+                    continue
+                ms = max((sim[(cand, p)] for p in picked), default=0.0)
+                # same literals / op order as the oracle SQL — float64
+                # ops on float64 inputs are bit-identical across engines
+                score = 0.7 * rel[cand] - 0.3 * ms
+                if best_score is None or score > best_score:
+                    best_id, best_score = cand, score
+            picked.append(best_id)
+            out.append((qid, len(picked), best_id))
+        return pd.DataFrame(out, columns=["query_id", "mmr_rank", "doc_id"])
+
+    return (
+        pooled.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(greedy,
+                       "query_id long, mmr_rank long, doc_id long")
+    )

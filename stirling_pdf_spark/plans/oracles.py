@@ -4688,3 +4688,65 @@ SELECT 'doc-' || CAST(n AS VARCHAR) AS id,
        END AS domain
 FROM t
 """
+
+
+MMR_POOL = 10
+MMR_K = 5
+
+
+def _mmr_sql() -> str:
+    """Greedy MMR as a recursive CTE: the working table carries one row
+    per query (last pick + picked-list); each iteration re-scores the
+    remaining pool members 0.7*rel - 0.3*max(sim to picked) and keeps
+    the per-query argmax (id-asc ties) until K picks."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH RECURSIVE
+{_EMB_CTE.strip()},
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id IN ({ids})),
+s AS (
+  SELECT query_id, id, v,
+         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
+           * sqrt(list_dot_product(v, v))) AS rel
+  FROM q, e WHERE id <> query_id
+),
+pool AS (
+  SELECT query_id, id, v, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, id) AS rn FROM s)
+  WHERE rn <= {MMR_POOL}
+),
+pair AS (
+  SELECT a.query_id, a.id AS ia, b.id AS ib,
+         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.id <> b.id
+),
+sel(query_id, step, id, picked) AS (
+  SELECT query_id, 1, id, [id] FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY 0.7 * rel DESC, id) AS rn
+    FROM pool) WHERE rn = 1
+  UNION ALL
+  SELECT query_id, step + 1, nid, list_append(picked, nid) FROM (
+    SELECT s.query_id, s.step, s.picked, p.id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+             0.7 * p.rel - 0.3 * (
+               SELECT MAX(pr.sim) FROM pair pr
+               WHERE pr.query_id = s.query_id AND pr.ia = p.id
+                 AND list_contains(s.picked, pr.ib)) DESC,
+             p.id) AS rn
+    FROM sel s JOIN pool p ON p.query_id = s.query_id
+    WHERE NOT list_contains(s.picked, p.id) AND s.step < {MMR_K}
+  ) WHERE rn = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(step AS BIGINT) AS mmr_rank,
+       CAST(id AS BIGINT) AS doc_id
+FROM sel
+"""
+
+
+RETRIEVAL_MMR = _mmr_sql()

@@ -125,3 +125,34 @@ def test_lineage_metrics_second_run_writes_nothing(spark, tmp_path):
                m.groupBy("run_id").agg(F.sum("doc_count").alias("docs"))
                .collect()}
     assert per_run == {"r1": 6}
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from stirling_pdf_spark.operators.retrieval import mmr_topk
+
+    # query 0 = (1,0); docs 1/2/3 all have rel = 0.8 (2 is a scaled
+    # copy of 1, 3 mirrors 1 below the axis with sim(3,1) = 0.28):
+    # pure cosine top-2 is [1, 2] by id tie-break, but MMR's second
+    # pick must skip the redundant copy (0.7*0.8 - 0.3*1.0 = 0.26)
+    # for the diverse mirror (0.7*0.8 - 0.3*0.28 = 0.476)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.8, 0.6]),
+        (2, [1.6, 1.2]),
+        (3, [0.8, -0.6]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["query_id"], r["mmr_rank"]): r["doc_id"]
+           for r in mmr_topk(emb, [0], k=2, pool=3).collect()}
+    assert out[(0, 1)] == 1
+    assert out[(0, 2)] == 3
+
+
+def test_mmr_pool_smaller_than_k_emits_all(spark):
+    from stirling_pdf_spark.operators.retrieval import mmr_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    rows = mmr_topk(emb, [0], k=5, pool=10).collect()
+    assert [(r["mmr_rank"], r["doc_id"]) for r in rows] == [(1, 1)]
