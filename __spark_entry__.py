@@ -3408,6 +3408,27 @@ def q_eml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- round 5, sixth session
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget (textstats.py
+    token_budget_select): quality-ranked greedy fill — keep the best
+    documents (quality bucket DESC, id ASC) until 12k cumulative
+    tokens; the global prefix sum is the two-phase range-partition
+    shape, no single-partition window."""
+    return TS.token_budget_select(
+        read_table(spark, sf_dir, "documents"), O.TOKEN_BUDGET)
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM rewrite (packing.py fim_transform; the
+    public FIM pretraining recipe): a deterministic id-hash half of
+    the corpus is re-serialized <|fim_pre|> prefix <|fim_suf|> suffix
+    <|fim_mid|> middle with cuts at n/3 and 2n/3; the rest passes
+    through verbatim. Pure column expressions riding the scan."""
+    from stirling_pdf_spark.operators.packing import fim_transform
+
+    return fim_transform(read_table(spark, sf_dir, "documents"))
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3705,6 +3726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": q_url_blocklist_filter,
         "html_anchor_extract": q_html_anchor_extract,
         "retrieval_mmr": q_retrieval_mmr,
+        "token_budget_select": q_token_budget_select,
+        "fim_transform": q_fim_transform,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3963,6 +3986,8 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_filter": O.URL_BLOCKLIST_FILTER,
         "html_anchor_extract": O.HTML_ANCHOR_EXTRACT,
         "retrieval_mmr": O.RETRIEVAL_MMR,
+        "token_budget_select": O.TOKEN_BUDGET_SELECT,
+        "fim_transform": O.FIM_TRANSFORM,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

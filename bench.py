@@ -150,6 +150,8 @@ BENCH_QUERIES = (
     "url_blocklist_filter",
     "html_anchor_extract",
     "retrieval_mmr",
+    "token_budget_select",
+    "fim_transform",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

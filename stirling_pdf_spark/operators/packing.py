@@ -116,3 +116,46 @@ def pack_seq_boundaries(df: DataFrame, seq_len: int = 512,
         F.array_sort(F.collect_list("tok_start")).alias("boundaries"),
         F.sum("n_in_seq").cast("long").alias("n_tokens"),
     )
+
+
+FIM_PRE, FIM_SUF, FIM_MID = "<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"
+
+
+def fim_transform(df: DataFrame, rate_x256: int = 128,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    public FIM pretraining recipe): a deterministic id-hash subset of
+    documents (``rate_x256``/256, same bucket idiom as
+    domain_mix_sample) is rewritten PSM-style —
+
+        <|fim_pre|> prefix <|fim_suf|> suffix <|fim_mid|> middle
+
+    with token cut points at floor(n/3) and floor(2n/3); docs outside
+    the subset, or with fewer than 3 tokens, pass through unchanged.
+    Pure column expressions (split / slice / array_join / concat), no
+    shuffle — the transform rides the scan.
+
+    Output: (id, fim:int, n_tokens, out_text).
+    """
+    sid = F.col(id_col).cast("string")
+    bucket = F.conv(F.substring(F.md5(sid), 1, 2), 16, 10).cast("int")
+    w = words_col(text_col)
+    n = F.size(w)
+    cut1 = F.floor(n / 3).cast("int")
+    cut2 = F.floor(n * 2 / 3).cast("int")
+    do_fim = (bucket < rate_x256) & (n >= 3)
+    psm = F.concat(
+        F.lit(FIM_PRE + " "),
+        F.array_join(F.slice(w, 1, cut1), " "),
+        F.lit(" " + FIM_SUF + " "),
+        F.array_join(F.slice(w, cut2 + 1, n - cut2), " "),
+        F.lit(" " + FIM_MID + " "),
+        F.array_join(F.slice(w, cut1 + 1, cut2 - cut1), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        do_fim.cast("int").alias("fim"),
+        n.cast("long").alias("n_tokens"),
+        F.when(do_fim, psm).otherwise(F.col(text_col)).alias("out_text"),
+    )

@@ -4750,3 +4750,57 @@ FROM sel
 
 
 RETRIEVAL_MMR = _mmr_sql()
+
+
+TOKEN_BUDGET = 12_000
+
+# Quality-ranked greedy selection under a token budget: global order =
+# quality DESC, id ASC; keep docs whose cumulative token count BEFORE
+# them is under the budget (the boundary-crossing doc is taken).
+TOKEN_BUDGET_SELECT = f"""
+WITH tq AS ({TEXT_QUALITY}),
+o AS (
+  SELECT id, quality, n_words AS n_tokens,
+         COALESCE(SUM(n_words) OVER (
+           ORDER BY 3 - quality, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         ROW_NUMBER() OVER (ORDER BY 3 - quality, id) AS sel_rank
+  FROM tq
+)
+SELECT id, CAST(quality AS BIGINT) AS quality,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(sel_rank AS BIGINT) AS sel_rank
+FROM o WHERE cum_before < {TOKEN_BUDGET}
+"""
+
+
+# Fill-in-the-middle PSM rewrite: id-hash subset (first md5 byte <
+# 128), token cuts at floor(n/3) / floor(2n/3); short or unselected
+# docs pass through verbatim.
+FIM_TRANSFORM = """
+WITH d AS (
+  SELECT doc_id AS id, text, string_split(text, ' ') AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket
+  FROM documents
+),
+c AS (
+  SELECT id, text, w, bucket,
+         CAST(len(w) AS BIGINT) AS n,
+         CAST(FLOOR(len(w) / 3) AS BIGINT) AS c1,
+         CAST(FLOOR(len(w) * 2 / 3) AS BIGINT) AS c2
+  FROM d
+)
+SELECT id,
+       CAST(CASE WHEN bucket < 128 AND n >= 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS fim,
+       n AS n_tokens,
+       CASE WHEN bucket < 128 AND n >= 3 THEN
+         '<|fim_pre|> ' || array_to_string(w[1:c1], ' ')
+         || ' <|fim_suf|> ' || array_to_string(w[c2+1:n], ' ')
+         || ' <|fim_mid|> ' || array_to_string(w[c1+1:c2], ' ')
+       ELSE text END AS out_text
+FROM c
+"""

@@ -156,3 +156,62 @@ def test_mmr_pool_smaller_than_k_emits_all(spark):
         "vec_id long, embedding array<float>")
     rows = mmr_topk(emb, [0], k=5, pool=10).collect()
     assert [(r["mmr_rank"], r["doc_id"]) for r in rows] == [(1, 1)]
+
+
+def test_token_budget_select_greedy_fill(spark):
+    from stirling_pdf_spark.operators.textstats import token_budget_select
+
+    # quality: long diverse docs score 3, the junk doc scores lower ->
+    # selection order is quality desc then id; budget 50 takes the
+    # two quality-3 docs (25 + 25 = 50 tokens; the second has
+    # cum_before = 25 < 50) and stops before the junk doc
+    good = " ".join(f"word{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, good), (2, good.replace("word", "term")),
+         (3, "a a a a a a a a a a a a a a a a a a a a a a a a a")],
+        "doc_id long, text string")
+    rows = sorted(
+        token_budget_select(docs, 50, num_ranges=2).collect(),
+        key=lambda r: r["sel_rank"])
+    assert [(r["id"], r["quality"], r["cum_before"], r["sel_rank"])
+            for r in rows] == [(1, 3, 0, 1), (2, 3, 25, 2)]
+
+
+def test_token_budget_boundary_doc_is_taken(spark):
+    from stirling_pdf_spark.operators.textstats import token_budget_select
+
+    good = " ".join(f"word{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, good), (2, good.replace("word", "term"))],
+        "doc_id long, text string")
+    # budget 26: doc 1 fills 25, doc 2 has cum_before 25 < 26 -> taken
+    assert token_budget_select(docs, 26, num_ranges=2).count() == 2
+    # budget 25: doc 2's cum_before 25 is NOT under budget
+    assert token_budget_select(docs, 25, num_ranges=2).count() == 1
+
+
+def test_fim_transform_psm_layout_and_passthrough(spark):
+    from stirling_pdf_spark.operators.packing import fim_transform
+
+    docs = spark.createDataFrame(
+        [(10, "a b c d e f g"), (11, "x y")],
+        "doc_id long, text string")
+    out = {r["id"]: r.asDict()
+           for r in fim_transform(docs, rate_x256=256).collect()}
+    # n=7: cuts at 2 and 4 -> pre [a b], suf [e f g], mid [c d]
+    assert out[10]["fim"] == 1
+    assert out[10]["out_text"] == (
+        "<|fim_pre|> a b <|fim_suf|> e f g <|fim_mid|> c d")
+    # 2 tokens < 3 -> verbatim even at rate 256/256
+    assert out[11] == {"id": 11, "fim": 0, "n_tokens": 2,
+                       "out_text": "x y"}
+
+
+def test_fim_transform_rate_zero_is_identity(spark):
+    from stirling_pdf_spark.operators.packing import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r")], "doc_id long, text string")
+    out = fim_transform(docs, rate_x256=0).collect()
+    assert all(r["fim"] == 0 for r in out)
+    assert {r["out_text"] for r in out} == {"a b c d", "p q r"}
