@@ -3429,6 +3429,20 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(read_table(spark, sf_dir, "documents"))
 
 
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/kmeans.py), exactly
+    reproducible: micro fixed-point vectors make distances integer
+    sums (exact in any order) and centroid updates floor-divisions, so
+    three full-corpus iterations from deterministic seeds match the
+    oracle's unrolled CTEs bit-for-bit — an ITERATIVE algorithm under
+    the exact-equality gate."""
+    from stirling_pdf_spark.operators.kmeans import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=O.KMEANS_K, iters=O.KMEANS_ITERS)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist_sq")
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3728,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mmr": q_retrieval_mmr,
         "token_budget_select": q_token_budget_select,
         "fim_transform": q_fim_transform,
+        "emb_kmeans": q_emb_kmeans,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -3988,6 +4003,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_mmr": O.RETRIEVAL_MMR,
         "token_budget_select": O.TOKEN_BUDGET_SELECT,
         "fim_transform": O.FIM_TRANSFORM,
+        "emb_kmeans": O.EMB_KMEANS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -152,6 +152,7 @@ BENCH_QUERIES = (
     "retrieval_mmr",
     "token_budget_select",
     "fim_transform",
+    "emb_kmeans",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

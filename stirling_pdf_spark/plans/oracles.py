@@ -4804,3 +4804,65 @@ SELECT id,
        ELSE text END AS out_text
 FROM c
 """
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations in micro fixed-point: every distance
+    is a sum of integer products (< 2^53 -> exact in float64 in any
+    order) and every centroid update floor(int sum / count), so the
+    iterative algorithm is bit-identical to the Spark operator."""
+    k, iters, dim = KMEANS_K, KMEANS_ITERS, KMEANS_DIM
+
+    def assign(cte_c: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT id, vm, cluster FROM (
+    SELECT e.id, e.vm, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+             list_dot_product(CAST(e.vm AS DOUBLE[]), CAST(e.vm AS DOUBLE[]))
+             - 2 * list_dot_product(CAST(e.vm AS DOUBLE[]),
+                                    CAST(c.cm AS DOUBLE[]))
+             + list_dot_product(CAST(c.cm AS DOUBLE[]),
+                                CAST(c.cm AS DOUBLE[])),
+             c.cluster) AS rn
+    FROM ve e, {cte_c} c) WHERE rn = 1)"""
+
+    def update(cte_a: str, cte_prev: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT p.cluster, COALESCE(l.cm, p.cm) AS cm
+  FROM {cte_prev} p LEFT JOIN (
+    SELECT cluster, list(CAST(c AS BIGINT) ORDER BY dim) AS cm FROM (
+      SELECT cluster, dim,
+             FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS c
+      FROM (SELECT cluster, unnest(vm) AS val,
+                   unnest(range(1, {dim + 1})) AS dim FROM {cte_a})
+      GROUP BY cluster, dim) GROUP BY cluster) l USING (cluster))"""
+
+    parts = [f"""
+ve AS (SELECT vec_id AS id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS vm
+       FROM embeddings),
+c0 AS (SELECT id AS cluster, vm AS cm FROM ve WHERE id < {k})"""]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i}", f"c{i + 1}"))
+    parts.append(assign(f"c{iters}", "af"))
+    return "WITH " + ",".join(parts) + f"""
+SELECT af.id AS vec_id, CAST(af.cluster AS BIGINT) AS cluster,
+       CAST(list_dot_product(CAST(af.vm AS DOUBLE[]), CAST(af.vm AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(af.vm AS DOUBLE[]),
+                                   CAST(c.cm AS DOUBLE[]))
+            + list_dot_product(CAST(c.cm AS DOUBLE[]), CAST(c.cm AS DOUBLE[]))
+            AS BIGINT) AS dist_sq
+FROM af JOIN c{iters} c ON af.cluster = c.cluster
+"""
+
+
+EMB_KMEANS = _kmeans_sql()

@@ -215,3 +215,41 @@ def test_fim_transform_rate_zero_is_identity(spark):
     out = fim_transform(docs, rate_x256=0).collect()
     assert all(r["fim"] == 0 for r in out)
     assert {r["out_text"] for r in out} == {"a b c d", "p q r"}
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from stirling_pdf_spark.operators.kmeans import kmeans_assign
+
+    # ids 0/1 seed the two clusters; blob A near (1,0), blob B near
+    # (-1,0); after 2 iterations every point sits with its blob
+    rows = [(0, [1.0, 0.1]), (1, [-1.0, 0.1]),
+            (2, [0.9, -0.1]), (3, [1.1, 0.0]),
+            (4, [-0.9, -0.1]), (5, [-1.1, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r["cluster"]
+           for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[3] == 0
+    assert out[1] == out[4] == out[5] == 1
+
+
+def test_kmeans_result_is_partitioning_invariant(spark):
+    from stirling_pdf_spark.operators.kmeans import kmeans_assign
+
+    rows = [(i, [float((i * 7) % 5) - 2.0, float((i * 3) % 4) - 1.5])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, kmeans_assign(emb, k=3, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_assign(
+        emb.repartition(7), k=3, iters=3).collect()))
+    assert a == b  # integer arithmetic -> identical at any parallelism
+
+
+def test_kmeans_missing_seed_raises(spark):
+    import pytest
+
+    from stirling_pdf_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.createDataFrame([(5, [1.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=2, iters=1)
