@@ -3443,6 +3443,48 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "cluster", "dist_sq")
 
 
+def q_text_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-line collapse (textstats.py
+    collapse_repeated_lines — the template/boilerplate cleanup stage):
+    the corpus derives 6-word lines with every third line doubled plus
+    a doubled footer; survivors rejoin in original order with exact
+    counts."""
+    base = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(w) / 6).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+    )
+    dup = F.flatten(F.transform(
+        lines,
+        lambda x, i: F.when(i % 3 == 0, F.array(x, x))
+        .otherwise(F.array(x)),
+    ))
+    full = F.concat(dup, F.array(F.lit("== footer =="),
+                                 F.lit("== footer ==")))
+    docs = base.select("doc_id", F.array_join(full, "\n").alias("text"))
+    return TS.collapse_repeated_lines(docs)
+
+
+def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling composed over emb_kmeans: at most
+    64 members per cluster ranked by the deterministic id hash — the
+    topic-balancing sampler LLM pipelines run after corpus
+    clustering."""
+    from stirling_pdf_spark.operators.kmeans import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    km = kmeans_assign(emb, k=O.KMEANS_K, iters=O.KMEANS_ITERS)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id"))
+    return (
+        km.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= O.KMEANS_SAMPLE_CAP)
+        .select(F.col("id").alias("vec_id"), "cluster", "rnk")
+    )
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3743,6 +3785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "fim_transform": q_fim_transform,
         "emb_kmeans": q_emb_kmeans,
+        "text_collapse_lines": q_text_collapse_lines,
+        "kmeans_balanced_sample": q_kmeans_balanced_sample,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4004,6 +4048,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": O.TOKEN_BUDGET_SELECT,
         "fim_transform": O.FIM_TRANSFORM,
         "emb_kmeans": O.EMB_KMEANS,
+        "text_collapse_lines": O.TEXT_COLLAPSE_LINES,
+        "kmeans_balanced_sample": O.KMEANS_BALANCED_SAMPLE,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

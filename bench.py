@@ -153,6 +153,8 @@ BENCH_QUERIES = (
     "token_budget_select",
     "fim_transform",
     "emb_kmeans",
+    "text_collapse_lines",
+    "kmeans_balanced_sample",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -1184,3 +1184,43 @@ def token_budget_select(df: DataFrame, budget_tokens: int,
         .filter(F.col("cum_before") < budget_tokens)
         .select("id", "quality", "n_tokens", "cum_before", "sel_rank")
     )
+
+
+def collapse_repeated_lines(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Consecutive-duplicate-line collapse — the extraction-cleanup
+    stage for template/boilerplate artifacts (repeated headers,
+    progress spinners, quoted-reply runs): keep each line only when it
+    differs from the line directly above it. One posexplode + one
+    lag() window keyed by the doc id — the window partitions by
+    document, so the plan is scan + a single doc-hash shuffle.
+
+    Output: (id, n_lines, n_kept, out_text) with out_text the
+    newline-rejoin of the survivors in original order.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    marked = lines.withColumn(
+        "keep",
+        (F.col("pos") == 0)
+        | ~F.col("line").eqNullSafe(F.lag("line").over(w)),
+    )
+    return marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.filter(
+                    F.collect_list(F.struct("pos", "keep", "line")),
+                    lambda s: s["keep"],
+                )),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("out_text"),
+    )

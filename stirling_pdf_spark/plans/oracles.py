@@ -4866,3 +4866,59 @@ FROM af JOIN c{iters} c ON af.cluster = c.cluster
 
 
 EMB_KMEANS = _kmeans_sql()
+
+
+# Consecutive-duplicate-line collapse over a derived multi-line corpus:
+# 6-word lines, every third line doubled, plus a doubled footer pair;
+# the collapse keeps a line only when it differs from the one above.
+TEXT_COLLAPSE_LINES = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+built AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           range(0, CAST(ceil(len(w) / 6.0) AS BIGINT)),
+           i -> CASE WHEN i % 3 = 0
+                THEN [array_to_string(w[CAST(i*6+1 AS BIGINT):CAST(i*6+6 AS BIGINT)], ' '),
+                      array_to_string(w[CAST(i*6+1 AS BIGINT):CAST(i*6+6 AS BIGINT)], ' ')]
+                ELSE [array_to_string(w[CAST(i*6+1 AS BIGINT):CAST(i*6+6 AS BIGINT)], ' ')]
+                END))
+         || ['== footer ==', '== footer =='] AS ls
+  FROM d
+),
+x AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM built
+),
+m AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN pos = 1 OR line IS DISTINCT FROM
+                   lag(line) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 1 ELSE 0 END AS keep
+  FROM x
+)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE keep = 1), '') AS out_text
+FROM m GROUP BY doc_id
+"""
+
+KMEANS_SAMPLE_CAP = 64
+
+# Cluster-balanced downsampling: at most CAP members per k-means
+# cluster, ranked by the deterministic id hash (reproducible at any
+# cluster size) — the topic-balancing stage over emb_kmeans.
+KMEANS_BALANCED_SAMPLE = f"""
+WITH km AS ({EMB_KMEANS})
+SELECT vec_id, cluster, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS rnk
+  FROM km)
+WHERE rnk <= {KMEANS_SAMPLE_CAP}
+"""

@@ -62,7 +62,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "dedup_keep_best", "url_blocklist_filter",
                         "html_anchor_extract", "retrieval_mmr",
                         "token_budget_select", "fim_transform",
-                        "emb_kmeans"]
+                        "emb_kmeans", "text_collapse_lines",
+                        "kmeans_balanced_sample"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

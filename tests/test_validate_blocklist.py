@@ -253,3 +253,32 @@ def test_kmeans_missing_seed_raises(spark):
                                 "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         kmeans_assign(emb, k=2, iters=1)
+
+
+def test_collapse_repeated_lines(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        collapse_repeated_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\na\nb\na\nc\nc\nc"), (2, "solo"), (3, "x\ny\nz")],
+        "doc_id long, text string")
+    out = {r["id"]: r.asDict()
+           for r in collapse_repeated_lines(docs).collect()}
+    # runs collapse but NON-adjacent repeats survive (a reappears)
+    assert out[1] == {"id": 1, "n_lines": 7, "n_kept": 4,
+                      "out_text": "a\nb\na\nc"}
+    assert out[2]["out_text"] == "solo"
+    assert out[3] == {"id": 3, "n_lines": 3, "n_kept": 3,
+                      "out_text": "x\ny\nz"}
+
+
+def test_collapse_handles_empty_lines(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        collapse_repeated_lines,
+    )
+
+    docs = spark.createDataFrame([(1, "a\n\n\nb")],
+                                 "doc_id long, text string")
+    [row] = collapse_repeated_lines(docs).collect()
+    assert row["out_text"] == "a\n\nb" and row["n_kept"] == 3
