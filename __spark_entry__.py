@@ -3485,6 +3485,46 @@ def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleave_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text training records (the OBELICS-style
+    multimodal serialization — the graft's interleaved payload as an
+    output format): extracted spans concatenate in global reading
+    order, text verbatim and media as <|image:media_ref|> sentinels,
+    one training record per document with text/media counts and the
+    record hash. The corpus repeats each doc's text 16x so most docs
+    cross the media-page threshold and BOTH span kinds interleave."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeated_from_documents,
+    )
+
+    _ship_package(spark)
+    flat = explode_spans(
+        extract_spans(docs_repeated_from_documents(spark, sf_dir)))
+    part = (
+        F.when(F.col("kind") == "text", F.col("text"))
+        .when(F.col("kind") == "media",
+              F.concat(F.lit("<|image:"), F.col("media_ref"), F.lit("|>")))
+    )
+    typed = flat.select(
+        "doc_id", "order", part.alias("part"),
+        (F.col("kind") == "text").cast("long").alias("is_text"),
+        (F.col("kind") == "media").cast("long").alias("is_media"),
+    ).filter(F.col("part").isNotNull())
+    rec = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("order", "part"))),
+            lambda s: s["part"],
+        ),
+        " ",
+    )
+    return typed.groupBy("doc_id").agg(
+        F.sum("is_text").cast("long").alias("n_text"),
+        F.sum("is_media").cast("long").alias("n_media"),
+        F.length(rec).cast("long").alias("n_chars"),
+        F.md5(rec).alias("record_md5"),
+    )
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3787,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "text_collapse_lines": q_text_collapse_lines,
         "kmeans_balanced_sample": q_kmeans_balanced_sample,
+        "interleave_records": q_interleave_records,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4050,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": O.EMB_KMEANS,
         "text_collapse_lines": O.TEXT_COLLAPSE_LINES,
         "kmeans_balanced_sample": O.KMEANS_BALANCED_SAMPLE,
+        "interleave_records": O.INTERLEAVE_RECORDS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

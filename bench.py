@@ -155,6 +155,7 @@ BENCH_QUERIES = (
     "emb_kmeans",
     "text_collapse_lines",
     "kmeans_balanced_sample",
+    "interleave_records",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

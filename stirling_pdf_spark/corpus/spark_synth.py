@@ -232,3 +232,15 @@ def docs_slides_from_documents(spark: SparkSession,
     from .synth import slides_from_text
 
     return _derive_docs(spark, sf_dir, slides_from_text)
+
+
+def docs_repeated_from_documents(spark: SparkSession, sf_dir: str,
+                                 times: int = 16) -> DataFrame:
+    """Long-document corpus: each doc's text repeated ``times`` (space
+    joined) before synthesis — pushes most docs past the media-page
+    threshold (a full page-3 needs 960 words) so interleaved
+    text+media gates exercise both span kinds."""
+    def derive(did: str, text: str):
+        return synth_from_text(did, " ".join([text] * times))
+
+    return _derive_docs(spark, sf_dir, derive)

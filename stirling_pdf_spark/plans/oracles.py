@@ -4922,3 +4922,47 @@ SELECT vec_id, cluster, CAST(rnk AS BIGINT) AS rnk FROM (
   FROM km)
 WHERE rnk <= {KMEANS_SAMPLE_CAP}
 """
+
+
+# Interleaved image-text training records (the OBELICS-style
+# serialization of multimodal corpora): per document, text spans and
+# <|image:media_ref|> sentinels concatenate in global reading order
+# (page, then in-page sequence; media anchors at its page's start).
+INTERLEAVE_RECORDS = """
+WITH r AS (
+  SELECT doc_id, repeat(text || ' ', 15) || text AS text FROM documents
+), d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM r
+), l AS (
+  SELECT did, w, nl, unnest(range(0, nl)) AS i FROM d
+), t AS (
+  SELECT did AS doc_id,
+         i // 40 + 1 AS page,
+         CAST(i % 40
+              + CASE WHEN (i // 40 + 1) % 3 = 0 AND nl >= (i // 40 + 1) * 40
+                     THEN 1 ELSE 0 END AS BIGINT) AS seq,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+           AS part,
+         1 AS is_text
+  FROM l
+), m AS (
+  SELECT did AS doc_id, p AS page, CAST(0 AS BIGINT) AS seq,
+         '<|image:media-' || substr(sha256(h || ':' || CAST(p AS VARCHAR)), 1, 8)
+           || '|>' AS part,
+         0 AS is_text
+  FROM d, unnest(range(3, nl // 40 + 1, 3)) AS u(p)
+), parts AS (
+  SELECT * FROM t UNION ALL SELECT * FROM m
+)
+SELECT doc_id,
+       CAST(SUM(is_text) AS BIGINT) AS n_text,
+       CAST(SUM(1 - is_text) AS BIGINT) AS n_media,
+       CAST(length(string_agg(part, ' ' ORDER BY page, seq)) AS BIGINT)
+         AS n_chars,
+       md5(string_agg(part, ' ' ORDER BY page, seq)) AS record_md5
+FROM parts GROUP BY doc_id
+"""

@@ -282,3 +282,27 @@ def test_collapse_handles_empty_lines(spark):
                                  "doc_id long, text string")
     [row] = collapse_repeated_lines(docs).collect()
     assert row["out_text"] == "a\n\nb" and row["n_kept"] == 3
+
+
+def test_interleave_records_cover_both_kinds(spark):
+    """The gate's 16x-repeated corpus must push a real share of docs
+    past the media-page threshold so records interleave BOTH kinds,
+    and text counts must match the closed-form chunk model
+    (ceil(16 * n_words / 8), one extra media anchor per full 3rd
+    page)."""
+    import math
+
+    import __spark_entry__ as E
+    from stirling_pdf_spark.sources.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    inter = {r["doc_id"]: r.asDict()
+             for r in E.queries()["interleave_records"](
+                 spark, SF_SMOKE).collect()}
+    assert inter and any(r["n_media"] > 0 for r in inter.values())
+    words = {f"doc-{r['doc_id']}": len(r["text"].split(" "))
+             for r in read_table(spark, SF_SMOKE, "documents").collect()}
+    for did, row in inter.items():
+        nl = math.ceil(16 * words[did] / 8)
+        assert row["n_text"] == nl
+        assert row["n_media"] == len(range(3, nl // 40 + 1, 3))
