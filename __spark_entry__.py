@@ -3525,6 +3525,25 @@ def q_interleave_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_parallelism_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's cross-cluster-size reproducibility claim as an
+    oracle-checked gate: the SAME corpus extracted under two different
+    partitionings (5 vs 11 shuffle partitions, different input
+    repartition) runs through span_diff — every document must come
+    back bit-identical (kind, text, media_ref, order), so the oracle
+    is simply the span-count totals with equal=1 everywhere."""
+    from stirling_pdf_spark.operators.validate import span_diff
+
+    _ship_package(spark)
+    docs = docs_from_documents_table(spark, sf_dir)
+    cols = ["doc_id", "order", "kind", "text", "media_ref"]
+    a = explode_spans(extract_spans(docs, num_partitions=5)).select(*cols)
+    b = explode_spans(
+        extract_spans(docs.repartition(3), num_partitions=11)
+    ).select(*cols)
+    return span_diff(a, b)
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3828,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collapse_lines": q_text_collapse_lines,
         "kmeans_balanced_sample": q_kmeans_balanced_sample,
         "interleave_records": q_interleave_records,
+        "extract_parallelism_parity": q_extract_parallelism_parity,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4092,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collapse_lines": O.TEXT_COLLAPSE_LINES,
         "kmeans_balanced_sample": O.KMEANS_BALANCED_SAMPLE,
         "interleave_records": O.INTERLEAVE_RECORDS,
+        "extract_parallelism_parity": O.EXTRACT_PARALLELISM_PARITY,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -156,6 +156,7 @@ BENCH_QUERIES = (
     "text_collapse_lines",
     "kmeans_balanced_sample",
     "interleave_records",
+    "extract_parallelism_parity",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -4966,3 +4966,20 @@ SELECT doc_id,
        md5(string_agg(part, ' ' ORDER BY page, seq)) AS record_md5
 FROM parts GROUP BY doc_id
 """
+
+
+# Parallelism-parity: extraction at two different partitionings,
+# span_diff'd — every document must be bit-identical, so the expected
+# table is simply "all docs equal with both sides at the span-count
+# totals" (the north rule's cross-cluster-size reproducibility claim
+# as an oracle-checked gate).
+EXTRACT_PARALLELISM_PARITY = f"""
+WITH sc AS ({EXTRACT_SPAN_COUNTS})
+SELECT doc_id,
+       CAST(SUM(n_spans) AS BIGINT) AS n_a,
+       CAST(SUM(n_spans) AS BIGINT) AS n_b,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(1 AS INTEGER) AS equal,
+       CAST(-1 AS BIGINT) AS first_diverge
+FROM sc GROUP BY doc_id
+"""

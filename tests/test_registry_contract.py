@@ -63,7 +63,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "html_anchor_extract", "retrieval_mmr",
                         "token_budget_select", "fim_transform",
                         "emb_kmeans", "text_collapse_lines",
-                        "kmeans_balanced_sample", "interleave_records"]
+                        "kmeans_balanced_sample", "interleave_records",
+                        "extract_parallelism_parity"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
