@@ -3544,6 +3544,41 @@ def q_extract_parallelism_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_diff(a, b)
 
 
+def q_text_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyphenation repair + line unwrap (textstats.dehyphenate_text —
+    pdftotext's classic post-process): the corpus hard-wraps every
+    11th word boundary as a hyphenated break and every 5th as a plain
+    break; '-\n' rejoins iff the continuation starts lowercase, then
+    single breaks become spaces. Map-only regexp chain."""
+    base = read_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w)
+
+    def sep(i):
+        return (F.when(i % 11 == 3, F.lit("-\n"))
+                .when(i % 5 == 2, F.lit("\n"))
+                .otherwise(F.lit(" ")))
+
+    parts = F.transform(F.slice(w, 1, nw - 1),
+                        lambda x, i: F.concat(x, sep(i)))
+    t2 = F.concat(F.array_join(parts, ""), F.element_at(w, -1))
+    docs = base.select("doc_id", t2.alias("text"))
+    return TS.dehyphenate_text(docs)
+
+
+def q_dedup_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-loss report for the MinHash/LSH stage (dedup.py
+    minhash_quality_report): verified LSH pairs vs the exact n-gram
+    Jaccard ground truth in ONE full-outer-join job — precision must
+    be the invariant 1000 (survivors are exactly verified), recall is
+    the banding loss being tuned."""
+    return D.minhash_quality_report(
+        read_table(spark, sf_dir, "documents"),
+        n=O.NGRAM_N, num_hashes=O.MINHASH_K, bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT,
+    )
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3848,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_balanced_sample": q_kmeans_balanced_sample,
         "interleave_records": q_interleave_records,
         "extract_parallelism_parity": q_extract_parallelism_parity,
+        "text_dehyphenate": q_text_dehyphenate,
+        "dedup_minhash_report": q_dedup_minhash_report,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4113,6 +4150,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_balanced_sample": O.KMEANS_BALANCED_SAMPLE,
         "interleave_records": O.INTERLEAVE_RECORDS,
         "extract_parallelism_parity": O.EXTRACT_PARALLELISM_PARITY,
+        "text_dehyphenate": O.TEXT_DEHYPHENATE,
+        "dedup_minhash_report": O.DEDUP_MINHASH_REPORT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

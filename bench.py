@@ -157,6 +157,8 @@ BENCH_QUERIES = (
     "kmeans_balanced_sample",
     "interleave_records",
     "extract_parallelism_parity",
+    "text_dehyphenate",
+    "dedup_minhash_report",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

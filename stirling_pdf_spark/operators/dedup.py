@@ -933,3 +933,39 @@ def keep_best_corpus(docs: DataFrame, pairs: DataFrame,
         .select(F.col("id").cast("long").alias("doc_id"),
                 "doc_bytes", "n_absorbed")
     )
+
+
+def minhash_quality_report(docs: DataFrame, n: int, num_hashes: int,
+                           bands: int, threshold_pct: int) -> DataFrame:
+    """Recall report for the MinHash/LSH dedup stage — the tuning
+    table a pipeline owner reads before committing band/row parameters
+    at corpus scale: banded-LSH survivors vs the exact n-gram Jaccard
+    ground truth. Because the LSH stage post-verifies candidates with
+    the exact threshold, its pairs are a SUBSET of the ground truth —
+    precision_x1000 = 1000 is therefore an invariant this gate
+    enforces, and recall_x1000 is the banding loss being measured.
+
+    One row, integer-exact; one full-outer join over the two bounded
+    pair sets, aggregated in a single job (no driver-side counts).
+    """
+    exact = ngram_jaccard_pairs(docs, n=n, threshold_pct=threshold_pct) \
+        .select("id_a", "id_b", F.lit(1).alias("e"))
+    lsh = minhash_lsh_pairs(docs, n=n, num_hashes=num_hashes,
+                            bands=bands, threshold_pct=threshold_pct) \
+        .select("id_a", "id_b", F.lit(1).alias("c"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.sum(F.col("e") * F.col("c")), F.lit(0)).cast("long")
+        .alias("n_true_pos"),
+    )
+    return agg.select(
+        "n_exact", "n_lsh", "n_true_pos",
+        F.when(F.col("n_lsh") > 0,
+               (F.col("n_true_pos") * 1000).cast("long") / F.col("n_lsh"))
+        .otherwise(F.lit(1000)).cast("long").alias("precision_x1000"),
+        F.when(F.col("n_exact") > 0,
+               (F.col("n_true_pos") * 1000).cast("long") / F.col("n_exact"))
+        .otherwise(F.lit(1000)).cast("long").alias("recall_x1000"),
+    )

@@ -1224,3 +1224,30 @@ def collapse_repeated_lines(df: DataFrame, id_col: str = "doc_id",
             "\n",
         ).alias("out_text"),
     )
+
+
+def dehyphenate_text(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hyphenation repair + line unwrap — the classic PDF-extraction
+    post-process (pdftotext's dehyphenation): a word broken across a
+    line break as 'exam-\\nple' rejoins with the soft hyphen REMOVED
+    iff the continuation starts lowercase; a capital after the hyphen
+    means a true compound like 'Spark-\\nNative', which joins with the
+    hyphen KEPT but no space (the newline was a wrap, not a word gap);
+    remaining single line breaks become spaces. Map-only regexp chain,
+    no shuffle.
+
+    Output: (id, n_joined, n_wrapped, out_text).
+    """
+    t = F.col(text_col)
+    n_joined = F.size(F.split(t, r"-\n[a-z]")) - 1
+    n_wrapped = F.size(F.split(t, r"\n")) - 1
+    fixed = F.regexp_replace(t, r"-\n([a-z])", r"$1")
+    fixed = F.regexp_replace(fixed, r"-\n", "-")
+    unwrapped = F.regexp_replace(fixed, r"\n", " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_joined.cast("long").alias("n_joined"),
+        n_wrapped.cast("long").alias("n_wrapped"),
+        unwrapped.alias("out_text"),
+    )

@@ -4983,3 +4983,56 @@ SELECT doc_id,
        CAST(-1 AS BIGINT) AS first_diverge
 FROM sc GROUP BY doc_id
 """
+
+
+# Dehyphenation + line unwrap over a derived hard-wrapped corpus:
+# inter-word separators cycle deterministically (every 11th boundary a
+# hyphenated break, every 5th a plain break, else space); the repair
+# rejoins '-\n' iff the continuation starts lowercase, then unwraps.
+TEXT_DEHYPHENATE = r"""
+WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+           FROM documents),
+b AS (
+  SELECT id,
+         array_to_string(list_transform(range(1, len(w)),
+           i -> w[i] || CASE WHEN (i - 1) % 11 = 3 THEN '-' || chr(10)
+                             WHEN (i - 1) % 5 = 2 THEN chr(10)
+                             ELSE ' ' END), '') || w[len(w)] AS t
+  FROM d
+),
+r AS (
+  SELECT id, t,
+         CAST(len(regexp_extract_all(t, '-' || chr(10) || '[a-z]'))
+              AS BIGINT) AS n_joined,
+         CAST(len(string_split(t, chr(10))) - 1 AS BIGINT) AS n_wrapped,
+         regexp_replace(
+           regexp_replace(t, '-' || chr(10) || '([a-z])', '\1', 'g'),
+           '-' || chr(10), '-', 'g') AS fixed
+  FROM b
+)
+SELECT id, n_joined, n_wrapped,
+       regexp_replace(fixed, chr(10), ' ', 'g') AS out_text
+FROM r
+"""
+
+# Banding-loss report: LSH survivors are verified with the exact
+# threshold, so precision is an invariant 1000 and recall measures
+# the banding loss.
+DEDUP_MINHASH_REPORT = f"""
+WITH ex AS ({DEDUP_NGRAM_JACCARD}),
+lsh AS ({DEDUP_MINHASH_LSH}),
+c AS (
+  SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+         (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         (SELECT COUNT(*) FROM ex JOIN lsh USING (id_a, id_b))
+           AS n_true_pos
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+       CAST(CASE WHEN n_lsh > 0 THEN (n_true_pos * 1000) // n_lsh
+                 ELSE 1000 END AS BIGINT) AS precision_x1000,
+       CAST(CASE WHEN n_exact > 0 THEN (n_true_pos * 1000) // n_exact
+                 ELSE 1000 END AS BIGINT) AS recall_x1000
+FROM c
+"""

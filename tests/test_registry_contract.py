@@ -64,7 +64,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "token_budget_select", "fim_transform",
                         "emb_kmeans", "text_collapse_lines",
                         "kmeans_balanced_sample", "interleave_records",
-                        "extract_parallelism_parity"]
+                        "extract_parallelism_parity",
+                        "text_dehyphenate", "dedup_minhash_report"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -306,3 +306,36 @@ def test_interleave_records_cover_both_kinds(spark):
         nl = math.ceil(16 * words[did] / 8)
         assert row["n_text"] == nl
         assert row["n_media"] == len(range(3, nl // 40 + 1, 3))
+
+
+def test_dehyphenate_joins_lowercase_keeps_capital(spark):
+    from stirling_pdf_spark.operators.textstats import dehyphenate_text
+
+    docs = spark.createDataFrame(
+        [(1, "exam-\nple of Spark-\nNative text\nwrapped here")],
+        "doc_id long, text string")
+    [row] = dehyphenate_text(docs).collect()
+    # 'exam-\nple' rejoins (lowercase continuation); 'Spark-\nNative'
+    # keeps its hyphen when the lines join; plain breaks become spaces
+    assert row["out_text"] == "example of Spark-Native text wrapped here"
+    assert row["n_joined"] == 1 and row["n_wrapped"] == 3
+
+
+def test_minhash_report_precision_invariant(spark):
+    from stirling_pdf_spark.operators.dedup import minhash_quality_report
+    from stirling_pdf_spark.plans import oracles as O
+
+    # two exact near-dups + one unrelated doc: whatever the banding
+    # recall, precision must be the verified invariant 1000
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string")
+    [row] = minhash_quality_report(
+        docs, n=O.NGRAM_N, num_hashes=O.MINHASH_K,
+        bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT).collect()
+    assert row["n_exact"] >= 1
+    assert row["precision_x1000"] == 1000
+    assert row["n_true_pos"] == row["n_lsh"]
