@@ -3633,8 +3633,11 @@ def q_extract_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergences: counts per side, mismatch count, equality flag and
     the first divergent order per document."""
     from stirling_pdf_spark.operators.validate import span_diff
+    from stirling_pdf_spark.runtime.staging import stage
 
-    a = q_extract_text_spans(spark, sf_dir)
+    # both diff sides derive from the same extraction — persist it
+    # once instead of running the Arrow pipeline twice
+    a = stage(q_extract_text_spans(spark, sf_dir))
     num = F.regexp_extract("doc_id", "([0-9]+)", 1).cast("long")
     b = (
         a.withColumn("num", num)
