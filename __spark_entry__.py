@@ -3579,6 +3579,44 @@ def q_dedup_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption mining (multimodal.media_caption_pairs — the
+    alt-text/caption pairing stage of multimodal dataset builds): each
+    media span pairs with the LAST text span preceding it in reading
+    order; the oracle knows the corpus anchors media at page starts,
+    so the caption is the closed-form last chunk of the previous
+    page."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_repeated_from_documents,
+    )
+    from stirling_pdf_spark.operators.multimodal import media_caption_pairs
+
+    _ship_package(spark)
+    flat = explode_spans(
+        extract_spans(docs_repeated_from_documents(spark, sf_dir)))
+    return media_caption_pairs(flat)
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup observability table
+    (how much duplicate mass sits in how-big clusters): MinHash
+    components -> per-component size -> size histogram, two bounded
+    groupBys."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, n=O.NGRAM_N, num_hashes=O.MINHASH_K, bands=O.MINHASH_BANDS,
+        threshold_pct=O.JACCARD_THRESHOLD_PCT,
+    )
+    comp = D.connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id")))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+    ).select(F.col("sz").cast("long").alias("cluster_size"),
+             "n_clusters", "n_docs")
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3888,6 +3926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_parallelism_parity": q_extract_parallelism_parity,
         "text_dehyphenate": q_text_dehyphenate,
         "dedup_minhash_report": q_dedup_minhash_report,
+        "media_caption_pairs": q_media_caption_pairs,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4155,6 +4195,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_parallelism_parity": O.EXTRACT_PARALLELISM_PARITY,
         "text_dehyphenate": O.TEXT_DEHYPHENATE,
         "dedup_minhash_report": O.DEDUP_MINHASH_REPORT,
+        "media_caption_pairs": O.MEDIA_CAPTION_PAIRS,
+        "dedup_cluster_sizes": O.DEDUP_CLUSTER_SIZES,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

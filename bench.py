@@ -159,6 +159,8 @@ BENCH_QUERIES = (
     "extract_parallelism_parity",
     "text_dehyphenate",
     "dedup_minhash_report",
+    "media_caption_pairs",
+    "dedup_cluster_sizes",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

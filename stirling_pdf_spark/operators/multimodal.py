@@ -722,3 +722,32 @@ def probe_video(media: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, VIDEO_PROBE_SCHEMA)
+
+
+def media_caption_pairs(flat_spans: DataFrame) -> DataFrame:
+    """Caption mining over extracted spans — the alt-text/caption
+    pairing stage of multimodal dataset builds (pair every image with
+    the text that immediately precedes it in reading order; cf. the
+    public LAION/OBELICS recipes): for each media span, the LAST text
+    span before it in the document's global span order.
+
+    One window per document ordered by span order (last_value with
+    ignorenulls carries the running caption candidate forward), then a
+    filter to media rows — a single doc-keyed exchange.
+
+    Input: exploded spans (doc_id, order, kind, text, media_ref).
+    Output: (doc_id, media_ref, caption) — caption NULL when no text
+    precedes the image.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("doc_id").orderBy("order")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cap = F.last(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True,
+    ).over(w)
+    return (
+        flat_spans.withColumn("caption", cap)
+        .filter(F.col("kind") == "media")
+        .select("doc_id", "media_ref", "caption")
+    )

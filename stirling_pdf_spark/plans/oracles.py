@@ -5036,3 +5036,38 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact,
                  ELSE 1000 END AS BIGINT) AS recall_x1000
 FROM c
 """
+
+
+# Caption mining over the 16x-repeated corpus: media anchors at the
+# START of every full 3rd page, so its preceding text span is exactly
+# the LAST chunk of the page before (index (p-1)*40 - 1) — closed form
+# because media pages require both pages full.
+MEDIA_CAPTION_PAIRS = """
+WITH r AS (
+  SELECT doc_id, repeat(text || ' ', 15) || text AS text FROM documents
+), d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl,
+         sha256(text) AS h
+  FROM r
+)
+SELECT did AS doc_id,
+       'media-' || substr(sha256(h || ':' || CAST(p AS VARCHAR)), 1, 8)
+         AS media_ref,
+       array_to_string(
+         w[CAST(((p-1)*40 - 1)*8 + 1 AS BIGINT)
+           :CAST(((p-1)*40 - 1)*8 + 8 AS BIGINT)], ' ') AS caption
+FROM d, unnest(range(3, nl // 40 + 1, 3)) AS u(p)
+"""
+
+# Near-dup cluster-size histogram — the dedup observability table
+# (how much mass sits in how-big clusters) over the MinHash components.
+DEDUP_CLUSTER_SIZES = f"""
+WITH comp AS ({DEDUP_COMPONENTS}),
+s AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY sz
+"""

@@ -65,7 +65,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "emb_kmeans", "text_collapse_lines",
                         "kmeans_balanced_sample", "interleave_records",
                         "extract_parallelism_parity",
-                        "text_dehyphenate", "dedup_minhash_report"]
+                        "text_dehyphenate", "dedup_minhash_report",
+                        "media_caption_pairs", "dedup_cluster_sizes"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

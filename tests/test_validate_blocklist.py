@@ -339,3 +339,23 @@ def test_minhash_report_precision_invariant(spark):
     assert row["n_exact"] >= 1
     assert row["precision_x1000"] == 1000
     assert row["n_true_pos"] == row["n_lsh"]
+
+
+def test_media_caption_pairs_takes_nearest_preceding_text(spark):
+    from stirling_pdf_spark.operators.multimodal import media_caption_pairs
+
+    spans = spark.createDataFrame(
+        [("d", 0, "media", None, "m-first"),      # nothing precedes
+         ("d", 1, "text", "intro words", None),
+         ("d", 2, "text", "the caption", None),
+         ("d", 3, "media", None, "m-mid"),
+         ("d", 4, "attachment", "extra.dat", "m-att"),  # not text
+         ("d", 5, "media", None, "m-late")],
+        "doc_id string, order long, kind string, text string, "
+        "media_ref string")
+    out = {r["media_ref"]: r["caption"]
+           for r in media_caption_pairs(spans).collect()}
+    assert out == {"m-first": None,
+                   "m-mid": "the caption",
+                   # the attachment between them is NOT a caption
+                   "m-late": "the caption"}
