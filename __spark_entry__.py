@@ -3617,6 +3617,51 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_clusters", "n_docs")
 
 
+def q_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style raster hygiene (multimodal.image_size_filter): keep
+    an image iff both DECODED sides reach 16 px and the aspect ratio
+    stays within 3:1 — integer cross-multiplications over the real
+    decode stage's output, no float ratios."""
+    from stirling_pdf_spark.corpus.media import image_table
+    from stirling_pdf_spark.operators.multimodal import (
+        decode_images,
+        image_size_filter,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    decoded = decode_images(image_table(docs))
+    return image_size_filter(
+        decoded, min_side=O.IMG_MIN_SIDE, max_aspect=O.IMG_MAX_ASPECT)
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup batch admission (dedup.incremental_minhash_dedup —
+    the fuzzy sibling of dedup_incremental): the doc_id % 4 == 0 slice
+    arrives as the new crawl batch and is rejected on any MinHash
+    near-match against the accepted rest or any earlier batch doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.incremental_minhash_dedup(
+        existing, batch, n=O.NGRAM_N, num_hashes=O.MINHASH_K,
+        bands=O.MINHASH_BANDS, threshold_pct=O.JACCARD_THRESHOLD_PCT)
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3928,6 +3973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_report": q_dedup_minhash_report,
         "media_caption_pairs": q_media_caption_pairs,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "image_size_filter": q_image_size_filter,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4197,6 +4244,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_report": O.DEDUP_MINHASH_REPORT,
         "media_caption_pairs": O.MEDIA_CAPTION_PAIRS,
         "dedup_cluster_sizes": O.DEDUP_CLUSTER_SIZES,
+        "image_size_filter": O.IMAGE_SIZE_FILTER,
+        "dedup_incremental_minhash": O.DEDUP_INCREMENTAL_MINHASH,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

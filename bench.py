@@ -161,6 +161,8 @@ BENCH_QUERIES = (
     "dedup_minhash_report",
     "media_caption_pairs",
     "dedup_cluster_sizes",
+    "image_size_filter",
+    "dedup_incremental_minhash",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

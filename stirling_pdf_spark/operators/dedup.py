@@ -969,3 +969,69 @@ def minhash_quality_report(docs: DataFrame, n: int, num_hashes: int,
                (F.col("n_true_pos") * 1000).cast("long") / F.col("n_exact"))
         .otherwise(F.lit(1000)).cast("long").alias("recall_x1000"),
     )
+
+
+def incremental_minhash_dedup(existing: DataFrame, batch: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 2,
+                              num_hashes: int = 8, bands: int = 4,
+                              threshold_pct: int = 50) -> DataFrame:
+    """NEAR-dup admission of a new crawl batch against an accepted
+    corpus (the fuzzy sibling of dedup_incremental's exact anti-join):
+    a batch document is rejected when it near-matches ANY accepted
+    document, or any earlier batch document (id order — the standard
+    conservative first-wins rule; ids must be unique across sides).
+
+    Production shape: the accepted corpus's banded signature table is
+    a MAINTAINED index (computed once, stored beside the corpus); the
+    batch computes fresh signatures and probes the same band buckets.
+    Here both sides run through one pair pass — every join is that
+    same bucket probe, so the plan transfers.
+
+    Output per batch doc: (id, n_match_existing, n_match_prior,
+    keep:int).
+    """
+    ex = existing.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"),
+                         F.lit(0).alias("is_new"))
+    nw = batch.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"),
+                      F.lit(1).alias("is_new"))
+    uni = ex.unionByName(nw)
+    pairs = minhash_lsh_pairs(uni, n=n, num_hashes=num_hashes,
+                              bands=bands, threshold_pct=threshold_pct)
+    sides = uni.select(F.col("doc_id").alias("id"), "is_new")
+    edges = (
+        pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("partner"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("id"),
+                         F.col("id_a").alias("partner")))
+        .join(sides.select(F.col("id").alias("partner"),
+                           F.col("is_new").alias("partner_new")),
+              "partner")
+    )
+    batch_ids = sides.filter(F.col("is_new") == 1).select("id")
+    agg = (
+        edges.join(batch_ids, "id")
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("partner_new") == 0, 1).otherwise(0))
+            .cast("long").alias("n_match_existing"),
+            F.sum(F.when((F.col("partner_new") == 1)
+                         & (F.col("partner") < F.col("id")), 1)
+                  .otherwise(0)).cast("long").alias("n_match_prior"),
+        )
+    )
+    return (
+        batch_ids.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_match_existing", F.lit(0)).cast("long")
+            .alias("n_match_existing"),
+            F.coalesce("n_match_prior", F.lit(0)).cast("long")
+            .alias("n_match_prior"),
+            ((F.coalesce("n_match_existing", F.lit(0))
+              + F.coalesce("n_match_prior", F.lit(0))) == 0)
+            .cast("int").alias("keep"),
+        )
+    )

@@ -751,3 +751,28 @@ def media_caption_pairs(flat_spans: DataFrame) -> DataFrame:
         .filter(F.col("kind") == "media")
         .select("doc_id", "media_ref", "caption")
     )
+
+
+def image_size_filter(decoded: DataFrame, min_side: int = 16,
+                      max_aspect: int = 3) -> DataFrame:
+    """LAION-style raster hygiene over DECODED dimensions: keep an
+    image iff both sides reach ``min_side`` pixels and the aspect
+    ratio stays within ``max_aspect``:1 either way (integer
+    cross-multiplications — no float ratios). Undecodable rows (null
+    dims) are dropped with keep=0 flags, never silently.
+
+    Input: decode_images output. Output: (media_ref, fmt, width,
+    height, keep_size:int, keep_aspect:int, keep:int).
+    """
+    w, h = F.col("width"), F.col("height")
+    ok = w.isNotNull() & h.isNotNull()
+    keep_size = (ok & (w >= min_side) & (h >= min_side)).cast("int")
+    keep_aspect = (ok & (h * max_aspect >= w)
+                   & (w * max_aspect >= h)).cast("int")
+    return decoded.select(
+        "media_ref", "fmt", "width", "height",
+        keep_size.alias("keep_size"),
+        keep_aspect.alias("keep_aspect"),
+        (keep_size.cast("boolean") & keep_aspect.cast("boolean"))
+        .cast("int").alias("keep"),
+    )

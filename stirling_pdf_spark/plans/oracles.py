@@ -5071,3 +5071,47 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
 FROM s GROUP BY sz
 """
+
+
+IMG_MIN_SIDE = 16
+IMG_MAX_ASPECT = 3
+
+# LAION-style size/aspect filter over the decoded dims (which the
+# decode oracle derives closed-form from sha256(ref)).
+IMAGE_SIZE_FILTER = f"""
+WITH md AS ({MULTIMODAL_DECODE})
+SELECT media_ref, fmt, width, height,
+       CAST(CASE WHEN width >= {IMG_MIN_SIDE} AND height >= {IMG_MIN_SIDE}
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep_size,
+       CAST(CASE WHEN height * {IMG_MAX_ASPECT} >= width
+                  AND width * {IMG_MAX_ASPECT} >= height
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep_aspect,
+       CAST(CASE WHEN width >= {IMG_MIN_SIDE} AND height >= {IMG_MIN_SIDE}
+                  AND height * {IMG_MAX_ASPECT} >= width
+                  AND width * {IMG_MAX_ASPECT} >= height
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM md
+"""
+
+
+# Near-dup batch admission: batch = doc_id % 4 = 0 vs the accepted
+# rest; reject on any accepted match or any earlier-batch match.
+DEDUP_INCREMENTAL_MINHASH = f"""
+WITH p AS ({DEDUP_MINHASH_LSH}),
+ed AS (SELECT id_a AS id, id_b AS partner FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+b AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 = 0),
+ag AS (
+  SELECT ed.id,
+         SUM(CASE WHEN partner % 4 <> 0 THEN 1 ELSE 0 END) AS me,
+         SUM(CASE WHEN partner % 4 = 0 AND partner < ed.id
+                  THEN 1 ELSE 0 END) AS mp
+  FROM ed JOIN b ON ed.id = b.id GROUP BY ed.id
+)
+SELECT b.id,
+       CAST(COALESCE(me, 0) AS BIGINT) AS n_match_existing,
+       CAST(COALESCE(mp, 0) AS BIGINT) AS n_match_prior,
+       CAST(CASE WHEN COALESCE(me, 0) + COALESCE(mp, 0) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM b LEFT JOIN ag ON b.id = ag.id
+"""

@@ -66,7 +66,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "kmeans_balanced_sample", "interleave_records",
                         "extract_parallelism_parity",
                         "text_dehyphenate", "dedup_minhash_report",
-                        "media_caption_pairs", "dedup_cluster_sizes"]
+                        "media_caption_pairs", "dedup_cluster_sizes",
+                        "image_size_filter",
+                        "dedup_incremental_minhash"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

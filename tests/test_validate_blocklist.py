@@ -359,3 +359,38 @@ def test_media_caption_pairs_takes_nearest_preceding_text(spark):
                    "m-mid": "the caption",
                    # the attachment between them is NOT a caption
                    "m-late": "the caption"}
+
+
+def test_image_size_filter_flags(spark):
+    from stirling_pdf_spark.operators.multimodal import image_size_filter
+
+    decoded = spark.createDataFrame(
+        [("m1", "png", 20, 20, 0, None),   # passes both
+         ("m2", "png", 8, 20, 0, None),    # too narrow
+         ("m3", "bmp", 30, 9, 0, None),    # too flat (30 > 3*9)
+         ("m4", "gif", None, None, 0, None)],  # undecodable
+        "media_ref string, fmt string, width int, height int, "
+        "n_bytes long, px_head string")
+    out = {r["media_ref"]: (r["keep_size"], r["keep_aspect"], r["keep"])
+           for r in image_size_filter(decoded).collect()}
+    assert out == {"m1": (1, 1, 1), "m2": (0, 1, 0),
+                   "m3": (0, 0, 0), "m4": (0, 0, 0)}
+
+
+def test_incremental_minhash_rejects_and_admits(spark):
+    from stirling_pdf_spark.operators.dedup import incremental_minhash_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon eta"),   # ~ accepted 1
+         (11, "one two three four five six"),          # novel -> kept
+         (12, "one two three four five seven")],       # ~ earlier 11
+        "doc_id long, text string")
+    out = {r["id"]: r.asDict()
+           for r in incremental_minhash_dedup(existing, batch).collect()}
+    assert out[10]["keep"] == 0 and out[10]["n_match_existing"] == 1
+    assert out[11] == {"id": 11, "n_match_existing": 0,
+                       "n_match_prior": 0, "keep": 1}
+    assert out[12]["keep"] == 0 and out[12]["n_match_prior"] == 1
