@@ -394,3 +394,60 @@ def test_incremental_minhash_rejects_and_admits(spark):
     assert out[11] == {"id": 11, "n_match_existing": 0,
                        "n_match_prior": 0, "keep": 1}
     assert out[12]["keep"] == 0 and out[12]["n_match_prior"] == 1
+
+
+def _random_span_table(spark, seed: int, n_docs: int = 40):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_docs):
+        for o in range(rng.randint(0, 12)):
+            kind = rng.choice(["text", "media", "attachment"])
+            rows.append((f"d{d}", o, kind,
+                         rng.choice(["x", "yy", "zzz", None]),
+                         rng.choice(["", "m-1", "m-2"])))
+    return spark.createDataFrame(
+        rows, "doc_id string, order long, kind string, text string, "
+              "media_ref string")
+
+
+def test_span_diff_reflexive_on_random_tables(spark):
+    """diff(a, a) must report every doc equal, for arbitrary span
+    content including nulls."""
+    a = _random_span_table(spark, seed=7)
+    out = span_diff(a, a).collect()
+    assert out and all(
+        r["equal"] == 1 and r["n_mismatch"] == 0
+        and r["first_diverge"] == -1 and r["n_a"] == r["n_b"]
+        for r in out)
+
+
+def test_span_diff_mismatch_count_is_symmetric(spark):
+    a = _random_span_table(spark, seed=11)
+    b = _random_span_table(spark, seed=12)
+    ab = {r["doc_id"]: r for r in span_diff(a, b).collect()}
+    ba = {r["doc_id"]: r for r in span_diff(b, a).collect()}
+    assert set(ab) == set(ba)
+    for d in ab:
+        assert ab[d]["n_mismatch"] == ba[d]["n_mismatch"]
+        assert ab[d]["first_diverge"] == ba[d]["first_diverge"]
+        assert (ab[d]["n_a"], ab[d]["n_b"]) == (ba[d]["n_b"], ba[d]["n_a"])
+
+
+def test_fim_preserves_token_multiset(spark):
+    """The PSM rewrite reorders but never loses tokens: stripping the
+    three sentinels and re-sorting must recover the original words."""
+    from stirling_pdf_spark.operators.packing import (
+        FIM_MID, FIM_PRE, FIM_SUF, fim_transform,
+    )
+
+    texts = [(i, " ".join(f"w{i}x{j}" for j in range(3 + i % 9)))
+             for i in range(30)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = fim_transform(docs, rate_x256=256).collect()
+    orig = dict(texts)
+    sentinels = {FIM_PRE, FIM_SUF, FIM_MID}
+    for r in out:
+        toks = [t for t in r["out_text"].split(" ") if t not in sentinels]
+        assert sorted(toks) == sorted(orig[r["id"]].split(" "))
