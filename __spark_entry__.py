@@ -3662,6 +3662,30 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=O.MINHASH_BANDS, threshold_pct=O.JACCARD_THRESHOLD_PCT)
 
 
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the
+    anchor-derived domain graph (site(n%7) -> mirror(n%3) ->
+    site((n+2)%7)): three iterations of integer floor-division
+    arithmetic, bit-identical to the oracle's unrolled CTEs — the
+    crawl-prioritization authority score as an exact gate."""
+    from stirling_pdf_spark.operators.graph import pagerank
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    site = F.concat(F.lit("site"), (d % 7).cast("string"),
+                    F.lit(".example.com"))
+    site2 = F.concat(F.lit("site"), ((d + 2) % 7).cast("string"),
+                     F.lit(".example.com"))
+    mirror = F.concat(F.lit("www.mirror"), (d % 3).cast("string"),
+                      F.lit(".org"))
+    edges = (
+        base.select(site.alias("src"), mirror.alias("dst"))
+        .unionByName(base.select(mirror.alias("src"), site2.alias("dst")))
+    )
+    return pagerank(edges, iters=O.PAGERANK_ITERS,
+                    damping_x1000=O.PAGERANK_DAMPING)
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3975,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "image_size_filter": q_image_size_filter,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "web_pagerank": q_web_pagerank,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4246,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": O.DEDUP_CLUSTER_SIZES,
         "image_size_filter": O.IMAGE_SIZE_FILTER,
         "dedup_incremental_minhash": O.DEDUP_INCREMENTAL_MINHASH,
+        "web_pagerank": O.WEB_PAGERANK,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -163,6 +163,7 @@ BENCH_QUERIES = (
     "dedup_cluster_sizes",
     "image_size_filter",
     "dedup_incremental_minhash",
+    "web_pagerank",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -5115,3 +5115,54 @@ SELECT b.id,
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM b LEFT JOIN ag ON b.id = ag.id
 """
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 850
+PAGERANK_MASS = 1_000_000
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank over the anchor-derived domain
+    graph (site(n%7) -> mirror(n%3) -> site((n+2)%7)): all arithmetic
+    integer (floor divisions), bit-identical to operators/graph.py."""
+    d, iters, mass = PAGERANK_DAMPING, PAGERANK_ITERS, PAGERANK_MASS
+    parts = [f"""
+raw AS (
+  SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
+         'www.mirror' || (doc_id % 3) || '.org' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'www.mirror' || (doc_id % 3) || '.org',
+         'site' || ((doc_id + 2) % 7) || '.example.com'
+  FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+consts AS (SELECT {mass} // COUNT(*) AS base,
+                  (1000 - {d}) * ({mass} // COUNT(*)) // 1000 AS tp
+           FROM nodes),
+r0 AS (SELECT node, (SELECT base FROM consts) AS rank_micro FROM nodes)"""]
+    for i in range(iters):
+        parts.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_micro // deg.out_deg) AS in_mass
+  FROM e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT n.node,
+         (SELECT tp FROM consts)
+           + {d} * COALESCE(c.in_mass, 0) // 1000 AS rank_micro
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    return "WITH " + ",".join(parts) + f"""
+SELECT n.node, CAST(r.rank_micro AS BIGINT) AS rank_micro,
+       CAST(COALESCE(deg.out_deg, 0) AS BIGINT) AS out_deg
+FROM nodes n JOIN r{iters} r ON n.node = r.node
+LEFT JOIN deg ON n.node = deg.src
+"""
+
+
+WEB_PAGERANK = _pagerank_sql()

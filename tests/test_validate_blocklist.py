@@ -451,3 +451,32 @@ def test_fim_preserves_token_multiset(spark):
     for r in out:
         toks = [t for t in r["out_text"].split(" ") if t not in sentinels]
         assert sorted(toks) == sorted(orig[r["id"]].split(" "))
+
+
+def test_pagerank_sink_authority_and_mass(spark):
+    from stirling_pdf_spark.operators.graph import pagerank
+
+    # star: three pages all link to 'hub'; hub links back to 'a' only
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string")
+    out = {r["node"]: r.asDict()
+           for r in pagerank(edges, iters=3).collect()}
+    # hub receives three full contributions -> highest rank; 'a' gets
+    # hub's whole mass back -> beats the never-linked b/c
+    assert out["hub"]["rank_micro"] > out["a"]["rank_micro"]
+    assert out["a"]["rank_micro"] > out["b"]["rank_micro"]
+    assert out["b"]["rank_micro"] == out["c"]["rank_micro"]
+    assert out["b"]["out_deg"] == 1 and out["hub"]["out_deg"] == 1
+    # mass never exceeds the start total (dangling loss only shrinks)
+    assert sum(r["rank_micro"] for r in out.values()) <= 1_000_000
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from stirling_pdf_spark.operators.graph import pagerank
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(40)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(7), iters=3).collect()))
+    assert a == b
