@@ -3686,6 +3686,22 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     damping_x1000=O.PAGERANK_DAMPING)
 
 
+def q_quality_decile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile stratification for curriculum schedules /
+    stratified eval draws: the token_budget_select rank machinery
+    (two-phase prefix, no single-partition window) with an unlimited
+    budget, deciled by (rank-1)*10 // corpus size — the corpus size is
+    one bounded scalar, broadcast as a literal."""
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = TS.token_budget_select(docs, budget_tokens=1 << 60)
+    total = ranked.count()
+    return ranked.select(
+        "id", "quality", "sel_rank",
+        F.expr(f"(sel_rank - 1) * 10 DIV {total}").cast("long")
+        .alias("decile"),
+    )
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -3816,7 +3832,7 @@ def q_html_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<html><body><p>intro</p><a href="https://site'),
         (d % 7).cast("string"), F.lit(".example.com/p/"), d.cast("string"),
         F.lit('">read more '), d.cast("string"),
-        F.lit('</a> mid <a class="nav" href="/rel/'), d.cast("string"),
+        F.lit('</a> mid <a rel="ugc nofollow" href="/rel/'), d.cast("string"),
         F.lit('">local</a> <a href="https://www.mirror'),
         (d % 3).cast("string"), F.lit('.org">mirror '), d.cast("string"),
         F.lit("</a></body></html>"),
@@ -4000,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_size_filter": q_image_size_filter,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "web_pagerank": q_web_pagerank,
+        "quality_decile_split": q_quality_decile_split,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4272,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "image_size_filter": O.IMAGE_SIZE_FILTER,
         "dedup_incremental_minhash": O.DEDUP_INCREMENTAL_MINHASH,
         "web_pagerank": O.WEB_PAGERANK,
+        "quality_decile_split": O.QUALITY_DECILE_SPLIT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -164,6 +164,7 @@ BENCH_QUERIES = (
     "image_size_filter",
     "dedup_incremental_minhash",
     "web_pagerank",
+    "quality_decile_split",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

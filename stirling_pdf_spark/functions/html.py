@@ -123,6 +123,9 @@ def extract_anchors(df, id_col: str = "doc_id",
     tag = F.col("tag")
     href = F.regexp_extract(tag, r'href="([^"]*)"', 1)
     anchor = F.regexp_extract(tag, r">([^<]*)</a>", 1)
+    # rel="nofollow" anchors are excluded from anchor corpora by the
+    # public recipes — surfaced as a flag so the caller decides
+    nofollow = tag.rlike(r'rel="[^"]*nofollow[^"]*"').cast("int")
     return (
         df.select(F.col(id_col).alias("id"), tags.alias("tags"))
         .select("id", F.posexplode("tags").alias("pos", "tag"))
@@ -131,5 +134,6 @@ def extract_anchors(df, id_col: str = "doc_id",
             href.alias("href"), anchor.alias("anchor"),
             F.when(href.rlike("^https?://"), url_host(href))
             .alias("domain"),
+            nofollow.alias("nofollow"),
         )
     )

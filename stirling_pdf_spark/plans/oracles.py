@@ -4685,7 +4685,8 @@ SELECT 'doc-' || CAST(n AS VARCHAR) AS id,
        CASE WHEN href LIKE 'https://%' THEN
          CASE WHEN pos = 0 THEN 'site' || (n % 7) || '.example.com'
               ELSE 'www.mirror' || (n % 3) || '.org' END
-       END AS domain
+       END AS domain,
+       CAST(CASE WHEN pos = 1 THEN 1 ELSE 0 END AS INTEGER) AS nofollow
 FROM t
 """
 
@@ -5166,3 +5167,21 @@ LEFT JOIN deg ON n.node = deg.src
 
 
 WEB_PAGERANK = _pagerank_sql()
+
+
+# Quality-decile stratification: global rank (quality DESC, id ASC)
+# -> decile = (rank-1)*10 // corpus size; deciles are contiguous
+# quality strata for curriculum schedules and stratified eval draws.
+QUALITY_DECILE_SPLIT = f"""
+WITH tq AS ({TEXT_QUALITY}),
+o AS (
+  SELECT id, quality, n_words AS n_tokens,
+         ROW_NUMBER() OVER (ORDER BY 3 - quality, id) AS sel_rank,
+         COUNT(*) OVER () AS total
+  FROM tq
+)
+SELECT id, CAST(quality AS BIGINT) AS quality,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST((sel_rank - 1) * 10 // total AS BIGINT) AS decile
+FROM o
+"""

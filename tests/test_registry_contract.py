@@ -68,7 +68,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "text_dehyphenate", "dedup_minhash_report",
                         "media_caption_pairs", "dedup_cluster_sizes",
                         "image_size_filter",
-                        "dedup_incremental_minhash", "web_pagerank"]
+                        "dedup_incremental_minhash", "web_pagerank",
+                        "quality_decile_split"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
