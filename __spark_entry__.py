@@ -3702,6 +3702,30 @@ def q_quality_decile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality priors (the RefinedWeb-style rollup that
+    seeds crawl and filter priors): quality_stats joined to each doc's
+    domain, one partial-agg'd groupBy bounded by the domain universe —
+    means as integer x1000 ratios."""
+    from stirling_pdf_spark.operators.textstats import quality_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_stats(docs)
+    dom = F.concat(F.lit("site"), (F.col("id") % 7).cast("string"),
+                   F.lit(".example.com"))
+    return (
+        q.select("id", "quality", "n_words", dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(quality) * 1000 DIV count(*)").cast("long")
+            .alias("avg_quality_x1000"),
+            F.expr("sum(n_words) * 1000 DIV count(*)").cast("long")
+            .alias("avg_tokens_x1000"),
+        )
+    )
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -4017,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "web_pagerank": q_web_pagerank,
         "quality_decile_split": q_quality_decile_split,
+        "domain_quality_priors": q_domain_quality_priors,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4290,6 +4315,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_minhash": O.DEDUP_INCREMENTAL_MINHASH,
         "web_pagerank": O.WEB_PAGERANK,
         "quality_decile_split": O.QUALITY_DECILE_SPLIT,
+        "domain_quality_priors": O.DOMAIN_QUALITY_PRIORS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -165,6 +165,7 @@ BENCH_QUERIES = (
     "dedup_incremental_minhash",
     "web_pagerank",
     "quality_decile_split",
+    "domain_quality_priors",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

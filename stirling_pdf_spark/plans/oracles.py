@@ -5185,3 +5185,23 @@ SELECT id, CAST(quality AS BIGINT) AS quality,
        CAST((sel_rank - 1) * 10 // total AS BIGINT) AS decile
 FROM o
 """
+
+
+# Domain-level quality priors (the RefinedWeb-style aggregation that
+# seeds crawl/filter priors): per first-URL domain — doc count, mean
+# quality bucket x1000 and mean token count x1000, integer-exact.
+DOMAIN_QUALITY_PRIORS = f"""
+WITH tq AS ({TEXT_QUALITY}),
+d AS (
+  SELECT id, quality, n_words,
+         'site' || (id % 7) || '.example.com' AS domain
+  FROM tq
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(quality) * 1000 // COUNT(*) AS BIGINT)
+         AS avg_quality_x1000,
+       CAST(SUM(n_words) * 1000 // COUNT(*) AS BIGINT)
+         AS avg_tokens_x1000
+FROM d GROUP BY domain
+"""
