@@ -3726,6 +3726,47 @@ def q_domain_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-key exact dedup (dedup.normalized_exact_dedup — the
+    C4-style canonicalization catching reformatting-only duplicates):
+    every doc gains an uppercased/punctuated/padded twin; the
+    normalized key must pair each original with its twin (group_size
+    2 everywhere) while raw md5(text) would see them all distinct."""
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    both = base.select((d * 2).alias("doc_id"), "text").unionByName(
+        base.select(
+            (d * 2 + 1).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit(" !! "))
+            .alias("text"),
+        )
+    )
+    return D.normalized_exact_dedup(both)
+
+
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-normalized HITS (operators/graph.py hits) over the same
+    anchor-derived domain graph as web_pagerank: hub and authority
+    scores in integer micro units, every half-step rescaled by the
+    current max via floor division — bit-identical to the oracle's
+    unrolled CTEs."""
+    from stirling_pdf_spark.operators.graph import hits
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    site = F.concat(F.lit("site"), (d % 7).cast("string"),
+                    F.lit(".example.com"))
+    site2 = F.concat(F.lit("site"), ((d + 2) % 7).cast("string"),
+                     F.lit(".example.com"))
+    mirror = F.concat(F.lit("www.mirror"), (d % 3).cast("string"),
+                      F.lit(".org"))
+    edges = (
+        base.select(site.alias("src"), mirror.alias("dst"))
+        .unionByName(base.select(mirror.alias("src"), site2.alias("dst")))
+    )
+    return hits(edges, iters=O.HITS_ITERS)
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -4042,6 +4083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": q_web_pagerank,
         "quality_decile_split": q_quality_decile_split,
         "domain_quality_priors": q_domain_quality_priors,
+        "dedup_normalized_exact": q_dedup_normalized_exact,
+        "web_hits": q_web_hits,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4316,6 +4359,8 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": O.WEB_PAGERANK,
         "quality_decile_split": O.QUALITY_DECILE_SPLIT,
         "domain_quality_priors": O.DOMAIN_QUALITY_PRIORS,
+        "dedup_normalized_exact": O.DEDUP_NORMALIZED_EXACT,
+        "web_hits": O.WEB_HITS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -166,6 +166,8 @@ BENCH_QUERIES = (
     "web_pagerank",
     "quality_decile_split",
     "domain_quality_priors",
+    "dedup_normalized_exact",
+    "web_hits",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

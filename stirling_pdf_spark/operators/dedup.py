@@ -1035,3 +1035,29 @@ def incremental_minhash_dedup(existing: DataFrame, batch: DataFrame,
             .cast("int").alias("keep"),
         )
     )
+
+
+def normalized_exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact dedup over a CANONICALIZED text key — the C4-style
+    normalization that catches reformatting-only duplicates plain
+    md5(text) misses: lowercase, strip all non-alphanumeric (unicode
+    classes), collapse runs of whitespace-turned-gaps, trim. Same
+    one-shuffle group shape as exact_dedup.
+
+    Output: (id, canonical_id, group_size, is_dup, norm_key_md5).
+    """
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
+        r" +", " "))
+    key = F.md5(norm)
+    w = Window.partitionBy("content_key")
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("content_key"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_dup",
+                    (F.col("id") != F.col("canonical_id")).cast("int"))
+        .select("id", "canonical_id", "group_size", "is_dup",
+                F.col("content_key").alias("norm_key_md5"))
+    )

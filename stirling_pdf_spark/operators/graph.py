@@ -65,3 +65,64 @@ def pagerank(edges: DataFrame, iters: int = 3,
         .select("node", "rank_micro",
                 F.coalesce("out_deg", F.lit(0)).cast("long")
                 .alias("out_deg"))
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with integer
+    max-normalization: scores live in micro units and each half-step
+    rescales by the current maximum via floor division (the L2 norm of
+    the textbook algorithm is float; max-normalization preserves the
+    ORDERING, which is what curation consumes, and keeps every
+    operation integer — bit-identical across engines and executor
+    counts). Nodes with no in-edges hold authority 0, no out-edges hub
+    0. Per half-step: one rank-edge join + one groupBy + one bounded
+    scalar max.
+
+    Returns (node, hub_x, auth_x) after ``iters`` iterations.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    from ..runtime.staging import stage
+
+    # e and nodes are re-joined every half-step (4 x iters consumers)
+    e = stage(e)
+    nodes = stage(nodes)
+    hubs = nodes.withColumn("h", F.lit(MASS).cast("long"))
+
+    auth = None
+    for _ in range(iters):
+        # each half-step's raw sums feed BOTH the scalar max and the
+        # normalized projection — persist them or every max collect
+        # recomputes the whole iteration chain from the scan
+        a_raw = stage(
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("long").alias("ar"))
+        )
+        max_a = a_raw.agg(F.max("ar")).collect()[0][0] or 1
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(ar, 0) * {MASS} DIV {max_a}")
+            .cast("long").alias("a"),
+        )
+        h_raw = stage(
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("long").alias("hr"))
+        )
+        max_h = h_raw.agg(F.max("hr")).collect()[0][0] or 1
+        hubs = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(hr, 0) * {MASS} DIV {max_h}")
+            .cast("long").alias("h"),
+        )
+
+    return (
+        hubs.join(auth, "node")
+        .select("node", F.col("h").alias("hub_x"),
+                F.col("a").alias("auth_x"))
+    )

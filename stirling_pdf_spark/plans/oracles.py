@@ -5205,3 +5205,77 @@ SELECT domain,
          AS avg_tokens_x1000
 FROM d GROUP BY domain
 """
+
+
+# Normalized exact dedup over a corpus where every doc gains a
+# reformatted twin (uppercased + punctuation noise + extra spaces):
+# the normalized key must pair each original with its twin while plain
+# md5(text) would see them as distinct.
+DEDUP_NORMALIZED_EXACT = """
+WITH twin AS (
+  SELECT doc_id * 2 AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         '  ' || upper(text) || ' !! ' FROM documents
+),
+k AS (
+  SELECT id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS key
+  FROM twin
+)
+SELECT id,
+       CAST(MIN(id) OVER (PARTITION BY key) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS group_size,
+       CAST(CASE WHEN id <> MIN(id) OVER (PARTITION BY key)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_dup,
+       key AS norm_key_md5
+FROM k
+"""
+
+
+HITS_ITERS = 3
+
+
+def _hits_sql() -> str:
+    """Unrolled max-normalized HITS over the same anchor-derived
+    domain graph as WEB_PAGERANK — integer floor arithmetic throughout,
+    the max guards matching the operator's `or 1` exactly."""
+    mass, iters = PAGERANK_MASS, HITS_ITERS
+    mx = ("(SELECT CASE WHEN COALESCE(MAX({c}), 0) = 0 THEN 1 "
+          "ELSE MAX({c}) END FROM {t})")
+    parts = [f"""
+raw AS (
+  SELECT 'site' || (doc_id % 7) || '.example.com' AS src,
+         'www.mirror' || (doc_id % 3) || '.org' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'www.mirror' || (doc_id % 3) || '.org',
+         'site' || ((doc_id + 2) % 7) || '.example.com'
+  FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST({mass} AS BIGINT) AS h FROM nodes)"""]
+    for i in range(iters):
+        parts.append(f"""
+ar{i} AS (SELECT e.dst AS node, SUM(h.h) AS ar
+          FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS (SELECT n.node,
+                COALESCE(ar, 0) * {mass}
+                  // {mx.format(c='ar', t=f'ar{i}')} AS a
+         FROM nodes n LEFT JOIN ar{i} USING (node)),
+hr{i} AS (SELECT e.src AS node, SUM(a.a) AS hr
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+h{i + 1} AS (SELECT n.node,
+                    COALESCE(hr, 0) * {mass}
+                      // {mx.format(c='hr', t=f'hr{i}')} AS h
+             FROM nodes n LEFT JOIN hr{i} USING (node))""")
+    return "WITH " + ",".join(parts) + f"""
+SELECT h.node, CAST(h.h AS BIGINT) AS hub_x,
+       CAST(a.a AS BIGINT) AS auth_x
+FROM h{iters} h JOIN a{iters - 1} a ON h.node = a.node
+"""
+
+
+WEB_HITS = _hits_sql()

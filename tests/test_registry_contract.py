@@ -69,7 +69,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "media_caption_pairs", "dedup_cluster_sizes",
                         "image_size_filter",
                         "dedup_incremental_minhash", "web_pagerank",
-                        "quality_decile_split", "domain_quality_priors"]
+                        "quality_decile_split", "domain_quality_priors",
+                        "dedup_normalized_exact", "web_hits"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -480,3 +480,46 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     b = sorted(map(tuple, pagerank(edges.repartition(7), iters=3).collect()))
     assert a == b
+
+
+def test_normalized_dedup_pairs_reformatted_twins(spark):
+    from stirling_pdf_spark.operators.dedup import normalized_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "  hello   world  "),
+         (3, "different text")],
+        "doc_id long, text string")
+    out = {r["id"]: r.asDict()
+           for r in normalized_exact_dedup(docs).collect()}
+    assert out[1]["canonical_id"] == 1 and out[1]["group_size"] == 2
+    assert out[2] == {"id": 2, "canonical_id": 1, "group_size": 2,
+                      "is_dup": 1,
+                      "norm_key_md5": out[1]["norm_key_md5"]}
+    assert out[3]["group_size"] == 1 and out[3]["is_dup"] == 0
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    from stirling_pdf_spark.operators.graph import hits
+
+    # directory page links to three articles; articles link nowhere;
+    # one article also gets a second in-link from 'other'
+    edges = spark.createDataFrame(
+        [("dir", "a1"), ("dir", "a2"), ("dir", "a3"), ("other", "a1")],
+        "src string, dst string")
+    out = {r["node"]: r.asDict() for r in hits(edges, iters=3).collect()}
+    # 'dir' is the best hub (links to all authorities); articles have
+    # hub 0; a1 is the top authority (two in-links)
+    assert out["dir"]["hub_x"] == 1_000_000
+    assert out["a1"]["auth_x"] == 1_000_000
+    assert out["a1"]["auth_x"] > out["a2"]["auth_x"] > 0
+    assert out["a2"]["hub_x"] == 0 and out["dir"]["auth_x"] == 0
+
+
+def test_hits_partitioning_invariant(spark):
+    from stirling_pdf_spark.operators.graph import hits
+
+    rows = [(f"n{i}", f"n{(i * 5 + 2) % 13}") for i in range(30)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, hits(edges, iters=2).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(5), iters=2).collect()))
+    assert a == b
