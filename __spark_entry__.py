@@ -3767,6 +3767,27 @@ def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=O.HITS_ITERS)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (relational.
+    events_funnel): per user, each step counts only strictly after the
+    previous step's earliest qualifying event. A deterministic 1/37
+    event slice sparsifies per-user histories so every funnel depth
+    actually occurs (the full feed has every user completing it)."""
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 37 == 0)
+    return R.events_funnel(ev)
+
+
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (relational.events_cohort_retention):
+    cohort = epoch-week of first activity, cells = distinct members
+    active per week offset. A deterministic 1/23 slice varies
+    first-seen weeks so multiple cohorts exist."""
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 23 == 0)
+    return R.events_cohort_retention(ev)
+
+
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (operators/retrieval.py
     mmr_topk): exact cosine top-10 pool + pool-pairwise similarity,
@@ -4085,6 +4106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_priors": q_domain_quality_priors,
         "dedup_normalized_exact": q_dedup_normalized_exact,
         "web_hits": q_web_hits,
+        "events_funnel": q_events_funnel,
+        "events_cohort": q_events_cohort,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4361,6 +4384,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality_priors": O.DOMAIN_QUALITY_PRIORS,
         "dedup_normalized_exact": O.DEDUP_NORMALIZED_EXACT,
         "web_hits": O.WEB_HITS,
+        "events_funnel": O.EVENTS_FUNNEL,
+        "events_cohort": O.EVENTS_COHORT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

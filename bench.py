@@ -168,6 +168,8 @@ BENCH_QUERIES = (
     "domain_quality_priors",
     "dedup_normalized_exact",
     "web_hits",
+    "events_funnel",
+    "events_cohort",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -359,3 +359,65 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k").agg(F.count("*").alias("n"),
                           F.sum(micro(F.col("value"))).alias("sum_value_micro"))
     )
+
+
+def events_funnel(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  ) -> DataFrame:
+    """Ordered funnel analysis (the classic product-analytics op):
+    per user, step k counts only if an event of its type occurs
+    STRICTLY AFTER the user's step-(k-1) time; step times are the
+    earliest qualifying events. One filtered aggregate + join per
+    step — each stage shuffles on user_id only, and every stage after
+    the first joins against a funnel-survivor table that only
+    shrinks.
+
+    Output: (user_id, reached) with reached in 0..len(steps).
+    """
+    users = events.select("user_id").distinct()
+    prev = None  # (user_id, t) of the previous step
+    reached_flags = []
+    for k, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.withColumnRenamed("t", "pt"), "user_id")
+                .filter(F.col("ts") > F.col("pt"))
+                .groupBy("user_id").agg(F.min("ts").alias("t"))
+            )
+        reached_flags.append(
+            cur.select("user_id", F.lit(1).alias(f"s{k}")))
+        prev = cur
+    out = users
+    for k, fl in enumerate(reached_flags):
+        out = out.join(fl, "user_id", "left")
+    total = None
+    for k in range(len(steps)):
+        c = F.coalesce(F.col(f"s{k}"), F.lit(0))
+        total = c if total is None else total + c
+    return out.select("user_id", total.cast("long").alias("reached"))
+
+
+def events_cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention (the other classic analytics table):
+    users cohort by the epoch-week of their FIRST event; each
+    (cohort_week, week_offset) cell counts the distinct cohort members
+    active that week. Two user-keyed aggregates + one distinct —
+    nothing scales beyond (users x active weeks).
+
+    Output: (cohort_week, week_offset, n_users).
+    """
+    # ts is TIMESTAMP_NTZ: route through timestamp (session is pinned
+    # UTC) to get epoch seconds — matches DuckDB's epoch() on naive ts
+    wk = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / 604800).cast("long")
+    activity = events.select("user_id", wk.alias("wk")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

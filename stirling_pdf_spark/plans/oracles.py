@@ -5279,3 +5279,44 @@ FROM h{iters} h JOIN a{iters - 1} a ON h.node = a.node
 
 
 WEB_HITS = _hits_sql()
+
+
+# Ordered funnel view -> click -> purchase: step k counts only
+# strictly after the user's step-(k-1) earliest qualifying time.
+EVENTS_FUNNEL = """
+WITH ev AS (SELECT * FROM events WHERE event_id % 37 = 0),
+u AS (SELECT DISTINCT user_id FROM ev),
+t1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM ev e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM ev e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST((CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END)
+          AS BIGINT) AS reached
+FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+       LEFT JOIN t2 ON u.user_id = t2.user_id
+       LEFT JOIN t3 ON u.user_id = t3.user_id
+"""
+
+# Weekly cohort retention: cohort = epoch-week of first event;
+# cells count distinct members active at each week offset.
+EVENTS_COHORT = """
+WITH ev AS (SELECT * FROM events WHERE event_id % 23 = 0),
+a AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM ev
+),
+f AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST(a.wk - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.wk - f.cohort_week
+"""

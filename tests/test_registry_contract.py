@@ -70,7 +70,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "image_size_filter",
                         "dedup_incremental_minhash", "web_pagerank",
                         "quality_decile_split", "domain_quality_priors",
-                        "dedup_normalized_exact", "web_hits"]
+                        "dedup_normalized_exact", "web_hits",
+                        "events_funnel", "events_cohort"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

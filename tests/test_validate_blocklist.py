@@ -523,3 +523,56 @@ def test_hits_partitioning_invariant(spark):
     a = sorted(map(tuple, hits(edges, iters=2).collect()))
     b = sorted(map(tuple, hits(edges.repartition(5), iters=2).collect()))
     assert a == b
+
+
+def test_events_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_funnel
+
+    t = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "purchase"),
+        # u2 purchases BEFORE clicking -> purchase must not count
+        (2, at(0), "view"), (2, at(1), "purchase"), (2, at(2), "click"),
+        # u3 clicks with no view -> reaches 0 steps
+        (3, at(0), "click"), (3, at(1), "purchase"),
+        # u4 only views
+        (4, at(0), "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, k) for i, (u, ts, k) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["user_id"]: r["reached"] for r in events_funnel(ev).collect()}
+    assert out == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_events_cohort_offsets(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import (
+        events_cohort_retention,
+    )
+
+    wk = dt.timedelta(weeks=1)
+    base = dt.datetime(2024, 1, 4)  # mid-week, away from epoch edges
+    rows = [
+        (1, base), (1, base + wk), (1, base + 3 * wk),
+        (2, base), (2, base + wk),
+        (3, base + wk),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    out = {(r["cohort_week"] is not None, r["week_offset"]): r["n_users"]
+           for r in events_cohort_retention(ev).collect()}
+    # cohort A (u1,u2 week 0): offsets 0 (2 users), 1 (2 users), 3 (1)
+    # cohort B (u3, week 1): offset 0 (1 user)
+    offsets = sorted((r["week_offset"], r["n_users"])
+                     for r in events_cohort_retention(ev).collect())
+    assert offsets == [(0, 1), (0, 2), (1, 2), (3, 1)]
