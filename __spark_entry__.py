@@ -3930,6 +3930,35 @@ def q_html_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_anchors(docs)
 
 
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-28-day MAU / per-mille stickiness over the raw
+    event feed (relational.events_dau_mau): one distinct over
+    (user, day), a bounded 28x day-contribution explode (never a
+    range join against the fact table), one groupBy day."""
+    return R.events_dau_mau(read_table(spark, sf_dir, "events"))
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease in exact integer milli-units
+    (textstats.readability): vowel-group syllable proxy + [.!?]+
+    sentence runs, map-only. The corpus has no sentence punctuation,
+    so a deterministic doc_id%3 tail plants 1-3 sentences per doc."""
+    from stirling_pdf_spark.operators.textstats import readability
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"), F.lit("."),
+        F.when(d % 3 == 1, F.lit(" Short tail! Ok?"))
+        .when(d % 3 == 2, F.lit(" One more sentence here."))
+        .otherwise(F.lit("")),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        t2.alias("text"))
+    return readability(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4108,6 +4137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": q_web_hits,
         "events_funnel": q_events_funnel,
         "events_cohort": q_events_cohort,
+        # r5 seventh session: born below the saturated window;
+        # replica-green at sf0.01 (check_queries), listed in
+        # R6_WINDOW_CANDIDATES for rotation next round
+        "events_dau_mau": q_events_dau_mau,
+        "text_readability": q_text_readability,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4386,6 +4420,8 @@ def oracle_sql() -> dict[str, str]:
         "web_hits": O.WEB_HITS,
         "events_funnel": O.EVENTS_FUNNEL,
         "events_cohort": O.EVENTS_COHORT,
+        "events_dau_mau": O.EVENTS_DAU_MAU,
+        "text_readability": O.TEXT_READABILITY,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

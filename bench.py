@@ -170,6 +170,9 @@ BENCH_QUERIES = (
     "web_hits",
     "events_funnel",
     "events_cohort",
+    # r5 seventh session
+    "events_dau_mau",
+    "text_readability",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -421,3 +421,40 @@ def events_cohort_retention(events: DataFrame) -> DataFrame:
                  (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def events_dau_mau(events: DataFrame, window_days: int = 28) -> DataFrame:
+    """DAU / rolling-MAU activity table (the product-analytics
+    companion to events_cohort_retention): day = epoch-day of the
+    event, DAU(d) = distinct users active on d, MAU(d) = distinct
+    users active in [d - window_days + 1, d], stickiness =
+    DAU*1000 div MAU (per-mille, exact integer).
+
+    Scale shape: one distinct over (user_id, day) — the only shuffle
+    that sees the raw feed — then each activity row explodes into the
+    <= window_days report days it contributes to (a bounded, narrow
+    28x expansion, NOT a range join against the fact table) and one
+    groupBy day. Report days are restricted to days with activity via
+    a broadcast semi-join on the tiny day dimension.
+
+    Output: (day, dau, mau, stickiness_pm).
+    """
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    activity = events.select("user_id", day.alias("day")).distinct()
+    days = activity.select("day").distinct()
+    contrib = activity.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.col("day") + F.lit(window_days - 1))).alias("d"),
+    ).join(F.broadcast(days).withColumnRenamed("day", "d"), "d", "semi")
+    mau = contrib.groupBy("d").agg(
+        F.count_distinct("user_id").cast("long").alias("mau"))
+    dau = activity.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau"))
+    return (
+        dau.join(mau.withColumnRenamed("d", "day"), "day")
+        .select("day", "dau", "mau",
+                F.expr("dau * 1000 div mau").cast("long")
+                .alias("stickiness_pm"))
+    )

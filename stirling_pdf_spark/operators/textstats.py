@@ -1251,3 +1251,37 @@ def dehyphenate_text(df: DataFrame, id_col: str = "doc_id",
         n_wrapped.cast("long").alias("n_wrapped"),
         unwrapped.alias("out_text"),
     )
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document in exact integer milli-units
+    (the classic readability feature in quality-filter stacks, next
+    to gopher_quality's heuristics). Syllables use the deterministic
+    vowel-group proxy — runs of [aeiouy]+ in the lowercased text —
+    sentences are runs of [.!?]+; both are single regexp counts, so
+    the whole operator is one map-only projection (no shuffle, no
+    UDF) and the DuckDB oracle reproduces it bit-for-bit.
+
+    fre_milli = 206835 - (1015 * n_words) div n_sentences
+                       - (84600 * n_syllables) div n_words
+    with both denominators floored at 1 (empty docs stay defined).
+
+    Output: (id, n_words, n_sentences, n_syllables, fre_milli).
+    """
+    t = F.col(text_col)
+    n_words = F.size(words_col(text_col)).cast("long")
+    n_sent = (F.size(F.split(t, r"[.!?]+")) - 1).cast("long")
+    n_syll = (F.size(F.split(F.lower(t), r"[aeiouy]+")) - 1).cast("long")
+    base = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"), n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    return base.select(
+        "id", "n_words", "n_sentences", "n_syllables",
+        (F.lit(206835)
+         - F.expr("(1015 * n_words) div greatest(1L, n_sentences)")
+         - F.expr("(84600 * n_syllables) div greatest(1L, n_words)")
+         ).cast("long").alias("fre_milli"),
+    )

@@ -5320,3 +5320,51 @@ SELECT f.cohort_week,
 FROM a JOIN f ON a.user_id = f.user_id
 GROUP BY f.cohort_week, a.wk - f.cohort_week
 """
+
+EVENTS_DAU_MAU = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM a),
+mau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM days d JOIN a ON a.day BETWEEN d.day - 27 AND d.day
+  GROUP BY d.day
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM a GROUP BY day
+)
+SELECT dau.day, dau.dau, mau.mau,
+       CAST((dau.dau * 1000) // mau.mau AS BIGINT) AS stickiness_pm
+FROM dau JOIN mau ON mau.day = dau.day
+"""
+
+TEXT_READABILITY = r"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         text || '.' || CASE CAST(doc_id AS BIGINT) % 3
+           WHEN 1 THEN ' Short tail! Ok?'
+           WHEN 2 THEN ' One more sentence here.'
+           ELSE '' END AS t2
+  FROM documents
+),
+m AS (
+  SELECT id,
+         CAST(len(string_split_regex(trim(t2), '\s+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(t2, '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(t2), '[aeiouy]+'))
+           AS BIGINT) AS n_syllables
+  FROM d
+)
+SELECT id, n_words, n_sentences, n_syllables,
+       CAST(206835
+            - (1015 * n_words) // GREATEST(1, n_sentences)
+            - (84600 * n_syllables) // GREATEST(1, n_words)
+            AS BIGINT) AS fre_milli
+FROM m
+"""

@@ -71,7 +71,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "dedup_incremental_minhash", "web_pagerank",
                         "quality_decile_split", "domain_quality_priors",
                         "dedup_normalized_exact", "web_hits",
-                        "events_funnel", "events_cohort"]
+                        "events_funnel", "events_cohort",
+                        # r5 seventh session
+                        "events_dau_mau", "text_readability"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

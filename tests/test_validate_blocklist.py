@@ -576,3 +576,64 @@ def test_events_cohort_offsets(spark):
     offsets = sorted((r["week_offset"], r["n_users"])
                      for r in events_cohort_retention(ev).collect())
     assert offsets == [(0, 1), (0, 2), (1, 2), (3, 1)]
+
+
+def test_events_dau_mau_window_and_stickiness(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_dau_mau
+
+    day0 = dt.datetime(2024, 1, 1)
+
+    def on(day, u):
+        return (day * 10 + u, day0 + dt.timedelta(days=day), u)
+
+    # u1 active day 0 and 30 (outside the 28-day window of day 30's
+    # MAU it still counts via day 30 itself); u2 active day 0 only;
+    # u3 active days 0,1
+    rows = [on(0, 1), on(0, 2), on(0, 3), on(1, 3), on(30, 1)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day"]: (r["dau"], r["mau"], r["stickiness_pm"])
+           for r in events_dau_mau(ev).collect()}
+    d0 = 19723  # 2024-01-01 epoch-day
+    # day0: dau=3, mau=3; day1: dau=1, mau=3 (u1,u2 from day0 in
+    # window); day30: only u1 (days 0/1 are 30/29 back, > 27)
+    assert out == {d0: (3, 3, 1000), d0 + 1: (1, 3, 333),
+                   d0 + 30: (1, 1, 1000)}
+
+
+def test_events_dau_mau_dedups_within_day(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_dau_mau
+
+    t = dt.datetime(2024, 3, 5)
+    rows = [(1, t, 7), (2, t + dt.timedelta(hours=3), 7),
+            (3, t + dt.timedelta(hours=6), 7)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    [r] = events_dau_mau(ev).collect()
+    assert (r["dau"], r["mau"], r["stickiness_pm"]) == (1, 1, 1000)
+
+
+def test_readability_counts_and_formula(spark):
+    from stirling_pdf_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [("a", "The cat sat. It ran! Why?"),
+         ("b", "word"),
+         ("c", "")],
+        "doc_id string, text string")
+    out = {r["id"]: r for r in readability(docs).collect()}
+    # "The cat sat. It ran! Why?": 6 words, 3 sentences,
+    # vowel groups: e,a,a,i,a,y at word level -> lower: 'the cat
+    # sat. it ran! why?' -> [aeiouy]+ runs: e,a,a,i,a,y = 6
+    a = out["a"]
+    assert (a["n_words"], a["n_sentences"], a["n_syllables"]) == (6, 3, 6)
+    assert a["fre_milli"] == 206835 - (1015 * 6) // 3 - (84600 * 6) // 6
+    b = out["b"]
+    assert (b["n_words"], b["n_sentences"], b["n_syllables"]) == (1, 0, 1)
+    assert b["fre_milli"] == 206835 - (1015 * 1) // 1 - (84600 * 1) // 1
+    c = out["c"]
+    assert c["n_sentences"] == 0 and c["n_syllables"] == 0
