@@ -3959,6 +3959,75 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(docs)
 
 
+def q_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template serialization with loss-mask char offsets
+    (serialize.chat_format_records): first 8 words become the user
+    turn, the rest the assistant turn; the oracle rebuilds the
+    rendered string and the [loss_start, loss_end) span from the
+    same slices."""
+    from stirling_pdf_spark.operators.serialize import chat_format_records
+
+    base = read_table(spark, sf_dir, "documents")
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    return chat_format_records(docs)
+
+
+def q_html_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots page policy (functions/html.meta_robots): planted
+    <meta name="robots"> tags in both attribute orders plus an
+    uppercase directive and a 'none' alias; flags are INTs and keep
+    drops noindex'd pages."""
+    from stirling_pdf_spark.functions.html import meta_robots
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 4 == 1,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(d % 4 == 2,
+              F.lit('<meta content="NOFOLLOW" name="robots">'))
+        .when(d % 4 == 3, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body><p>x</p></body></html>"))
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        html.alias("html"))
+    return meta_robots(docs)
+
+
+def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-breadcrumb RAG chunking (retrieval.section_chunks):
+    docs with >= 18 words get a planted '# Intro / ## Detail / # End'
+    markdown skeleton (doc_id%3==0 additionally a pre-heading
+    preamble line); shorter docs stay headingless and must come back
+    as ONE preamble chunk. The oracle restates every section
+    closed-form from the same word slices."""
+    from stirling_pdf_spark.operators.retrieval import section_chunks
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    skeleton = F.concat(
+        F.lit("# Intro\n"), F.array_join(F.slice(w, 1, 6), " "),
+        F.lit("\n## Detail\n"), F.array_join(F.slice(w, 7, 6), " "),
+        F.lit("\n# End\n"),
+        F.array_join(F.slice(w, 13, n - 12), " "))
+    planted = F.when(
+        n >= 18,
+        F.when(d % 3 == 0,
+               F.concat(F.lit("preamble line\n"), skeleton))
+        .otherwise(skeleton)
+    ).otherwise(F.col("text"))
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        planted.alias("text"))
+    return section_chunks(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4142,6 +4211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R6_WINDOW_CANDIDATES for rotation next round
         "events_dau_mau": q_events_dau_mau,
         "text_readability": q_text_readability,
+        "chat_format": q_chat_format,
+        "html_meta_robots": q_html_meta_robots,
+        "section_chunks": q_section_chunks,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4422,6 +4494,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort": O.EVENTS_COHORT,
         "events_dau_mau": O.EVENTS_DAU_MAU,
         "text_readability": O.TEXT_READABILITY,
+        "chat_format": O.CHAT_FORMAT,
+        "html_meta_robots": O.HTML_META_ROBOTS,
+        "section_chunks": O.SECTION_CHUNKS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

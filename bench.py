@@ -173,6 +173,9 @@ BENCH_QUERIES = (
     # r5 seventh session
     "events_dau_mau",
     "text_readability",
+    "chat_format",
+    "html_meta_robots",
+    "section_chunks",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -137,3 +137,41 @@ def extract_anchors(df, id_col: str = "doc_id",
             nofollow.alias("nofollow"),
         )
     )
+
+
+# meta robots in either attribute order; group 1 = the directive list
+_ROBOTS_NAME_FIRST = r'(?i)<meta\s+name="robots"\s+content="([^"]*)"'
+_ROBOTS_CONTENT_FIRST = r'(?i)<meta\s+content="([^"]*)"\s+name="robots"'
+
+
+def meta_robots(df, id_col: str = "doc_id", html_col: str = "html"):
+    """Meta-robots page policy — the crawl-hygiene stage a web corpus
+    runs before keeping a page (the robots.txt companion at page
+    level; cf. the public CC pipeline recipes that drop
+    noindex'd pages): reads <meta name="robots" content="..."> in
+    either attribute order, lowercases the directive list, and
+    surfaces integer flags. keep = 1 unless noindex/none is present.
+
+    Pure column expressions (two regexp_extract + boolean algebra) —
+    map-only, no shuffle; the flags are INTs so the DuckDB oracle
+    hash stays engine-stable.
+
+    Output: (id, directives, noindex, nofollow, keep).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col)
+    raw = F.coalesce(
+        F.nullif(F.regexp_extract(h, _ROBOTS_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, _ROBOTS_CONTENT_FIRST, 1), F.lit("")),
+        F.lit(""))
+    directives = F.lower(raw)
+    noindex = (directives.rlike(r"\bnoindex\b")
+               | directives.rlike(r"\bnone\b")).cast("int")
+    nofollow = (directives.rlike(r"\bnofollow\b")
+                | directives.rlike(r"\bnone\b")).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"), directives.alias("directives"),
+        noindex.alias("noindex"), nofollow.alias("nofollow"),
+        (1 - noindex).alias("keep"),
+    )

@@ -185,3 +185,72 @@ def mmr_topk(df: DataFrame, query_ids: list[int], k: int = 5,
         .applyInPandas(greedy,
                        "query_id long, mmr_rank long, doc_id long")
     )
+
+
+def section_chunks(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heading-aware section chunking with breadcrumb paths — the RAG
+    corpus-prep stage (split at '#'/'##' markdown headings, prefix
+    each chunk with its 'H1 > H2' ancestry so embedded chunks keep
+    document context; the chunk-with-breadcrumbs recipe from the
+    public RAG literature). Complements kernel/chunker.py's
+    fixed-window sentence packing with structure-aware splits.
+
+    One posexplode over lines, two running last-heading windows and
+    one per-(doc, section) aggregate — every stage partitions by the
+    document key only, so the plan holds at corpus scale (sections
+    are bounded by document length, never by corpus size).
+
+    Output: (id, section_idx, breadcrumb, n_lines, chunk_text) —
+    section_idx is 0-based in document order; preamble text before
+    the first heading gets an empty breadcrumb.
+    """
+    lines = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    line = F.col("line")
+    lvl = (F.when(line.startswith("## "), 2)
+           .when(line.startswith("# "), 1).otherwise(0))
+    title = (F.when(lvl == 2, F.substring(line, 4, 1_000_000))
+             .when(lvl == 1, F.substring(line, 3, 1_000_000)))
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = lines.select(
+        "id", "pos", "line", lvl.alias("lvl"), title.alias("title"))
+    sec = marked.select(
+        "id", "pos", "line", "lvl",
+        F.max(F.when(F.col("lvl") == 1, F.col("pos"))).over(w)
+        .alias("h1_pos"),
+        F.last(F.when(F.col("lvl") == 1, F.col("title")), True).over(w)
+        .alias("h1"),
+        F.max(F.when(F.col("lvl") == 2, F.col("pos"))).over(w)
+        .alias("h2_pos"),
+        F.last(F.when(F.col("lvl") == 2, F.col("title")), True).over(w)
+        .alias("h2"),
+    )
+    sec_pos = F.greatest(F.coalesce(F.col("h1_pos"), F.lit(-1)),
+                         F.coalesce(F.col("h2_pos"), F.lit(-1)))
+    h2_active = F.col("h2_pos") > F.coalesce(F.col("h1_pos"), F.lit(-1))
+    crumb = F.concat_ws(
+        " > ", F.col("h1"), F.when(h2_active, F.col("h2")))
+    body = sec.select(
+        "id", "pos", "line", sec_pos.alias("sec_pos"),
+        crumb.alias("breadcrumb"),
+    ).filter((F.col("pos") != F.col("sec_pos"))
+             & (F.trim(F.col("line")) != ""))
+    grouped = body.groupBy("id", "sec_pos").agg(
+        F.max("breadcrumb").alias("breadcrumb"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("chunk_text"),
+    )
+    idx = Window.partitionBy("id").orderBy("sec_pos")
+    return grouped.select(
+        "id",
+        (F.dense_rank().over(idx) - 1).cast("long").alias("section_idx"),
+        "breadcrumb", "n_lines", "chunk_text",
+    )

@@ -88,3 +88,41 @@ def build_training_corpus(df: DataFrame, seq_len: int = 512,
     final = dd.join(train, id_col)
     return pack_sequences(final, seq_len=seq_len,
                           id_col=id_col, text_col=text_col)
+
+
+CHAT_SYSTEM = "<|system|>You are a helpful assistant.<|end|>\n"
+
+
+def chat_format_records(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        prompt_words: int = 8) -> DataFrame:
+    """SFT chat-template serialization with loss-mask offsets — the
+    instruction-tuning last-mile op. Each document becomes one
+    deterministic exchange: the first ``prompt_words`` whitespace
+    words are the user turn, the remainder the assistant turn,
+    rendered with a fixed ChatML-style template. Alongside the
+    rendered string the operator emits the HALF-OPEN character span
+    [loss_start, loss_end) of the assistant CONTENT — exactly the
+    region a trainer unmasks for loss — computed from the built
+    prefix's length, so offsets stay correct for any template or
+    content width. Pure column algebra (split/slice/concat/length):
+    map-only, no shuffle, no UDF.
+
+    Output: (id, rendered, loss_start, loss_end, n_loss_chars).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    q = F.array_join(F.slice(w, 1, prompt_words), " ")
+    a = F.array_join(
+        F.slice(w, prompt_words + 1,
+                F.greatest(F.lit(0), F.size(w) - prompt_words)), " ")
+    prefix = F.concat(
+        F.lit(CHAT_SYSTEM), F.lit("<|user|>"), q,
+        F.lit("<|end|>\n<|assistant|>"))
+    rendered = F.concat(prefix, a, F.lit("<|end|>"))
+    loss_start = F.length(prefix).cast("long")
+    loss_end = (F.length(prefix) + F.length(a)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"), rendered.alias("rendered"),
+        loss_start.alias("loss_start"), loss_end.alias("loss_end"),
+        (loss_end - loss_start).alias("n_loss_chars"),
+    )

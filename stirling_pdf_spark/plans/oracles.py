@@ -5368,3 +5368,67 @@ SELECT id, n_words, n_sentences, n_syllables,
             AS BIGINT) AS fre_milli
 FROM m
 """
+
+CHAT_FORMAT = r"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+r AS (
+  SELECT id,
+         '<|system|>You are a helpful assistant.<|end|>' || chr(10)
+           || '<|user|>' || array_to_string(w[1:8], ' ')
+           || '<|end|>' || chr(10) || '<|assistant|>' AS prefix,
+         array_to_string(w[9:len(w)], ' ') AS a
+  FROM d
+)
+SELECT id, prefix || a || '<|end|>' AS rendered,
+       CAST(length(prefix) AS BIGINT) AS loss_start,
+       CAST(length(prefix) + length(a) AS BIGINT) AS loss_end,
+       CAST(length(a) AS BIGINT) AS n_loss_chars
+FROM r
+"""
+
+HTML_META_ROBOTS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id AS BIGINT) % 4 AS m
+  FROM documents
+)
+SELECT id,
+       CASE m WHEN 1 THEN 'noindex, follow' WHEN 2 THEN 'nofollow'
+              WHEN 3 THEN 'none' ELSE '' END AS directives,
+       CAST(CASE WHEN m IN (1, 3) THEN 1 ELSE 0 END AS INTEGER)
+         AS noindex,
+       CAST(CASE WHEN m IN (2, 3) THEN 1 ELSE 0 END AS INTEGER)
+         AS nofollow,
+       CAST(CASE WHEN m IN (1, 3) THEN 0 ELSE 1 END AS INTEGER) AS keep
+FROM d
+"""
+
+SECTION_CHUNKS = r"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id AS BIGINT) % 3 AS m, text,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+big AS (SELECT * FROM d WHERE len(w) >= 18),
+small AS (SELECT * FROM d WHERE len(w) < 18)
+SELECT id,
+       CAST(CASE WHEN m = 0 THEN s.i + 1 ELSE s.i END AS BIGINT)
+         AS section_idx,
+       s.b AS breadcrumb, CAST(1 AS BIGINT) AS n_lines,
+       CASE s.i WHEN 0 THEN array_to_string(w[1:6], ' ')
+                WHEN 1 THEN array_to_string(w[7:12], ' ')
+                ELSE array_to_string(w[13:len(w)], ' ') END AS chunk_text
+FROM big, (VALUES (0, 'Intro'), (1, 'Intro > Detail'), (2, 'End'))
+     AS s(i, b)
+UNION ALL
+SELECT id, CAST(0 AS BIGINT), '', CAST(1 AS BIGINT), 'preamble line'
+FROM big WHERE m = 0
+UNION ALL
+SELECT id, CAST(0 AS BIGINT), '', CAST(1 AS BIGINT), text
+FROM small WHERE trim(text) <> ''
+"""

@@ -182,3 +182,78 @@ def test_bigram_lm_fit_hand_computed(spark):
     assert out["d1"] == (1, 666)
     assert out["d2"] == (1, 333)
     assert out["d3"] == (0, 0)                # <2 words: zero row kept
+
+
+def test_chat_format_loss_span_points_at_assistant_content(spark):
+    from stirling_pdf_spark.operators.serialize import (
+        CHAT_SYSTEM,
+        chat_format_records,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4 w5 w6 w7 w8 answer text here"),
+         ("b", "only three words")],
+        "doc_id string, text string")
+    out = {r["id"]: r for r in chat_format_records(docs).collect()}
+    a = out["a"]
+    # the loss span must slice exactly the assistant content
+    assert a["rendered"][a["loss_start"]:a["loss_end"]] == \
+        "answer text here"
+    assert a["rendered"].startswith(
+        CHAT_SYSTEM + "<|user|>w1 w2 w3 w4 w5 w6 w7 w8<|end|>")
+    assert a["rendered"].endswith("<|end|>")
+    assert a["n_loss_chars"] == len("answer text here")
+    # short docs: empty assistant turn, empty (but well-formed) span
+    b = out["b"]
+    assert b["loss_start"] == b["loss_end"]
+    assert b["rendered"][b["loss_start"] - 1] == ">"
+
+
+def test_meta_robots_attribute_orders_and_none(spark):
+    from stirling_pdf_spark.functions.html import meta_robots
+
+    docs = spark.createDataFrame(
+        [("a", '<head><meta name="robots" content="NOINDEX"></head>'),
+         ("b", '<head><meta content="nofollow, noarchive" '
+               'name="robots"></head>'),
+         ("c", '<head><meta name="robots" content="none"></head>'),
+         ("d", "<head></head>"),
+         # robots meta for a DIFFERENT agent must not match
+         ("e", '<head><meta name="googlebot" content="noindex"></head>')],
+        "doc_id string, html string")
+    out = {r["id"]: (r["noindex"], r["nofollow"], r["keep"])
+           for r in meta_robots(docs).collect()}
+    assert out == {"a": (1, 0, 0), "b": (0, 1, 1), "c": (1, 1, 0),
+                   "d": (0, 0, 1), "e": (0, 0, 1)}
+
+
+def test_section_chunks_breadcrumbs_and_h2_reset(spark):
+    from stirling_pdf_spark.operators.retrieval import section_chunks
+
+    text = ("before any heading\n"
+            "# One\nbody a\nbody b\n"
+            "## One.A\nnested\n"
+            "# Two\n"          # a new H1 must clear the H2 crumb
+            "after two\n\n")   # blank line dropped
+    docs = spark.createDataFrame(
+        [("a", text)], "doc_id string, text string")
+    rows = sorted((r["section_idx"], r["breadcrumb"], r["n_lines"],
+                   r["chunk_text"])
+                  for r in section_chunks(docs).collect())
+    assert rows == [
+        (0, "", 1, "before any heading"),
+        (1, "One", 2, "body a\nbody b"),
+        (2, "One > One.A", 1, "nested"),
+        (3, "Two", 1, "after two"),
+    ]
+
+
+def test_section_chunks_heading_only_sections_vanish(spark):
+    from stirling_pdf_spark.operators.retrieval import section_chunks
+
+    docs = spark.createDataFrame(
+        [("a", "# Empty\n# Full\ncontent")],
+        "doc_id string, text string")
+    rows = [(r["section_idx"], r["breadcrumb"], r["chunk_text"])
+            for r in section_chunks(docs).collect()]
+    assert rows == [(0, "Full", "content")]

@@ -73,7 +73,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "dedup_normalized_exact", "web_hits",
                         "events_funnel", "events_cohort",
                         # r5 seventh session
-                        "events_dau_mau", "text_readability"]
+                        "events_dau_mau", "text_readability",
+                        "chat_format", "html_meta_robots",
+                        "section_chunks"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
