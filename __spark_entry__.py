@@ -4028,6 +4028,41 @@ def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return section_chunks(docs)
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (relational.events_asof): every
+    purchase pairs with the user's latest view at or before it via a
+    single user-keyed merge window — no range join. The oracle pins
+    the matched time with a correlated MAX."""
+    return R.events_asof(read_table(spark, sf_dir, "events"))
+
+
+def q_png_text_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG tEXt metadata extraction (multimodal.png_text_chunks) over
+    planted Title/Author chunks (corpus.media.png_text_table) — the
+    chunk walk honors length framing and file order; the oracle
+    restates both entries closed-form from the ref."""
+    from stirling_pdf_spark.corpus.media import png_text_table
+    from stirling_pdf_spark.operators.multimodal import png_text_chunks
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return png_text_chunks(png_text_table(docs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4214,6 +4249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_format": q_chat_format,
         "html_meta_robots": q_html_meta_robots,
         "section_chunks": q_section_chunks,
+        "events_asof": q_events_asof,
+        "png_text_meta": q_png_text_meta,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4497,6 +4534,8 @@ def oracle_sql() -> dict[str, str]:
         "chat_format": O.CHAT_FORMAT,
         "html_meta_robots": O.HTML_META_ROBOTS,
         "section_chunks": O.SECTION_CHUNKS,
+        "events_asof": O.EVENTS_ASOF,
+        "png_text_meta": O.PNG_TEXT_META,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

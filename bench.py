@@ -176,6 +176,8 @@ BENCH_QUERIES = (
     "chat_format",
     "html_meta_robots",
     "section_chunks",
+    "events_asof",
+    "png_text_meta",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -106,14 +106,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(w: int, h: int, rgb: bytes) -> bytes:
+def png_encode(w: int, h: int, rgb: bytes,
+               texts: tuple[tuple[str, str], ...] = ()) -> bytes:
     """Minimal deterministic PNG encoder: 8-bit RGB, non-interlaced,
     scanline r filtered with type r % 5 (so a decoder must implement
     ALL five filters — None/Sub/Up/Average/Paeth), IDAT deflated at
     level 0 (stored blocks), which makes the file size a CLOSED FORM of
     the dimensions: 68 + h*(1+3w) bytes for h*(1+3w) < 65535 (8 sig +
     25 IHDR + 12 IDAT framing + 11 zlib stored-block overhead + 12
-    IEND + the filtered scanlines)."""
+    IEND + the filtered scanlines). ``texts`` plants tEXt
+    (key, value) metadata chunks between IHDR and IDAT (PNG 1.2
+    §4.2.3.1 latin-1 keyword\\0text layout); the default keeps the
+    closed-form size."""
     import struct
     import zlib
 
@@ -147,8 +151,11 @@ def png_encode(w: int, h: int, rgb: bytes) -> bytes:
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     idat = zlib.compress(bytes(raw), 0)
+    text_chunks = b"".join(
+        chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in texts)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+            + text_chunks + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 def image_payload_for_ref(ref: str) -> bytes:
@@ -601,6 +608,31 @@ def corrupted_media_table(docs: DataFrame) -> DataFrame:
                           pa.string()),
                  pa.array([corrupted_payload_for_ref(r) for r in refs],
                           pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def png_text_table(docs: DataFrame) -> DataFrame:
+    """image(media_ref, fmt, payload): a small RGB8 PNG per corpus ref
+    carrying two planted tEXt chunks — Title = 'title {ref}' and
+    Author = 'author ' + the ref's last 4 chars — so the tEXt
+    extraction stage has a closed-form oracle."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            payloads = [
+                png_encode(4, 3, _pixel_stream(r, 36), texts=(
+                    ("Title", f"title {r}"),
+                    ("Author", f"author {r[-4:]}"),
+                )) for r in refs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["png"] * len(refs), pa.string()),
+                 pa.array(payloads, pa.binary())],
                 names=["media_ref", "fmt", "payload"],
             )
 

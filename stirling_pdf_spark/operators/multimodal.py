@@ -776,3 +776,64 @@ def image_size_filter(decoded: DataFrame, min_side: int = 16,
         (keep_size.cast("boolean") & keep_aspect.cast("boolean"))
         .cast("int").alias("keep"),
     )
+
+
+PNG_TEXT_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("pos", T.IntegerType(), False),
+    T.StructField("key", T.StringType(), False),
+    T.StructField("value", T.StringType(), False),
+])
+
+
+def png_text_chunks(media: DataFrame, payload_col: str = "payload",
+                    ref_col: str = "media_ref") -> DataFrame:
+    """PNG textual-metadata extraction (tEXt chunks, PNG 1.2
+    §4.2.3.1) — the image-side analogue of document metadata (E15):
+    one narrow mapInPandas over the blob table walking the chunk
+    layout (length/type/data/crc framing), emitting (ref, pos, key,
+    value) per tEXt chunk in file order. Non-PNG or truncated
+    payloads contribute no rows (the decode_images error-isolation
+    contract); values decode as latin-1 per spec, so extraction
+    never raises on byte content."""
+    import struct
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            refs, poss, keys, vals = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                off, pos = 8, 0
+                while off + 8 <= len(b):
+                    (ln,) = struct.unpack(">I", b[off:off + 4])
+                    ctype = b[off + 4:off + 8]
+                    data_end = off + 8 + ln
+                    if data_end + 4 > len(b):
+                        break           # truncated: keep rows so far
+                    if ctype == b"tEXt":
+                        data = b[off + 8:data_end]
+                        nul = data.find(b"\x00")
+                        if nul >= 0:
+                            refs.append(ref)
+                            poss.append(pos)
+                            keys.append(data[:nul].decode("latin-1"))
+                            vals.append(data[nul + 1:].decode("latin-1"))
+                            pos += 1
+                    if ctype == b"IEND":
+                        break
+                    off = data_end + 4
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "media_ref": pd.Series(refs, dtype=object),
+                "pos": pd.Series(poss, dtype="int32"),
+                "key": pd.Series(keys, dtype=object),
+                "value": pd.Series(vals, dtype=object),
+            })
+
+    return src.mapInPandas(run, PNG_TEXT_SCHEMA)

@@ -458,3 +458,43 @@ def events_dau_mau(events: DataFrame, window_days: int = 28) -> DataFrame:
                 F.expr("dau * 1000 div mau").cast("long")
                 .alias("stickiness_pm"))
     )
+
+
+def events_asof(events: DataFrame, left_type: str = "purchase",
+                right_type: str = "view") -> DataFrame:
+    """Point-in-time (as-of) join — the time-series operator Spark has
+    no built-in for: each ``left_type`` event is paired with the
+    LATEST ``right_type`` event of the same user at or before its
+    timestamp (the classic trades-asof-quotes shape).
+
+    Implemented the distributed-merge way, NOT as a range join: both
+    sides union into one stream tagged by side, a single window per
+    user_id ordered by (time, side, event_id) — right-side rows sort
+    before a left-side row at the same instant, so 'at or before'
+    includes ties — and a running max over the right side's times
+    carries the as-of match forward. One user-keyed shuffle total; no
+    per-row Python, no range-join blowup on dense histories.
+
+    Output: (event_id, user_id, us, right_us, gap_us) epoch-micros;
+    right_us/gap_us NULL when no prior match exists. Ties among
+    right-side events at the same instant collapse to the instant
+    itself (the output carries the matched TIME, which is unique).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    tagged = (
+        events.filter(F.col("event_type").isin(left_type, right_type))
+        .select(
+            "event_id", "user_id", us.alias("us"),
+            (F.col("event_type") == left_type).cast("int").alias("side"),
+        )
+    )
+    w = (Window.partitionBy("user_id").orderBy("us", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = tagged.withColumn(
+        "right_us",
+        F.max(F.when(F.col("side") == 0, F.col("us"))).over(w))
+    return (
+        matched.filter(F.col("side") == 1)
+        .select("event_id", "user_id", "us", "right_us",
+                (F.col("us") - F.col("right_us")).alias("gap_us"))
+    )

@@ -5432,3 +5432,34 @@ UNION ALL
 SELECT id, CAST(0 AS BIGINT), '', CAST(1 AS BIGINT), text
 FROM small WHERE trim(text) <> ''
 """
+
+EVENTS_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.us,
+       (SELECT MAX(v.us) FROM v
+        WHERE v.user_id = p.user_id AND v.us <= p.us) AS right_us,
+       p.us - (SELECT MAX(v.us) FROM v
+               WHERE v.user_id = p.user_id AND v.us <= p.us) AS gap_us
+FROM p
+"""
+
+PNG_TEXT_META = """
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+)
+SELECT media_ref, CAST(0 AS INTEGER) AS pos, 'Title' AS key,
+       'title ' || media_ref AS value
+FROM d
+UNION ALL
+SELECT media_ref, CAST(1 AS INTEGER), 'Author',
+       'author ' || substr(media_ref, length(media_ref) - 3, 4)
+FROM d
+"""

@@ -637,3 +637,35 @@ def test_readability_counts_and_formula(spark):
     assert b["fre_milli"] == 206835 - (1015 * 1) // 1 - (84600 * 1) // 1
     c = out["c"]
     assert c["n_sentences"] == 0 and c["n_syllables"] == 0
+
+
+def test_events_asof_ties_and_missing(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_asof
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: view@10, purchase@20 -> gap 10s; purchase@5 -> no match
+        (1, at(10), 1, "view"), (2, at(20), 1, "purchase"),
+        (3, at(5), 1, "purchase"),
+        # u2: view EXACTLY at the purchase instant -> at-or-before hits
+        (4, at(30), 2, "view"), (5, at(30), 2, "purchase"),
+        # u3: two views before -> the LATEST wins; clicks ignored
+        (6, at(1), 3, "view"), (7, at(2), 3, "view"),
+        (8, at(2), 3, "click"), (9, at(9), 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["event_id"]: (r["right_us"], r["gap_us"])
+           for r in events_asof(ev).collect()}
+    us = lambda s: int(at(s).timestamp() * 1_000_000)  # noqa: E731
+    assert out[2] == (us(10), 10_000_000)
+    assert out[3] == (None, None)
+    assert out[5] == (us(30), 0)
+    assert out[9] == (us(2), 7_000_000)
+    assert set(out) == {2, 3, 5, 9}

@@ -234,3 +234,30 @@ def test_ahash_pairs_ride_the_generic_band_join(spark):
                                  hash_col="ahash").collect()
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in pairs] \
         == [("m-1", "m-2", 0)]
+
+
+def test_png_text_chunks_round_trip_and_isolation(spark):
+    from stirling_pdf_spark.corpus.media import png_encode
+    from stirling_pdf_spark.operators.multimodal import (
+        decode_png,
+        png_text_chunks,
+    )
+
+    rgb = bytes(range(36))
+    png = png_encode(4, 3, rgb, texts=(("Title", "hello"),
+                                       ("Author", "a b")))
+    # tEXt chunks must not break the pixel decode
+    w, h, px = decode_png(png)
+    assert (w, h, px) == (4, 3, rgb)
+    truncated = png[:len(png) - 20]     # IEND + part of IDAT gone
+    media = spark.createDataFrame(
+        [("ok", bytearray(png)), ("junk", bytearray(b"GIF89a...")),
+         ("trunc", bytearray(truncated))],
+        "media_ref string, payload binary")
+    rows = sorted(map(tuple, png_text_chunks(media).collect()))
+    # junk contributes nothing; ok and trunc both keep the two tEXt
+    # rows (they precede the truncation point)
+    assert rows == [
+        ("ok", 0, "Title", "hello"), ("ok", 1, "Author", "a b"),
+        ("trunc", 0, "Title", "hello"), ("trunc", 1, "Author", "a b"),
+    ]
