@@ -4063,6 +4063,28 @@ def q_png_text_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_text_chunks(png_text_table(docs))
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment the scalable way (relational.
+    events_range_join): maintenance windows derived from the feed's
+    first timestamp, exploded into hour bins + equi-join + residual
+    filter — never a theta-join. Oracle = direct BETWEEN left join."""
+    return R.events_range_join(read_table(spark, sf_dir, "events"))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type pivot with an explicit type list (relational.
+    events_pivot_daily) — schema-stable wide counts; the oracle uses
+    FILTERed conditional aggregation."""
+    return R.events_pivot_daily(read_table(spark, sf_dir, "events"))
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day spend via a RANGE window frame
+    (relational.events_rolling_value) — value-distance frames, not
+    row counts, so calendar gaps are honored."""
+    return R.events_rolling_value(read_table(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4251,6 +4273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "events_asof": q_events_asof,
         "png_text_meta": q_png_text_meta,
+        "events_range_join": q_events_range_join,
+        "events_pivot": q_events_pivot,
+        "events_rolling": q_events_rolling,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4536,6 +4561,9 @@ def oracle_sql() -> dict[str, str]:
         "section_chunks": O.SECTION_CHUNKS,
         "events_asof": O.EVENTS_ASOF,
         "png_text_meta": O.PNG_TEXT_META,
+        "events_range_join": O.EVENTS_RANGE_JOIN,
+        "events_pivot": O.EVENTS_PIVOT,
+        "events_rolling": O.EVENTS_ROLLING,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -178,6 +178,9 @@ BENCH_QUERIES = (
     "section_chunks",
     "events_asof",
     "png_text_meta",
+    "events_range_join",
+    "events_pivot",
+    "events_rolling",
     # streaming_dedup / streaming_pack deliberately NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput

@@ -498,3 +498,107 @@ def events_asof(events: DataFrame, left_type: str = "purchase",
         .select("event_id", "user_id", "us", "right_us",
                 (F.col("us") - F.col("right_us")).alias("gap_us"))
     )
+
+
+def events_range_join(events: DataFrame, n_windows: int = 24,
+                      width_min: int = 90, stride_min: int = 420,
+                      ) -> DataFrame:
+    """Interval containment join, the scalable way: events land in
+    maintenance windows [start, start + width) derived from the
+    feed's own first timestamp (windows every ``stride_min`` minutes).
+    Instead of a naive theta-join (a cartesian at cluster scale), each
+    window explodes into the HOUR BINS it covers and events equi-join
+    on their hour bin, with the exact containment as a residual
+    filter — the classic bin + equi-join + residual range-join plan:
+    the shuffle is hash(bin), never all-pairs.
+
+    The window dimension is tiny and broadcast; the anchor (min ts) is
+    the one bounded driver-side aggregate, same sanction as the IVF
+    sample. Output: (window_idx, start_us, n_events, sum_value_micro).
+    Empty windows are kept with zero counts (left join) so the result
+    shape is stable.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ev = events.select(us.alias("us"), micro(F.col("value")).alias("vm"))
+    # bounded collect: ONE scalar anchoring the window grid
+    t0 = ev.agg(F.min("us")).collect()[0][0] or 0
+    width_us = width_min * 60 * 1_000_000
+    stride_us = stride_min * 60 * 1_000_000
+    hour_us = 3_600_000_000
+    spark = events.sparkSession
+    win = spark.range(n_windows).select(
+        F.col("id").cast("long").alias("window_idx"),
+        (F.lit(t0) + F.col("id") * stride_us).alias("start_us"),
+    ).withColumn("end_us", F.col("start_us") + width_us)
+    bins = win.select(
+        "window_idx", "start_us", "end_us",
+        F.explode(F.sequence(
+            F.floor(F.col("start_us") / hour_us),
+            F.floor((F.col("end_us") - 1) / hour_us))).alias("bin"),
+    )
+    hits = (
+        ev.withColumn("bin", F.floor(F.col("us") / hour_us))
+        .join(F.broadcast(bins), "bin")
+        .filter((F.col("us") >= F.col("start_us"))
+                & (F.col("us") < F.col("end_us")))
+        .groupBy("window_idx").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("vm").alias("sum_value_micro"))
+    )
+    return (
+        win.select("window_idx", "start_us").join(hits, "window_idx", "left")
+        .select("window_idx", "start_us",
+                F.coalesce("n_events", F.lit(0)).cast("long")
+                .alias("n_events"),
+                F.coalesce("sum_value_micro", F.lit(0)).cast("long")
+                .alias("sum_value_micro"))
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(events: DataFrame) -> DataFrame:
+    """Day x event-type pivot (the classic wide analytics table):
+    one groupBy(day).pivot(event_type) count with the type list given
+    EXPLICITLY — an open pivot needs a distinct-scan job first and
+    makes the output schema data-dependent, which a 100 TB pipeline
+    can't have. One shuffle on day; counts are map-side partial.
+
+    Output: (day, n_click, n_error, n_purchase, n_signup, n_view).
+    """
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    wide = (
+        events.select(day.alias("day"), "event_type")
+        .groupBy("day").pivot("event_type", list(EVENT_TYPES)).count()
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                 .alias(f"n_{t}") for t in EVENT_TYPES])
+
+
+def events_rolling_value(events: DataFrame,
+                         trailing_days: int = 7) -> DataFrame:
+    """Per-user trailing-7-day spend via a RANGE window frame — the
+    time-based rolling aggregate (rows-frames are wrong under gaps:
+    the frame must span VALUE distance on the day axis, not row
+    count). One user-keyed day aggregate, then a range frame over the
+    per-day rows — frame width is bounded by active days, never by
+    event volume.
+
+    Output: (user_id, day, day_value_micro, rolling_value_micro).
+    """
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    daily = (
+        events.select("user_id", day.alias("day"),
+                      micro(F.col("value")).alias("vm"))
+        .groupBy("user_id", "day").agg(
+            F.sum("vm").alias("day_value_micro"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rangeBetween(-(trailing_days - 1), 0))
+    return daily.select(
+        "user_id", "day", "day_value_micro",
+        F.sum("day_value_micro").over(w).alias("rolling_value_micro"))

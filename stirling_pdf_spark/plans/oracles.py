@@ -5463,3 +5463,56 @@ SELECT media_ref, CAST(1 AS INTEGER), 'Author',
        'author ' || substr(media_ref, length(media_ref) - 3, 4)
 FROM d
 """
+
+EVENTS_RANGE_JOIN = f"""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS us, {micro('value')} AS vm
+  FROM events
+),
+t0 AS (SELECT MIN(us) AS t0 FROM e),
+win AS (
+  SELECT CAST(r.i AS BIGINT) AS window_idx,
+         t0.t0 + r.i * CAST(25200000000 AS BIGINT) AS start_us
+  FROM range(24) r(i), t0
+)
+SELECT w.window_idx, w.start_us,
+       CAST(COUNT(e.us) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(e.vm), 0) AS BIGINT) AS sum_value_micro
+FROM win w LEFT JOIN e
+  ON e.us >= w.start_us
+ AND e.us < w.start_us + CAST(5400000000 AS BIGINT)
+GROUP BY w.window_idx, w.start_us
+"""
+
+EVENTS_PIVOT = """
+WITH a AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, event_type
+  FROM events
+)
+SELECT day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS n_view
+FROM a GROUP BY day
+"""
+
+EVENTS_ROLLING = f"""
+WITH daily AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(SUM({micro('value')}) AS BIGINT) AS day_value_micro
+  FROM events GROUP BY user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+)
+SELECT user_id, day, day_value_micro,
+       CAST(SUM(day_value_micro) OVER (
+         PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_value_micro
+FROM daily
+"""

@@ -76,7 +76,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "events_dau_mau", "text_readability",
                         "chat_format", "html_meta_robots",
                         "section_chunks", "events_asof",
-                        "png_text_meta"]
+                        "png_text_meta", "events_range_join",
+                        "events_pivot", "events_rolling"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

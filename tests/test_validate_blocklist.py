@@ -669,3 +669,51 @@ def test_events_asof_ties_and_missing(spark):
     assert out[5] == (us(30), 0)
     assert out[9] == (us(2), 7_000_000)
     assert set(out) == {2, 3, 5, 9}
+
+
+def test_events_range_join_boundaries_and_empty_windows(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # window 0 = [t0, t0+90min); window 1 starts at +420min
+    rows = [
+        (1, at(0), 1, "view", 1.5),        # inclusive start
+        (2, at(89), 1, "view", 1.0),       # last inside minute
+        (3, at(90), 1, "view", 9.0),       # exclusive end -> out
+        (4, at(421), 2, "view", 2.0),      # window 1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r["window_idx"]: (r["n_events"], r["sum_value_micro"])
+           for r in events_range_join(ev, n_windows=3).collect()}
+    assert out[0] == (2, 2_500_000)
+    assert out[1] == (1, 2_000_000)
+    assert out[2] == (0, 0)                # kept, zeroed
+
+
+def test_events_rolling_range_frame_honors_gaps(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_rolling_value
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: day0 spend 1.0, day6 spend 2.0 (inside the 7-day frame),
+        # day8 spend 4.0 (day0 now OUTSIDE a row-frame would keep it)
+        (1, t0, 1, "purchase", 1.0),
+        (2, t0 + dt.timedelta(days=6), 1, "purchase", 2.0),
+        (3, t0 + dt.timedelta(days=8), 1, "purchase", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r["day"] - 19723: r["rolling_value_micro"]
+           for r in events_rolling_value(ev).collect()}
+    assert out == {0: 1_000_000, 6: 3_000_000, 8: 6_000_000}
