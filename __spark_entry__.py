@@ -4085,6 +4085,82 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.events_rolling_value(read_table(spark, sf_dir, "events"))
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact audio energy/peak stage (multimodal.audio_energy)
+    over the sawtooth WAV fixtures — sum(s^2) has a closed form the
+    oracle restates: N*amp^2 + 15*N*amp + (N div 16)*1240."""
+    from stirling_pdf_spark.corpus.media import wav_table
+    from stirling_pdf_spark.operators.multimodal import audio_energy
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return audio_energy(wav_table(docs)).drop("reason")
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
+    corpus deterministically — doc_id%10==7 removed, %10==3 text
+    appended, %10==9 additionally cloned to doc_id+1000000 — and the
+    diff must label every key added/removed/changed/unchanged."""
+    from stirling_pdf_spark.operators.validate import snapshot_diff
+
+    old = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    kept = old.filter(d % 10 != 7).select(
+        "doc_id",
+        F.when(d % 10 == 3, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = old.filter(d % 10 == 9).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"))
+    return snapshot_diff(old, kept.unionByName(added))
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join through REAL
+    Structured Streaming (streaming/joiner.py): views and purchases
+    arrive as two independent streams, every purchase pairs with the
+    user's views in the trailing 2 h, and the drained availableNow
+    output must equal the batch range join bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from stirling_pdf_spark.streaming.joiner import stream_attribution_join
+
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    in_v, in_p = f"{base}/views", f"{base}/purchases"
+    out_dir, cp = f"{base}/out", f"{base}/cp"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    try:
+        ev.filter(F.col("event_type") == "view") \
+            .write.mode("append").parquet(in_v)
+        ev.filter(F.col("event_type") == "purchase") \
+            .write.mode("append").parquet(in_p)
+        stream_attribution_join(
+            spark, in_v, in_p, out_dir, cp).awaitTermination()
+        result = spark.read.parquet(out_dir).select(
+            "purchase_id", "user_id", "purchase_us",
+            "view_id", "view_us")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4276,6 +4352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_pivot": q_events_pivot,
         "events_rolling": q_events_rolling,
+        "audio_energy": q_audio_energy,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "streaming_join": q_streaming_join,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4564,6 +4643,9 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": O.EVENTS_RANGE_JOIN,
         "events_pivot": O.EVENTS_PIVOT,
         "events_rolling": O.EVENTS_ROLLING,
+        "audio_energy": O.AUDIO_ENERGY,
+        "corpus_snapshot_diff": O.CORPUS_SNAPSHOT_DIFF,
+        "streaming_join": O.STREAMING_JOIN,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -181,7 +181,10 @@ BENCH_QUERIES = (
     "events_range_join",
     "events_pivot",
     "events_rolling",
-    # streaming_dedup / streaming_pack deliberately NOT benched: like
+    "audio_energy",
+    "corpus_snapshot_diff",
+    # streaming_dedup / streaming_pack / streaming_join deliberately
+    # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput
 )

@@ -837,3 +837,54 @@ def png_text_chunks(media: DataFrame, payload_col: str = "payload",
             })
 
     return src.mapInPandas(run, PNG_TEXT_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("energy", T.LongType(), True),
+    T.StructField("reason", T.StringType(), True),
+])
+
+
+def audio_energy(media: DataFrame, payload_col: str = "payload",
+                 ref_col: str = "media_ref") -> DataFrame:
+    """Integer-exact audio energy stage: sample count, peak |s| and
+    total energy sum(s^2) per PCM16 payload — the loudness features an
+    audio-corpus filter runs (silence/clipping screens) kept in pure
+    int64 so the oracle states them closed-form (RMS needs a sqrt, so
+    the ENERGY is the engine-stable quantity; callers derive RMS
+    downstream). One narrow mapInPandas; undecodable payloads keep
+    the row with null stats + reason (decode_images contract)."""
+    from ..kernel import wav
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "n_samples", "peak",
+                                   "energy", "reason")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = pk = en = reason = None
+                try:
+                    import numpy as np
+
+                    _ch, _rate, _bits, arr = wav.decode_samples(b)
+                    a = np.abs(arr.astype(np.int64))
+                    n = int(a.size)
+                    pk = int(a.max()) if n else 0
+                    en = int((a * a).sum())
+                except (NotImplementedError, ValueError,
+                        struct.error) as e:
+                    reason = str(e) or type(e).__name__
+                out["media_ref"].append(ref)
+                out["n_samples"].append(n)
+                out["peak"].append(pk)
+                out["energy"].append(en)
+                out["reason"].append(reason)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_ENERGY_SCHEMA)

@@ -71,3 +71,30 @@ def span_diff(
             F.min(F.when(F.col("mism") == 1, F.col("ord"))), F.lit(-1)
         ).cast("long").alias("first_diverge"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the CDC stage an
+    incremental extraction run executes first (only 'added'/'changed'
+    docs re-extract; 'removed' docs tombstone downstream): one
+    full-outer hash join on the document key comparing content md5,
+    no collection, no ordering assumption — so the plan is a single
+    exchange at any corpus size (the Iceberg snapshot-incremental
+    shape, computed engine-side).
+
+    Output: (doc_id, status) with status in
+    added | removed | changed | unchanged.
+    """
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col).cast("binary")).alias("h_old"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col).cast("binary")).alias("h_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return j.select("doc_id", status.alias("status"))

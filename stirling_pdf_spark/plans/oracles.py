@@ -5516,3 +5516,49 @@ SELECT user_id, day, day_value_micro,
          AS rolling_value_micro
 FROM daily
 """
+
+AUDIO_ENERGY = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), p AS (
+  SELECT media_ref,
+         (1 + {_hexb(3)} % 2) * (256 * (1 + {_hexb(7)} % 8)) AS n,
+         1000 + 100 * ({_hexb(9)} % 10) AS amp
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(amp + 15 AS BIGINT) AS peak,
+       CAST(n * amp * amp + 15 * n * amp + (n // 16) * 1240 AS BIGINT)
+         AS energy
+FROM p
+"""
+
+CORPUS_SNAPSHOT_DIFF = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id AS BIGINT) % 10
+         WHEN 3 THEN 'changed' WHEN 7 THEN 'removed'
+         ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT), 'added'
+FROM documents WHERE CAST(doc_id AS BIGINT) % 10 = 9
+"""
+
+STREAMING_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+       v.event_id AS view_id, v.us AS view_us
+FROM p JOIN v
+  ON p.user_id = v.user_id
+ AND v.us <= p.us
+ AND v.us >= p.us - CAST(7200000000 AS BIGINT)
+"""

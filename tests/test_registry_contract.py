@@ -77,7 +77,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "chat_format", "html_meta_robots",
                         "section_chunks", "events_asof",
                         "png_text_meta", "events_range_join",
-                        "events_pivot", "events_rolling"]
+                        "events_pivot", "events_rolling",
+                        "audio_energy", "corpus_snapshot_diff",
+                        "streaming_join"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -717,3 +717,16 @@ def test_events_rolling_range_frame_honors_gaps(spark):
     out = {r["day"] - 19723: r["rolling_value_micro"]
            for r in events_rolling_value(ev).collect()}
     assert out == {0: 1_000_000, 6: 3_000_000, 8: 6_000_000}
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from stirling_pdf_spark.operators.validate import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}

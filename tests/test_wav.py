@@ -150,3 +150,24 @@ def test_silence_fixture_closed_form():
     kept = arr[pad:]
     assert int(abs(kept).max()) == amp + 15
     assert int(abs(kept).sum()) == n * amp + (n // 16) * 120
+
+
+def test_audio_energy_exact_and_isolated(spark):
+    from stirling_pdf_spark.corpus.media import wav_payload_for_ref
+    from stirling_pdf_spark.kernel import wav
+    from stirling_pdf_spark.operators.multimodal import audio_energy
+
+    payload = wav.encode_pcm16(1, 8000, [3, -4, 0, 5])
+    media = spark.createDataFrame(
+        [("ok", bytearray(payload)), ("bad", bytearray(b"not riff")),
+         ("fixture", bytearray(wav_payload_for_ref("media-x")))],
+        "media_ref string, payload binary")
+    out = {r["media_ref"]: r for r in audio_energy(media).collect()}
+    assert (out["ok"]["n_samples"], out["ok"]["peak"],
+            out["ok"]["energy"]) == (4, 5, 9 + 16 + 0 + 25)
+    assert out["bad"]["energy"] is None
+    assert out["bad"]["reason"] is not None
+    # fixture closed form: N*amp^2 + 15*N*amp + (N//16)*1240
+    _c, _r, _b, arr = wav.decode_samples(
+        wav_payload_for_ref("media-x"))
+    assert out["fixture"]["energy"] == int((arr.astype("int64") ** 2).sum())
