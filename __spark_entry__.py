@@ -4161,6 +4161,62 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion (sources/warc.py): documents become
+    deterministic multi-record WARC/1.1 segments (64 pages each), and
+    the record walk recovers every response with byte-exact CDX
+    offsets, HTTP status/content-type, and payload md5. The oracle
+    re-derives the offsets arithmetically from the container layout
+    and the md5 from the same page HTML — the round trip proves the
+    Content-Length framing, not just the field values."""
+    from stirling_pdf_spark.sources.warc import warc_records, warc_segments
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    recs = warc_records(warc_segments(docs, docs_per_file=64))
+    return recs.filter(F.col("rec_type") == "response").select(
+        "warc_file",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("length").cast("long").alias("rec_len"),
+        "target_uri",
+        "warc_date",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("http_content_type").alias("content_type"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(F.col("payload")).cast("long").alias("payload_bytes"),
+    )
+
+
+def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF provenance extraction (multimodal.image_exif_meta): every
+    corpus ref gets a deterministic Exif-APP1 JPEG — both TIFF byte
+    orders, inline and offset values, the 0x8769 sub-IFD — and the
+    real IFD walk must recover make/model/orientation/resolution/
+    DateTimeOriginal/PixelXDimension; the oracle restates each field
+    from sha256(media_ref) byte reads."""
+    from stirling_pdf_spark.corpus.media import exif_jpeg_table
+    from stirling_pdf_spark.operators.multimodal import image_exif_meta
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return image_exif_meta(exif_jpeg_table(docs)).drop("reason")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4355,6 +4411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_energy": q_audio_energy,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "streaming_join": q_streaming_join,
+        # r5 eighth session: born below the saturated window;
+        # replica-green at sf0.01, R6 window candidates
+        "warc_ingest": q_warc_ingest,
+        "image_exif_meta": q_image_exif_meta,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4646,6 +4706,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_energy": O.AUDIO_ENERGY,
         "corpus_snapshot_diff": O.CORPUS_SNAPSHOT_DIFF,
         "streaming_join": O.STREAMING_JOIN,
+        "warc_ingest": O.WARC_INGEST,
+        "image_exif_meta": O.IMAGE_EXIF_META,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

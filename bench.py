@@ -183,6 +183,8 @@ BENCH_QUERIES = (
     "events_rolling",
     "audio_energy",
     "corpus_snapshot_diff",
+    "warc_ingest",
+    "image_exif_meta",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -637,3 +637,47 @@ def png_text_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def exif_params_for_ref(ref: str) -> dict:
+    """EXIF fixture parameters as pure functions of sha256(ref) —
+    endianness, camera make/model, orientation 1..8, X resolution,
+    capture datetime and PixelXDimension all re-derivable in SQL via
+    the _hexb byte reads (plans/oracles.py)."""
+    h = hashlib.sha256(ref.encode()).digest()
+    return {
+        "endian": "II" if h[0] % 2 == 0 else "MM",
+        "make": f"Make{h[1] % 5}",
+        "model": f"Model{h[2] % 10}",
+        "orientation": 1 + h[3] % 8,
+        "xres": (72 + 24 * (h[4] % 4), 1 + h[4] % 2),
+        "datetime_original": (
+            f"2024:0{1 + h[5] % 9}:0{1 + h[6] % 9} "
+            f"{h[7] % 24:02d}:{h[8] % 60:02d}:{h[9] % 60:02d}"),
+        "pixel_x": 16 + h[10],
+    }
+
+
+def exif_jpeg_table(docs: DataFrame) -> DataFrame:
+    """jpeg(media_ref, fmt='jpg', payload) where every payload carries
+    a deterministic Exif APP1 (kernel/exif.build_exif_jpeg) — the EXIF
+    metadata gate's input; both byte orders appear across the corpus."""
+    from ..kernel.exif import build_exif_jpeg
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            payloads = []
+            for r in refs:
+                p = exif_params_for_ref(r)
+                payloads.append(build_exif_jpeg(
+                    p["endian"], p["make"], p["model"], p["orientation"],
+                    p["xres"], p["datetime_original"], p["pixel_x"]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["jpg"] * len(refs), pa.string()),
+                 pa.array(payloads, pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -888,3 +888,45 @@ def audio_energy(media: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, AUDIO_ENERGY_SCHEMA)
+
+
+def image_exif_meta(media: DataFrame, payload_col: str = "payload",
+                    ref_col: str = "media_ref") -> DataFrame:
+    """Per-image EXIF provenance columns via the real TIFF/IFD walk
+    (kernel/exif.parse_exif): camera make/model, orientation,
+    X resolution rational, DateTimeOriginal and PixelXDimension.
+    Parse failures (no APP1, truncated TIFF) become error rows with a
+    reason, never task failures — the LAION-style metadata hygiene
+    stage. Narrow mapInPandas: blobs parse where they sit, no shuffle."""
+    from ..kernel.exif import parse_exif
+
+    schema = T.StructType([
+        T.StructField(ref_col, T.StringType()),
+        T.StructField("endian", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("xres_num", T.IntegerType()),
+        T.StructField("xres_den", T.IntegerType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("reason", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                try:
+                    m = parse_exif(bytes(payload))
+                    rows.append((ref, m["endian"], m["make"], m["model"],
+                                 m["orientation"], m["xres_num"],
+                                 m["xres_den"], m["datetime_original"],
+                                 m["pixel_x"], None))
+                except (ValueError, IndexError, KeyError) as exc:
+                    rows.append((ref, None, None, None, None, None,
+                                 None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return media.select(ref_col, payload_col).mapInPandas(run, schema)

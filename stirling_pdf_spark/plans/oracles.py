@@ -5546,6 +5546,84 @@ SELECT CAST(doc_id + 1000000 AS BIGINT), 'added'
 FROM documents WHERE CAST(doc_id AS BIGINT) % 10 = 9
 """
 
+# the warcinfo leader's byte size is a layout constant shared with the
+# builder (same pattern as the LSH planes); every response record's
+# size/offset is re-derived arithmetically from the WARC/1.1 framing:
+# record = 221 fixed header bytes + len(url) + digits(C) + C, where
+# C = 77 HTTP envelope bytes + digits(H) + H and H = payload bytes
+def _warc_ingest_sql() -> str:
+    from ..kernel.warc import warcinfo_record
+    wi = len(warcinfo_record())
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source,
+         '<html><head><title>doc ' || CAST(doc_id AS BIGINT)
+           || '</title></head><body><p>' || text
+           || '</p></body></html>' AS html,
+         'https://' || source || '.example.org/doc/'
+           || CAST(doc_id AS BIGINT) AS url
+  FROM documents
+), sz AS (
+  SELECT *, doc_id // 64 AS warc_file, strlen(html) AS h,
+         77 + length(CAST(strlen(html) AS VARCHAR)) + strlen(html) AS c
+  FROM d
+), r AS (
+  SELECT *,
+         221 + strlen(url) + length(CAST(c AS VARCHAR)) + c AS rec_len
+  FROM sz
+)
+SELECT CAST(warc_file AS BIGINT) AS warc_file,
+       CAST({wi} + COALESCE(SUM(rec_len) OVER (
+         PARTITION BY warc_file ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS offset,
+       CAST(rec_len AS BIGINT) AS rec_len,
+       url AS target_uri,
+       '2024-01-01T'
+         || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0')
+         || ':'
+         || lpad(CAST(((doc_id % 86400) % 3600) // 60 AS VARCHAR),
+                 2, '0')
+         || ':'
+         || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+         AS warc_date,
+       CAST(200 AS INTEGER) AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       md5(html) AS payload_md5,
+       CAST(h AS BIGINT) AS payload_bytes
+FROM r
+"""
+
+
+WARC_INGEST = _warc_ingest_sql()
+
+# EXIF fixture params are pure functions of sha256(media_ref) bytes
+# (corpus.media.exif_params_for_ref); the Spark side must recover them
+# through the real JPEG-segment + TIFF/IFD walk
+IMAGE_EXIF_META = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), hh AS (
+  SELECT media_ref, sha256(media_ref) AS h FROM d
+)
+SELECT media_ref,
+       CASE WHEN {_hexb(1)} % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+       'Make' || CAST({_hexb(3)} % 5 AS VARCHAR) AS make,
+       'Model' || CAST({_hexb(5)} % 10 AS VARCHAR) AS model,
+       CAST(1 + {_hexb(7)} % 8 AS INTEGER) AS orientation,
+       CAST(72 + 24 * ({_hexb(9)} % 4) AS INTEGER) AS xres_num,
+       CAST(1 + {_hexb(9)} % 2 AS INTEGER) AS xres_den,
+       '2024:0' || CAST(1 + {_hexb(11)} % 9 AS VARCHAR)
+         || ':0' || CAST(1 + {_hexb(13)} % 9 AS VARCHAR) || ' '
+         || lpad(CAST({_hexb(15)} % 24 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST({_hexb(17)} % 60 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST({_hexb(19)} % 60 AS VARCHAR), 2, '0')
+         AS datetime_original,
+       CAST(16 + {_hexb(21)} AS INTEGER) AS pixel_x
+FROM hh
+"""
+
 STREAMING_JOIN = """
 WITH p AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us

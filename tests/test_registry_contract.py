@@ -79,7 +79,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "png_text_meta", "events_range_join",
                         "events_pivot", "events_rolling",
                         "audio_energy", "corpus_snapshot_diff",
-                        "streaming_join"]
+                        "streaming_join",
+                        # r5 eighth session
+                        "warc_ingest", "image_exif_meta"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
