@@ -4217,6 +4217,42 @@ def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exif_meta(exif_jpeg_table(docs)).drop("reason")
 
 
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-deterministic HyperLogLog (sketch.hll_distinct): distinct
+    users per event type via 256 md5-sliced registers whose integer
+    sum the oracle recomputes exactly — the gate checks the SKETCH,
+    not a tolerance band; exact counts ride along as the accuracy
+    column (err_bp = basis points of error)."""
+    from stirling_pdf_spark.operators.sketch import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id")
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom benchmark decontamination (sketch.
+    bloom_decontaminate): docs with doc_id%31==0 form the benchmark,
+    the rest are candidates; every candidate 8-gram probes the 2^16
+    bit set (k=3 md5 slices) and the ground-truth exact flag rides
+    along so the false-positive rate is visible, never hidden."""
+    from stirling_pdf_spark.operators.sketch import bloom_decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return bloom_decontaminate(
+        docs.filter(d % 31 != 0), docs.filter(d % 31 == 0), n=8)
+
+
+def q_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order table layout (layout.zorder_manifest): Morton-interleave
+    (source-hash byte, length bucket) into 64 files and emit the
+    min/max pruning manifest an Iceberg/Delta rewrite would store; the
+    oracle recomputes the interleave bit-for-bit."""
+    from stirling_pdf_spark.operators.layout import zorder_manifest
+
+    return zorder_manifest(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4415,6 +4451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica-green at sf0.01, R6 window candidates
         "warc_ingest": q_warc_ingest,
         "image_exif_meta": q_image_exif_meta,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "zorder_manifest": q_zorder_manifest,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4708,6 +4747,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join": O.STREAMING_JOIN,
         "warc_ingest": O.WARC_INGEST,
         "image_exif_meta": O.IMAGE_EXIF_META,
+        "sketch_hll_distinct": O.SKETCH_HLL_DISTINCT,
+        "bloom_decontaminate": O.BLOOM_DECONTAMINATE,
+        "zorder_manifest": O.ZORDER_MANIFEST,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -185,6 +185,9 @@ BENCH_QUERIES = (
     "corpus_snapshot_diff",
     "warc_ingest",
     "image_exif_meta",
+    "sketch_hll_distinct",
+    "bloom_decontaminate",
+    "zorder_manifest",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

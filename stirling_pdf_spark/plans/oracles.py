@@ -5624,6 +5624,159 @@ SELECT media_ref,
 FROM hh
 """
 
+# deterministic HLL: registers are md5 slices, the rollup sum is
+# integer-exact, and the single FLOOR(A / S) divide uses the one
+# Python-precomputed numerator both engines share
+def _hll_sql() -> str:
+    from ..operators.sketch import (
+        HLL_LC_TABLE,
+        HLL_LC_THRESHOLD,
+        HLL_NUMERATOR,
+    )
+    lc_list = ", ".join(str(int(x)) for x in HLL_LC_TABLE)
+
+    def hexv(col: str, pos: int, n: int) -> str:
+        parts = [f"(strpos('0123456789abcdef', substr({col}, {pos + i}, 1))"
+                 f" - 1)" for i in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"(({out}) * 16 + {p})"
+        return out
+
+    return f"""
+WITH h0 AS (
+  SELECT event_type AS key, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), hb AS (
+  SELECT key, {hexv('h', 1, 2)} AS bucket, substr(h, 3, 12) AS w
+  FROM h0
+), rz AS (
+  SELECT key, bucket, length(regexp_extract(w, '^0*')) AS z,
+         strpos('0123456789abcdef',
+                substr(w, length(regexp_extract(w, '^0*')) + 1, 1)) - 1
+           AS v
+  FROM hb
+), rho AS (
+  SELECT key, bucket,
+         CASE WHEN z = 12 THEN 49
+              ELSE 4 * z + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                WHEN v >= 2 THEN 2 ELSE 3 END + 1
+         END AS rho
+  FROM rz
+), regs AS (
+  SELECT key, bucket, MAX(rho) AS reg FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+         CAST(SUM(CAST(1 AS BIGINT) << (50 - reg))
+              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50)
+              AS BIGINT) AS reg_sum
+  FROM regs GROUP BY key
+), ex AS (
+  SELECT event_type AS key,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+), est AS (
+  SELECT a.key, a.n_buckets_used, a.reg_sum,
+         CASE WHEN (256 - a.n_buckets_used) > 0
+                   AND CAST(FLOOR({HLL_NUMERATOR!r}
+                       / CAST(a.reg_sum AS DOUBLE)) AS BIGINT)
+                       < {HLL_LC_THRESHOLD}
+              THEN CAST([{lc_list}][CAST(256 - a.n_buckets_used
+                                         AS INTEGER)] AS BIGINT)
+              ELSE CAST(FLOOR({HLL_NUMERATOR!r}
+                   / CAST(a.reg_sum AS DOUBLE)) AS BIGINT)
+         END AS est_distinct,
+         ex.exact_distinct
+  FROM agg a JOIN ex USING (key)
+)
+SELECT key, n_buckets_used, reg_sum, est_distinct, exact_distinct,
+       CAST(ABS(est_distinct - exact_distinct) * 10000 // exact_distinct
+            AS BIGINT) AS err_bp
+FROM est
+"""
+
+
+SKETCH_HLL_DISTINCT = _hll_sql()
+
+
+def _gram8() -> str:
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(8))
+    return (f"list_distinct(CASE WHEN len(w) >= 8 THEN "
+            f"list_transform(range(1, len(w) - 6), i -> {joined}) "
+            f"ELSE CAST([] AS VARCHAR[]) END)")
+
+
+def _bloom_sql() -> str:
+    def hexv(pos: int) -> str:
+        parts = [f"(strpos('0123456789abcdef', substr(h, {pos + i}, 1))"
+                 f" - 1)" for i in range(4)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"(({out}) * 16 + {p})"
+        return out
+
+    probes = ", ".join(hexv(1 + 4 * i) for i in range(3))
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT id, {_gram8()} AS s FROM d
+), bg AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE id % 31 = 0
+), bgh AS (SELECT g, md5(g) AS h FROM bg),
+bits AS (SELECT DISTINCT unnest([{probes}]) AS bit FROM bgh),
+cand AS (SELECT id, s FROM sh WHERE id % 31 <> 0),
+sizes AS (SELECT id, CAST(len(s) AS BIGINT) AS n_grams FROM cand),
+x AS (SELECT id, unnest(s) AS g FROM cand),
+xh AS (SELECT id, g, md5(g) AS h FROM x),
+xp AS (SELECT id, g, unnest([{probes}]) AS bit FROM xh),
+gh AS (
+  SELECT id, g FROM xp JOIN bits USING (bit)
+  GROUP BY id, g HAVING COUNT(*) = 3
+), bl AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM gh GROUP BY id
+), ex AS (SELECT DISTINCT x.id FROM x JOIN bg USING (g))
+SELECT s.id AS id, s.n_grams,
+       COALESCE(bl.n_bloom_hits, 0) AS n_bloom_hits,
+       CAST(CASE WHEN COALESCE(bl.n_bloom_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS bloom_flag,
+       CAST(CASE WHEN ex.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS exact_flag
+FROM sizes s LEFT JOIN bl USING (id) LEFT JOIN ex ON s.id = ex.id
+"""
+
+
+BLOOM_DECONTAMINATE = _bloom_sql()
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i})")
+    interleave = " + ".join(terms)
+    xb = ("((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1)"
+          " * 16 + strpos('0123456789abcdef', substr(md5(source), 2, 1))"
+          " - 1)")
+    return f"""
+WITH q AS (
+  SELECT doc_id AS id, {xb} AS x,
+         least(255, CAST(n_chars // 4 AS INTEGER)) AS y
+  FROM documents
+), z AS (
+  SELECT id, x, y, {interleave} AS z FROM q
+), f AS (SELECT *, z // 1024 AS file_id FROM z)
+SELECT CAST(file_id AS INTEGER) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(x) AS INTEGER) AS min_x, CAST(MAX(x) AS INTEGER) AS max_x,
+       CAST(MIN(y) AS INTEGER) AS min_y, CAST(MAX(y) AS INTEGER) AS max_y,
+       CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+FROM f GROUP BY file_id
+"""
+
+
+ZORDER_MANIFEST = _zorder_sql()
+
 STREAMING_JOIN = """
 WITH p AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us

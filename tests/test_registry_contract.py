@@ -81,7 +81,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "audio_energy", "corpus_snapshot_diff",
                         "streaming_join",
                         # r5 eighth session
-                        "warc_ingest", "image_exif_meta"]
+                        "warc_ingest", "image_exif_meta",
+                        "sketch_hll_distinct", "bloom_decontaminate",
+                        "zorder_manifest"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
