@@ -4253,6 +4253,57 @@ def q_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_manifest(read_table(spark, sf_dir, "documents"))
 
 
+def q_data_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram+bigram rate-difference importance weights fit with
+    target = the table's lang='en' slice, every doc scored by its
+    weight sum, deterministic top-50 by (score desc, id). Weights are
+    a 256-row broadcast; scoring is one explode + partial agg — the
+    constant-exchange classifier-pass shape
+    (operators/textstats.dsir_select)."""
+    from stirling_pdf_spark.operators.textstats import dsir_select
+
+    return dsir_select(read_table(spark, sf_dir, "documents"), k=50)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (the multilingual-tokenizer
+    audit, Rust et al. 2021 arXiv:2012.15613): subword tokens per
+    word / chars per token in exact integer ppm after the gated BPE
+    training loop; the oracle replays the same merge chain and joins
+    the vocabulary independently
+    (operators/textstats.bpe_fertility)."""
+    from stirling_pdf_spark.operators.textstats import bpe_fertility
+
+    return bpe_fertility(read_table(spark, sf_dir, "documents"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (Guo et al. 2017,
+    arXiv:1706.04599): equal-width bins over the observed hashed-
+    classifier score range, per-bin doc count / exact score sum /
+    observed positive rate vs the lang='en' ground truth — one
+    bounded min/max collect + a <=10-key partial agg
+    (operators/textstats.calibration_bins)."""
+    from stirling_pdf_spark.operators.textstats import calibration_bins
+
+    return calibration_bins(read_table(spark, sf_dir, "documents"))
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption transform (Raffel et al. 2020,
+    arXiv:1910.10683): deterministic ~15% span masking (3-token spans
+    on a 13-token period, start = md5(doc_id) % 11) rewriting each doc
+    to (input with <extra_id_g> sentinels, target) — map-only column
+    expressions, no shuffle, the fim_transform sibling
+    (operators/packing.span_corrupt_transform)."""
+    from stirling_pdf_spark.operators.packing import (
+        span_corrupt_transform,
+    )
+
+    return span_corrupt_transform(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4454,6 +4505,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "bloom_decontaminate": q_bloom_decontaminate,
         "zorder_manifest": q_zorder_manifest,
+        # r5 eighth session: born below the saturated window like all
+        # late-session additions; replica-green at sf0.01
+        # (check_queries) and r6-window candidates
+        "data_select_dsir": q_data_select_dsir,
+        "bpe_fertility": q_bpe_fertility,
+        "quality_calibration": q_quality_calibration,
+        "span_corrupt": q_span_corrupt,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4750,6 +4808,10 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_distinct": O.SKETCH_HLL_DISTINCT,
         "bloom_decontaminate": O.BLOOM_DECONTAMINATE,
         "zorder_manifest": O.ZORDER_MANIFEST,
+        "data_select_dsir": O.DATA_SELECT_DSIR,
+        "bpe_fertility": O.BPE_FERTILITY,
+        "quality_calibration": O.QUALITY_CALIBRATION,
+        "span_corrupt": O.SPAN_CORRUPT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

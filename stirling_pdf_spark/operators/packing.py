@@ -159,3 +159,73 @@ def fim_transform(df: DataFrame, rate_x256: int = 128,
         n.cast("long").alias("n_tokens"),
         F.when(do_fim, psm).otherwise(F.col(text_col)).alias("out_text"),
     )
+
+
+SPAN_CORRUPT_PERIOD = 13   # one candidate span per 13-token block
+SPAN_CORRUPT_LEN = 3       # T5's mean noise-span length
+
+
+def span_corrupt_transform(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Span-corruption objective transform (T5, Raffel et al. 2020
+    arXiv:1910.10683): mask contiguous token spans and rewrite each
+    document as (input with one sentinel per span, target = sentinel +
+    masked tokens per span). The deterministic schedule replaces T5's
+    random draw: every SPAN_CORRUPT_PERIOD-token block masks one
+    SPAN_CORRUPT_LEN-token span whose in-block start s =
+    md5(doc_id) % 11 — spans never straddle blocks (11 + 3 <= 13+1),
+    the mask rate is the paper's ~15% (3/13), and the whole rewrite
+    is a closed-form function of (doc_id, token index). Sentinels are
+    `<extra_id_g>` with g = the block index, mirroring T5's vocabulary.
+
+    Scale shape: pure column expressions (transform/filter over the
+    token array), map-only, no shuffle, no UDF — the transform rides
+    the scan like fim_transform. Output: (id, n_tokens, n_masked,
+    input_text, target_text)."""
+    sid = F.col(id_col).cast("string")
+    s = (F.conv(F.substring(F.md5(sid), 1, 8), 16, 10)
+         .cast("long") % 11)
+    w = words_col(text_col)
+    n = F.size(w)
+    p, ln = SPAN_CORRUPT_PERIOD, SPAN_CORRUPT_LEN
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def sentinel(i):
+        return F.concat(F.lit("<extra_id_"),
+                        F.floor(i / p).cast("string"), F.lit(">"))
+
+    def tok(t, i):
+        off = i % p - s
+        return (
+            F.when(off == 0, sentinel(i))
+            .when((off > 0) & (off < ln), F.lit(None).cast("string"))
+            .otherwise(F.element_at(w, (i + 1).cast("int")))
+        )
+
+    def tgt(t, i):
+        off = i % p - s
+        return (
+            F.when(off == 0,
+                   F.concat(sentinel(i), F.lit(" "),
+                            F.element_at(w, (i + 1).cast("int"))))
+            .when((off > 0) & (off < ln),
+                  F.element_at(w, (i + 1).cast("int")))
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    empty = n <= 0
+    inp = F.array_join(
+        F.filter(F.transform(idx, tok), lambda x: x.isNotNull()), " ")
+    target = F.array_join(
+        F.filter(F.transform(idx, tgt), lambda x: x.isNotNull()), " ")
+    n_masked = F.size(F.filter(
+        idx, lambda i: (i % p >= s) & (i % p < s + ln)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(empty, F.lit(0)).otherwise(n).cast("long")
+        .alias("n_tokens"),
+        F.when(empty, F.lit(0)).otherwise(n_masked).cast("long")
+        .alias("n_masked"),
+        F.when(empty, F.lit("")).otherwise(inp).alias("input_text"),
+        F.when(empty, F.lit("")).otherwise(target).alias("target_text"),
+    )

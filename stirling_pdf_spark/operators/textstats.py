@@ -827,10 +827,16 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 6,
     vocab.persist()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        # guard the fully-merged case: a 1-symbol seq must contribute
+        # no pairs (sequence(0, -1) would go DESCENDING and index out
+        # of bounds — the DuckDB oracle's range(1, len) is already
+        # empty there)
         pairs = F.expr(
-            "transform(sequence(0, size(split(seq, ' ')) - 2),"
+            "case when size(split(seq, ' ')) >= 2 then"
+            " transform(sequence(0, size(split(seq, ' ')) - 2),"
             " i -> concat(split(seq, ' ')[i], ' ',"
-            " split(seq, ' ')[i + 1]))")
+            " split(seq, ' ')[i + 1]))"
+            " else array() end")
         counted = (
             vocab.select("freq", F.explode(pairs).alias("pair"))
             .groupBy("pair")
@@ -838,7 +844,10 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 6,
             .orderBy(F.desc("total"), F.asc("pair"))
             .limit(1)
         )
-        best = counted.collect()[0]  # bounded: 1 row per merge
+        rows = counted.collect()  # bounded: 1 row per merge
+        if not rows:
+            break  # vocabulary fully merged before n_merges rounds
+        best = rows[0]
         left, right = best["pair"].split(" ", 1)
         merges.append((left, right, int(best["total"])))
         nxt = vocab.select(
@@ -1284,4 +1293,208 @@ def readability(df: DataFrame, id_col: str = "doc_id",
          - F.expr("(1015 * n_words) div greatest(1L, n_sentences)")
          - F.expr("(84600 * n_syllables) div greatest(1L, n_words)")
          ).cast("long").alias("fre_milli"),
+    )
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(df: DataFrame, target_pred, text_col: str = "text",
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Hashed-n-gram importance weights — the DSIR recipe (Xie et al.
+    2023, arXiv:2302.03169): unigram + bigram features hash into
+    ``n_buckets`` buckets; the target distribution is fit on the rows
+    where ``target_pred`` (a boolean Column over df) holds, the raw
+    distribution on every row, and each bucket's importance weight is
+    the smoothed rate difference in exact integer ppm —
+
+        w_b = (c_target_b + 1) * 10^6 div (total_target + B)
+            - (c_raw_b    + 1) * 10^6 div (total_raw    + B)
+
+    (rate difference instead of the paper's log-ratio for the same
+    reason train_quality_classifier uses it: integer-exact on both
+    engines, same ranking direction for the smoothing regime used).
+
+    Scale shape: one explode + map-side partial agg onto ``n_buckets``
+    keys (a constant-size exchange at any corpus size), then a one-row
+    totals cross join — the IVF/classifier bounded-state pattern.
+    Output: (bucket, c_target, c_raw, weight)."""
+    w = words_col(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.slice(w, 1, F.size(w) - 1),
+                    (lambda t, i: F.concat(t, F.lit(" "),
+                                           F.element_at(w, i + 2)))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(w, bigrams)
+    hashed = parallelize(df).select(
+        target_pred.cast("long").alias("is_t"),
+        F.explode(feats).alias("f"),
+    ).select(
+        "is_t",
+        (F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8),
+                16, 10).cast("long") % n_buckets).alias("bucket"),
+    )
+    counts = hashed.groupBy("bucket").agg(
+        F.sum("is_t").cast("long").alias("c_target"),
+        F.count("*").cast("long").alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_target").cast("long").alias("t_target"),
+        F.sum("c_raw").cast("long").alias("t_raw"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", "c_target", "c_raw",
+        (F.expr(f"(c_target + 1) * 1000000"
+                f" div (t_target + {n_buckets})")
+         - F.expr(f"(c_raw + 1) * 1000000"
+                  f" div (t_raw + {n_buckets})")).cast("long")
+        .alias("weight"),
+    )
+
+
+def dsir_select(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                text_col: str = "text", lang_col: str = "lang",
+                target_lang: str = "en",
+                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the sum of its hashed unigram+bigram
+    feature weights under dsir_weights (target = rows whose
+    ``lang_col`` equals ``target_lang``) and keep the top-k by
+    (score desc, id asc) — the deterministic argmax-k variant of the
+    paper's Gumbel resampling (sandbox determinism; the weights and
+    per-doc scores are the algorithm, the sampler is a one-line swap).
+
+    Scale shape: weights are ``n_buckets`` rows broadcast back, the
+    per-doc score is one explode + partial agg on doc_id, and only
+    the top-k (bounded) crosses the final single-partition boundary —
+    the same top-k discipline as vocab_topk. Output:
+    (rank, id, n_feats, score)."""
+    weights = dsir_weights(df, F.col(lang_col) == target_lang,
+                           text_col, n_buckets)
+    w = words_col(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.slice(w, 1, F.size(w) - 1),
+                    (lambda t, i: F.concat(t, F.lit(" "),
+                                           F.element_at(w, i + 2)))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(w, bigrams)
+    per_bucket = parallelize(df).select(
+        F.col(id_col).alias("id"), F.explode(feats).alias("f"),
+    ).select(
+        "id",
+        (F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8),
+                16, 10).cast("long") % n_buckets).alias("bucket"),
+    ).groupBy("id", "bucket").agg(
+        F.count("*").cast("long").alias("c"))
+    scored = (
+        per_bucket.join(F.broadcast(weights.select("bucket", "weight")),
+                        "bucket")
+        .groupBy("id")
+        .agg(F.sum("c").cast("long").alias("n_feats"),
+             F.sum(F.col("c") * F.col("weight")).cast("long")
+             .alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank",
+                          F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "id", "n_feats", "score")
+    )
+
+
+def bpe_fertility(df: DataFrame, n_merges: int = 6,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """Tokenizer-fertility report per language — the standard
+    multilingual-tokenizer audit (subword fertility = subword tokens
+    per word, e.g. Rust et al. 2021 arXiv:2012.15613): train the
+    corpus BPE (bpe_train_merges, the gated loop), then measure per
+    ``lang_col`` how many subword symbols the learned merges leave
+    per word and per character, in exact integer ppm.
+
+    Scale shape: the corpus collapses once to (lang, word) counts —
+    the same word-frequency shuffle BPE training already pays — and
+    joins the vocabulary's word -> n_subtokens table on the word key
+    (vocabulary-sized, not corpus-sized); the rollup lands on the
+    language universe. Output: (lang, n_words, n_tokens, n_chars,
+    fertility_ppm, chars_per_token_ppm)."""
+    _, vocab = bpe_train_merges(df, n_merges, text_col)
+    sub = vocab.select(
+        "word",
+        F.size(F.split("seq", " ")).cast("long").alias("n_sub"))
+    lw = (
+        parallelize(df)
+        .select(F.col(lang_col).alias("lang"),
+                F.explode(words_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rolled = lw.join(sub, "word").groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sub")).cast("long")
+        .alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long")
+        .alias("n_chars"),
+    )
+    out = rolled.select(
+        "lang", "n_words", "n_tokens", "n_chars",
+        F.expr("n_tokens * 1000000 div greatest(1L, n_words)")
+        .cast("long").alias("fertility_ppm"),
+        F.expr("n_chars * 1000000 div greatest(1L, n_tokens)")
+        .cast("long").alias("chars_per_token_ppm"),
+    )
+    vocab.unpersist()
+    return out
+
+
+def calibration_bins(df: DataFrame, n_bins: int = 10,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     lang_col: str = "lang",
+                     positive_lang: str = "en") -> DataFrame:
+    """Classifier reliability table (the calibration audit every
+    deployed quality filter needs — Guo et al. 2017
+    arXiv:1706.04599): bucket quality_classifier_score's per-doc
+    scores into ``n_bins`` equal-width bins over the observed score
+    range and report, per bin, the doc count, the exact score sum and
+    the observed positive count/rate (ground truth = ``lang_col`` ==
+    ``positive_lang``) — all integers, the reader divides.
+
+    Scale shape: one bounded two-scalar aggregate (min/max score, the
+    token_budget_select literal-total pattern) broadcast as literals,
+    then map-side partial agg onto at most ``n_bins`` keys — a
+    constant exchange at any corpus size, no window, no sort.
+    Output: (bin, n_docs, sum_score, n_pos, pos_rate_x1000)."""
+    scored = quality_classifier_score(
+        df.select(F.col(id_col), F.col(text_col),
+                  (F.col(lang_col) == positive_lang).cast("long")
+                  .alias("_pos")),
+        id_col=id_col, text_col=text_col,
+    ).join(
+        df.select(F.col(id_col).alias("id"),
+                  (F.col(lang_col) == positive_lang).cast("long")
+                  .alias("pos")),
+        "id",
+    )
+    lohi = scored.agg(F.min("score").alias("lo"),
+                      F.max("score").alias("hi")).collect()[0]
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    span = max(1, hi - lo + 1)
+    binned = scored.select(
+        F.least(F.lit(n_bins - 1),
+                F.expr(f"(score - {lo}) * {n_bins} div {span}"))
+        .cast("long").alias("bin"),
+        "score", "pos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("sum(pos) * 1000 div count(*)").cast("long")
+        .alias("pos_rate_x1000"),
     )

@@ -5793,3 +5793,169 @@ FROM p JOIN v
  AND v.us <= p.us
  AND v.us >= p.us - CAST(7200000000 AS BIGINT)
 """
+
+
+def _dsir_select_sql(k: int = 50, b: int = 256) -> str:
+    """DSIR oracle (Xie et al. 2023): independent re-derivation of the
+    hashed unigram+bigram rate-difference weights and the top-k
+    selection. All-integer ppm arithmetic — exact on both engines."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, is_t, unnest(list_concat(w,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END)) AS f
+  FROM d
+), hb AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % {b} AS BIGINT)
+           AS bucket
+  FROM f
+), c AS (
+  SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS c_target,
+         CAST(COUNT(*) AS BIGINT) AS c_raw
+  FROM hb GROUP BY bucket
+), t AS (
+  SELECT SUM(c_target) AS t_target, SUM(c_raw) AS t_raw FROM c
+), wt AS (
+  SELECT bucket,
+         (c_target + 1) * 1000000 // (t_target + {b})
+         - (c_raw + 1) * 1000000 // (t_raw + {b}) AS weight
+  FROM c, t
+), pb AS (
+  SELECT doc_id AS id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hb GROUP BY doc_id, bucket
+), s AS (
+  SELECT id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * weight) AS BIGINT) AS score
+  FROM pb JOIN wt USING (bucket) GROUP BY id
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+              AS BIGINT) AS rank, id, n_feats, score
+  FROM s
+)
+SELECT rank, id, n_feats, score FROM r WHERE rank <= {k}
+"""
+
+
+DATA_SELECT_DSIR = _dsir_select_sql()
+
+
+def _bpe_fertility_sql(n: int = _BPE_N_MERGES) -> str:
+    """Fertility oracle: the shared BPE training prefix (same merge
+    chain as bpe_train_table/bpe_encode_tokens) joined to per-(lang,
+    word) counts; all rollups integer-exact."""
+    return _bpe_train_prefix(n) + f""", sub AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+  FROM v{n}
+), lw AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY lang, word
+), r AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(SUM(cnt * n_sub) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+  FROM lw JOIN sub USING (word) GROUP BY lang
+)
+SELECT lang, n_words, n_tokens, n_chars,
+       CAST(n_tokens * 1000000 // greatest(1, n_words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(n_chars * 1000000 // greatest(1, n_tokens) AS BIGINT)
+         AS chars_per_token_ppm
+FROM r
+"""
+
+
+BPE_FERTILITY = _bpe_fertility_sql()
+
+
+def _calibration_bins_sql(n_bins: int = 10) -> str:
+    """Reliability-table oracle: the QC_WEIGHTS hashed classifier
+    (shared constants, the sanctioned pattern), equal-width bins over
+    the observed [min, max] score range re-derived in SQL."""
+    from ..operators.textstats import QC_BUCKETS, QC_WEIGHTS
+
+    wlit = "[" + ", ".join(str(w) for w in QC_WEIGHTS) + "]"
+    return f"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w,
+         CAST(lang = 'en' AS BIGINT) AS pos
+  FROM documents
+), s AS (
+  SELECT CAST(list_aggregate(list_transform(w, x ->
+              {wlit}[CAST(('0x' || substr(md5(x), 1, 8))::BIGINT
+                          % {QC_BUCKETS} AS INTEGER) + 1]), 'sum')
+              AS BIGINT) AS score, pos
+  FROM t
+), mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+b AS (
+  SELECT least({n_bins - 1},
+               (score - lo) * {n_bins} // greatest(1, hi - lo + 1))
+           AS bin, score, pos
+  FROM s, mm
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pos) * 1000 // count(*) AS BIGINT) AS pos_rate_x1000
+FROM b GROUP BY bin
+"""
+
+
+QUALITY_CALIBRATION = _calibration_bins_sql()
+
+
+def _span_corrupt_sql(p: int = 13, ln: int = 3) -> str:
+    """Span-corruption oracle: the closed-form (doc_id, token index)
+    mask schedule replayed with DuckDB list comprehensions; sentinel
+    text and the masked-token targets re-assembled independently."""
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 11 AS BIGINT) AS s
+  FROM documents
+), e AS (
+  SELECT id, w, s, CAST(len(w) AS BIGINT) AS n,
+         range(0, len(w)) AS idx
+  FROM d
+)
+SELECT id,
+  CAST(CASE WHEN n <= 0 THEN 0 ELSE n END AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN n <= 0 THEN 0 ELSE
+    len(list_filter(idx, i -> i % {p} >= s AND i % {p} < s + {ln}))
+  END AS BIGINT) AS n_masked,
+  CASE WHEN n <= 0 THEN '' ELSE
+    coalesce(array_to_string(list_filter(list_transform(idx, i ->
+      CASE WHEN i % {p} = s
+             THEN '<extra_id_' || CAST(i // {p} AS VARCHAR) || '>'
+           WHEN i % {p} > s AND i % {p} < s + {ln} THEN NULL
+           ELSE w[CAST(i + 1 AS INTEGER)] END),
+      x -> x IS NOT NULL), ' '), '')
+  END AS input_text,
+  -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+  -- array_join gives ''), so both emissions coalesce to ''
+  CASE WHEN n <= 0 THEN '' ELSE
+    coalesce(array_to_string(list_filter(list_transform(idx, i ->
+      CASE WHEN i % {p} = s
+             THEN '<extra_id_' || CAST(i // {p} AS VARCHAR) || '> '
+                  || w[CAST(i + 1 AS INTEGER)]
+           WHEN i % {p} > s AND i % {p} < s + {ln}
+             THEN w[CAST(i + 1 AS INTEGER)]
+           ELSE NULL END),
+      x -> x IS NOT NULL), ' '), '')
+  END AS target_text
+FROM e
+"""
+
+
+SPAN_CORRUPT = _span_corrupt_sql()
