@@ -4304,6 +4304,32 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt_transform(read_table(spark, sf_dir, "documents"))
 
 
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the Misra-Gries candidate prune (Misra
+    & Gries 1982; mergeable-summaries shrink, Agarwal et al. 2013):
+    words with count >= N/64, found by a bounded per-partition sketch
+    (the 10^12-vocabulary shape: only candidates cross the shuffle)
+    then an exact filtered count — output depends only on exact
+    global counts, so it is parallelism-invariant
+    (operators/textstats.heavy_hitters)."""
+    from stirling_pdf_spark.operators.textstats import heavy_hitters
+
+    return heavy_hitters(read_table(spark, sf_dir, "documents"))
+
+
+def q_collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by exact-integer lift (the PMI family,
+    Church & Hanks 1990): adjacent pairs with count >= 5 scored by
+    (c_ab * N div c_a) * 1000 div c_b, top-25 — two vocabulary-sized
+    partial aggs + two word-keyed joins, no corpus-sized shuffle
+    (operators/textstats.collocation_lift_topk)."""
+    from stirling_pdf_spark.operators.textstats import (
+        collocation_lift_topk,
+    )
+
+    return collocation_lift_topk(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4512,6 +4538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "quality_calibration": q_quality_calibration,
         "span_corrupt": q_span_corrupt,
+        "text_heavy_hitters": q_text_heavy_hitters,
+        "collocation_topk": q_collocation_topk,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4812,6 +4840,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": O.BPE_FERTILITY,
         "quality_calibration": O.QUALITY_CALIBRATION,
         "span_corrupt": O.SPAN_CORRUPT,
+        "text_heavy_hitters": O.TEXT_HEAVY_HITTERS,
+        "collocation_topk": O.COLLOCATION_TOPK,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -188,6 +188,13 @@ BENCH_QUERIES = (
     "sketch_hll_distinct",
     "bloom_decontaminate",
     "zorder_manifest",
+    # r5 eighth session
+    "data_select_dsir",
+    "bpe_fertility",
+    "quality_calibration",
+    "span_corrupt",
+    "text_heavy_hitters",
+    "collocation_topk",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -1498,3 +1498,136 @@ def calibration_bins(df: DataFrame, n_bins: int = 10,
         F.expr("sum(pos) * 1000 div count(*)").cast("long")
         .alias("pos_rate_x1000"),
     )
+
+
+def heavy_hitters(df: DataFrame, threshold_frac: int = 64,
+                  text_col: str = "text",
+                  capacity: int | None = None) -> DataFrame:
+    """Exact corpus heavy hitters via a Misra-Gries candidate prune
+    (Misra & Gries 1982; merge rule per Agarwal et al. 2013, "Mergeable
+    summaries"): tokens whose global count is >= N / ``threshold_frac``
+    where N is the total token count. The classic two-phase shape for
+    10^12-doc vocabularies:
+
+      1. candidate pass — per PARTITION, a bounded Misra-Gries sketch
+         (``capacity`` counters, default 2x threshold_frac) over the
+         token stream inside one Arrow stage; pigeonhole guarantees
+         any global heavy hitter survives in at least one partition's
+         sketch, so the union of per-partition candidates is a
+         superset of the true answer regardless of partitioning;
+      2. exact pass — only the candidate set (bounded:
+         partitions x capacity words) is counted exactly and filtered
+         against the true threshold.
+
+    The final output depends ONLY on exact global counts, so it is
+    bit-identical at any parallelism even though intermediate sketches
+    differ — the same determinism argument as extract_parallelism_
+    parity. Versus a naive groupBy over every token, the shuffle
+    carries candidate words only instead of the full vocabulary.
+
+    Output: (word, total, share_ppm = total * 10^6 div N)."""
+    import pandas as pd
+
+    cap = capacity or 2 * threshold_frac
+    toks = parallelize(df).select(words_col(text_col).alias("w"))
+
+    def sketch(batches):
+        mg: dict[str, int] = {}
+        for pdf in batches:
+            batch: dict[str, int] = {}
+            for words in pdf["w"]:
+                if words is None:
+                    continue
+                for t in words:
+                    if t:
+                        batch[t] = batch.get(t, 0) + 1
+            for t, c in batch.items():
+                mg[t] = mg.get(t, 0) + c
+            if len(mg) > cap:
+                # mergeable-summary shrink: subtract the (cap+1)-th
+                # largest count, drop non-positive counters
+                kth = sorted(mg.values(), reverse=True)[cap]
+                mg = {t: c - kth for t, c in mg.items() if c > kth}
+        yield pd.DataFrame({"word": list(mg.keys())})
+
+    candidates = toks.mapInPandas(sketch, "word string").distinct()
+    n_total = int(
+        toks.agg(F.sum(F.size("w")).alias("n")).collect()[0]["n"] or 0)
+    exploded = parallelize(df).select(
+        F.explode(words_col(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    counted = (
+        exploded.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("total"))
+        .filter(F.col("total") * threshold_frac >= n_total)
+    )
+    return counted.select(
+        "word", "total",
+        F.expr(f"total * 1000000 div greatest(1L, {n_total}L)")
+        .cast("long").alias("share_ppm"),
+    )
+
+
+def collocation_lift_topk(df: DataFrame, k: int = 25,
+                          min_count: int = 5,
+                          text_col: str = "text") -> DataFrame:
+    """Collocation mining by integer lift (the PMI-family association
+    score, Church & Hanks 1990, computed as the exact-integer lift
+    ratio instead of its log): for adjacent word pairs with corpus
+    count >= ``min_count``,
+
+        lift_x1000 = (c_ab * N div c_a) * 1000 div c_b
+
+    where N is the total token count — >1000 means the pair co-occurs
+    more than independence predicts. Top-k by (lift desc, pair asc).
+
+    Scale shape: two partial-agg'd groupBys (unigrams, adjacent
+    bigrams — both vocabulary-sized, not corpus-sized), two
+    vocabulary joins on the word keys, one bounded top-k. The inner
+    product c_ab * N is the overflow ceiling (~10^18 at 10^12-token
+    corpora); re-scale the constant at larger N. Output:
+    (rank, pair, c_ab, lift_x1000)."""
+    w = words_col(text_col)
+    toks = parallelize(df).select(w.alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(F.slice("w", 1, F.size("w") - 1),
+                    (lambda t, i: F.concat(
+                        t, F.lit(" "),
+                        F.element_at(F.col("w"), i + 2)))),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair").agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_total = int(
+        toks.agg(F.sum(F.size("w")).alias("n")).collect()[0]["n"] or 0)
+    a = F.split_part(F.col("pair"), F.lit(" "), F.lit(1))
+    b = F.split_part(F.col("pair"), F.lit(" "), F.lit(2))
+    joined = (
+        bi.join(uni.select(F.col("word").alias("_a"),
+                           F.col("c").alias("c_a")),
+                a == F.col("_a"))
+        .join(uni.select(F.col("word").alias("_b"),
+                         F.col("c").alias("c_b")),
+              b == F.col("_b"))
+        .select("pair", "c_ab",
+                F.expr(f"(c_ab * {n_total}L div c_a) * 1000 div c_b")
+                .cast("long").alias("lift_x1000"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("lift_x1000"), F.asc("pair"))
+    return (
+        joined.withColumn("rank",
+                          F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "c_ab", "lift_x1000")
+    )

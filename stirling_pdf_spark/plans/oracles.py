@@ -5959,3 +5959,68 @@ FROM e
 
 
 SPAN_CORRUPT = _span_corrupt_sql()
+
+
+def _heavy_hitters_sql(t: int = 64) -> str:
+    """Heavy-hitters oracle: the exact definition (count * t >= N),
+    no sketch — the Misra-Gries candidate pass must be invisible in
+    the final answer."""
+    return f"""
+WITH d AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+), n AS (
+  SELECT CAST(SUM(len(w)) AS BIGINT) AS n_total FROM d
+), toks AS (
+  SELECT unnest(w) AS word FROM d
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS total
+  FROM toks WHERE word <> '' GROUP BY word
+)
+SELECT word, total,
+       CAST(total * 1000000 // greatest(1, n_total) AS BIGINT)
+         AS share_ppm
+FROM c, n WHERE total * {t} >= n_total
+"""
+
+
+TEXT_HEAVY_HITTERS = _heavy_hitters_sql()
+
+
+def _collocation_sql(k: int = 25, min_count: int = 5) -> str:
+    """Collocation-lift oracle: unigram/bigram counts and the exact
+    integer lift re-derived independently; same truncation order as
+    the Spark expression (all operands positive, so floor == trunc)."""
+    return f"""
+WITH d AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+), n AS (
+  SELECT CAST(SUM(len(w)) AS BIGINT) AS n_total FROM d
+), uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS word FROM d)
+  WHERE word <> '' GROUP BY word
+), bi AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT unnest(CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])
+          ELSE CAST([] AS VARCHAR[]) END) AS pair
+        FROM d)
+  GROUP BY pair HAVING count(*) >= {min_count}
+), j AS (
+  SELECT pair, c_ab,
+         CAST((c_ab * n_total // ua.c) * 1000 // ub.c AS BIGINT)
+           AS lift_x1000
+  FROM bi CROSS JOIN n
+  JOIN uni ua ON split_part(pair, ' ', 1) = ua.word
+  JOIN uni ub ON split_part(pair, ' ', 2) = ub.word
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY lift_x1000 DESC, pair ASC)
+              AS BIGINT) AS rank, pair, c_ab, lift_x1000
+  FROM j
+)
+SELECT rank, pair, c_ab, lift_x1000 FROM r WHERE rank <= {k}
+"""
+
+
+COLLOCATION_TOPK = _collocation_sql()
