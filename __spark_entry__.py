@@ -4330,6 +4330,27 @@ def q_collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocation_lift_topk(read_table(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the table's ground-truth lang
+    column — the deployed-filter eval artifact: lang_id argmax inline
+    (no self-join), partial agg onto the |langs|^2 cell universe
+    (operators/textstats.lang_confusion)."""
+    from stirling_pdf_spark.operators.textstats import lang_confusion
+
+    return lang_confusion(read_table(spark, sf_dir, "documents"))
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-byte output sharding plan (the 'write N balanced files'
+    final pipeline op): whole docs assigned in id order to shard =
+    cumulative_byte_offset div 16 KiB via the pack_sequences
+    two-phase prefix sum — no global window; the oracle replays the
+    cumsum directly (operators/packing.shard_plan)."""
+    from stirling_pdf_spark.operators.packing import shard_plan
+
+    return shard_plan(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4540,6 +4561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "text_heavy_hitters": q_text_heavy_hitters,
         "collocation_topk": q_collocation_topk,
+        "lang_confusion": q_lang_confusion,
+        "shard_plan": q_shard_plan,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4842,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "span_corrupt": O.SPAN_CORRUPT,
         "text_heavy_hitters": O.TEXT_HEAVY_HITTERS,
         "collocation_topk": O.COLLOCATION_TOPK,
+        "lang_confusion": O.LANG_CONFUSION,
+        "shard_plan": O.SHARD_PLAN,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -195,6 +195,8 @@ BENCH_QUERIES = (
     "span_corrupt",
     "text_heavy_hitters",
     "collocation_topk",
+    "lang_confusion",
+    "shard_plan",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

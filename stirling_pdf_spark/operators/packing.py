@@ -229,3 +229,67 @@ def span_corrupt_transform(df: DataFrame, id_col: str = "doc_id",
         F.when(empty, F.lit("")).otherwise(inp).alias("input_text"),
         F.when(empty, F.lit("")).otherwise(target).alias("target_text"),
     )
+
+
+def shard_plan(df: DataFrame, target_bytes: int = 16384,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_ranges: int | None = None) -> DataFrame:
+    """Equal-byte output sharding plan — the 'write the final corpus
+    as N balanced files' op every released dataset runs last: docs in
+    ``id_col`` order are assigned whole (never split) to shard =
+    cumulative_byte_offset div ``target_bytes``, and the plan reports
+    each shard's doc count, byte total and contiguous id range.
+
+    Scale shape: the pack_sequences two-phase prefix sum — one
+    repartitionByRange on the order key, a per-range local window
+    cumsum, per-range totals collected (bounded by the partition
+    count) and broadcast back as a literal map; the rollup lands on
+    the shard universe. No global single-partition window.
+
+    Output: (shard_id, n_docs, sum_bytes, min_doc, max_doc)."""
+    if target_bytes <= 0:
+        raise ValueError(
+            f"target_bytes must be positive, got {target_bytes}")
+    spark = df.sparkSession
+    nr = num_ranges or spark.sparkContext.defaultParallelism
+    sized = df.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+    ranged = sized.repartitionByRange(nr, F.col(id_col)) \
+        .withColumn("_pid", F.spark_partition_id())
+    w_loc = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.select(
+        id_col, "n_bytes", "_pid",
+        F.coalesce(F.sum("n_bytes").over(w_loc), F.lit(0))
+        .alias("_lps"),
+    )
+    local = stage(local)  # two consumers: totals + final projection
+    totals = sorted(
+        local.groupBy("_pid").agg(F.sum("n_bytes").alias("sp"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    off: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        off[r["_pid"]] = acc
+        acc += int(r["sp"] or 0)
+    po = (F.coalesce(F.element_at(
+        F.create_map(*[F.lit(v) for kv in off.items() for v in kv]),
+        F.col("_pid")), F.lit(0)) if off else F.lit(0))
+    assigned = local.select(
+        id_col, "n_bytes",
+        (F.col("_lps") + po).cast("long").alias("_off"),
+    ).select(
+        id_col, "n_bytes",
+        F.expr(f"_off div {target_bytes}").cast("long")
+        .alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.min(id_col).cast("long").alias("min_doc"),
+        F.max(id_col).cast("long").alias("max_doc"),
+    )

@@ -1631,3 +1631,30 @@ def collocation_lift_topk(df: DataFrame, k: int = 25,
         .filter(F.col("rank") <= k)
         .select("rank", "pair", "c_ab", "lift_x1000")
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix — the eval artifact behind every
+    deployed lang filter (which true languages leak into which
+    predicted buckets): lang_id's stopword argmax computed INLINE
+    (lang_pred_expr, no self-join) against the table's ground-truth
+    ``lang_col``, rolled up per (true, predicted) cell with the match
+    count split out.
+
+    Scale shape: one projection + map-side partial agg onto at most
+    |langs| x (|langs|+1) keys — constant exchange at any corpus
+    size. Output: (true_lang, pred_lang, n_docs, n_match)."""
+    base = parallelize(df).select(
+        F.col(lang_col).alias("true_lang"),
+        words_col(text_col).alias("w"),
+    )
+    pred = lang_pred_expr("w")
+    keyed = base.select(
+        "true_lang", pred.alias("pred_lang"),
+        (F.col("true_lang") == pred).cast("long").alias("m"),
+    )
+    return keyed.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+    )

@@ -6024,3 +6024,64 @@ SELECT rank, pair, c_ab, lift_x1000 FROM r WHERE rank <= {k}
 
 
 COLLOCATION_TOPK = _collocation_sql()
+
+
+def _lang_confusion_sql() -> str:
+    """Confusion-matrix oracle: the lang_id argmax re-derived (same
+    CTE pieces as TEXT_LANG_ID) against the ground-truth lang column."""
+    score_cols = []
+    for lang in LANGS:
+        vals = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({vals}))) AS s_{lang}"
+        )
+    best = "GREATEST({})".format(
+        ", ".join(f"s_{lang}" for lang in LANGS))
+    pred = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+WITH d AS (
+  SELECT lang AS true_lang, string_split(text, ' ') AS w
+  FROM documents
+), s AS (SELECT true_lang, {', '.join(score_cols)} FROM d),
+b AS (SELECT *, {best} AS best FROM s),
+p AS (SELECT true_lang, {pred} AS pred_lang FROM b)
+SELECT true_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(true_lang = pred_lang AS BIGINT)) AS BIGINT)
+         AS n_match
+FROM p GROUP BY true_lang, pred_lang
+"""
+
+
+LANG_CONFUSION = _lang_confusion_sql()
+
+
+def _shard_plan_sql(target: int = 16384) -> str:
+    """Shard-plan oracle: the cumulative byte offset as one window
+    cumsum (fine at oracle scale; the Spark side uses the two-phase
+    prefix), whole-doc shard = offset // target."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, b,
+         COALESCE(SUM(b) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM d
+), s AS (
+  SELECT doc_id, b, off // {target} AS shard_id FROM c
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS sum_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM s GROUP BY shard_id
+"""
+
+
+SHARD_PLAN = _shard_plan_sql()
