@@ -4351,6 +4351,51 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(read_table(spark, sf_dir, "documents"))
 
 
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner (the published-pretraining-mix epoch
+    table): integer parts per source ((i mod 4) + 1 over the table's
+    src{i} universe), one-epoch-equivalent budget = the corpus token
+    total, per-source tokens_needed and milli-epochs — one groupBy
+    onto the source universe + a one-row totals broadcast
+    (operators/textstats.mix_plan)."""
+    from stirling_pdf_spark.operators.textstats import mix_plan
+
+    parts = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    return mix_plan(read_table(spark, sf_dir, "documents"), parts)
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target domain (the query-document
+    training signal): extract_anchors over the same synthesized pages
+    as html_anchor_extract, followed+absolute anchors only, per-domain
+    volume / distinct texts / top anchor by (count desc, text asc)
+    (functions/html.aggregate_anchors)."""
+    from stirling_pdf_spark.functions.html import (
+        aggregate_anchors,
+        extract_anchors,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://site'),
+        (d % 7).cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit('">read more '), d.cast("string"),
+        F.lit('</a> mid <a rel="ugc nofollow" href="/rel/'),
+        d.cast("string"),
+        F.lit('">local</a> <a href="https://www.mirror'),
+        (d % 3).cast("string"), F.lit('.org">mirror '),
+        d.cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        html.alias("html"),
+    )
+    return aggregate_anchors(extract_anchors(docs, html_col="html"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4563,6 +4608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_topk": q_collocation_topk,
         "lang_confusion": q_lang_confusion,
         "shard_plan": q_shard_plan,
+        "mix_plan": q_mix_plan,
+        "anchor_text_agg": q_anchor_text_agg,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4867,6 +4914,8 @@ def oracle_sql() -> dict[str, str]:
         "collocation_topk": O.COLLOCATION_TOPK,
         "lang_confusion": O.LANG_CONFUSION,
         "shard_plan": O.SHARD_PLAN,
+        "mix_plan": O.MIX_PLAN,
+        "anchor_text_agg": O.ANCHOR_TEXT_AGG,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -197,6 +197,8 @@ BENCH_QUERIES = (
     "collocation_topk",
     "lang_confusion",
     "shard_plan",
+    "mix_plan",
+    "anchor_text_agg",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

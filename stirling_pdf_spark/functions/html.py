@@ -175,3 +175,37 @@ def meta_robots(df, id_col: str = "doc_id", html_col: str = "html"):
         noindex.alias("noindex"), nofollow.alias("nofollow"),
         (1 - noindex).alias("keep"),
     )
+
+
+def aggregate_anchors(anchors):
+    """Anchor-text aggregation per target domain — the second half of
+    the anchor-corpus recipe (extract_anchors feeds it): followed
+    (nofollow = 0), absolute (domain NOT NULL) anchors only, rolled up
+    to the domain's anchor volume, distinct-text count and the top
+    anchor text by (count desc, text asc) — the query-document signal
+    anchor-text retrieval datasets train on.
+
+    Scale shape: one (domain, anchor) partial agg — bounded by the
+    distinct anchor-text universe, not the corpus — then a per-domain
+    window over those counts and a domain-keyed join.
+    Output: (domain, n_anchors, n_unique, top_anchor, top_count)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = anchors.filter((F.col("nofollow") == 0)
+                          & F.col("domain").isNotNull())
+    da = base.groupBy("domain", "anchor").agg(
+        F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("domain").orderBy(F.desc("cnt"),
+                                             F.asc("anchor"))
+    tops = (
+        da.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("domain", F.col("anchor").alias("top_anchor"),
+                F.col("cnt").alias("top_count"))
+    )
+    agg = da.groupBy("domain").agg(
+        F.sum("cnt").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_unique"),
+    )
+    return agg.join(tops, "domain")

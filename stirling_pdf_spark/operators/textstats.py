@@ -1658,3 +1658,56 @@ def lang_confusion(df: DataFrame, text_col: str = "text",
         F.count("*").cast("long").alias("n_docs"),
         F.sum("m").cast("long").alias("n_match"),
     )
+
+
+def mix_plan(df: DataFrame, parts: dict[str, int],
+             text_col: str = "text",
+             source_col: str = "source") -> DataFrame:
+    """Data-mixture planner — the per-source token budgeting table
+    behind every published pretraining mix (epochs per source at a
+    target sampling ratio, as in the LLaMA/GPT-3 data tables): given
+    integer mixture ``parts`` per source (relative weights), size a
+    one-epoch-equivalent token budget (the corpus total) and report
+    per source how many tokens the mix draws and the implied epoch
+    count in exact integer milli-epochs —
+
+        tokens_needed = total_tokens * parts_s div sum(parts)
+        epochs_x1000  = tokens_needed * 1000 div n_tokens_s
+
+    epochs > 1000 flags up-sampled sources (multiple passes), < 1000
+    down-sampled ones.
+
+    Scale shape: one partial-agg'd groupBy onto the source universe,
+    a one-row totals broadcast, a literal parts map — constant
+    exchange at any corpus size. Sources absent from ``parts`` get
+    weight 0. Output: (source, n_tokens, target_ppm, tokens_needed,
+    epochs_x1000)."""
+    total_parts = sum(parts.values())
+    if total_parts <= 0:
+        raise ValueError("parts must sum to a positive total")
+    counts = (
+        parallelize(df)
+        .select(F.col(source_col).alias("source"),
+                F.size(words_col(text_col)).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    totals = counts.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"))
+    pmap = F.create_map(
+        *[F.lit(v) for kv in parts.items() for v in kv])
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source", "n_tokens",
+        F.coalesce(F.element_at(pmap, F.col("source")), F.lit(0))
+        .cast("long").alias("_parts"),
+        "total_tokens",
+    ).select(
+        "source", "n_tokens",
+        F.expr(f"_parts * 1000000 div {total_parts}").cast("long")
+        .alias("target_ppm"),
+        F.expr(f"total_tokens * _parts div {total_parts}")
+        .cast("long").alias("tokens_needed"),
+        F.expr(f"(total_tokens * _parts div {total_parts}) * 1000"
+               " div greatest(1L, n_tokens)").cast("long")
+        .alias("epochs_x1000"),
+    )

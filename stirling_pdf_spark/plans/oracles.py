@@ -6085,3 +6085,56 @@ FROM s GROUP BY shard_id
 
 
 SHARD_PLAN = _shard_plan_sql()
+
+
+MIX_PLAN_TOTAL_PARTS = 50  # sum of (i % 4) + 1 over src0..src19
+
+MIX_PLAN = f"""
+WITH c AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT SUM(n_tokens) AS total_tokens FROM c),
+p AS (
+  SELECT source, n_tokens, total_tokens,
+         (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS parts
+  FROM c, t
+)
+SELECT source, n_tokens,
+       CAST(parts * 1000000 // {MIX_PLAN_TOTAL_PARTS} AS BIGINT)
+         AS target_ppm,
+       CAST(total_tokens * parts // {MIX_PLAN_TOTAL_PARTS} AS BIGINT)
+         AS tokens_needed,
+       CAST((total_tokens * parts // {MIX_PLAN_TOTAL_PARTS}) * 1000
+            // greatest(1, n_tokens) AS BIGINT) AS epochs_x1000
+FROM p
+"""
+
+ANCHOR_TEXT_AGG = """
+WITH d AS (SELECT doc_id AS n FROM documents),
+t AS (
+  SELECT 'site' || (n % 7) || '.example.com' AS domain,
+         'read more ' || n AS anchor
+  FROM d
+  UNION ALL
+  SELECT 'www.mirror' || (n % 3) || '.org', 'mirror ' || n FROM d
+),
+da AS (
+  SELECT domain, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY domain, anchor
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+             ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM da
+),
+a AS (
+  SELECT domain, CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+         CAST(count(*) AS BIGINT) AS n_unique
+  FROM da GROUP BY domain
+)
+SELECT a.domain, a.n_anchors, a.n_unique,
+       r.anchor AS top_anchor, r.cnt AS top_count
+FROM a JOIN r ON a.domain = r.domain AND r.rn = 1
+"""

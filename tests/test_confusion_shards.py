@@ -59,3 +59,56 @@ def test_shard_plan_multibyte_utf8(spark):
     out = shard_plan(df, target_bytes=20).collect()
     assert sum(r["sum_bytes"] for r in out) == 40
     assert {r["shard_id"] for r in out} == {0, 1}
+
+
+def test_mix_plan_closed_form(spark):
+    from stirling_pdf_spark.operators.textstats import mix_plan
+    rows = [(0, "a b c d", "wiki"),      # 4 tokens
+            (1, "a b c d e f", "web"),   # 6 tokens
+            (2, "a b", "web")]           # 2 tokens -> web 8, total 12
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    out = {r["source"]: r
+           for r in mix_plan(df, {"wiki": 3, "web": 1}).collect()}
+    # total 12, parts 4: wiki needs 12*3//4=9 of its 4 -> 2.25 epochs
+    assert out["wiki"]["tokens_needed"] == 9
+    assert out["wiki"]["epochs_x1000"] == 2250
+    assert out["wiki"]["target_ppm"] == 750000
+    # web needs 12*1//4=3 of its 8 -> 0.375 epochs
+    assert out["web"]["tokens_needed"] == 3
+    assert out["web"]["epochs_x1000"] == 375
+
+
+def test_mix_plan_unlisted_source_gets_zero(spark):
+    from stirling_pdf_spark.operators.textstats import mix_plan
+    rows = [(0, "a b", "x"), (1, "c d", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                               " source string")
+    out = {r["source"]: r for r in mix_plan(df, {"x": 1}).collect()}
+    assert out["y"]["target_ppm"] == 0
+    assert out["y"]["tokens_needed"] == 0
+    assert out["y"]["epochs_x1000"] == 0
+    assert out["x"]["tokens_needed"] == 4  # the whole budget
+
+
+def test_anchor_text_agg_top_and_filters(spark):
+    from stirling_pdf_spark.functions.html import (
+        aggregate_anchors,
+        extract_anchors,
+    )
+    rows = [
+        (0, '<a href="https://a.com/1">buy now</a>'
+            '<a href="https://a.com/2">buy now</a>'
+            '<a href="https://a.com/3">other</a>'
+            '<a rel="nofollow" href="https://a.com/4">spam</a>'
+            '<a href="/rel">rel</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = aggregate_anchors(extract_anchors(df)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["domain"] == "a.com"
+    assert r["n_anchors"] == 3          # nofollow + relative excluded
+    assert r["n_unique"] == 2
+    assert r["top_anchor"] == "buy now"
+    assert r["top_count"] == 2
