@@ -4396,6 +4396,29 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_anchors(extract_anchors(docs, html_col="html"))
 
 
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id — the pre-shuffle
+    audit the salted extraction path assumes: top-10 hottest keys
+    with ppm shares and the global row/key totals; one key-universe
+    groupBy + a one-row totals broadcast
+    (operators/relational.skew_report)."""
+    from stirling_pdf_spark.operators.relational import skew_report
+
+    return skew_report(read_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 document byte lengths via the counting-sort
+    quantile (distinct-length count table + cumulative window over
+    the bounded length universe — no global sort of the corpus)
+    (operators/relational.length_percentiles)."""
+    from stirling_pdf_spark.operators.relational import (
+        length_percentiles,
+    )
+
+    return length_percentiles(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4610,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "mix_plan": q_mix_plan,
         "anchor_text_agg": q_anchor_text_agg,
+        "events_skew_report": q_events_skew_report,
+        "length_percentiles": q_length_percentiles,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4916,6 +4941,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": O.SHARD_PLAN,
         "mix_plan": O.MIX_PLAN,
         "anchor_text_agg": O.ANCHOR_TEXT_AGG,
+        "events_skew_report": O.SKEW_REPORT,
+        "length_percentiles": O.LENGTH_PERCENTILES,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

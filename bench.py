@@ -199,6 +199,8 @@ BENCH_QUERIES = (
     "shard_plan",
     "mix_plan",
     "anchor_text_agg",
+    "events_skew_report",
+    "length_percentiles",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -602,3 +602,65 @@ def events_rolling_value(events: DataFrame,
     return daily.select(
         "user_id", "day", "day_value_micro",
         F.sum("day_value_micro").over(w).alias("rolling_value_micro"))
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Join-key skew diagnostic — the audit a 100-TB pipeline runs
+    BEFORE keying a shuffle on a column (the repo's salted extraction
+    and AQE notes assume you know which keys are hot; this measures
+    it): per-key row counts, the top-k hottest keys with their ppm
+    share, and the global row/key totals denormalized onto each row
+    so one artifact answers 'is this key safe to shuffle on'.
+
+    Scale shape: one partial-agg'd groupBy onto the key universe,
+    a one-row totals broadcast, a bounded top-k window. Output:
+    (rank, key, cnt, share_ppm, n_rows, n_keys)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")) \
+        .agg(F.count("*").cast("long").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    rk = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank", "key", "cnt",
+            F.expr("cnt * 1000000 div greatest(1L, n_rows)")
+            .cast("long").alias("share_ppm"),
+            "n_rows", "n_keys",
+        )
+    )
+
+
+def length_percentiles(df: DataFrame, percentiles=(50, 90, 99),
+                       text_col: str = "text") -> DataFrame:
+    """Exact doc-length percentiles (the data-card distribution stat)
+    without a global sort: byte lengths collapse to a distinct-length
+    count table (bounded by the LENGTH universe, not the corpus), a
+    cumulative window runs over that small table, and percentile p is
+    the smallest length whose cumulative count reaches
+    ceil(p * N / 100) — the classic counting-sort quantile, exact at
+    any scale where the value universe is bounded.
+
+    Output: (pct, target_rank, value)."""
+    counts = df.select(
+        F.octet_length(F.col(text_col)).cast("long").alias("len")
+    ).groupBy("len").agg(F.count("*").cast("long").alias("cnt"))
+    n = int(counts.agg(F.sum("cnt")).collect()[0][0] or 0)
+    w = Window.orderBy("len") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "len", F.sum("cnt").over(w).cast("long").alias("cum"))
+    out = None
+    for p in percentiles:
+        target = (p * n + 99) // 100
+        row = cum.filter(F.col("cum") >= target).agg(
+            F.lit(int(p)).cast("long").alias("pct"),
+            F.lit(target).cast("long").alias("target_rank"),
+            F.min("len").cast("long").alias("value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

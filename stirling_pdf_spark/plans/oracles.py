@@ -6138,3 +6138,49 @@ SELECT a.domain, a.n_anchors, a.n_unique,
        r.anchor AS top_anchor, r.cnt AS top_count
 FROM a JOIN r ON a.domain = r.domain AND r.rn = 1
 """
+
+
+SKEW_REPORT = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM c
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+              AS BIGINT) AS rank, key, cnt
+  FROM c
+)
+SELECT rank, key, cnt,
+       CAST(cnt * 1000000 // greatest(1, n_rows) AS BIGINT)
+         AS share_ppm,
+       n_rows, n_keys
+FROM r, t WHERE rank <= 10
+"""
+
+
+def _length_percentiles_sql(percentiles=(50, 90, 99)) -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({p} AS BIGINT) AS pct,
+         CAST(({p} * n + 99) // 100 AS BIGINT) AS target_rank,
+         (SELECT CAST(MIN(len) AS BIGINT) FROM cum
+          WHERE cum >= ({p} * n + 99) // 100) AS value
+  FROM t""" for p in percentiles)
+    return f"""
+WITH c AS (
+  SELECT CAST(strlen(text) AS BIGINT) AS len,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY strlen(text)
+), cum AS (
+  SELECT len, SUM(cnt) OVER (ORDER BY len
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+{arms}
+"""
+
+
+LENGTH_PERCENTILES = _length_percentiles_sql()

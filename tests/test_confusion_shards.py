@@ -112,3 +112,30 @@ def test_anchor_text_agg_top_and_filters(spark):
     assert r["n_unique"] == 2
     assert r["top_anchor"] == "buy now"
     assert r["top_count"] == 2
+
+
+def test_skew_report_closed_form(spark):
+    from stirling_pdf_spark.operators.relational import skew_report
+    rows = ([(0, "hot")] * 6 + [(0, "warm")] * 3 + [(0, "cold")])
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)],
+        "row_id long, user_id string")
+    out = skew_report(df, "user_id", k=2).collect()
+    assert [(r["rank"], r["key"], r["cnt"]) for r in out] \
+        == [(1, "hot", 6), (2, "warm", 3)]
+    assert out[0]["share_ppm"] == 600000
+    assert out[0]["n_rows"] == 10 and out[0]["n_keys"] == 3
+
+
+def test_length_percentiles_closed_form(spark):
+    from stirling_pdf_spark.operators.relational import (
+        length_percentiles,
+    )
+    # lengths 1..10 bytes, one doc each: p50 -> rank 5 -> len 5,
+    # p90 -> rank 9 -> 9, p99 -> rank ceil(9.9)=10 -> 10
+    rows = [(i, "x" * i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["pct"]: r for r in length_percentiles(df).collect()}
+    assert out[50]["value"] == 5 and out[50]["target_rank"] == 5
+    assert out[90]["value"] == 9
+    assert out[99]["value"] == 10
