@@ -4419,6 +4419,61 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_percentiles(read_table(spark, sf_dir, "documents"))
 
 
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution report (the feature-drift
+    monitor): exact fixed-point count/sum/sum-of-squares/min/max per
+    dimension — one posexplode + partial agg onto 64 keys
+    (operators/similarity.emb_dim_stats)."""
+    from stirling_pdf_spark.operators.similarity import emb_dim_stats
+
+    return emb_dim_stats(read_table(spark, sf_dir, "embeddings"))
+
+
+def q_robots_crawl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission evaluation (RFC 9309 longest-match
+    precedence, '*' group, prefix-rule subset): five synthesized
+    per-domain robots bodies — one with NO '*' group (everything
+    allowed), comments and an ignored named-agent group in all of
+    them — against four URL-path shapes per doc; the oracle is the
+    closed-form policy model, so the parser (line groups, last
+    user-agent wins, empty-Disallow drop) and the evaluator (longest
+    prefix, allow on tie, no-rule default) must both be right
+    (functions/html.parse_robots + robots_eval)."""
+    from stirling_pdf_spark.functions.html import (
+        parse_robots,
+        robots_eval,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    k = (n % 5).cast("string")
+    robots = F.concat(
+        F.lit("# cache rules\nUser-agent: *\nDisallow: /private\n"
+              "Allow: /private/ok\nDisallow: /d"), k,
+        F.lit("\nDisallow:\n\nUser-agent: otherbot\nDisallow: /\n"),
+    )
+    robots_dom4 = F.lit(
+        "# named group only\nUser-agent: otherbot\nDisallow: /\n")
+    rules_src = base.filter(n < 5).select(
+        F.concat(F.lit("dom"), k).alias("domain"),
+        F.when(n % 5 == 4, robots_dom4).otherwise(robots)
+        .alias("robots_txt"),
+    )
+    m = n % 4
+    urls = base.select(
+        n.alias("url_id"),
+        F.concat(F.lit("dom"), k).alias("domain"),
+        F.when(m == 0, F.concat(F.lit("/private/x"), n.cast("string")))
+        .when(m == 1, F.concat(F.lit("/private/ok/x"),
+                               n.cast("string")))
+        .when(m == 2, F.concat(F.lit("/d"), k, F.lit("stuff"),
+                               n.cast("string")))
+        .otherwise(F.concat(F.lit("/public/"), n.cast("string")))
+        .alias("path"),
+    )
+    return robots_eval(urls, parse_robots(rules_src))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4635,6 +4690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "events_skew_report": q_events_skew_report,
         "length_percentiles": q_length_percentiles,
+        "emb_dim_stats": q_emb_dim_stats,
+        "robots_crawl_eval": q_robots_crawl_eval,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -4943,6 +5000,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": O.ANCHOR_TEXT_AGG,
         "events_skew_report": O.SKEW_REPORT,
         "length_percentiles": O.LENGTH_PERCENTILES,
+        "emb_dim_stats": O.EMB_DIM_STATS,
+        "robots_crawl_eval": O.ROBOTS_CRAWL_EVAL,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -201,6 +201,8 @@ BENCH_QUERIES = (
     "anchor_text_agg",
     "events_skew_report",
     "length_percentiles",
+    "emb_dim_stats",
+    "robots_crawl_eval",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -209,3 +209,98 @@ def aggregate_anchors(anchors):
         F.count("*").cast("long").alias("n_unique"),
     )
     return agg.join(tops, "domain")
+
+
+def parse_robots(rules, domain_col: str = "domain",
+                 robots_col: str = "robots_txt"):
+    """Parse robots.txt bodies into per-domain prefix rules — the
+    crawler-policy half of the meta-robots operator (RFC 9309
+    group/rule model, the `User-agent: *` group only: the common
+    web-crawler case; named-agent groups and * / $ wildcards are out
+    of the declared subset).
+
+    Mechanics: lines explode per domain; each line's governing group
+    is the most recent `User-agent:` line at or before it (a
+    last-non-null window per domain — bounded by robots-file length,
+    never corpus-sized); Allow/Disallow lines inside the `*` group
+    survive, comments and empty Disallow lines (RFC: empty Disallow
+    = no rule) drop.
+
+    Output: (domain, rule_type 'allow'|'disallow', rule_path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = rules.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(robots_col), "\n"))
+        .alias("pos", "line"),
+    ).select(
+        "domain", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    lc = F.lower(F.col("line"))
+    parsed = lines.select(
+        "domain", "pos",
+        F.when(lc.startswith("user-agent:"),
+               F.trim(F.expr("substring(line, 12)"))).alias("ua"),
+        F.when(lc.startswith("allow:"), F.lit("allow"))
+        .when(lc.startswith("disallow:"), F.lit("disallow"))
+        .alias("rule_type"),
+        F.when(lc.startswith("allow:"),
+               F.trim(F.expr("substring(line, 7)")))
+        .when(lc.startswith("disallow:"),
+              F.trim(F.expr("substring(line, 10)")))
+        .alias("rule_path"),
+    )
+    w = Window.partitionBy("domain").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = parsed.select(
+        "domain", "rule_type", "rule_path",
+        F.last("ua", ignorenulls=True).over(w).alias("group_ua"),
+    )
+    return grouped.filter(
+        (F.col("group_ua") == "*")
+        & F.col("rule_type").isNotNull()
+        & (F.col("rule_path") != "")
+    ).select("domain", "rule_type", "rule_path")
+
+
+def robots_eval(urls, rules, domain_col: str = "domain",
+                path_col: str = "path", id_col: str = "url_id"):
+    """Evaluate crawl permission per URL against parse_robots output
+    using RFC 9309 precedence: the longest matching rule path (byte
+    prefix match) wins; equal lengths resolve to allow (least
+    restrictive); no matching rule means allowed.
+
+    Scale shape: a domain-keyed join (rules per domain are tiny;
+    Catalyst broadcasts when the rule table is small) + a per-URL
+    window over the handful of matching rules.
+
+    Output: (url_id, domain, path, allowed int,
+    rule_type, rule_path — NULLs when no rule matched)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = urls.select(F.col(id_col).alias("url_id"),
+                    F.col(domain_col).alias("domain"),
+                    F.col(path_col).alias("path"))
+    matches = u.join(F.broadcast(rules), "domain").filter(
+        F.col("path").startswith(F.col("rule_path")))
+    w = Window.partitionBy("url_id").orderBy(
+        F.desc(F.length("rule_path")),
+        F.asc(F.col("rule_type") == "disallow"),  # allow first on tie
+    )
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url_id", "rule_type", "rule_path")
+    )
+    # URLs with no matching rule (including rule-less domains) stay
+    # via the left join and default to allowed
+    return u.join(best, "url_id", "left").select(
+        "url_id", "domain", "path",
+        F.when(F.col("rule_type").isNull(), F.lit(1))
+        .when(F.col("rule_type") == "allow", F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("allowed"),
+        "rule_type", "rule_path",
+    )

@@ -330,3 +330,30 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 8,
                     cents[c] = members.mean(axis=0)
         books.append([[round(float(v), 6) for v in c] for c in cents])
     return books
+
+
+def emb_dim_stats(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension embedding distribution report — the feature-drift
+    monitor an embedding pipeline runs per snapshot (compare against
+    the previous table's stats to catch model or data drift): each
+    dimension's count, fixed-point sum, sum of squares and min/max in
+    exact micro-units (fx = floor(v * 10^6) as int64, the repo-wide
+    fixed-point rule), so the reader derives mean/variance exactly.
+
+    Scale shape: one posexplode + map-side partial agg onto the
+    DIMENSION universe (64 keys) — constant exchange at any corpus
+    size. sum_fx2 is the overflow ceiling (~10^12 per row); rescale
+    the fixed point at >10^6-row-per-dim corpora if values exceed
+    unit range. Output: (dim, n, sum_fx, sum_fx2, min_fx, max_fx)."""
+    fx = F.floor(F.col("val").cast("double") * 1000000.0).cast("long")
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).select(F.col("dim").cast("long").alias("dim"), fx.alias("fx"))
+    return exploded.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("fx").cast("long").alias("sum_fx"),
+        F.sum(F.col("fx") * F.col("fx")).cast("long").alias("sum_fx2"),
+        F.min("fx").cast("long").alias("min_fx"),
+        F.max("fx").cast("long").alias("max_fx"),
+    )

@@ -6184,3 +6184,51 @@ WITH c AS (
 
 
 LENGTH_PERCENTILES = _length_percentiles_sql()
+
+
+EMB_DIM_STATS = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(v[CAST(u.i AS INTEGER)] * 1000000.0) AS BIGINT)
+           AS fx
+  FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(fx) AS BIGINT) AS sum_fx,
+       CAST(SUM(fx * fx) AS BIGINT) AS sum_fx2,
+       CAST(MIN(fx) AS BIGINT) AS min_fx,
+       CAST(MAX(fx) AS BIGINT) AS max_fx
+FROM x GROUP BY dim
+"""
+
+# closed-form model of the robots gate corpus: domains dom0..dom4
+# carry a '*' group (Disallow /private, Allow /private/ok,
+# Disallow /d{k}) EXCEPT dom4 whose robots.txt has only a named-agent
+# group; URL paths cycle on doc_id % 4 (see q_robots_crawl_eval)
+ROBOTS_CRAWL_EVAL = """
+WITH d AS (SELECT doc_id AS n, doc_id % 5 AS k, doc_id % 4 AS m
+           FROM documents)
+SELECT n AS url_id,
+       'dom' || k AS domain,
+       CASE m
+         WHEN 0 THEN '/private/x' || n
+         WHEN 1 THEN '/private/ok/x' || n
+         WHEN 2 THEN '/d' || k || 'stuff' || n
+         ELSE '/public/' || n END AS path,
+       CAST(CASE WHEN k = 4 THEN 1
+                 WHEN m = 0 THEN 0
+                 WHEN m = 1 THEN 1
+                 WHEN m = 2 THEN 0
+                 ELSE 1 END AS INTEGER) AS allowed,
+       CASE WHEN k = 4 OR m = 3 THEN NULL
+            WHEN m = 0 THEN 'disallow'
+            WHEN m = 1 THEN 'allow'
+            ELSE 'disallow' END AS rule_type,
+       CASE WHEN k = 4 OR m = 3 THEN NULL
+            WHEN m = 0 THEN '/private'
+            WHEN m = 1 THEN '/private/ok'
+            ELSE '/d' || k END AS rule_path
+FROM d
+"""
