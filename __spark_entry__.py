@@ -4474,6 +4474,80 @@ def q_robots_crawl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_eval(urls, parse_robots(rules_src))
 
 
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol ingestion (sitemaps.org): <url> entries with
+    <loc> and optional <lastmod> from synthesized per-doc sitemap XML
+    (one entry with lastmod, one without, one loc-less entry dropped)
+    — pure regexp columns, no shuffle
+    (functions/html.sitemap_entries)."""
+    from stirling_pdf_spark.functions.html import sitemap_entries
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad(((n % 28) + 1).cast("string"), 2, "0"))
+    loc = F.concat(F.lit("https://site"), (n % 7).cast("string"),
+                   F.lit(".example.com/p/"), n.cast("string"))
+    loc2 = F.concat(F.lit("https://site"), (n % 7).cast("string"),
+                    F.lit(".example.com/q/"), n.cast("string"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), loc, F.lit("</loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url><url><loc>"), loc2,
+        F.lit("</loc></url><url><priority>0.5</priority></url>"
+              "</urlset>"),
+    )
+    sitemaps = base.select(
+        F.concat(F.lit("dom"), (n % 5).cast("string")).alias("domain"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_entries(sitemaps)
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain politeness frontier scheduling (one request per
+    domain per crawl delay): deterministic slots in url order, fetch
+    offset slot x 1000 ms — one bounded window per domain
+    (functions/html.crawl_schedule)."""
+    from stirling_pdf_spark.functions.html import crawl_schedule
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    urls = base.select(
+        n.alias("url_id"),
+        F.concat(F.lit("site"), (n % 7).cast("string")).alias("domain"),
+    )
+    return crawl_schedule(urls)
+
+
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile (the writing-system signal beside
+    stopword lang-id): per-script char counts over five ranges +
+    dominant script, exercised by appending per-doc Cyrillic/CJK/
+    Arabic tails of varying length so the argmax flips — map-only
+    regexp counts (operators/textstats.script_detect)."""
+    from stirling_pdf_spark.operators.textstats import script_detect
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    reps = ((n % 13) * 50 + 1).cast("int")
+    m = n % 4
+    tail = (
+        F.when(m == 1, F.concat(F.lit(" "),
+                                F.expr("repeat('\u0431', reps)")))
+        .when(m == 2, F.concat(F.lit(" "),
+                               F.expr("repeat('\u6F22', reps)")))
+        .when(m == 3, F.concat(F.lit(" "),
+                               F.expr("repeat('\u0628', reps)")))
+        .otherwise(F.lit(""))
+    )
+    docs = base.select(
+        "doc_id", reps.alias("reps"),
+        F.concat(F.col("text"), tail).alias("text"),
+    ).select("doc_id", "text")
+    return script_detect(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4692,6 +4766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "emb_dim_stats": q_emb_dim_stats,
         "robots_crawl_eval": q_robots_crawl_eval,
+        "sitemap_ingest": q_sitemap_ingest,
+        "crawl_schedule": q_crawl_schedule,
+        "script_detect": q_script_detect,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -5002,6 +5079,9 @@ def oracle_sql() -> dict[str, str]:
         "length_percentiles": O.LENGTH_PERCENTILES,
         "emb_dim_stats": O.EMB_DIM_STATS,
         "robots_crawl_eval": O.ROBOTS_CRAWL_EVAL,
+        "sitemap_ingest": O.SITEMAP_ENTRIES,
+        "crawl_schedule": O.CRAWL_SCHEDULE,
+        "script_detect": O.SCRIPT_DETECT,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

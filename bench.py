@@ -203,6 +203,9 @@ BENCH_QUERIES = (
     "length_percentiles",
     "emb_dim_stats",
     "robots_crawl_eval",
+    "sitemap_ingest",
+    "crawl_schedule",
+    "script_detect",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

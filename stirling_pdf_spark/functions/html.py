@@ -304,3 +304,61 @@ def robots_eval(urls, rules, domain_col: str = "domain",
         .otherwise(F.lit(0)).cast("int").alias("allowed"),
         "rule_type", "rule_path",
     )
+
+
+def sitemap_entries(sitemaps, domain_col: str = "domain",
+                    xml_col: str = "sitemap_xml"):
+    """Sitemap-protocol ingestion (sitemaps.org XML, the crawler's
+    URL-discovery sibling of robots.txt): every <url> entry in
+    document order with its <loc> and optional <lastmod>. Pure column
+    regexps (regexp_extract_all + posexplode + per-entry extracts) —
+    no Python, no shuffle; entries without a <loc> drop per protocol.
+
+    Output: (domain, pos, loc, lastmod — NULL when absent)."""
+    from pyspark.sql import functions as F
+
+    entries = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<url>(.*?)</url>"), 1)
+    loc = F.regexp_extract(F.col("entry"), r"<loc>([^<]*)</loc>", 1)
+    lastmod = F.regexp_extract(F.col("entry"),
+                               r"<lastmod>([^<]*)</lastmod>", 1)
+    return (
+        sitemaps.select(F.col(domain_col).alias("domain"),
+                        entries.alias("entries"))
+        .select("domain",
+                F.posexplode("entries").alias("pos", "entry"))
+        .select(
+            "domain", F.col("pos").cast("long").alias("pos"),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def crawl_schedule(urls, delay_ms: int = 1000,
+                   domain_col: str = "domain",
+                   id_col: str = "url_id"):
+    """Per-domain politeness scheduling — the frontier shaping every
+    large-scale crawler applies (one request per domain per
+    crawl-delay; cf. robots.txt Crawl-delay semantics): URLs take a
+    per-domain slot in deterministic ``id_col`` order and a fetch
+    offset of slot * ``delay_ms``, so any number of domains proceed
+    in parallel while no domain is hit faster than the delay.
+
+    Scale shape: one window per domain (bounded by per-domain URL
+    count, the politeness constraint itself keeps these meaningful) —
+    the frontier never needs a global order. Output:
+    (url_id, domain, slot, fetch_at_ms)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    return urls.select(
+        F.col(id_col).alias("url_id"),
+        F.col(domain_col).alias("domain"),
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+    ).select(
+        "url_id", "domain", "slot",
+        (F.col("slot") * delay_ms).cast("long").alias("fetch_at_ms"),
+    )

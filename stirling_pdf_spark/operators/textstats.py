@@ -1711,3 +1711,46 @@ def mix_plan(df: DataFrame, parts: dict[str, int],
                " div greatest(1L, n_tokens)").cast("long")
         .alias("epochs_x1000"),
     )
+
+
+_SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("greek", "\\u0370-\\u03FF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("cjk", "\\u4E00-\\u9FFF"),
+)
+
+
+def script_detect(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode-script profile per document — the writing-system signal
+    multilingual pipelines use beside stopword lang-id (script is
+    robust where stopword lists are not: short docs, unseen
+    languages): per-script character counts over five major ranges,
+    measured as length deltas after regexp_replace (one JVM regex per
+    script, map-only, no shuffle), plus the dominant script by
+    (count desc, declaration order) with 'other' when nothing hits.
+
+    Output: (id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+    script)."""
+    t = F.col(text_col)
+    counts = {
+        name: (F.length(t)
+               - F.length(F.regexp_replace(t, f"[{rng}]", "")))
+        .cast("long")
+        for name, rng in _SCRIPT_RANGES
+    }
+    base = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    best = F.greatest(*[F.col(f"n_{name}")
+                        for name, _ in _SCRIPT_RANGES])
+    pred = F.when(best <= 0, F.lit("other"))
+    for name, _ in _SCRIPT_RANGES:
+        pred = pred.when(F.col(f"n_{name}") == best, F.lit(name))
+    return base.select(
+        "id", *[f"n_{name}" for name, _ in _SCRIPT_RANGES],
+        pred.alias("script"),
+    )

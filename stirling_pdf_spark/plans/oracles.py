@@ -6232,3 +6232,82 @@ SELECT n AS url_id,
             ELSE '/d' || k END AS rule_path
 FROM d
 """
+
+
+SITEMAP_ENTRIES = """
+WITH d AS (SELECT doc_id AS n, doc_id % 5 AS k FROM documents),
+t AS (
+  SELECT 'dom' || k AS domain, CAST(0 AS BIGINT) AS pos,
+         'https://site' || (n % 7) || '.example.com/p/' || n AS loc,
+         '2026-01-' || lpad(CAST((n % 28) + 1 AS VARCHAR), 2, '0')
+           AS lastmod
+  FROM d
+  UNION ALL
+  SELECT 'dom' || k, 1,
+         'https://site' || (n % 7) || '.example.com/q/' || n, NULL
+  FROM d
+)
+SELECT domain, pos, loc, lastmod FROM t
+"""
+
+CRAWL_SCHEDULE = """
+WITH u AS (
+  SELECT doc_id AS url_id, 'site' || (doc_id % 7) AS domain
+  FROM documents
+), s AS (
+  SELECT url_id, domain,
+         CAST(row_number() OVER (PARTITION BY domain ORDER BY url_id)
+              - 1 AS BIGINT) AS slot
+  FROM u
+)
+SELECT url_id, domain, slot,
+       CAST(slot * 1000 AS BIGINT) AS fetch_at_ms
+FROM s
+"""
+
+
+def _script_detect_sql() -> str:
+    """Unicode-script oracle: same tail construction as the gate, the
+    same five RE2 character classes (RE2 spells ranges \\x{...},
+    Java \\u...)."""
+    ranges = (
+        ("latin", "A-Za-z"),
+        ("cyrillic", r"\x{0400}-\x{04FF}"),
+        ("greek", r"\x{0370}-\x{03FF}"),
+        ("arabic", r"\x{0600}-\x{06FF}"),
+        ("cjk", r"\x{4E00}-\x{9FFF}"),
+    )
+    counts = ",\n         ".join(
+        f"CAST(length(txt) - length(regexp_replace(txt,"
+        f" '[{rng}]', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, rng in ranges)
+    best = "GREATEST({})".format(
+        ", ".join(f"n_{name}" for name, _ in ranges))
+    pred = "CASE WHEN best <= 0 THEN 'other' " + " ".join(
+        f"WHEN n_{name} = best THEN '{name}'" for name, _ in ranges
+    ) + " END"
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, doc_id % 4 AS m,
+         (doc_id % 13) * 50 + 1 AS reps, text
+  FROM documents
+), w AS (
+  SELECT id,
+         text || CASE m
+           WHEN 1 THEN ' ' || repeat('б', CAST(reps AS INTEGER))
+           WHEN 2 THEN ' ' || repeat('漢', CAST(reps AS INTEGER))
+           WHEN 3 THEN ' ' || repeat('ب', CAST(reps AS INTEGER))
+           ELSE '' END AS txt
+  FROM d
+), s AS (
+  SELECT id,
+         {counts}
+  FROM w
+), b AS (SELECT *, {best} AS best FROM s)
+SELECT id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+       {pred} AS script
+FROM b
+"""
+
+
+SCRIPT_DETECT = _script_detect_sql()

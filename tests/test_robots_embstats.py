@@ -98,3 +98,47 @@ def test_emb_dim_stats_matches_float_math(spark, sf_smoke):
     assert by_dim[0]["n"] == n
     assert by_dim[0]["sum_fx"] == sum(dim0)
     assert by_dim[0]["min_fx"] == min(dim0)
+
+
+def test_sitemap_entries_parse(spark):
+    from stirling_pdf_spark.functions.html import sitemap_entries
+    xml = ("<urlset><url><loc>https://a.com/1</loc>"
+           "<lastmod>2026-02-03</lastmod></url>"
+           "<url><loc>https://a.com/2</loc></url>"
+           "<url><priority>0.1</priority></url></urlset>")
+    df = spark.createDataFrame([("a.com", xml)],
+                               "domain string, sitemap_xml string")
+    out = sorted(sitemap_entries(df).collect(), key=lambda r: r["pos"])
+    assert len(out) == 2  # loc-less entry dropped
+    assert out[0]["loc"] == "https://a.com/1"
+    assert out[0]["lastmod"] == "2026-02-03"
+    assert out[1]["lastmod"] is None
+
+
+def test_crawl_schedule_politeness(spark):
+    from stirling_pdf_spark.functions.html import crawl_schedule
+    rows = [(1, "a"), (2, "a"), (5, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "url_id long, domain string")
+    out = {r["url_id"]: r
+           for r in crawl_schedule(df, delay_ms=500).collect()}
+    assert [out[i]["slot"] for i in (1, 2, 5)] == [0, 1, 2]
+    assert out[5]["fetch_at_ms"] == 1000
+    assert out[3]["slot"] == 0  # other domain proceeds in parallel
+
+
+def test_script_detect_dominance(spark):
+    from stirling_pdf_spark.operators.textstats import script_detect
+    rows = [
+        (0, "hello world"),
+        (1, "hi " + "б" * 10),           # Cyrillic dominates
+        (2, "漢" * 4 + " ab"),            # CJK dominates
+        (3, "12345 !!!"),                     # no letters -> other
+        (4, "ab αβγ"),         # Greek 3 > latin 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in script_detect(df).collect()}
+    assert out[0]["script"] == "latin"
+    assert out[1]["script"] == "cyrillic" and out[1]["n_cyrillic"] == 10
+    assert out[2]["script"] == "cjk" and out[2]["n_cjk"] == 4
+    assert out[3]["script"] == "other"
+    assert out[4]["script"] == "greek"
