@@ -4548,6 +4548,43 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_detect(docs)
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (hashed-unigram L1 in exact integer ppm):
+    even-doc_id slice vs the rest; per-bucket counts, smoothed ppm
+    rates and the absolute gap — one 128-key partial agg + a one-row
+    totals broadcast (operators/textstats.corpus_drift)."""
+    from stirling_pdf_spark.operators.textstats import corpus_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_drift(docs, F.col("doc_id") % 2 == 0)
+
+
+def q_qa_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic QA-pair harvest: planted question sentences (one per
+    doc, a second on every third doc) must pair with their immediate
+    successors through the shared RE2-safe sentence chunker; the
+    oracle replays chunking AND pairing over the same constructed
+    text, so the extraction itself is value-checked
+    (operators/textstats.qa_mine)."""
+    from stirling_pdf_spark.operators.textstats import qa_mine
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    second = F.when(
+        n % 3 == 0,
+        F.concat(F.lit("Why bucket "), (n % 7).cast("string"),
+                 F.lit("? Because rule "), (n % 7).cast("string"),
+                 F.lit(". ")),
+    ).otherwise(F.lit(""))
+    txt = F.concat(
+        F.lit("What is item "), n.cast("string"),
+        F.lit("? It is thing "), n.cast("string"), F.lit(". "),
+        second, F.col("text"),
+    )
+    docs = base.select("doc_id", txt.alias("text"))
+    return qa_mine(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4769,6 +4806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "crawl_schedule": q_crawl_schedule,
         "script_detect": q_script_detect,
+        "corpus_drift": q_corpus_drift,
+        "qa_mine": q_qa_mine,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -5082,6 +5121,8 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_ingest": O.SITEMAP_ENTRIES,
         "crawl_schedule": O.CRAWL_SCHEDULE,
         "script_detect": O.SCRIPT_DETECT,
+        "corpus_drift": O.CORPUS_DRIFT,
+        "qa_mine": O.QA_MINE,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -206,6 +206,8 @@ BENCH_QUERIES = (
     "sitemap_ingest",
     "crawl_schedule",
     "script_detect",
+    "corpus_drift",
+    "qa_mine",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -1754,3 +1754,81 @@ def script_detect(df: DataFrame, id_col: str = "doc_id",
         "id", *[f"n_{name}" for name, _ in _SCRIPT_RANGES],
         pred.alias("script"),
     )
+
+
+def corpus_drift(df: DataFrame, slice_pred, text_col: str = "text",
+                 n_buckets: int = 128) -> DataFrame:
+    """Corpus drift monitor — the A/B distribution check run between
+    snapshots or pipeline versions (hashed-unigram L1 distance, the
+    integer-exact cousin of the usual KL/chi-square drift scores):
+    tokens hash into ``n_buckets``; slice A = rows where
+    ``slice_pred`` holds, slice B = the rest; each bucket reports both
+    raw counts, both smoothed ppm rates and the absolute ppm gap —
+    sum(l1_ppm) over the output is the corpus-level drift score.
+
+    Scale shape: one explode + partial agg onto ``n_buckets`` keys,
+    then a one-row totals broadcast — constant exchange at any corpus
+    size. Output: (bucket, c_a, c_b, ppm_a, ppm_b, l1_ppm)."""
+    hashed = parallelize(df).select(
+        slice_pred.cast("long").alias("is_a"),
+        F.explode(words_col(text_col)).alias("t"),
+    ).filter(F.col("t") != "").select(
+        "is_a",
+        (F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8),
+                16, 10).cast("long") % n_buckets).alias("bucket"),
+    )
+    counts = hashed.groupBy("bucket").agg(
+        F.sum("is_a").cast("long").alias("c_a"),
+        (F.count("*") - F.sum("is_a")).cast("long").alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").cast("long").alias("t_a"),
+        F.sum("c_b").cast("long").alias("t_b"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", "c_a", "c_b",
+        F.expr(f"(c_a + 1) * 1000000 div (t_a + {n_buckets})")
+        .cast("long").alias("ppm_a"),
+        F.expr(f"(c_b + 1) * 1000000 div (t_b + {n_buckets})")
+        .cast("long").alias("ppm_b"),
+        F.expr(f"abs((c_a + 1) * 1000000 div (t_a + {n_buckets})"
+               f" - (c_b + 1) * 1000000 div (t_b + {n_buckets}))")
+        .cast("long").alias("l1_ppm"),
+    )
+
+
+# RE2-compatible sentence chunking (no lookbehind): maximal runs of
+# non-terminators followed by an optional terminator run
+_SENTENCE_RE = "[^.!?]+[.!?]*"
+
+
+def qa_mine(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic question-answer pair mining — the weak-supervision
+    QA-harvest pass (question sentence + its immediate successor)
+    used to bootstrap retrieval/QA training sets from raw text:
+    sentence-chunk with one RE2-safe regex (shared verbatim with the
+    DuckDB oracle — no lookbehind), keep sentences ending in '?', and
+    pair each with the sentence that follows it; questions at
+    document end (no successor) drop.
+
+    Pure column expressions (regexp_extract_all + a filtered
+    transform over the index range), map-only. Output:
+    (id, pair_no, question, answer)."""
+    sents = F.expr(
+        f"transform(regexp_extract_all({text_col},"
+        f" '({_SENTENCE_RE})', 1), s -> trim(s))")
+    base = parallelize(df).select(
+        F.col(id_col).alias("id"), sents.alias("s"))
+    pairs = base.filter(F.size("s") >= 2).select(
+        "id",
+        F.posexplode(
+            F.expr("transform(filter(sequence(0, size(s) - 2),"
+                   " i -> s[i] like '%?'),"
+                   " i -> struct(s[i] as q, s[i + 1] as a))")
+        ).alias("pair_no", "p"),
+    )
+    return pairs.select(
+        "id", F.col("pair_no").cast("long").alias("pair_no"),
+        F.col("p.q").alias("question"), F.col("p.a").alias("answer"),
+    )

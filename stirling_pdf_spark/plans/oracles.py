@@ -6311,3 +6311,71 @@ FROM b
 
 
 SCRIPT_DETECT = _script_detect_sql()
+
+
+def _corpus_drift_sql(b: int = 128) -> str:
+    """Drift oracle: slice A = even doc_id, hashed-unigram smoothed
+    ppm per bucket, absolute gap re-derived independently."""
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id % 2 = 0 AS BIGINT) AS is_a,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT is_a,
+         CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {b}
+              AS BIGINT) AS bucket
+  FROM t WHERE tok <> ''
+), c AS (
+  SELECT bucket, CAST(SUM(is_a) AS BIGINT) AS c_a,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS c_b
+  FROM h GROUP BY bucket
+), tt AS (
+  SELECT SUM(c_a) AS t_a, SUM(c_b) AS t_b FROM c
+)
+SELECT bucket, c_a, c_b,
+       CAST((c_a + 1) * 1000000 // (t_a + {b}) AS BIGINT) AS ppm_a,
+       CAST((c_b + 1) * 1000000 // (t_b + {b}) AS BIGINT) AS ppm_b,
+       CAST(abs((c_a + 1) * 1000000 // (t_a + {b})
+                - (c_b + 1) * 1000000 // (t_b + {b})) AS BIGINT)
+         AS l1_ppm
+FROM c, tt
+"""
+
+
+CORPUS_DRIFT = _corpus_drift_sql()
+
+# shared verbatim with operators/textstats.qa_mine (RE2-safe, no
+# lookbehind)
+_QA_SENTENCE_RE = "[^.!?]+[.!?]*"
+
+QA_MINE = f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         'What is item ' || doc_id || '? It is thing ' || doc_id
+         || '. ' || CASE WHEN doc_id % 3 = 0
+              THEN 'Why bucket ' || (doc_id % 7)
+                   || '? Because rule ' || (doc_id % 7) || '. '
+              ELSE '' END || text AS txt
+  FROM documents
+), s AS (
+  SELECT id,
+         list_transform(regexp_extract_all(txt,
+           '({_QA_SENTENCE_RE})', 1), x -> trim(x)) AS s
+  FROM d
+), p AS (
+  SELECT id,
+         list_filter(list_transform(range(1, len(s)),
+           i -> CASE WHEN s[i] LIKE '%?'
+                THEN {{'q': s[i], 'a': s[i + 1]}} END),
+           x -> x IS NOT NULL) AS ps
+  FROM s WHERE len(s) >= 2
+), e AS (
+  SELECT id, unnest(ps) AS p,
+         generate_subscripts(ps, 1) - 1 AS pair_no
+  FROM p
+)
+SELECT id, CAST(pair_no AS BIGINT) AS pair_no,
+       p.q AS question, p.a AS answer
+FROM e
+"""

@@ -82,3 +82,49 @@ def test_collocation_min_count_filter(spark):
     pairs = {r["pair"] for r in out}
     assert "x y" not in pairs  # count 2 < 3
     assert "p q" in pairs      # count 5
+
+
+def test_corpus_drift_identical_slices(spark):
+    from stirling_pdf_spark.operators.textstats import corpus_drift
+    # both slices identical text -> identical counts, l1 only from
+    # smoothing remainder (equal totals => exactly 0)
+    rows = [(i, "alpha beta gamma") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_drift(df, F.col("doc_id") % 2 == 0).collect()
+    assert all(r["c_a"] == r["c_b"] for r in out)
+    assert all(r["l1_ppm"] == 0 for r in out)
+
+
+def test_corpus_drift_detects_shift(spark):
+    from stirling_pdf_spark.operators.textstats import corpus_drift
+    rows = ([(2 * i, "aaa aaa aaa") for i in range(5)]
+            + [(2 * i + 1, "zzz zzz zzz") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_drift(df, F.col("doc_id") % 2 == 0).collect()
+    # totals 15/15, denominator 15 + 128: hot bucket ppm =
+    # 16e6 // 143, cold = 1e6 // 143; two fully-separated buckets
+    hot, cold = 16_000_000 // 143, 1_000_000 // 143
+    assert sorted((r["c_a"], r["c_b"]) for r in out) \
+        == [(0, 15), (15, 0)]
+    assert all(r["l1_ppm"] == hot - cold for r in out)
+
+
+def test_qa_mine_pairs(spark):
+    from stirling_pdf_spark.operators.textstats import qa_mine
+    rows = [
+        (0, "Intro here. What is X? X is a thing. Trailer."),
+        (1, "No questions at all. Just statements."),
+        (2, "First Q? A1. Second Q? A2."),
+        (3, "Dangling question at the end?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = qa_mine(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(
+            (r["pair_no"], r["question"], r["answer"]))
+    assert by_id[0] == [(0, "What is X?", "X is a thing.")]
+    assert 1 not in by_id
+    assert sorted(by_id[2]) == [(0, "First Q?", "A1."),
+                                (1, "Second Q?", "A2.")]
+    assert 3 not in by_id  # no successor sentence
