@@ -1365,13 +1365,15 @@ def dsir_select(df: DataFrame, k: int = 50, id_col: str = "doc_id",
     paper's Gumbel resampling (sandbox determinism; the weights and
     per-doc scores are the algorithm, the sampler is a one-line swap).
 
-    Scale shape: weights are ``n_buckets`` rows broadcast back, the
-    per-doc score is one explode + partial agg on doc_id, and only
-    the top-k (bounded) crosses the final single-partition boundary —
-    the same top-k discipline as vocab_topk. Output:
-    (rank, id, n_feats, score)."""
-    weights = dsir_weights(df, F.col(lang_col) == target_lang,
-                           text_col, n_buckets)
+    Scale shape: the corpus explodes to hashed (id, target-flag,
+    bucket) ONCE and is staged for its two consumers (weight fit +
+    per-doc scoring) — one scan, not two; weights are ``n_buckets``
+    rows broadcast back, the per-doc score is one partial agg on
+    doc_id, and only the top-k (bounded) crosses the final
+    single-partition boundary — the same top-k discipline as
+    vocab_topk. Output: (rank, id, n_feats, score)."""
+    from ..runtime.staging import stage
+
     w = words_col(text_col)
     bigrams = F.when(
         F.size(w) >= 2,
@@ -1380,17 +1382,35 @@ def dsir_select(df: DataFrame, k: int = 50, id_col: str = "doc_id",
                                            F.element_at(w, i + 2)))),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(w, bigrams)
-    per_bucket = parallelize(df).select(
-        F.col(id_col).alias("id"), F.explode(feats).alias("f"),
+    hashed = stage(parallelize(df).select(
+        F.col(id_col).alias("id"),
+        (F.col(lang_col) == target_lang).cast("long").alias("is_t"),
+        F.explode(feats).alias("f"),
     ).select(
-        "id",
+        "id", "is_t",
         (F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8),
                 16, 10).cast("long") % n_buckets).alias("bucket"),
-    ).groupBy("id", "bucket").agg(
+    ))
+    counts = hashed.groupBy("bucket").agg(
+        F.sum("is_t").cast("long").alias("c_target"),
+        F.count("*").cast("long").alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_target").cast("long").alias("t_target"),
+        F.sum("c_raw").cast("long").alias("t_raw"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.expr(f"(c_target + 1) * 1000000"
+                f" div (t_target + {n_buckets})")
+         - F.expr(f"(c_raw + 1) * 1000000"
+                  f" div (t_raw + {n_buckets})")).cast("long")
+        .alias("weight"),
+    )
+    per_bucket = hashed.groupBy("id", "bucket").agg(
         F.count("*").cast("long").alias("c"))
     scored = (
-        per_bucket.join(F.broadcast(weights.select("bucket", "weight")),
-                        "bucket")
+        per_bucket.join(F.broadcast(weights), "bucket")
         .groupBy("id")
         .agg(F.sum("c").cast("long").alias("n_feats"),
              F.sum(F.col("c") * F.col("weight")).cast("long")
@@ -1528,8 +1548,12 @@ def heavy_hitters(df: DataFrame, threshold_frac: int = 64,
     Output: (word, total, share_ppm = total * 10^6 div N)."""
     import pandas as pd
 
+    from ..runtime.staging import stage
+
     cap = capacity or 2 * threshold_frac
-    toks = parallelize(df).select(words_col(text_col).alias("w"))
+    # one corpus scan: the token arrays are staged for their three
+    # consumers (sketch pass, total count, exact candidate count)
+    toks = stage(parallelize(df).select(words_col(text_col).alias("w")))
 
     def sketch(batches):
         mg: dict[str, int] = {}
@@ -1553,9 +1577,8 @@ def heavy_hitters(df: DataFrame, threshold_frac: int = 64,
     candidates = toks.mapInPandas(sketch, "word string").distinct()
     n_total = int(
         toks.agg(F.sum(F.size("w")).alias("n")).collect()[0]["n"] or 0)
-    exploded = parallelize(df).select(
-        F.explode(words_col(text_col)).alias("word")
-    ).filter(F.col("word") != "")
+    exploded = toks.select(F.explode("w").alias("word")) \
+        .filter(F.col("word") != "")
     counted = (
         exploded.join(F.broadcast(candidates), "word")
         .groupBy("word")
@@ -1588,8 +1611,11 @@ def collocation_lift_topk(df: DataFrame, k: int = 25,
     product c_ab * N is the overflow ceiling (~10^18 at 10^12-token
     corpora); re-scale the constant at larger N. Output:
     (rank, pair, c_ab, lift_x1000)."""
+    from ..runtime.staging import stage
+
     w = words_col(text_col)
-    toks = parallelize(df).select(w.alias("w"))
+    # staged: three consumers (unigrams, bigrams, token total)
+    toks = stage(parallelize(df).select(w.alias("w")))
     uni = (
         toks.select(F.explode("w").alias("word"))
         .filter(F.col("word") != "")
