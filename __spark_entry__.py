@@ -4585,6 +4585,50 @@ def q_qa_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa_mine(docs)
 
 
+def q_dedup_global_sentences(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus-global sentence boilerplate removal (the C4/CCNet rule
+    at corpus scope): planted universal boilerplate (df=500) and a
+    df~167 banner must vanish from every doc, the df=2 pair note and
+    each doc's unique body must survive — sentence-universe agg +
+    key join + per-doc reassembly
+    (operators/dedup.dedup_global_sentences)."""
+    from stirling_pdf_spark.operators.dedup import (
+        dedup_global_sentences,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    txt = F.concat(
+        F.lit("All rights reserved. Pair note "),
+        F.floor(n / 2).cast("long").cast("string"), F.lit(". "),
+        F.when(n % 3 == 0, F.lit("Subscribe to our newsletter. "))
+        .otherwise(F.lit("")),
+        F.col("text"),
+    )
+    docs = base.select("doc_id", txt.alias("text"))
+    return dedup_global_sentences(docs)
+
+
+def q_corpus_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 version history across two derived snapshots
+    (changed / removed / added docs all present by construction):
+    one full-outer hash join, branch rows with closed-form validity
+    intervals — snapshot_diff's materialized-history sibling
+    (operators/validate.scd2_history)."""
+    from stirling_pdf_spark.operators.validate import scd2_history
+
+    base = read_table(spark, sf_dir, "documents")
+    n = F.col("doc_id")
+    old = base.filter(n % 13 != 0).select("doc_id", "text")
+    new = base.select(
+        F.when(n % 11 == 0, n + 100000).otherwise(n).alias("doc_id"),
+        F.when(n % 7 == 0, F.concat(F.lit("REV2 "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return scd2_history(old, new)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4808,6 +4852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": q_script_detect,
         "corpus_drift": q_corpus_drift,
         "qa_mine": q_qa_mine,
+        "dedup_global_sentences": q_dedup_global_sentences,
+        "corpus_scd2": q_corpus_scd2,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -5123,6 +5169,8 @@ def oracle_sql() -> dict[str, str]:
         "script_detect": O.SCRIPT_DETECT,
         "corpus_drift": O.CORPUS_DRIFT,
         "qa_mine": O.QA_MINE,
+        "dedup_global_sentences": O.DEDUP_GLOBAL_SENTENCES,
+        "corpus_scd2": O.CORPUS_SCD2,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -208,6 +208,8 @@ BENCH_QUERIES = (
     "script_detect",
     "corpus_drift",
     "qa_mine",
+    "dedup_global_sentences",
+    "corpus_scd2",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -1061,3 +1061,49 @@ def normalized_exact_dedup(df: DataFrame, id_col: str = "doc_id",
         .select("id", "canonical_id", "group_size", "is_dup",
                 F.col("content_key").alias("norm_key_md5"))
     )
+
+
+def dedup_global_sentences(df: DataFrame, max_df: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Corpus-global sentence boilerplate removal — the C4/CCNet rule
+    applied at sentence granularity across the WHOLE corpus (not
+    within documents, which dedup_paragraphs covers): any sentence
+    whose exact text occurs in more than ``max_df`` documents is
+    boilerplate (cookie banners, footers, licence blurbs) and is
+    dropped from every document; survivors reassemble in original
+    order.
+
+    Scale shape: sentences explode once, aggregate onto the DISTINCT
+    sentence universe (vocabulary-sized, partial-agg'd), the
+    over-limit set joins back on the sentence key, and one groupBy
+    per doc reassembles — two content-keyed exchanges total, no
+    windows. Output: (id, n_sentences, n_kept, text_clean)."""
+    # the RE2-safe sentence chunker shared with textstats.qa_mine
+    from .textstats import _SENTENCE_RE
+
+    sents = F.expr(
+        f"transform(regexp_extract_all({text_col},"
+        f" '({_SENTENCE_RE})', 1), s -> trim(s))")
+    exploded = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sents).alias("pos", "sent"),
+    )
+    # document frequency per distinct sentence (count each doc once)
+    docfreq = exploded.select("id", "sent").distinct() \
+        .groupBy("sent").agg(F.count("*").cast("long").alias("df"))
+    boiler = docfreq.filter(F.col("df") > max_df).select("sent")
+    kept = exploded.join(boiler.withColumn("_b", F.lit(1)),
+                         "sent", "left") \
+        .withColumn("_keep", F.col("_b").isNull())
+    return kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum(F.col("_keep").cast("long")).cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_keep"),
+                           F.struct("pos", "sent")))),
+                lambda s: s["sent"]), " ").alias("text_clean"),
+    )

@@ -98,3 +98,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
         .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed")))
     return j.select("doc_id", status.alias("status"))
+
+
+def scd2_history(old: DataFrame, new: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Slowly-changing-dimension type-2 history across two snapshots —
+    snapshot_diff's sibling that MATERIALIZES the versioned table a
+    warehouse keeps (one row per document version, validity interval
+    as snapshot numbers, current flag):
+
+      unchanged -> one open v1 row;   changed -> closed v1 + open v2;
+      removed   -> closed v1;         added   -> open v2.
+
+    Same single full-outer hash join as snapshot_diff, then each
+    branch emits its rows with closed-form columns — no windows, no
+    extra shuffle (the union branches reuse the join output).
+    Output: (doc_id, version, content_hash, valid_from, valid_to
+    — NULL while open, is_current int)."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col).cast("binary")).alias("h_old"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col).cast("binary")).alias("h_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    ho, hn = F.col("h_old"), F.col("h_new")
+    changed = ho.isNotNull() & hn.isNotNull() & (ho != hn)
+    v1 = j.filter(ho.isNotNull()).select(
+        "doc_id", F.lit(1).cast("long").alias("version"),
+        ho.alias("content_hash"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.when(changed | hn.isNull(), F.lit(2)).cast("long")
+        .alias("valid_to"),
+        F.when(changed | hn.isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("is_current"),
+    )
+    v2 = j.filter(changed | ho.isNull()).select(
+        "doc_id", F.lit(2).cast("long").alias("version"),
+        hn.alias("content_hash"),
+        F.lit(2).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    return v1.unionByName(v2)

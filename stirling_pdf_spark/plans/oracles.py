@@ -6379,3 +6379,71 @@ SELECT id, CAST(pair_no AS BIGINT) AS pair_no,
        p.q AS question, p.a AS answer
 FROM e
 """
+
+
+DEDUP_GLOBAL_SENTENCES = f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         'All rights reserved. Pair note ' || (doc_id // 2) || '. '
+         || CASE WHEN doc_id % 3 = 0
+                 THEN 'Subscribe to our newsletter. ' ELSE '' END
+         || text AS txt
+  FROM documents
+), d AS (
+  SELECT id, list_transform(regexp_extract_all(txt,
+           '({_QA_SENTENCE_RE})', 1), x -> trim(x)) AS s
+  FROM src
+), e AS (
+  SELECT id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS sent
+  FROM d
+), dft AS (
+  SELECT sent, CAST(count(DISTINCT id) AS BIGINT) AS df
+  FROM e GROUP BY sent
+), k AS (
+  SELECT e.id, e.pos, e.sent, (dft.df > 2) AS boiler
+  FROM e JOIN dft USING (sent)
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN sent END,
+                           ' ' ORDER BY pos), '') AS text_clean
+FROM k GROUP BY id
+"""
+
+
+# mirrors q_corpus_scd2's derived snapshots: old = docs with
+# doc_id % 13 != 0; new = text rewritten for doc_id % 7 == 0, ids
+# shifted +100000 for doc_id % 11 == 0 (additions), % 13 == 0 rows
+# present only in new's base (removals come from old-only rows)
+CORPUS_SCD2 = """
+WITH o AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0
+), nsrc AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 100000
+              ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'REV2 ' || text
+              ELSE text END AS text
+  FROM documents
+), n AS (SELECT doc_id, md5(text) AS h FROM nsrc),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.h AS h_old, n.h AS h_new
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+), v1 AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS version,
+         h_old AS content_hash, CAST(1 AS BIGINT) AS valid_from,
+         CASE WHEN h_new IS NULL OR h_old <> h_new
+              THEN CAST(2 AS BIGINT) END AS valid_to,
+         CAST(CASE WHEN h_new IS NULL OR h_old <> h_new
+              THEN 0 ELSE 1 END AS INTEGER) AS is_current
+  FROM j WHERE h_old IS NOT NULL
+), v2 AS (
+  SELECT doc_id, CAST(2 AS BIGINT), h_new, CAST(2 AS BIGINT),
+         CAST(NULL AS BIGINT),
+         CAST(1 AS INTEGER)
+  FROM j WHERE h_old IS NULL
+     OR (h_new IS NOT NULL AND h_old <> h_new)
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+"""

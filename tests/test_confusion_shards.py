@@ -139,3 +139,46 @@ def test_length_percentiles_closed_form(spark):
     assert out[50]["value"] == 5 and out[50]["target_rank"] == 5
     assert out[90]["value"] == 9
     assert out[99]["value"] == 10
+
+
+def test_dedup_global_sentences_rule(spark):
+    from stirling_pdf_spark.operators.dedup import (
+        dedup_global_sentences,
+    )
+    rows = [
+        (0, "Common footer. Unique zero."),
+        (1, "Common footer. Unique one."),
+        (2, "Common footer. Unique two."),
+        (3, "Rare pair. Unique three."),
+        (4, "Rare pair. Unique four."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r
+           for r in dedup_global_sentences(df, max_df=2).collect()}
+    # footer in 3 docs > 2 -> dropped everywhere
+    assert out[0]["text_clean"] == "Unique zero."
+    assert out[0]["n_sentences"] == 2 and out[0]["n_kept"] == 1
+    # pair in exactly 2 docs -> kept
+    assert out[3]["text_clean"] == "Rare pair. Unique three."
+    assert out[3]["n_kept"] == 2
+
+
+def test_scd2_history_branches(spark):
+    from stirling_pdf_spark.operators.validate import scd2_history
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id long, text string")
+    rows = sorted(scd2_history(old, new).collect(),
+                  key=lambda r: (r["doc_id"], r["version"]))
+    as_tuples = [(r["doc_id"], r["version"], r["valid_from"],
+                  r["valid_to"], r["is_current"]) for r in rows]
+    assert as_tuples == [
+        (1, 1, 1, None, 1),   # unchanged: open v1
+        (2, 1, 1, 2, 0),      # changed: closed v1
+        (2, 2, 2, None, 1),   # changed: open v2
+        (3, 1, 1, 2, 0),      # removed: closed v1
+        (4, 2, 2, None, 1),   # added: open v2
+    ]
