@@ -4629,6 +4629,16 @@ def q_corpus_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(old, new)
 
 
+def q_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-cloze-task contrastive pairs (Lee et al. 2019): query =
+    chunk i, positive = the adjacent chunk, negative = the id-XOR-1
+    partner's first chunk — map-only chunk math + one id-keyed join
+    (operators/retrieval.ict_pairs)."""
+    from stirling_pdf_spark.operators.retrieval import ict_pairs
+
+    return ict_pairs(read_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract ordered spans for every document in the
     sf0.001 corpus and aggregate span counts per (doc, kind)."""
@@ -4854,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_mine": q_qa_mine,
         "dedup_global_sentences": q_dedup_global_sentences,
         "corpus_scd2": q_corpus_scd2,
+        "ict_pairs": q_ict_pairs,
         # r5 fourth session: ann_ivf_topk yielded its slot to
         # multimodal_decode_errors (r4 driver-green, unchanged; ANN
         # siblings nprobe3/pq/ivfpq in-window)
@@ -5171,6 +5182,7 @@ def oracle_sql() -> dict[str, str]:
         "qa_mine": O.QA_MINE,
         "dedup_global_sentences": O.DEDUP_GLOBAL_SENTENCES,
         "corpus_scd2": O.CORPUS_SCD2,
+        "ict_pairs": O.ICT_PAIRS,
         "bpe_pair_counts": O.BPE_PAIR_COUNTS,
         "bpe_train_table": O.BPE_TRAIN_TABLE,
         "bpe_encode_tokens": O.BPE_ENCODE_TOKENS,

@@ -210,6 +210,7 @@ BENCH_QUERIES = (
     "qa_mine",
     "dedup_global_sentences",
     "corpus_scd2",
+    "ict_pairs",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

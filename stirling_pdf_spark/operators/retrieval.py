@@ -254,3 +254,39 @@ def section_chunks(df: DataFrame, id_col: str = "doc_id",
         (F.dense_rank().over(idx) - 1).cast("long").alias("section_idx"),
         "breadcrumb", "n_lines", "chunk_text",
     )
+
+
+def ict_pairs(df: DataFrame, max_len: int = 128, overlap: int = 32,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Inverse-cloze-task contrastive pairs (Lee et al. 2019,
+    arXiv:1906.00300 — the standard self-supervised retrieval
+    pre-training recipe): each document chunks into fixed-stride
+    windows; (query = chunk i, positive = chunk i+1) for every
+    adjacent pair, negative = the FIRST chunk of the document's
+    id-XOR-1 partner (a deterministic cross-document draw — documents
+    without a partner in the corpus drop, keeping the join inner and
+    the recipe closed-form).
+
+    Scale shape: chunking is map-only column math; the only shuffle
+    is the partner equi-join on the id key. Output:
+    (id, pair_no, query, positive, negative)."""
+    from ..kernel.chunker import chunk_text_windows
+
+    chunks = parallelize(df).select(
+        F.col(id_col).alias("id"),
+        chunk_text_windows(F.col(text_col), max_len, overlap)
+        .alias("c"),
+    )
+    pairs = chunks.filter(F.size("c") >= 2).select(
+        "id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(c) - 2), i ->"
+            " struct(cast(i as long) as pair_no,"
+            " c[i] as query, c[i + 1] as positive))")).alias("p"),
+        F.expr("id ^ 1").alias("partner"),
+    ).select("id", "partner", "p.pair_no", "p.query", "p.positive")
+    negs = chunks.select(F.col("id").alias("partner"),
+                         F.expr("c[0]").alias("negative"))
+    return pairs.join(negs, "partner").select(
+        "id", "pair_no", "query", "positive", "negative")

@@ -6447,3 +6447,27 @@ j AS (
 )
 SELECT * FROM v1 UNION ALL SELECT * FROM v2
 """
+
+
+ICT_PAIRS = """
+WITH d AS (
+  SELECT doc_id AS id, text,
+         CAST(ceil(GREATEST(length(text) - 32, 1) / 96.0) AS BIGINT)
+           AS n
+  FROM documents
+), c AS (
+  SELECT id,
+         list_transform(range(0, n),
+           i -> substr(text, CAST(i * 96 + 1 AS BIGINT), 128)) AS c
+  FROM d
+), p AS (
+  SELECT id, xor(id, 1) AS partner,
+         CAST(u.i AS BIGINT) AS pair_no,
+         c[CAST(u.i + 1 AS INTEGER)] AS query,
+         c[CAST(u.i + 2 AS INTEGER)] AS positive
+  FROM c, unnest(range(0, len(c) - 1)) AS u(i)
+  WHERE len(c) >= 2
+), g AS (SELECT id AS partner, c[1] AS negative FROM c)
+SELECT p.id, p.pair_no, p.query, p.positive, g.negative
+FROM p JOIN g USING (partner)
+"""

@@ -182,3 +182,25 @@ def test_scd2_history_branches(spark):
         (3, 1, 1, 2, 0),      # removed: closed v1
         (4, 2, 2, None, 1),   # added: open v2
     ]
+
+
+def test_ict_pairs_structure(spark):
+    from stirling_pdf_spark.operators.retrieval import ict_pairs
+    # 300-char docs, 128/32 windows -> stride 96, n = ceil(268/96) = 3
+    rows = [(0, "a" * 300), (1, "b" * 300), (2, "c" * 300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ict_pairs(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # doc 2's partner (3) is absent -> its pairs drop
+    assert set(by_id) == {0, 1}
+    # 3 chunks -> 2 adjacent pairs each
+    assert len(by_id[0]) == 2 and len(by_id[1]) == 2
+    r = sorted(by_id[0], key=lambda r: r["pair_no"])[0]
+    assert r["query"] == "a" * 128
+    assert r["positive"] == "a" * 128      # chunk at offset 96
+    assert r["negative"] == "b" * 128      # partner 1's first chunk
+    # pair 1's positive is the short tail chunk
+    r1 = sorted(by_id[0], key=lambda r: r["pair_no"])[1]
+    assert len(r1["positive"]) == 300 - 2 * 96
