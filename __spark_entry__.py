@@ -262,6 +262,82 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(read_table(spark, sf_dir, "documents"))
 
 
+def q_compare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare tool (frontend utils/textDiff.ts:21-56 diffWords) over
+    base vs revised corpus snapshots: both sides run the REAL
+    extraction pipeline, reassemble each document's text, and the
+    word-LCS diff rolls up per doc (counts + sorted removed/added
+    joins).  Docs under 18 words carry no planted edits and are
+    filtered on both sides."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_compare_rev_from_documents,
+    )
+    from stirling_pdf_spark.operators.compare import compare_summary
+
+    _ship_package(spark)
+
+    def assembled(docs: DataFrame) -> DataFrame:
+        flat = explode_spans(extract_spans(docs)).filter(
+            F.col("kind") == "text")
+        return flat.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("order", "text"))),
+                    lambda s: s["text"]),
+                "\n").alias("text"))
+
+    base = assembled(docs_from_documents_table(spark, sf_dir)).filter(
+        F.size(F.split(F.col("text"), r"\s+")) >= 18)
+    rev = assembled(docs_compare_rev_from_documents(spark, sf_dir))
+    return compare_summary(base, rev)
+
+
+def q_compare_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pane change-navigation groups (useCompareHighlights.ts:
+    28-69 buildWordChanges) over a unique-token corpus whose planted
+    edits exercise 1->2 substitution, multi-token deletion, a
+    ','-leading insertion label and an adjacent substitute+insert run
+    — the Spark side runs the real LCS + grouping kernel, the oracle
+    states the closed-form groups."""
+    from stirling_pdf_spark.operators.compare import compare_changes
+
+    _ship_package(spark)
+    toked = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.col("doc_id").cast("string").alias("ds"),
+        F.col("doc_id").alias("d"),
+    ).select(
+        "doc_id", "ds",
+        F.expr("transform(sequence(0, 23 + cast(d % 7 as int)),"
+               " i -> concat('tok', ds, '_', cast(i as string)))")
+        .alias("toks"))
+    rev = F.expr(
+        "concat(slice(toks, 1, 3),"
+        " array(concat('ALPHA', ds), concat('BETA', ds)),"
+        " slice(toks, 5, 4), slice(toks, 11, 3),"
+        " array(',', concat('YES', ds)),"
+        " slice(toks, 14, 4),"
+        " array(concat('GAMMA', ds), concat('DELTA', ds)),"
+        " slice(toks, 19, size(toks) - 18))")
+    base_df = toked.select(
+        "doc_id", F.array_join("toks", " ").alias("text"))
+    rev_df = toked.select(
+        "doc_id", F.array_join(rev, " ").alias("text"))
+    return compare_changes(base_df, rev_df)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
+    and the exact-cosine top-20 (integer 1e9 // (60 + rank)
+    contributions), top-10 per query — the standard sparse+dense
+    merge of a RAG / decontamination lookup stage."""
+    from stirling_pdf_spark.operators.retrieval import rrf_fusion
+
+    return rrf_fusion(read_table(spark, sf_dir, "documents"),
+                      read_table(spark, sf_dir, "embeddings"))
+
+
 def q_auto_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-redact (RedactController.java:130-209): newline-separated
     term list -> one multi-pattern scan -> equal-length masks, driven
@@ -4652,10 +4728,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r1/r2 CORRECTNESS files, unchanged since) rotate past the
     window but stay registered for scripts/check_queries.py."""
     return {
-        # --- NEWEST gates (r5 continuation session, never had a
-        # driver row): pdf->csv export (ExtractCSVController parity),
-        # /analysis/font-info, URL canonicalization, mojibake repair,
-        # aHash visual near-dup
+        # --- NEWEST gates (r5 ninth session, never had a driver
+        # row): compare tool parity (word-LCS diff + per-pane change
+        # groups, frontend textDiff.ts/useCompareHighlights.ts) and
+        # sparse+dense reciprocal-rank fusion
+        "compare_docs": q_compare_docs,
+        "compare_changes": q_compare_changes,
+        "rrf_fusion": q_rrf_fusion,
+        # --- r5 continuation session gates: pdf->csv export
+        # (ExtractCSVController parity), /analysis/font-info, URL
+        # canonicalization, mojibake repair, aHash visual near-dup
         "extract_csv": q_extract_csv,
         "to_xlsx": q_to_xlsx,
         "analysis_font_info": q_analysis_font_info,
@@ -5081,6 +5163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "compare_docs": O.COMPARE_DOCS,
+        "compare_changes": O.COMPARE_CHANGES,
+        "rrf_fusion": O.RRF_FUSION,
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,

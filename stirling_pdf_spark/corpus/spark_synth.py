@@ -199,6 +199,29 @@ def docs_redact_from_documents(spark: SparkSession,
     return _derive_docs(spark, sf_dir, derive)
 
 
+def docs_compare_rev_from_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Revised-snapshot corpus for the compare gates: documents with
+    >= 18 words get three isolated word edits — substitute index 5
+    with REVTOK<d>, delete index 11, insert INSTOK<d> after index 17
+    (0-based, original indices).  The planted tokens are uppercase so
+    they cannot collide with the all-lowercase corpus vocabulary,
+    which pins the diff's per-type token multisets closed-form
+    (removed = {w5, w11}, added = {REVTOK<d>, INSTOK<d>}); shorter
+    documents pass through unedited and the gate filters them out on
+    both sides."""
+
+    def derive(doc_id: str, text: str):
+        num = doc_id.rsplit("-", 1)[-1]
+        w = text.split()
+        if len(w) >= 18:
+            w = (w[:5] + [f"REVTOK{num}"] + w[6:11] + w[12:18]
+                 + [f"INSTOK{num}"] + w[18:])
+        return synth_from_text(doc_id, " ".join(w))
+
+    return _derive_docs(spark, sf_dir, derive)
+
+
 def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Info-dict dates/title + encryption block + AcroForm fields
     (E16 form-field analysis, E17 security info, S1 comparators)."""

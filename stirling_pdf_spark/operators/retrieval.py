@@ -98,6 +98,60 @@ def bm25_topk(df: DataFrame,
     )
 
 
+# (bm25 query id, dense query vec id) pairs fused per query number —
+# dense ids chosen from the embeddings table's id space
+RRF_DENSE_IDS: tuple[int, ...] = (7, 21, 42)
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000  # integer-exact 1/(k + rank) via floor div
+
+
+def rrf_fusion(docs: DataFrame, emb: DataFrame, k: int = 10,
+               pool: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion of sparse (BM25) and dense (cosine)
+    rankings — the standard hybrid-retrieval merge (Cormack, Clarke &
+    Buettcher 2009): score(d) = sum over lists of 1 / (60 + rank_d),
+    carried as RRF_SCALE // (60 + rank) so both engines agree
+    bit-for-bit.  Query number i fuses BM25 query ``q{i}`` with dense
+    query vector RRF_DENSE_IDS[i]; both id spaces are the 0..N-1
+    synthetic corpus ids, the realistic shape where the embedding of
+    doc d indexes the same document d.
+
+    Scale shape: both inputs are already top-``pool`` lists (bounded
+    at queries x pool rows), so the fusion itself — one union, one
+    (query, doc) partial agg, one per-query window — never touches
+    the corpus again.  The expensive parts are the two upstream
+    retrieval stages, each already documented (bm25_topk /
+    cosine_topk).
+
+    Output: (query_no, rank, doc_id, rrf_x1e9, n_lists) — rank 1..k
+    by fused score desc then doc_id asc; n_lists counts how many of
+    the two rankings surfaced the doc (the hybrid-overlap
+    diagnostic)."""
+    from .similarity import cosine_topk
+
+    sparse = bm25_topk(docs, k=pool).select(
+        F.expr("cast(substring(query_id, 2) as long)").alias("query_no"),
+        F.col("doc_id"), F.col("rank"))
+    dense_map = {vid: i for i, vid in enumerate(RRF_DENSE_IDS)}
+    dense = cosine_topk(emb, list(RRF_DENSE_IDS), k=pool).select(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in dense_map.items()
+                           for x in kv]),
+            F.col("query_id").cast("int")).cast("long").alias("query_no"),
+        F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+    both = sparse.unionByName(dense).select(
+        "query_no", "doc_id",
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + rank)").alias("contrib"))
+    fused = both.groupBy("query_no", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("rrf_x1e9"),
+        F.count("*").cast("long").alias("n_lists"))
+    w = Window.partitionBy("query_no").orderBy(
+        F.desc("rrf_x1e9"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_no", "rank", "doc_id", "rrf_x1e9", "n_lists"))
+
+
 def mmr_topk(df: DataFrame, query_ids: list[int], k: int = 5,
              pool: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -3414,7 +3414,7 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 10) -> str:
     """Integer-exact Okapi BM25 with the rational IDF surrogate
     (operators/retrieval.bm25_topk): k1 = 1.2 / b = 0.75 as x10/x100
     integers, every division a positive floor div."""
@@ -3468,7 +3468,7 @@ j AS (
   FROM s
 )
 SELECT query_id, rank, id AS doc_id, score_x1e6
-FROM r WHERE rank <= 10
+FROM r WHERE rank <= {k}
 """
 
 
@@ -6471,3 +6471,105 @@ WITH d AS (
 SELECT p.id, p.pair_no, p.query, p.positive, g.negative
 FROM p JOIN g USING (partner)
 """
+
+# ------------------------------------------------------- compare / fusion
+
+# compare tool (frontend utils/textDiff.ts + useCompareHighlights.ts)
+# over (base corpus, revised corpus with the three planted edits from
+# docs_compare_rev_from_documents): the per-type token multisets are
+# closed-form — any maximum common subsequence excludes exactly one
+# copy each of w[5] and w[11] (the uppercase planted tokens cannot
+# match the lowercase vocabulary), so the sorted joins are exact.
+COMPARE_DOCS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS VARCHAR) AS num,
+         string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT did AS doc_id,
+       CAST(len(w) - 2 AS BIGINT) AS n_unchanged,
+       CAST(2 AS BIGINT) AS n_removed,
+       CAST(2 AS BIGINT) AS n_added,
+       array_to_string(list_sort([w[6], w[12]]), ' ') AS removed_sorted,
+       'INSTOK' || num || ' REVTOK' || num AS added_sorted
+FROM d WHERE len(w) >= 18
+"""
+
+# buildWordChanges parity over the unique-token corpus (q_compare_changes
+# derives base tokens tok<d>_i, i < 24 + d%7, and the revised stream with
+# a 1->2 substitution at t3, a 2-token deletion at t8..t9, a 2-token
+# insertion after t12 exercising the ','-leading label, and a
+# substitution+insertion at t17): every token is unique, so the runs
+# and their pane positions are closed-form.
+COMPARE_CHANGES = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS VARCHAR) AS n
+  FROM documents
+), g(pane, gi, first_pos, last_pos, tmpl, n_tokens) AS (VALUES
+  ('base', 0, 3, 3, 'tok#_3', 1),
+  ('base', 1, 8, 9, 'tok#_8 tok#_9', 2),
+  ('base', 2, 17, 17, 'tok#_17', 1),
+  ('comparison', 0, 3, 4, 'ALPHA# BETA#', 2),
+  ('comparison', 1, 12, 13, ', YES#', 2),
+  ('comparison', 2, 18, 19, 'GAMMA# DELTA#', 2))
+SELECT did AS doc_id, pane,
+       CAST(gi AS BIGINT) AS group_idx,
+       pane || '-group-t' || CAST(first_pos AS VARCHAR)
+            || '-t' || CAST(last_pos AS VARCHAR) AS group_id,
+       CAST(first_pos AS BIGINT) AS first_pos,
+       CAST(last_pos AS BIGINT) AS last_pos,
+       replace(tmpl, '#', n) AS label,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM d CROSS JOIN g
+"""
+
+
+def _rrf_sql(pool: int = 20, k: int = 10) -> str:
+    """Reciprocal-rank fusion (operators/retrieval.rrf_fusion): BM25
+    top-pool for q0..q2 fused with cosine top-pool for dense query
+    vectors 7/21/42, integer contributions 1e9 // (60 + rank)."""
+    return f"""
+WITH sparse AS (
+  SELECT CAST(substr(query_id, 2) AS BIGINT) AS query_no,
+         doc_id, rank
+  FROM ({_bm25_sql(pool)}) s
+), e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+q AS (SELECT id AS qid, v AS qv,
+             CASE id WHEN 7 THEN 0 WHEN 21 THEN 1 ELSE 2 END AS query_no
+      FROM e WHERE id IN (7, 21, 42)),
+sc AS (
+  SELECT query_no, id,
+         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
+           * sqrt(list_dot_product(v, v))) AS c
+  FROM q, e WHERE id <> qid
+),
+dense AS (
+  SELECT query_no, id AS doc_id,
+         row_number() OVER (PARTITION BY query_no
+                            ORDER BY c DESC, id ASC) AS rank
+  FROM sc QUALIFY rank <= {pool}
+),
+merged AS (
+  SELECT query_no, doc_id, 1000000000 // (60 + rank) AS contrib
+  FROM sparse
+  UNION ALL
+  SELECT query_no, doc_id, 1000000000 // (60 + rank) FROM dense
+),
+fused AS (
+  SELECT query_no, doc_id,
+         CAST(SUM(contrib) AS BIGINT) AS rrf_x1e9,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM merged GROUP BY query_no, doc_id
+)
+SELECT query_no,
+       CAST(row_number() OVER (PARTITION BY query_no
+            ORDER BY rrf_x1e9 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, rrf_x1e9, n_lists
+FROM fused QUALIFY rank <= {k}
+"""
+
+
+RRF_FUSION = _rrf_sql()
