@@ -327,6 +327,70 @@ def q_compare_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compare_changes(base_df, rev_df)
 
 
+def q_html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured HTML table mining: each document's words become a
+    4-row table (header row, colspan=2 row) plus a second one-row
+    table, and the REAL kernel/html_tables.py parser extracts
+    positioned cells; the oracle states the closed-form layout."""
+    import pandas as pd
+
+    from stirling_pdf_spark.functions.html import html_table_cells
+
+    _ship_package(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.col("text"))
+
+    def build(batches):
+        for pdf in batches:
+            htmls = []
+            for text in pdf["text"]:
+                w = (text or "").split()
+                g = lambda i: w[i % len(w)]  # noqa: E731
+                htmls.append(
+                    "<html><body><table>"
+                    f"<tr><th>{g(0)}</th><th>{g(1)}</th><th>{g(2)}</th></tr>"
+                    f"<tr><td>{g(3)}</td><td>{g(4)}</td><td>{g(5)}</td></tr>"
+                    f'<tr><td colspan="2">{g(6)}</td><td>{g(7)}</td></tr>'
+                    f"<tr><td>{g(8)}</td><td>{g(9)}</td><td>{g(10)}</td></tr>"
+                    "</table><p>prose between tables</p>"
+                    f"<table><tr><td>{g(1)}</td><td>{g(2)}</td></tr></table>"
+                    "</body></html>")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    html_df = docs.mapInPandas(build, "doc_id string, html string")
+    return html_table_cells(html_df)
+
+
+def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS <item> ingestion (feed_entries): per-doc synthetic feed
+    with 2 + d%3 linked items, pubDate on even positions, and a
+    trailing link-less item that must drop — built JVM-side, parsed
+    by the pure-regexp operator."""
+    from stirling_pdf_spark.functions.html import feed_entries
+
+    feeds = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("ex"), F.col("doc_id").cast("string"))
+        .alias("domain"),
+        F.col("doc_id").alias("d"),
+        F.col("doc_id").cast("string").alias("ds"),
+        F.split(F.col("text"), " ").alias("w"),
+    ).select(
+        "domain",
+        F.expr(
+            "concat(concat_ws('', transform(sequence(0, cast(1 + d % 3"
+            " as int)), i -> concat('<item><title>item ',"
+            " element_at(w, cast(i % size(w) as int) + 1),"
+            " '</title><link>https://ex', ds, '.com/p',"
+            " cast(i as string), '</link>',"
+            " case when i % 2 = 0 then"
+            " concat('<pubDate>day', cast(i as string), '</pubDate>')"
+            " else '' end, '</item>'))),"
+            " '<item><title>nolink</title></item>')").alias("feed_xml"))
+    return feed_entries(feeds)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
     and the exact-cosine top-20 (integer 1e9 // (60 + rank)
@@ -4735,6 +4799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_docs": q_compare_docs,
         "compare_changes": q_compare_changes,
         "rrf_fusion": q_rrf_fusion,
+        "html_table_extract": q_html_table_extract,
+        "feed_ingest": q_feed_ingest,
         # --- r5 continuation session gates: pdf->csv export
         # (ExtractCSVController parity), /analysis/font-info, URL
         # canonicalization, mojibake repair, aHash visual near-dup
@@ -5166,6 +5232,8 @@ def oracle_sql() -> dict[str, str]:
         "compare_docs": O.COMPARE_DOCS,
         "compare_changes": O.COMPARE_CHANGES,
         "rrf_fusion": O.RRF_FUSION,
+        "html_table_extract": O.HTML_TABLE_EXTRACT,
+        "feed_ingest": O.FEED_INGEST,
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,

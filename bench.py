@@ -211,6 +211,12 @@ BENCH_QUERIES = (
     "dedup_global_sentences",
     "corpus_scd2",
     "ict_pairs",
+    # r5 ninth session
+    "compare_docs",
+    "compare_changes",
+    "rrf_fusion",
+    "html_table_extract",
+    "feed_ingest",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

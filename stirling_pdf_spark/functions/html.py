@@ -336,6 +336,70 @@ def sitemap_entries(sitemaps, domain_col: str = "domain",
     )
 
 
+def html_table_cells(df, id_col: str = "doc_id", html_col: str = "html"):
+    """Structured <table> extraction over an HTML corpus — positioned
+    (table, row, col) cells via the kernel/html_tables.py parser (the
+    web-markup sibling of the PDF lattice/stream table detectors;
+    colspan advances the cursor, rowspan ignored, nested tables bind
+    cells to the innermost context — the kernel's documented subset).
+
+    Scale shape: one Arrow-batched mapInPandas straight off the scan —
+    map-only, per-doc cost linear in HTML length, no shuffle. Output:
+    (id, table_idx, row_idx, col_idx, is_header, colspan, cell_text).
+    """
+    import pandas as pd
+
+    from ..kernel.html_tables import extract_table_cells
+
+    schema = ("id string, table_idx long, row_idx long, col_idx long, "
+              "is_header boolean, colspan long, cell_text string")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                for t, r, c, hdr, span, text in extract_table_cells(
+                        html or ""):
+                    rows.append((did, t, r, c, hdr, span, text))
+            yield pd.DataFrame(rows, columns=[
+                "id", "table_idx", "row_idx", "col_idx", "is_header",
+                "colspan", "cell_text"])
+
+    return df.select(id_col, html_col).mapInPandas(gen, schema)
+
+
+def feed_entries(feeds, domain_col: str = "domain",
+                 xml_col: str = "feed_xml"):
+    """RSS 2.0 <item> ingestion — the push-discovery sibling of
+    sitemap_entries (same crawler stage, same pure-regexp shape):
+    every <item> in document order with its <title>, <link> and
+    optional <pubDate>. Items without a <link> drop (nothing to
+    fetch). No Python, no shuffle.
+
+    Output: (domain, pos, title, link, pub_date — NULL when absent).
+    """
+    from pyspark.sql import functions as F
+
+    items = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<item>(.*?)</item>"), 1)
+    title = F.regexp_extract(F.col("item"), r"<title>([^<]*)</title>", 1)
+    link = F.regexp_extract(F.col("item"), r"<link>([^<]*)</link>", 1)
+    pub = F.regexp_extract(F.col("item"),
+                           r"<pubDate>([^<]*)</pubDate>", 1)
+    return (
+        feeds.select(F.col(domain_col).alias("domain"),
+                     items.alias("items"))
+        .select("domain", F.posexplode("items").alias("pos", "item"))
+        .select(
+            "domain", F.col("pos").cast("long").alias("pos"),
+            F.when(title != "", title).alias("title"),
+            link.alias("link"),
+            F.when(pub != "", pub).alias("pub_date"),
+        )
+        .filter(F.col("link") != "")
+    )
+
+
 def crawl_schedule(urls, delay_ms: int = 1000,
                    domain_col: str = "domain",
                    id_col: str = "url_id"):

@@ -6573,3 +6573,47 @@ FROM fused QUALIFY rank <= {k}
 
 
 RRF_FUSION = _rrf_sql()
+
+# Structured <table> extraction: q_html_table_extract builds, per doc,
+# a 4-row header+colspan table plus a second 1-row table from the
+# document's word list (g(i) = w[i mod n]) and REALLY parses it with
+# kernel/html_tables.py; the oracle states the closed-form cells.
+HTML_TABLE_EXTRACT = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         string_split(text, ' ') AS w
+  FROM documents
+), g(ti, ri, ci, hdr, span, widx) AS (VALUES
+  (0, 0, 0, true, 1, 0), (0, 0, 1, true, 1, 1), (0, 0, 2, true, 1, 2),
+  (0, 1, 0, false, 1, 3), (0, 1, 1, false, 1, 4), (0, 1, 2, false, 1, 5),
+  (0, 2, 0, false, 2, 6), (0, 2, 2, false, 1, 7),
+  (0, 3, 0, false, 1, 8), (0, 3, 1, false, 1, 9), (0, 3, 2, false, 1, 10),
+  (1, 0, 0, false, 1, 1), (1, 0, 1, false, 1, 2))
+SELECT id,
+       CAST(ti AS BIGINT) AS table_idx,
+       CAST(ri AS BIGINT) AS row_idx,
+       CAST(ci AS BIGINT) AS col_idx,
+       hdr AS is_header,
+       CAST(span AS BIGINT) AS colspan,
+       w[(widx % len(w)) + 1] AS cell_text
+FROM d CROSS JOIN g
+"""
+
+# RSS ingestion: q_feed_ingest builds a per-doc feed with 2 + d%3
+# linked items (pubDate on even positions) plus a trailing link-less
+# item that must drop; the closed form is the kept item list.
+FEED_INGEST = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS ds, doc_id AS d,
+         string_split(text, ' ') AS w
+  FROM documents
+), i AS (
+  SELECT ds, d, w, unnest(range(0, 2 + d % 3)) AS i FROM d
+)
+SELECT 'ex' || ds AS domain,
+       CAST(i AS BIGINT) AS pos,
+       'item ' || w[CAST((i % len(w)) + 1 AS BIGINT)] AS title,
+       'https://ex' || ds || '.com/p' || CAST(i AS VARCHAR) AS link,
+       CASE WHEN i % 2 = 0 THEN 'day' || CAST(i AS VARCHAR) END AS pub_date
+FROM i
+"""
