@@ -391,6 +391,20 @@ def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_verify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/security/verify-pdf report shape (VerifyPDFController.java:
+    47-93) re-targeted at the span wire format: the pure-column audit
+    runs over a corpus with four planted violation families and
+    reports per-doc compliance + failing rule ids."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_corrupt_from_documents,
+    )
+    from stirling_pdf_spark.operators.verify import verify_docs
+
+    _ship_package(spark)
+    return verify_docs(docs_corrupt_from_documents(spark, sf_dir))
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
     and the exact-cosine top-20 (integer 1e9 // (60 + rank)
@@ -4801,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "html_table_extract": q_html_table_extract,
         "feed_ingest": q_feed_ingest,
+        "verify_docs": q_verify_docs,
         # --- r5 continuation session gates: pdf->csv export
         # (ExtractCSVController parity), /analysis/font-info, URL
         # canonicalization, mojibake repair, aHash visual near-dup
@@ -5234,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": O.RRF_FUSION,
         "html_table_extract": O.HTML_TABLE_EXTRACT,
         "feed_ingest": O.FEED_INGEST,
+        "verify_docs": O.VERIFY_DOCS,
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,

@@ -217,6 +217,7 @@ BENCH_QUERIES = (
     "rrf_fusion",
     "html_table_extract",
     "feed_ingest",
+    "verify_docs",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -222,6 +222,36 @@ def docs_compare_rev_from_documents(spark: SparkSession,
     return _derive_docs(spark, sf_dir, derive)
 
 
+def docs_corrupt_from_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Corpus with planted wire-format violations for the verify_docs
+    gate (operators/verify.py), each keyed on doc-number arithmetic so
+    the DuckDB oracle re-derives the failure set closed-form:
+    d%5 duplicates an offset (needs >= 2 spans, i.e. > 8 words),
+    d%7 appends an unknown kind, d%3 appends a malformed text wire,
+    d%11 appends a media span with an empty media_ref.  Appended spans
+    extend the dense offset sequence, so each plant trips exactly its
+    own rule."""
+
+    def derive(doc_id: str, text: str):
+        num = int(doc_id.rsplit("-", 1)[-1])
+        did, spans = synth_from_text(doc_id, text)
+        spans = list(spans)
+        if num % 5 == 0 and len(spans) >= 2:
+            k, t, m, _ = spans[1]
+            spans[1] = (k, t, m, 0)
+        if num % 7 == 0:
+            spans.append(("wibble", "junk", "", len(spans)))
+        if num % 3 == 0:
+            spans.append(("text", "notawire", "", len(spans)))
+        if num % 11 == 0:
+            spans.append(("media", "1|0.0|0.0|10.0|10.0", "",
+                          len(spans)))
+        return did, spans
+
+    return _derive_docs(spark, sf_dir, derive)
+
+
 def docs_analysis_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Info-dict dates/title + encryption block + AcroForm fields
     (E16 form-field analysis, E17 security info, S1 comparators)."""

@@ -6617,3 +6617,30 @@ SELECT 'ex' || ds AS domain,
        CASE WHEN i % 2 = 0 THEN 'day' || CAST(i AS VARCHAR) END AS pub_date
 FROM i
 """
+
+# Wire-compliance audit (operators/verify.py) over the planted-
+# violation corpus (docs_corrupt_from_documents): the failing rule
+# set is doc-number arithmetic — d%5 (needs > 8 words for a second
+# span) trips order-dense, d%7 kind-known, d%3 text-wire, d%11
+# media-ref; everything else in the synth corpus is well-formed.
+VERIFY_DOCS = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did, doc_id AS n,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), f AS (
+  SELECT did,
+         COALESCE(list_sort(list_filter([
+           CASE WHEN n % 5 = 0 AND nw > 8 THEN 'order-dense' END,
+           CASE WHEN n % 7 = 0 THEN 'kind-known' END,
+           CASE WHEN n % 3 = 0 THEN 'text-wire' END,
+           CASE WHEN n % 11 = 0 THEN 'media-ref' END
+         ], x -> x IS NOT NULL)), []) AS failed
+  FROM d
+)
+SELECT did AS doc_id,
+       len(failed) = 0 AS compliant,
+       CAST(len(failed) AS BIGINT) AS total_failures,
+       COALESCE(array_to_string(failed, ' '), '') AS failed_rules
+FROM f
+"""
