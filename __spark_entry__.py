@@ -405,6 +405,38 @@ def q_verify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_docs(docs_corrupt_from_documents(spark, sf_dir))
 
 
+def q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot refresh (runtime/incremental.py): hash the
+    raw payloads of base vs revised corpus, re-extract only the
+    changed docs (the >= 18-word ones carrying planted edits), carry
+    the previous extraction over for the rest — and the stitched
+    output must equal the closed-form extraction of the revised text,
+    with the reused flag marking exactly the unedited docs."""
+    from stirling_pdf_spark.corpus.spark_synth import (
+        docs_compare_rev_from_documents,
+    )
+    from stirling_pdf_spark.runtime.incremental import extract_incremental
+
+    _ship_package(spark)
+    base = docs_from_documents_table(spark, sf_dir)
+    rev = docs_compare_rev_from_documents(spark, sf_dir)
+    out = extract_incremental(base, extract_spans(base), rev)
+    flat = out.select(
+        "doc_id", "reused", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "text")
+    assembled = flat.groupBy("doc_id", "reused").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("s.order").alias("order"),
+                             F.col("s.text").alias("text")))),
+                lambda x: x["text"]),
+            "\n").alias("full_text"))
+    return assembled.select(
+        "doc_id", "reused", F.md5("full_text").alias("text_md5"),
+        F.length("full_text").cast("long").alias("n_chars"))
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
     and the exact-cosine top-20 (integer 1e9 // (60 + rank)
@@ -4816,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_extract": q_html_table_extract,
         "feed_ingest": q_feed_ingest,
         "verify_docs": q_verify_docs,
+        "extract_incremental": q_extract_incremental,
         # --- r5 continuation session gates: pdf->csv export
         # (ExtractCSVController parity), /analysis/font-info, URL
         # canonicalization, mojibake repair, aHash visual near-dup
@@ -5250,6 +5283,7 @@ def oracle_sql() -> dict[str, str]:
         "html_table_extract": O.HTML_TABLE_EXTRACT,
         "feed_ingest": O.FEED_INGEST,
         "verify_docs": O.VERIFY_DOCS,
+        "extract_incremental": O.EXTRACT_INCREMENTAL,
         "auto_redact": O.AUTO_REDACT,
         "signature_state": O.SIGNATURE_STATE,
         "add_image_stamp": O.ADD_IMAGE_STAMP,

@@ -218,6 +218,7 @@ BENCH_QUERIES = (
     "html_table_extract",
     "feed_ingest",
     "verify_docs",
+    "extract_incremental",
     # streaming_dedup / streaming_pack / streaming_join deliberately
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch

@@ -6644,3 +6644,38 @@ SELECT did AS doc_id,
        COALESCE(array_to_string(failed, ' '), '') AS failed_rules
 FROM f
 """
+
+# Incremental re-extraction (runtime/incremental.extract_incremental)
+# between the base corpus and the compare-rev snapshot: docs under 18
+# words are byte-identical (reused = true, carried over), edited docs
+# re-extract — either way the output must equal the closed-form
+# extraction of the REVISED text (E1 lines arithmetic).
+EXTRACT_INCREMENTAL = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id AS VARCHAR) AS num,
+         string_split(text, ' ') AS w0
+  FROM documents
+), e AS (
+  SELECT did,
+         CASE WHEN len(w0) >= 18 THEN
+           w0[1:5] || ['REVTOK' || num] || w0[7:11] || w0[13:18]
+             || ['INSTOK' || num] || w0[19:len(w0)]
+         ELSE w0 END AS w,
+         len(w0) < 18 AS reused
+  FROM d
+), l AS (
+  SELECT did, reused, w,
+         unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+  FROM e
+), lines AS (
+  SELECT did, reused, i,
+         array_to_string(w[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)],
+                         ' ') AS line
+  FROM l WHERE i < 2000
+)
+SELECT did AS doc_id, reused,
+       md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5,
+       CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS n_chars
+FROM lines GROUP BY did, reused
+"""
