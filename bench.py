@@ -66,6 +66,7 @@ BENCH_QUERIES = (
     "multimodal_decode",
     "multimodal_decode_jpeg",
     "multimodal_decode_gif",
+    "multimodal_decode_tiff",
     "s3_split_doc_count",
     "s3_split_byte_size",
     "s11_flatten_forms",

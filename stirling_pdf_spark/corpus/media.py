@@ -430,6 +430,62 @@ def gif_table(docs: DataFrame) -> DataFrame:
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
 
 
+def tiff_dims_for_ref(ref: str) -> tuple[int, int, int, int, int, str]:
+    """(width, height, channels, compression, rows_per_strip,
+    byte_order) for the deterministic baseline-TIFF fixture — all pure
+    functions of sha256(ref) so the DuckDB oracle re-derives the
+    asserted dims from hex digits. The fixture sweeps the codec's
+    whole supported matrix: gray/RGB, none/PackBits, single- and
+    multi-strip, II and MM."""
+    h = hashlib.sha256(ref.encode()).digest()
+    w, hgt = 4 + h[1] % 29, 4 + h[2] % 29
+    channels = 1 if h[3] % 2 == 0 else 3
+    compression = 1 if h[4] % 2 == 0 else 32773
+    rows_per_strip = 1 + h[5] % 4
+    byte_order = "II" if h[6] % 2 == 0 else "MM"
+    return w, hgt, channels, compression, rows_per_strip, byte_order
+
+
+def tiff_pixel_stream(ref: str, n: int) -> bytes:
+    """Deterministic TIFF pixel bytes: concatenated sha256 digests of
+    the ASCII seeds 'tx:{ref}:{i}' — both supported compressions are
+    lossless, so the decoded stream equals this exactly and the oracle
+    states its head as substr(sha256('tx:'||ref||':0'), 1, 16)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"tx:{ref}:{counter}".encode()).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def tiff_payload_for_ref(ref: str) -> bytes:
+    """A VALID baseline TIFF (kernel/tiff.encode_tiff) for the ref."""
+    from ..kernel import tiff
+
+    w, hgt, ch, comp, rps, bo = tiff_dims_for_ref(ref)
+    return tiff.encode_tiff(w, hgt, tiff_pixel_stream(ref, w * hgt * ch),
+                            channels=ch, compression=comp,
+                            rows_per_strip=rps, byte_order=bo)
+
+
+def tiff_table(docs: DataFrame) -> DataFrame:
+    """tiff(media_ref, fmt='tiff', payload) for every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["tiff"] * len(refs), pa.string()),
+                 pa.array([tiff_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
 def wav_dims_for_ref(ref: str) -> tuple[int, int, int, int]:
     """(channels, sample_rate, n_frames, amp) for the deterministic
     PCM16 WAV fixture — pure functions of sha256(ref) so the DuckDB

@@ -190,6 +190,11 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
 
         w, h, _px = gif.decode(payload)
         return w, h
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernel import tiff
+
+        w, h, _ch, _px = tiff.decode(payload)
+        return w, h
     if payload[:2] == b"P6":
         # header tokens may be separated by any whitespace; '#' starts
         # a comment running to end-of-line
@@ -246,6 +251,13 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         from ..kernel import gif
 
         w, h, px = gif.decode(payload)
+        return w, h, px
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernel import tiff
+
+        w, h, ch, px = tiff.decode(payload)
+        if ch == 1:
+            px = bytes(v for v in px for _ in range(3))
         return w, h, px
     if payload[:2] == b"P6":
         w, h = decode_image(payload)
@@ -349,6 +361,11 @@ def decode_images(media: DataFrame, payload_col: str = "payload",
                         from ..kernel import gif
 
                         w, h, px = gif.decode(b)
+                        px_head = px[:8].hex()
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        from ..kernel import tiff
+
+                        w, h, _ch, px = tiff.decode(b)
                         px_head = px[:8].hex()
                     else:
                         w, h = decode_image(b)

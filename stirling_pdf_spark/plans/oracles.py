@@ -2954,6 +2954,30 @@ SELECT media_ref,
 FROM px
 """
 
+# baseline-TIFF decode (corpus.media.tiff_payload_for_ref): dims from
+# sha256(ref) — same hex positions as the GIF fixture; both supported
+# compressions (none / PackBits) are lossless, so the decoded stream
+# equals the deterministic 'tx:' pixel stream exactly and its first 8
+# bytes are sha256('tx:{ref}:0')'s first 16 hex digits, for gray AND
+# RGB (the stream IS the interleaved sample bytes either way).
+# Compressed size is content-dependent and not asserted.
+MULTIMODAL_DECODE_TIFF = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), dims AS (
+  SELECT media_ref,
+         4 + {_hexb(3)} % 29 AS w,
+         4 + {_hexb(5)} % 29 AS hgt
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       substr(sha256('tx:' || media_ref || ':0'), 1, 16) AS px_head
+FROM dims
+"""
+
 # ------------------------------------------------------------- E14 tables
 
 _TABLE_DOCS_CTE = """
