@@ -232,6 +232,57 @@ def q_s12_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_title_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup over inferred titles
+    (dedup.edit_distance_pairs): every 4-doc group plants a base
+    title plus +1-char / 1-substitution / far variants; blocking =
+    (leading token, length DIV 8) so pair work stays inside the
+    4-member block, length-difference prunes before the JVM-side
+    levenshtein, and only dist <= 2 pairs survive. The oracle
+    replicates the blocking semantics with DuckDB's levenshtein()."""
+    from stirling_pdf_spark.operators.dedup import edit_distance_pairs
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = F.expr("doc_id DIV 4").cast("string")
+    title = F.concat(
+        F.lit("doc"), g,
+        F.when(d % 4 == 0, F.lit(" annual report"))
+        .when(d % 4 == 1, F.lit(" annual reports"))
+        .when(d % 4 == 2, F.lit(" annual reporx"))
+        .otherwise(F.lit(" quarterly bulletin")),
+    )
+    titled = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        title.alias("title"),
+    )
+    return edit_distance_pairs(titled, max_dist=2, band=8)
+
+
+def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on a deterministic domain co-link graph
+    (graph.triangles — degree-ordered wedge join, Suri &
+    Vassilvitskii WWW'11): each doc contributes the path
+    dom(d%97) - dom((d*d+3)%97) - dom((3d+7)%97); triangles arise
+    only where paths from DIFFERENT docs close, so the orientation
+    and wedge-close joins are genuinely exercised. Oracle: the same
+    canonical-edge CTE closed by two self-joins in DuckDB."""
+    from stirling_pdf_spark.operators.graph import triangles
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = F.concat(F.lit("dom"), (d % 97).cast("string"))
+    b = F.concat(F.lit("dom"), ((d * d + 3) % 97).cast("string"))
+    c = F.concat(F.lit("dom"), ((d * 3 + 7) % 97).cast("string"))
+    edges = base.select(
+        F.explode(F.array(
+            F.struct(a.alias("src"), b.alias("dst")),
+            F.struct(b.alias("src"), c.alias("dst")),
+        )).alias("e"),
+    ).select("e.src", "e.dst")
+    return triangles(edges)
+
+
 def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-rotate-pdf text-detection path (AutoRotateController.java
     :134-243 + AutoRotateDetection.java:84-188): per-page glyph
@@ -5004,6 +5055,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_fields_csv": q_form_fields_csv,
         "streaming_window_rollup": q_streaming_window_rollup,
         "timestamp_state": q_timestamp_state,
+        # r5 tenth session: born below the saturated window,
+        # replica-green at sf0.01 (check_queries) — blocked
+        # edit-distance title dedup and degree-ordered triangle
+        # enumeration on the domain co-link graph
+        "dedup_title_levenshtein": q_dedup_title_levenshtein,
+        "web_triangles": q_web_triangles,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5527,6 +5584,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg": O.MULTIMODAL_DECODE_JPEG,
         "multimodal_decode_gif": O.MULTIMODAL_DECODE_GIF,
         "multimodal_decode_tiff": O.MULTIMODAL_DECODE_TIFF,
+        "dedup_title_levenshtein": O.DEDUP_TITLE_LEVENSHTEIN,
+        "web_triangles": O.WEB_TRIANGLES,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

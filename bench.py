@@ -224,6 +224,9 @@ BENCH_QUERIES = (
     # NOT benched: like
     # streaming_ingest_resume they measure temp-dir IO + micro-batch
     # restarts, not engine throughput
+    # round-5 tenth session
+    "dedup_title_levenshtein",
+    "web_triangles",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -1107,3 +1107,61 @@ def dedup_global_sentences(df: DataFrame, max_df: int = 2,
                            F.struct("pos", "sent")))),
                 lambda s: s["sent"]), " ").alias("text_clean"),
     )
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        title_col: str = "title", max_dist: int = 2,
+                        band: int = 8,
+                        max_block: int | None = None) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a short-string column
+    (titles / headings), the record-linkage companion to the
+    shingle-based text dedups: block on (leading token, length band),
+    self-join inside blocks only, prune by the length-difference lower
+    bound, then exact Levenshtein — JVM-side ``F.levenshtein``, no
+    Python in the pair loop.
+
+    Reference anchor: Stirling-PDF's auto-rename infers titles from
+    the largest-font line (AutoRenameController / the E18 gate here);
+    dedup-by-inferred-title with small edit tolerance is the
+    corresponding curation stage for scanned/OCR'd collections where
+    the same work resurfaces with typo-level title noise.
+
+    Scale shape: the only corpus-keyed shuffle is the block-key
+    repartition; pair work is quadratic strictly WITHIN a block. The
+    leading-token key can skew on stopword-led titles ('the ...'), so
+    ``max_block`` (same discipline as ngram_jaccard_pairs' max_df)
+    drops blocks larger than the cap outright — deterministic, and
+    the dropped mass is exactly the un-blockable head. Output:
+    (id_a, id_b, dist) with id_a < id_b."""
+    t = F.col(title_col)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("t"),
+        F.concat(
+            F.lower(F.substring_index(t, " ", 1)),
+            F.lit("#"),
+            (F.length(t).cast("long") / band).cast("long")
+            .cast("string"),
+        ).alias("bk"),
+        F.length(t).cast("long").alias("ln"),
+    )
+    if max_block is not None:
+        sizes = keyed.groupBy("bk").agg(F.count("*").alias("bn"))
+        keyed = keyed.join(
+            F.broadcast(sizes.filter(F.col("bn") > max_block)
+                        .select("bk")), "bk", "left_anti")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.id") < F.col("b.id")))
+        # |len(a)-len(b)| is a Levenshtein lower bound: prune before
+        # the O(len^2) distance kernel runs
+        .filter(F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

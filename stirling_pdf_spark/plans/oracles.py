@@ -6703,3 +6703,57 @@ SELECT did AS doc_id, reused,
        CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS n_chars
 FROM lines GROUP BY did, reused
 """
+
+
+# blocked Levenshtein title dedup (operators/dedup.edit_distance_pairs
+# + the q_dedup_title_levenshtein planted 4-doc groups): the oracle
+# replicates the operator's BLOCKING SEMANTICS — (leading token,
+# length DIV 8) key, string-ordered pair canon, length-difference
+# prune — with DuckDB's exact levenshtein()
+DEDUP_TITLE_LEVENSHTEIN = """
+WITH t AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         'doc' || CAST(doc_id // 4 AS VARCHAR) ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' annual report'
+           WHEN 1 THEN ' annual reports'
+           WHEN 2 THEN ' annual reporx'
+           ELSE ' quarterly bulletin' END AS title
+  FROM documents
+), k AS (
+  SELECT id, title,
+         lower(split_part(title, ' ', 1)) || '#'
+           || CAST(length(title) // 8 AS VARCHAR) AS bk,
+         length(title) AS ln
+  FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+WHERE abs(a.ln - b.ln) <= 2
+  AND levenshtein(a.title, b.title) <= 2
+"""
+
+# triangle enumeration (operators/graph.triangles over the
+# q_web_triangles doc-derived co-link paths): canonical undirected
+# edges closed by two self-joins — each triangle exactly once as
+# lexicographic (n1, n2, n3), the same canon the Spark operator emits
+WEB_TRIANGLES = """
+WITH d AS (
+  SELECT doc_id % 97 AS x, (doc_id * doc_id + 3) % 97 AS y,
+         (doc_id * 3 + 7) % 97 AS z
+  FROM documents
+), raw AS (
+  SELECT 'dom' || CAST(x AS VARCHAR) AS s,
+         'dom' || CAST(y AS VARCHAR) AS t FROM d
+  UNION ALL
+  SELECT 'dom' || CAST(y AS VARCHAR), 'dom' || CAST(z AS VARCHAR) FROM d
+), e AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM raw WHERE s <> t
+)
+SELECT a.u AS n1, a.v AS n2, b.v AS n3
+FROM e a
+JOIN e b ON b.u = a.v
+JOIN e c ON c.u = a.u AND c.v = b.v
+"""
