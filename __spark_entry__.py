@@ -3371,6 +3371,35 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", "width", "height", "px_head")
 
 
+def q_multimodal_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page TIFF frame walk (kernel/tiff.decode_pages — chained
+    IFDs per TIFF 6.0 §2), the container behavior behind the
+    reference's one-PDF-page-per-TIFF-directory conversion
+    (PdfUtils.java:439-531): every corpus ref gets a 2-5 page
+    grayscale TIFF (PackBits on half, II/MM split) whose per-page
+    dims and first 8 decoded bytes the oracle states closed-form."""
+    from stirling_pdf_spark.corpus.media import tiff_multipage_table
+    from stirling_pdf_spark.operators.multimodal import tiff_pages
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return tiff_pages(tiff_multipage_table(docs))
+
+
 def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup over DECODED pixels: every corpus ref gets a
     real grayscale PPM whose 9x8 cell grid carries a group base
@@ -5061,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enumeration on the domain co-link graph
         "dedup_title_levenshtein": q_dedup_title_levenshtein,
         "web_triangles": q_web_triangles,
+        "multimodal_tiff_pages": q_multimodal_tiff_pages,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5586,6 +5616,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_tiff": O.MULTIMODAL_DECODE_TIFF,
         "dedup_title_levenshtein": O.DEDUP_TITLE_LEVENSHTEIN,
         "web_triangles": O.WEB_TRIANGLES,
+        "multimodal_tiff_pages": O.MULTIMODAL_TIFF_PAGES,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -227,6 +227,7 @@ BENCH_QUERIES = (
     # round-5 tenth session
     "dedup_title_levenshtein",
     "web_triangles",
+    "multimodal_tiff_pages",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -737,3 +737,62 @@ def exif_jpeg_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+def tiff_n_pages_for_ref(ref: str) -> int:
+    """Page count of the multi-page TIFF fixture: 2..5, from
+    sha256(ref) byte 7 — oracle-derivable as a hex-digit expression."""
+    return 2 + hashlib.sha256(ref.encode()).digest()[7] % 4
+
+
+def tiff_page_dims_for_ref(ref: str, page: int) -> tuple[int, int]:
+    """(width, height) of page ``page``: pure functions of
+    sha256('tp:{ref}:{page}') bytes 1/2, dims 4..16 px."""
+    h = hashlib.sha256(f"tp:{ref}:{page}".encode()).digest()
+    return 4 + h[1] % 13, 4 + h[2] % 13
+
+
+def tiff_page_pixel_stream(ref: str, page: int, n: int) -> bytes:
+    """Per-page pixel bytes from the ASCII seeds 'tpx:{ref}:{page}:{i}'
+    (same SQL-reproducible scheme as the single-page 'tx:' stream)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"tpx:{ref}:{page}:{counter}".encode()) \
+            .digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def tiff_multipage_payload_for_ref(ref: str) -> bytes:
+    """A VALID multi-page baseline TIFF (chained IFDs, grayscale,
+    PackBits on the odd refs) whose per-page dims and pixel heads the
+    oracle states closed-form."""
+    from ..kernel import tiff
+
+    n = tiff_n_pages_for_ref(ref)
+    h = hashlib.sha256(ref.encode()).digest()
+    pages = []
+    for p in range(n):
+        w, hgt = tiff_page_dims_for_ref(ref, p)
+        pages.append((w, hgt, tiff_page_pixel_stream(ref, p, w * hgt), 1))
+    return tiff.encode_tiff_multi(
+        pages, compression=32773 if h[8] % 2 else 1,
+        byte_order="II" if h[9] % 2 == 0 else "MM")
+
+
+def tiff_multipage_table(docs: DataFrame) -> DataFrame:
+    """tiff_mp(media_ref, fmt='tiff', payload) for every corpus ref."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["tiff"] * len(refs), pa.string()),
+                 pa.array([tiff_multipage_payload_for_ref(r)
+                           for r in refs], pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

@@ -114,9 +114,9 @@ def packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Parse a baseline TIFF; return (width, height, channels,
-    interleaved 8-bit pixel bytes row-major)."""
+def _header(buf: bytes) -> tuple[str, int]:
+    """Validate the 8-byte header; return (struct endianness prefix,
+    first IFD offset)."""
     if len(buf) < 8:
         raise ValueError("tiff: truncated header")
     order = buf[:2]
@@ -129,6 +129,13 @@ def decode(buf: bytes) -> tuple[int, int, int, bytes]:
     magic, ifd_off = struct.unpack(end + "HI", buf[2:8])
     if magic != 42:
         raise ValueError(f"tiff: bad magic {magic}")
+    return end, ifd_off
+
+
+def _decode_ifd(buf: bytes, end: str,
+                ifd_off: int) -> tuple[int, int, int, bytes, int]:
+    """Decode one IFD's image; return (width, height, channels,
+    pixels, next-IFD offset — 0 terminates the chain, TIFF 6.0 §2)."""
     if ifd_off + 2 > len(buf):
         raise ValueError("tiff: IFD offset overruns file")
     (n_entries,) = struct.unpack(end + "H", buf[ifd_off:ifd_off + 2])
@@ -140,6 +147,9 @@ def decode(buf: bytes) -> tuple[int, int, int, bytes]:
         tag, typ, count = struct.unpack(end + "HHI", buf[pos:pos + 8])
         tags[tag] = _read_values(buf, end, typ, count, buf[pos + 8:pos + 12])
         pos += 12
+    if pos + 4 > len(buf):
+        raise ValueError("tiff: truncated next-IFD pointer")
+    (next_off,) = struct.unpack(end + "I", buf[pos:pos + 4])
 
     def one(tag: int, default: int | None = None) -> int:
         vals = tags.get(tag)
@@ -194,24 +204,50 @@ def decode(buf: bytes) -> tuple[int, int, int, bytes]:
     px = bytes(out)
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero convention
         px = bytes(255 - b for b in px)
+    return w, h, spp, px, next_off
+
+
+def decode(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a baseline TIFF's FIRST page; return (width, height,
+    channels, interleaved 8-bit pixel bytes row-major)."""
+    end, ifd_off = _header(buf)
+    w, h, spp, px, _next = _decode_ifd(buf, end, ifd_off)
     return w, h, spp, px
 
 
-def encode_tiff(w: int, h: int, px: bytes, channels: int = 1,
-                compression: int = 1, rows_per_strip: int | None = None,
-                byte_order: str = "II") -> bytes:
-    """Emit a VALID baseline TIFF for the deterministic fixtures:
-    8-bit gray (channels=1) or RGB (channels=3), Compression 1 or
-    32773 (PackBits), multiple strips when rows_per_strip < h, II or
-    MM byte order. Round-trips bit-exactly through decode() — both
-    compressions are lossless."""
+def decode_pages(buf: bytes,
+                 max_pages: int = 1000) -> list[tuple[int, int, int, bytes]]:
+    """Walk the IFD chain of a multi-page TIFF (the layout PDFBox's
+    imageToPdf consumes one page per frame — PdfUtils.java:439-531);
+    return [(width, height, channels, pixels), ...] in chain order.
+    Cycles / runaway chains are cut at ``max_pages``."""
+    end, ifd_off = _header(buf)
+    pages: list[tuple[int, int, int, bytes]] = []
+    seen: set[int] = set()
+    while ifd_off != 0:
+        if ifd_off in seen:
+            raise ValueError("tiff: IFD chain cycle")
+        if len(pages) >= max_pages:
+            raise ValueError(f"tiff: more than {max_pages} IFDs")
+        seen.add(ifd_off)
+        w, h, spp, px, ifd_off = _decode_ifd(buf, end, ifd_off)
+        pages.append((w, h, spp, px))
+    return pages
+
+
+def _encode_page(end: str, base: int, w: int, h: int, px: bytes,
+                 channels: int, compression: int,
+                 rows_per_strip: int | None) -> tuple[bytes, int, int]:
+    """Lay out one page (strip data + value arrays + IFD) starting at
+    absolute file offset ``base``; return (blob, absolute IFD offset,
+    absolute offset of the IFD's next-pointer field) so callers can
+    chain pages."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(px) != w * h * channels:
         raise ValueError("pixel buffer size mismatch")
     if compression not in (1, 32773):
         raise ValueError("compression must be 1 or 32773")
-    end = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or h
     row_bytes = w * channels
 
@@ -223,9 +259,9 @@ def encode_tiff(w: int, h: int, px: bytes, channels: int = 1,
         strips.append(packbits(raw) if compression == 32773 else raw)
         r += n_rows
 
-    # layout: header(8) | strip data | [bps values for RGB] |
+    # layout: <base> | strip data | [bps values for RGB] |
     #         [strip offset/count arrays if > 1 strip] | IFD
-    pos = 8
+    pos = base
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
@@ -277,6 +313,43 @@ def encode_tiff(w: int, h: int, px: bytes, channels: int = 1,
 
     ifd = struct.pack(end + "H", len(entries)) + b"".join(entries) \
         + struct.pack(end + "I", 0)
-    header = (byte_order.encode()
-              + struct.pack(end + "HI", 42, ifd_off))
-    return header + b"".join(strips) + extra + ifd
+    next_ptr_off = ifd_off + len(ifd) - 4
+    return b"".join(strips) + extra + ifd, ifd_off, next_ptr_off
+
+
+def encode_tiff(w: int, h: int, px: bytes, channels: int = 1,
+                compression: int = 1, rows_per_strip: int | None = None,
+                byte_order: str = "II") -> bytes:
+    """Emit a VALID single-page baseline TIFF for the deterministic
+    fixtures: 8-bit gray (channels=1) or RGB (channels=3), Compression
+    1 or 32773 (PackBits), multiple strips when rows_per_strip < h, II
+    or MM byte order. Round-trips bit-exactly through decode() — both
+    compressions are lossless."""
+    return encode_tiff_multi([(w, h, px, channels)],
+                             compression=compression,
+                             rows_per_strip=rows_per_strip,
+                             byte_order=byte_order)
+
+
+def encode_tiff_multi(pages: list[tuple[int, int, bytes, int]],
+                      compression: int = 1,
+                      rows_per_strip: int | None = None,
+                      byte_order: str = "II") -> bytes:
+    """Emit a VALID multi-page baseline TIFF: ``pages`` is a list of
+    (width, height, pixels, channels); IFDs are chained in list order
+    via each IFD's next pointer (TIFF 6.0 §2). Round-trips bit-exactly
+    through decode_pages()."""
+    if not pages:
+        raise ValueError("at least one page required")
+    end = "<" if byte_order == "II" else ">"
+    out = bytearray(byte_order.encode() + struct.pack(end + "HI", 42, 0))
+    prev_ptr = 4  # header's first-IFD offset field
+    for (w, h, px, channels) in pages:
+        base = len(out)
+        blob, ifd_off, next_ptr = _encode_page(
+            end, base, w, h, px, channels, compression, rows_per_strip)
+        # patch the previous chain pointer to this page's IFD
+        out[prev_ptr:prev_ptr + 4] = struct.pack(end + "I", ifd_off)
+        out += blob
+        prev_ptr = next_ptr
+    return bytes(out)

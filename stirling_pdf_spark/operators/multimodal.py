@@ -947,3 +947,54 @@ def image_exif_meta(media: DataFrame, payload_col: str = "payload",
                 rows, columns=[f.name for f in schema.fields])
 
     return media.select(ref_col, payload_col).mapInPandas(run, schema)
+
+
+TIFF_PAGES_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("page", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("px_head", T.StringType(), True),
+])
+
+
+def tiff_pages(media: DataFrame, payload_col: str = "payload",
+               ref_col: str = "media_ref") -> DataFrame:
+    """Explode multi-page TIFFs into per-page frame rows — the
+    container walk the reference performs in PdfUtils.imageToPdf
+    (PdfUtils.java:439-531: one PDF page per TIFF directory entry).
+    One narrow mapInPandas over the blob table, no shuffle; an
+    undecodable payload yields a single (null page) row instead of
+    failing the batch. Output: (media_ref, page, width, height,
+    px_head) with page 0-based in IFD-chain order and px_head the
+    first 8 DECODED bytes (proof the strip/PackBits walk is real)."""
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        from ..kernel import tiff
+
+        for pdf in batches:
+            out = {"media_ref": [], "page": [], "width": [],
+                   "height": [], "px_head": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    pages = tiff.decode_pages(b)
+                except (NotImplementedError, ValueError,
+                        struct.error, IndexError):
+                    out["media_ref"].append(ref)
+                    out["page"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["px_head"].append(None)
+                    continue
+                for i, (w, h, _ch, px) in enumerate(pages):
+                    out["media_ref"].append(ref)
+                    out["page"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_head"].append(px[:8].hex())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, TIFF_PAGES_SCHEMA)

@@ -6757,3 +6757,38 @@ FROM e a
 JOIN e b ON b.u = a.v
 JOIN e c ON c.u = a.u AND c.v = b.v
 """
+
+
+# multi-page TIFF frame walk (corpus.media.tiff_multipage_payload_for
+# _ref): page count from sha256(ref) byte 7, per-page dims from
+# sha256('tp:{ref}:{page}') bytes 1/2, and the decoded head is the
+# 'tpx:' stream's first 8 bytes (PackBits is lossless) — all hex-digit
+# expressions, one row per (ref, page) via unnested generate_series
+MULTIMODAL_TIFF_PAGES = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), np AS (
+  SELECT media_ref, 2 + {_hexb(15)} % 4 AS n_pages
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+), pg AS (
+  SELECT media_ref,
+         unnest(generate_series(0, n_pages - 1)) AS page
+  FROM np
+), dims AS (
+  SELECT media_ref, page,
+         4 + {_hexb(3)} % 13 AS w,
+         4 + {_hexb(5)} % 13 AS hgt
+  FROM (SELECT media_ref, page,
+               sha256('tp:' || media_ref || ':'
+                      || CAST(page AS VARCHAR)) AS h
+        FROM pg)
+)
+SELECT media_ref,
+       CAST(page AS INTEGER) AS page,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       substr(sha256('tpx:' || media_ref || ':' || CAST(page AS VARCHAR)
+                     || ':0'), 1, 16) AS px_head
+FROM dims
+"""

@@ -78,3 +78,48 @@ def test_scope_limits_raise_not_implemented():
     buf[idx + 8] = 5  # LZW
     with pytest.raises(NotImplementedError, match="compression 5"):
         decode(bytes(buf))
+
+
+def test_multipage_roundtrip_and_first_page_compat():
+    from stirling_pdf_spark.kernel.tiff import decode_pages, encode_tiff_multi
+    pages = []
+    for i in range(4):
+        w, h, ch = 3 + i, 2 + i, 1 if i % 2 == 0 else 3
+        pages.append((w, h, _px(w, h, ch), ch))
+    for bo in ("II", "MM"):
+        for comp in (1, 32773):
+            buf = encode_tiff_multi(pages, compression=comp,
+                                    rows_per_strip=2, byte_order=bo)
+            got = decode_pages(buf)
+            assert [(w, h, ch, px) for (w, h, px, ch) in pages] == got
+            # decode() keeps seeing page 0 only
+            w0, h0, px0, ch0 = pages[0]
+            assert decode(buf) == (w0, h0, ch0, px0)
+
+
+def test_multipage_cycle_guard():
+    import struct as _s
+    from stirling_pdf_spark.kernel.tiff import decode_pages, encode_tiff_multi
+    pages = [(3, 2, _px(3, 2, 1), 1), (4, 3, _px(4, 3, 1), 1)]
+    buf = bytearray(encode_tiff_multi(pages))
+    # point the LAST page's next pointer back at the first IFD,
+    # forming a cycle: find the final 4 zero bytes (chain terminator)
+    (first_ifd,) = _s.unpack("<I", buf[4:8])
+    assert buf[-4:] == b"\x00\x00\x00\x00"
+    buf[-4:] = _s.pack("<I", first_ifd)
+    with pytest.raises(ValueError, match="cycle"):
+        decode_pages(bytes(buf))
+
+
+def test_tiff_pages_operator_error_isolation(spark):
+    from stirling_pdf_spark.kernel.tiff import encode_tiff_multi
+    from stirling_pdf_spark.operators.multimodal import tiff_pages
+    good = encode_tiff_multi([(3, 2, _px(3, 2, 1), 1),
+                              (5, 4, _px(5, 4, 3), 3)])
+    rows = [("m-good", bytearray(good)), ("m-bad", bytearray(b"II*\x00junk"))]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {(r.media_ref, r.page): (r.width, r.height, r.px_head)
+           for r in tiff_pages(df).collect()}
+    assert got[("m-good", 0)] == (3, 2, _px(3, 2, 1)[:8].hex())
+    assert got[("m-good", 1)][:2] == (5, 4)
+    assert got[("m-bad", None)] == (None, None, None)
