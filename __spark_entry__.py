@@ -269,18 +269,33 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical-edge CTE closed by two self-joins in DuckDB."""
     from stirling_pdf_spark.operators.graph import triangles
 
+    return triangles(_colink_edges(spark, sf_dir))
+
+
+def _colink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic domain co-link paths shared by the
+    web_triangles / web_clustering_coeff gates."""
     base = read_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     a = F.concat(F.lit("dom"), (d % 97).cast("string"))
     b = F.concat(F.lit("dom"), ((d * d + 3) % 97).cast("string"))
     c = F.concat(F.lit("dom"), ((d * 3 + 7) % 97).cast("string"))
-    edges = base.select(
+    return base.select(
         F.explode(F.array(
             F.struct(a.alias("src"), b.alias("dst")),
             F.struct(b.alias("src"), c.alias("dst")),
         )).alias("e"),
     ).select("e.src", "e.dst")
-    return triangles(edges)
+
+
+def q_web_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-link graph
+    (graph.clustering_coefficient): triangle membership from the
+    degree-ordered enumeration, coefficient as exact micro-unit floor
+    division 2t*1e6 DIV d(d-1) — bit-identical to the oracle's SQL."""
+    from stirling_pdf_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_colink_edges(spark, sf_dir))
 
 
 def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5091,6 +5106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_title_levenshtein": q_dedup_title_levenshtein,
         "web_triangles": q_web_triangles,
         "multimodal_tiff_pages": q_multimodal_tiff_pages,
+        "web_clustering_coeff": q_web_clustering_coeff,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5617,6 +5633,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_title_levenshtein": O.DEDUP_TITLE_LEVENSHTEIN,
         "web_triangles": O.WEB_TRIANGLES,
         "multimodal_tiff_pages": O.MULTIMODAL_TIFF_PAGES,
+        "web_clustering_coeff": O.WEB_CLUSTERING_COEFF,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -228,6 +228,7 @@ BENCH_QUERIES = (
     "dedup_title_levenshtein",
     "web_triangles",
     "multimodal_tiff_pages",
+    "web_clustering_coeff",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -182,3 +182,43 @@ def triangles(edges: DataFrame) -> DataFrame:
     s = F.array_sort(F.array("a", "x", "y"))
     return tri.select(s[0].alias("n1"), s[1].alias("n2"),
                       s[2].alias("n3"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    in exact integer micro-units: coeff = 2*triangles(n) /
+    (deg(n)*(deg(n)-1)), floor-divided at 1e6 scale so Spark and the
+    SQL oracle agree bit-for-bit. Triangle membership comes from the
+    degree-ordered enumeration (triangles()); degrees from the
+    canonical undirected edge set — nodes of degree < 2 score 0.
+    Output: (node, degree, tri_count, coeff_micro).
+
+    Scale shape: triangles() already bounds the wedge join; the
+    per-node attribution is one explode of the triangle list (3 rows
+    per triangle) + one groupBy — both keyed on the node, no new skew
+    beyond what orientation already handled."""
+    u, v = F.col("src").cast("string"), F.col("dst").cast("string")
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    )
+    tn = (
+        triangles(edges)
+        .select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node").agg(F.count("*").cast("long").alias("t"))
+    )
+    return deg.join(tn, "node", "left").select(
+        "node", "degree",
+        F.coalesce("t", F.lit(0)).cast("long").alias("tri_count"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("2 * coalesce(t, 0) * 1000000"
+                   " DIV (degree * (degree - 1))"),
+        ).otherwise(F.lit(0)).cast("long").alias("coeff_micro"),
+    )

@@ -6792,3 +6792,47 @@ SELECT media_ref,
                      || ':0'), 1, 16) AS px_head
 FROM dims
 """
+
+
+# local clustering coefficient (operators/graph.clustering_coefficient
+# over the same co-link paths as WEB_TRIANGLES): per-node triangle
+# membership by unnesting the enumerated triangles, exact micro-unit
+# floor division — the same integer-determinism discipline as
+# pagerank/hits
+WEB_CLUSTERING_COEFF = """
+WITH d AS (
+  SELECT doc_id % 97 AS x, (doc_id * doc_id + 3) % 97 AS y,
+         (doc_id * 3 + 7) % 97 AS z
+  FROM documents
+), raw AS (
+  SELECT 'dom' || CAST(x AS VARCHAR) AS s,
+         'dom' || CAST(y AS VARCHAR) AS t FROM d
+  UNION ALL
+  SELECT 'dom' || CAST(y AS VARCHAR), 'dom' || CAST(z AS VARCHAR) FROM d
+), e AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM raw WHERE s <> t
+), tri AS (
+  SELECT a.u AS n1, a.v AS n2, b.v AS n3
+  FROM e a
+  JOIN e b ON b.u = a.v
+  JOIN e c ON c.u = a.u AND c.v = b.v
+), tn AS (
+  SELECT n, COUNT(*) AS t
+  FROM (SELECT n1 AS n FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri)
+  GROUP BY n
+), deg AS (
+  SELECT n, COUNT(*) AS dg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+  GROUP BY n
+)
+SELECT deg.n AS node,
+       CAST(dg AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS tri_count,
+       CAST(CASE WHEN dg >= 2
+                 THEN 2 * COALESCE(t, 0) * 1000000 // (dg * (dg - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_micro
+FROM deg LEFT JOIN tn ON tn.n = deg.n
+"""

@@ -60,3 +60,18 @@ def test_edit_distance_max_block_drops_hot_key(spark):
            for r in edit_distance_pairs(df, max_dist=2,
                                         max_block=4).collect()}
     assert got == {("x0", "x1")}
+
+
+def test_clustering_coefficient(spark):
+    from stirling_pdf_spark.operators.graph import clustering_coefficient
+    # triangle a-b-c plus pendant d on a: deg(a)=3 others {2,2,1}
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.degree, r.tri_count, r.coeff_micro)
+           for r in clustering_coefficient(df).collect()}
+    assert got == {
+        "a": (3, 1, 333333),   # 2*1e6 // 6
+        "b": (2, 1, 1000000),
+        "c": (2, 1, 1000000),
+        "d": (1, 0, 0),
+    }
