@@ -3415,6 +3415,50 @@ def q_multimodal_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiff_pages(tiff_multipage_table(docs))
 
 
+def q_tiff_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page TIFF -> PDF (PdfUtils.java:452-470: imageToPdf
+    iterates the TIFF reader's page count, one PDF page per directory
+    entry): every doc uploads its 2-5 page TIFF fixture under
+    fitDocumentToImage, so each frame becomes a page sized to the
+    REAL decoded frame dims and a media draw referencing
+    '{ref}#p{i}'. Output = the full produced wire (pagemeta + media
+    spans with offsets), stated closed-form by the oracle."""
+    from stirling_pdf_spark.corpus.media import (
+        tiff_multipage_payload_for_ref,
+    )
+    from stirling_pdf_spark.operators.multimodal import images_to_pdf
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    src = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.concat(F.lit("media-"), F.substring(sha, 1, 8)).alias("ref"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "seq": [0] * len(pdf),
+                "media_ref": pdf["ref"],
+                "payload": [tiff_multipage_payload_for_ref(r)
+                            for r in pdf["ref"]],
+            })
+
+    images = src.mapInPandas(
+        gen, "doc_id string, seq int, media_ref string, payload binary")
+    out = images_to_pdf(images, "fitDocumentToImage")
+    return out.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id", F.col("sp.kind").alias("kind"),
+        F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"),
+        F.col("sp.offset").cast("long").alias("offset"))
+
+
 def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup over DECODED pixels: every corpus ref gets a
     real grayscale PPM whose 9x8 cell grid carries a group base
@@ -5107,6 +5151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangles": q_web_triangles,
         "multimodal_tiff_pages": q_multimodal_tiff_pages,
         "web_clustering_coeff": q_web_clustering_coeff,
+        "tiff_to_pdf": q_tiff_to_pdf,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5634,6 +5679,7 @@ def oracle_sql() -> dict[str, str]:
         "web_triangles": O.WEB_TRIANGLES,
         "multimodal_tiff_pages": O.MULTIMODAL_TIFF_PAGES,
         "web_clustering_coeff": O.WEB_CLUSTERING_COEFF,
+        "tiff_to_pdf": O.TIFF_TO_PDF,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

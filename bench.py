@@ -229,6 +229,7 @@ BENCH_QUERIES = (
     "web_triangles",
     "multimodal_tiff_pages",
     "web_clustering_coeff",
+    "tiff_to_pdf",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -407,9 +407,12 @@ def images_to_pdf(images: DataFrame, fit_option: str = "fillPage",
     (maintainAspectRatio). Image dimensions come from the REAL
     decoders (decode_image); a document containing an undecodable
     image drops entirely (the endpoint fails the whole request —
-    per-doc isolation is the batch analogue). TIFF multi-page,
-    EXIF rotation and color-type conversion need codec libraries
-    (SCOPE.md).
+    per-doc isolation is the batch analogue). A MULTI-PAGE TIFF
+    expands to one PDF page per directory entry in chain order
+    (PdfUtils.java:452-470 iterates the reader's page count), each
+    frame's media span referencing '{ref}#p{i}'; single-frame TIFFs
+    keep the plain ref. EXIF rotation and color-type conversion
+    still need codec libraries (SCOPE.md).
 
     Input: (doc_id, seq, media_ref, payload); output: a raw docs
     table (pagemeta + media spans) any downstream operator consumes.
@@ -433,38 +436,54 @@ def images_to_pdf(images: DataFrame, fit_option: str = "fillPage",
         spans: list[dict] = []
         page = 0
         for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
             try:
-                iw, ih = decode_image(
-                    bytes(payload) if payload is not None else b"")
+                if b[:4] in (b"II*\x00", b"MM\x00*"):
+                    from ..kernel import tiff
+
+                    dims = [(w, h) for (w, h, _ch, _px)
+                            in tiff.decode_pages(b)]
+                    frames = ([(ref, dims[0][0], dims[0][1])]
+                              if len(dims) == 1 else
+                              [(f"{ref}#p{i}", w, h)
+                               for i, (w, h) in enumerate(dims)])
+                else:
+                    iw, ih = decode_image(b)
+                    frames = [(ref, iw, ih)]
             except (NotImplementedError, ValueError, IndexError,
                     _struct.error):
                 return _empty()
-            page += 1
-            pw, ph = page_w, page_h
-            if auto_rotate and iw > ih:
-                pw, ph = page_h, page_w
-            if fit_option == "fitDocumentToImage":
-                pw, ph = float(iw), float(ih)
-            if fit_option == "maintainAspectRatio":
-                scale = (pw / iw if iw / ih > pw / ph else ph / ih)
-                w, h = iw * scale, ih * scale
-                x = (pw - w) / 2
-                y_pos = (ph - h) / 2        # user-space bottom offset
-                y = ph - y_pos - h          # screen top (== y_pos)
-            else:
-                x, y, w, h = 0.0, 0.0, pw, ph
-            spans.append(dict(
-                kind="pagemeta",
-                text=_wire.encode_pagemeta(page, pw, ph, 0, ""),
-                media_ref="", offset=len(spans)))
-            spans.append(dict(
-                kind="media",
-                text=f"{page}|{x!r}|{y!r}|{w!r}|{h!r}",
-                media_ref=ref, offset=len(spans)))
+            for ref, iw, ih in frames:
+                page += 1
+                _emit_pdf_page(spans, page, ref, iw, ih)
         if not spans:
             return _empty()
         return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
                              "spans": [spans]})
+
+    def _emit_pdf_page(spans: list[dict], page: int, ref: str,
+                       iw: int, ih: int) -> None:
+        pw, ph = page_w, page_h
+        if auto_rotate and iw > ih:
+            pw, ph = page_h, page_w
+        if fit_option == "fitDocumentToImage":
+            pw, ph = float(iw), float(ih)
+        if fit_option == "maintainAspectRatio":
+            scale = (pw / iw if iw / ih > pw / ph else ph / ih)
+            w, h = iw * scale, ih * scale
+            x = (pw - w) / 2
+            y_pos = (ph - h) / 2        # user-space bottom offset
+            y = ph - y_pos - h          # screen top (== y_pos)
+        else:
+            x, y, w, h = 0.0, 0.0, pw, ph
+        spans.append(dict(
+            kind="pagemeta",
+            text=_wire.encode_pagemeta(page, pw, ph, 0, ""),
+            media_ref="", offset=len(spans)))
+        spans.append(dict(
+            kind="media",
+            text=f"{page}|{x!r}|{y!r}|{w!r}|{h!r}",
+            media_ref=ref, offset=len(spans)))
 
     return images.groupBy("doc_id").applyInPandas(build, DOCS_SCHEMA)
 

@@ -6836,3 +6836,45 @@ SELECT deg.n AS node,
                  ELSE 0 END AS BIGINT) AS coeff_micro
 FROM deg LEFT JOIN tn ON tn.n = deg.n
 """
+
+
+# multi-page TIFF -> PDF wire (operators/multimodal.images_to_pdf
+# under fitDocumentToImage over the tiff_multipage fixtures): per
+# (doc, page p) two spans — pagemeta '{p+1}|{w}.0|{h}.0|0|' at offset
+# 2p and media '{p+1}|0.0|0.0|{w}.0|{h}.0' at 2p+1 referencing
+# '{ref}#p{p}' (the fixture always has >= 2 pages, so frames are
+# always fragment-suffixed). Dims are integers, so Python's repr()
+# renders exactly '<int>.0' — matched with '.0' string concat.
+TIFF_TO_PDF = f"""
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+         'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), np AS (
+  SELECT doc_id, media_ref, 2 + {_hexb(15)} % 4 AS n_pages
+  FROM (SELECT doc_id, media_ref, sha256(media_ref) AS h FROM d)
+), pg AS (
+  SELECT doc_id, media_ref,
+         unnest(generate_series(0, n_pages - 1)) AS p
+  FROM np
+), dims AS (
+  SELECT doc_id, media_ref, p,
+         CAST(4 + {_hexb(3)} % 13 AS VARCHAR) || '.0' AS ws,
+         CAST(4 + {_hexb(5)} % 13 AS VARCHAR) || '.0' AS hs
+  FROM (SELECT doc_id, media_ref, p,
+               sha256('tp:' || media_ref || ':'
+                      || CAST(p AS VARCHAR)) AS h
+        FROM pg)
+)
+SELECT doc_id, 'pagemeta' AS kind,
+       CAST(p + 1 AS VARCHAR) || '|' || ws || '|' || hs || '|0|' AS text,
+       '' AS media_ref,
+       CAST(2 * p AS BIGINT) AS "offset"
+FROM dims
+UNION ALL
+SELECT doc_id, 'media' AS kind,
+       CAST(p + 1 AS VARCHAR) || '|0.0|0.0|' || ws || '|' || hs AS text,
+       media_ref || '#p' || CAST(p AS VARCHAR) AS media_ref,
+       CAST(2 * p + 1 AS BIGINT) AS "offset"
+FROM dims
+"""

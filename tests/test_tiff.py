@@ -123,3 +123,29 @@ def test_tiff_pages_operator_error_isolation(spark):
     assert got[("m-good", 0)] == (3, 2, _px(3, 2, 1)[:8].hex())
     assert got[("m-good", 1)][:2] == (5, 4)
     assert got[("m-bad", None)] == (None, None, None)
+
+
+def test_images_to_pdf_expands_multipage_tiff(spark):
+    from stirling_pdf_spark.kernel.tiff import encode_tiff, encode_tiff_multi
+    from stirling_pdf_spark.operators.multimodal import images_to_pdf
+    multi = encode_tiff_multi([(6, 4, _px(6, 4, 1), 1),
+                               (8, 5, _px(8, 5, 1), 1),
+                               (3, 7, _px(3, 7, 1), 1)])
+    single = encode_tiff(9, 2, _px(9, 2, 1))
+    rows = [("d1", 0, "m-multi", bytearray(multi)),
+            ("d1", 1, "m-single", bytearray(single))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, media_ref string, payload binary")
+    out = images_to_pdf(df, fit_option="fitDocumentToImage").collect()
+    assert len(out) == 1
+    spans = out[0].spans
+    media = [s for s in spans if s.kind == "media"]
+    # 3 frames + 1 single-frame image = 4 pages, in (seq, frame) order
+    assert [m.media_ref for m in media] == [
+        "m-multi#p0", "m-multi#p1", "m-multi#p2", "m-single"]
+    assert [m.text for m in media] == [
+        "1|0.0|0.0|6.0|4.0", "2|0.0|0.0|8.0|5.0",
+        "3|0.0|0.0|3.0|7.0", "4|0.0|0.0|9.0|2.0"]
+    metas = [s.text for s in spans if s.kind == "pagemeta"]
+    assert metas == ["1|6.0|4.0|0|", "2|8.0|5.0|0|",
+                     "3|3.0|7.0|0|", "4|9.0|2.0|0|"]
