@@ -5009,14 +5009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r1/r2 CORRECTNESS files, unchanged since) rotate past the
     window but stay registered for scripts/check_queries.py."""
     return {
-        # --- NEWEST gate (r5 tenth session, never had a driver row):
-        # REAL baseline-TIFF decode — fifth decoded image container
-        # (IFD walk, strip assembly, PackBits, both byte orders)
-        "multimodal_decode_tiff": q_multimodal_decode_tiff,
-        # --- r5 ninth session (never had a driver row): compare tool
-        # parity (word-LCS diff + per-pane change groups, frontend
-        # textDiff.ts/useCompareHighlights.ts) and sparse+dense
-        # reciprocal-rank fusion
+        # --- NEWEST gates (r5 ninth session, never had a driver
+        # row): compare tool parity (word-LCS diff + per-pane change
+        # groups, frontend textDiff.ts/useCompareHighlights.ts) and
+        # sparse+dense reciprocal-rank fusion
         "compare_docs": q_compare_docs,
         "compare_changes": q_compare_changes,
         "rrf_fusion": q_rrf_fusion,
@@ -5050,11 +5046,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_fill_unlock": q_form_fill_unlock,
         "add_comments": q_add_comments,
         "img_to_pdf": q_img_to_pdf,
+        "form_fields_csv": q_form_fields_csv,
         # late-r5 additions: pdf->xml export (prose + exact tables)
         # over the shared block pipeline, SemDeDup semantic dedup,
         # and three LLM-data-pipeline stages (source mixing,
         # vocabulary census, bigram-LM corpus fit)
         "to_xml": q_to_xml,
+        "to_xml_tables": q_to_xml_tables,
         # r5 fourth session: pdf->epub OCF member export (took the
         # slot of to_markdown — r4 driver-green, unchanged since;
         # siblings to_html/to_xml in-window exercise the same block
@@ -5079,6 +5077,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green, unchanged; siblings e17_doc_info/e17_full_info
         # below the boundary)
         "ann_pq_topk": q_ann_pq_topk,
+        # r5 fourth session: pdf->pptx OPC member export, one slide
+        # per page (took the slot of ann_cosine_topk — r4
+        # driver-green, unchanged; the ANN family stays represented
+        # in-window by ann_ivf_topk/ann_ivf_nprobe3/ann_pq_topk)
+        "to_pptx": q_to_pptx,
+        # r5 fourth session: IVF-PQ composition (took the slot of
+        # s3_running_sum_buckets — r4 driver-green, unchanged;
+        # running-sum siblings s3_split_doc_count/byte_size in-window)
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # r5 fourth session: ExactSubstr-style coverage (took the slot
         # of f1_filter_contains_text — r4 driver-green, unchanged;
         # in-window auto_redact exercises the same contains path)
@@ -5092,10 +5099,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged; attachment extraction stays exercised below the
         # boundary by extract_attachments/e12)
         "multimodal_probe_mp4": q_multimodal_probe_mp4,
-        # r5 fourth session: content-hash holdout split (took the slot
-        # of s3_split_byte_size -- r4 driver-green, unchanged;
-        # s3_split_doc_count stays in-window for the split family)
+        # r5 fourth session: content-hash holdout split + JSONL
+        # serialization (took the slots of s3_split_byte_size and
+        # security_password -- both r4 driver-green, unchanged;
+        # s3_split_doc_count stays in-window for the split family and
+        # sanitize/signature/timestamp cover the security family)
         "corpus_hash_split": q_corpus_hash_split,
+        "corpus_to_jsonl": q_corpus_to_jsonl,
         # r5 fourth session: decode-error isolation contract (took
         # the slot of ann_ivf_topk -- r4 driver-green, unchanged; the
         # ANN family stays in-window via nprobe3/pq/ivfpq)
@@ -5103,11 +5113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "domain_mix_sample": q_domain_mix_sample,
         "vocab_topk": q_vocab_topk,
+        "bigram_lm_fit": q_bigram_lm_fit,
         # post-r5 continuation: /auto-rotate-pdf text path, BM25
         # retrieval, gap sessionization
         "auto_rotate": q_auto_rotate,
         "bm25_topk": q_bm25_topk,
         "events_sessionize": R.events_sessionize,
+        "streaming_window_rollup": q_streaming_window_rollup,
+        "timestamp_state": q_timestamp_state,
         # --- CHANGED this round (r5 fixes need fresh driver rows):
         # JPEG fill-byte tolerance; watermark/flatten offsets widened
         # to long; sanitize keeps empty Link body slots; markdown
@@ -5117,41 +5130,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_flatten_forms": q_s11_flatten_forms,
         "sanitize_pdf": q_sanitize_pdf,
         "md_to_pdf_ingest": q_md_to_pdf_ingest,
+        # --- r4-green gates keeping their slots (driver rows in
+        # CORRECTNESS_r04, unchanged since)
         # ---------------- 50-row window boundary ----------------
-        # r5 tenth session rotation: the window overflowed to 57 while
-        # the five CHANGED-fix gates sat outside it; the eight gates
-        # below yielded their slots (each family stays represented
-        # in-window) so the fix gates + multimodal_decode_tiff fit.
-        # All eight are replica-green at sf0.01 (check_queries):
-        #  - to_xml_tables (siblings to_xml + to_html_tables in-window,
-        #    same block pipeline + exact-tables CTE)
-        #  - to_pptx (OPC member export: to_docx + to_epub in-window)
-        #  - ann_ivfpq_topk (composes in-window ann_ivf_nprobe3 +
-        #    ann_pq_topk stages)
-        #  - bigram_lm_fit (token-census sibling vocab_topk in-window)
-        #  - corpus_to_jsonl (map-only serializer; corpus_hash_split
-        #    + verify_docs cover the corpus-shaping family)
-        #  - form_fields_csv (form_fill_unlock + extract_csv in-window)
-        #  - streaming_window_rollup (streaming_dedup in-window)
-        #  - timestamp_state (state-span sibling signature_state
-        #    in-window)
-        "to_xml_tables": q_to_xml_tables,
-        "to_pptx": q_to_pptx,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "bigram_lm_fit": q_bigram_lm_fit,
-        "corpus_to_jsonl": q_corpus_to_jsonl,
-        "form_fields_csv": q_form_fields_csv,
-        "streaming_window_rollup": q_streaming_window_rollup,
-        "timestamp_state": q_timestamp_state,
-        # r5 tenth session: born below the saturated window,
-        # replica-green at sf0.01 (check_queries) — blocked
-        # edit-distance title dedup and degree-ordered triangle
-        # enumeration on the domain co-link graph
+        # r5 tenth session: all born below the saturated window,
+        # replica-green at sf0.01 (check_queries) and tracked in the
+        # registry-contract test's R6_WINDOW_CANDIDATES — REAL
+        # baseline-TIFF decode (single + multi-page IFD chain),
+        # multi-page TIFF -> PDF, blocked Levenshtein title dedup,
+        # degree-ordered triangle enumeration and local clustering
+        # coefficient on the domain co-link graph
+        "multimodal_decode_tiff": q_multimodal_decode_tiff,
+        "multimodal_tiff_pages": q_multimodal_tiff_pages,
+        "tiff_to_pdf": q_tiff_to_pdf,
         "dedup_title_levenshtein": q_dedup_title_levenshtein,
         "web_triangles": q_web_triangles,
-        "multimodal_tiff_pages": q_multimodal_tiff_pages,
         "web_clustering_coeff": q_web_clustering_coeff,
-        "tiff_to_pdf": q_tiff_to_pdf,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01

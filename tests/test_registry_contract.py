@@ -94,7 +94,12 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         # r5 eighth session
                         "warc_ingest", "image_exif_meta",
                         "sketch_hll_distinct", "bloom_decontaminate",
-                        "zorder_manifest"]
+                        "zorder_manifest",
+                        # r5 tenth session
+                        "multimodal_decode_tiff",
+                        "multimodal_tiff_pages", "tiff_to_pdf",
+                        "dedup_title_levenshtein", "web_triangles",
+                        "web_clustering_coeff"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
