@@ -298,6 +298,35 @@ def q_web_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(_colink_edges(spark, sf_dir))
 
 
+def q_text_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-skeleton spoof detection (textstats.
+    homoglyph_skeleton — UTS #39 skeleton over the documented
+    Cyrillic/Greek->Latin lookalike subset): a third of the corpus
+    gets ' pаypal' planted with U+0430 (spoof), a third the pure-Latin
+    ' paypal' (clean), a third nothing; the gate pins the confusable
+    count, the skeleton's last token and the spoof flag against the
+    oracle's identical translate() math."""
+    from stirling_pdf_spark.operators.textstats import homoglyph_skeleton
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 1, F.lit(" pаypal"))
+        .when(d % 3 == 2, F.lit(" paypal"))
+        .otherwise(F.lit("")),
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), d.cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return homoglyph_skeleton(docs).select(
+        "id", "n_confusables",
+        F.substring_index("skeleton", " ", -1).alias("last_token"),
+        "is_spoof",
+    )
+
+
 def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-rotate-pdf text-detection path (AutoRotateController.java
     :134-243 + AutoRotateDetection.java:84-188): per-page glyph
@@ -5146,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_title_levenshtein": q_dedup_title_levenshtein,
         "web_triangles": q_web_triangles,
         "web_clustering_coeff": q_web_clustering_coeff,
+        "text_homoglyph": q_text_homoglyph,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5674,6 +5704,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_tiff_pages": O.MULTIMODAL_TIFF_PAGES,
         "web_clustering_coeff": O.WEB_CLUSTERING_COEFF,
         "tiff_to_pdf": O.TIFF_TO_PDF,
+        "text_homoglyph": O.TEXT_HOMOGLYPH,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

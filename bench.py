@@ -230,6 +230,7 @@ BENCH_QUERIES = (
     "multimodal_tiff_pages",
     "web_clustering_coeff",
     "tiff_to_pdf",
+    "text_homoglyph",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

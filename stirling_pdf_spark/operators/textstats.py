@@ -1858,3 +1858,43 @@ def qa_mine(df: DataFrame, id_col: str = "doc_id",
         "id", F.col("pair_no").cast("long").alias("pair_no"),
         F.col("p.q").alias("question"), F.col("p.a").alias("answer"),
     )
+
+
+# UTS #39-style confusable map (a deliberately small, documented
+# subset): the Cyrillic and Greek letters that render identically to
+# Latin in most fonts — the set behind classic mixed-script spoofing
+# ('pаypal' with U+0430). Keys/values are parallel strings for
+# translate(); 1:1 by construction.
+_CONFUSABLE_SRC = (
+    "аеорсхуіѕј"
+    "ΑΒΕΗΙΚΜΝΟΡ"
+    "ΤΧο"
+)
+_CONFUSABLE_DST = "aeopcxyisjABEHIKMNOPTXo"
+assert len(_CONFUSABLE_SRC) == len(_CONFUSABLE_DST)
+
+
+def homoglyph_skeleton(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Confusable-skeleton normalization (UTS #39 'skeleton' idea,
+    restricted to the documented Cyrillic/Greek->Latin lookalike
+    subset above): maps every confusable character to its Latin
+    twin, counts them, and flags spoof candidates — the cleaning
+    stage that catches homoglyph-obfuscated spam/phishing text that
+    survives NFC (these are DISTINCT code points, not combining
+    forms, so text_nfc_normalize cannot see them).
+
+    Everything is one narrow JVM-side projection (translate +
+    length arithmetic), map-only, no Python, no shuffle. Output:
+    (id, n_confusables, skeleton, is_spoof)."""
+    t = F.col(text_col)
+    skeleton = F.translate(t, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    n_conf = (F.length(t)
+              - F.length(F.translate(t, _CONFUSABLE_SRC, ""))) \
+        .cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_conf.alias("n_confusables"),
+        skeleton.alias("skeleton"),
+        (n_conf > 0).alias("is_spoof"),
+    )

@@ -6878,3 +6878,34 @@ SELECT doc_id, 'media' AS kind,
        CAST(2 * p + 1 AS BIGINT) AS "offset"
 FROM dims
 """
+
+
+# confusable-skeleton spoof detection (textstats.homoglyph_skeleton):
+# the SAME parallel translate() map strings are imported from the
+# operator so the two engines cannot drift; DuckDB's translate/length
+# are character-based like Spark's
+def _homoglyph_sql() -> str:
+    from ..operators.textstats import _CONFUSABLE_DST, _CONFUSABLE_SRC
+
+    src, dst = _CONFUSABLE_SRC, _CONFUSABLE_DST
+    return f"""
+WITH t AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
+         text || CASE doc_id % 3
+                   WHEN 1 THEN ' pаypal'
+                   WHEN 2 THEN ' paypal'
+                   ELSE '' END AS txt
+  FROM documents
+)
+SELECT id,
+       CAST(length(txt) - length(translate(txt, '{src}', ''))
+            AS BIGINT) AS n_confusables,
+       split_part(translate(txt, '{src}', '{dst}'), ' ', -1)
+         AS last_token,
+       (length(txt) - length(translate(txt, '{src}', ''))) > 0
+         AS is_spoof
+FROM t
+"""
+
+
+TEXT_HOMOGLYPH = _homoglyph_sql()
