@@ -327,6 +327,30 @@ def q_text_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain template-prefix mining (textstats.
+    domain_prefix_boilerplate — LCP(min, max) aggregate trick): each
+    of 7 planted domains prepends its own header template, so the
+    mined prefix must recover at least the planted
+    'siteK header boilerplate | ' and exactly whatever the domain's
+    lexicographic extremes share beyond it — both engines derive it
+    from the SAME min/max, so the capped prefix-equality count is
+    bit-identical."""
+    from stirling_pdf_spark.operators.textstats import (
+        domain_prefix_boilerplate,
+    )
+
+    base = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dom = F.concat(F.lit("site"), (d % 7).cast("string"))
+    docs = base.select(
+        dom.alias("domain"),
+        F.concat(dom, F.lit(" header boilerplate | "), F.col("text"))
+        .alias("text"),
+    )
+    return domain_prefix_boilerplate(docs, cap=64)
+
+
 def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/auto-rotate-pdf text-detection path (AutoRotateController.java
     :134-243 + AutoRotateDetection.java:84-188): per-page glyph
@@ -5176,6 +5200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangles": q_web_triangles,
         "web_clustering_coeff": q_web_clustering_coeff,
         "text_homoglyph": q_text_homoglyph,
+        "domain_prefix": q_domain_prefix,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5705,6 +5730,7 @@ def oracle_sql() -> dict[str, str]:
         "web_clustering_coeff": O.WEB_CLUSTERING_COEFF,
         "tiff_to_pdf": O.TIFF_TO_PDF,
         "text_homoglyph": O.TEXT_HOMOGLYPH,
+        "domain_prefix": O.DOMAIN_PREFIX,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

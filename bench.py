@@ -231,6 +231,7 @@ BENCH_QUERIES = (
     "web_clustering_coeff",
     "tiff_to_pdf",
     "text_homoglyph",
+    "domain_prefix",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -1898,3 +1898,35 @@ def homoglyph_skeleton(df: DataFrame, id_col: str = "doc_id",
         skeleton.alias("skeleton"),
         (n_conf > 0).alias("is_spoof"),
     )
+
+
+def domain_prefix_boilerplate(df: DataFrame, domain_col: str = "domain",
+                              text_col: str = "text",
+                              cap: int = 64) -> DataFrame:
+    """Per-domain template-prefix mining — the site-header removal
+    stage of web-corpus cleaning: the longest common prefix of ALL of
+    a domain's documents equals LCP(min(text), max(text)) under
+    lexicographic order (any divergence surfaces in the extremes), so
+    ONE partial-aggregable groupBy(min, max, count) replaces any
+    all-pairs comparison, and the LCP itself is a bounded column
+    expression (prefix-equality is monotone, so counting equal
+    prefixes up to ``cap`` chars IS the LCP length). Output:
+    (domain, n_docs, prefix_len, prefix)."""
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(text_col).alias("m1"),
+        F.max(text_col).alias("m2"),
+    )
+    m1, m2 = F.col("m1"), F.col("m2")
+    bound = F.least(F.length(m1), F.length(m2), F.lit(cap))
+    k = F.size(F.filter(
+        F.sequence(F.lit(1), bound),
+        lambda i: m1.substr(F.lit(1), i) == m2.substr(F.lit(1), i),
+    ))
+    # sequence(1, 0) would throw; guard the empty-string extreme
+    k = F.when(bound > 0, k).otherwise(F.lit(0))
+    return agg.select(
+        "domain", "n_docs",
+        k.cast("long").alias("prefix_len"),
+        m1.substr(F.lit(1), k).alias("prefix"),
+    )

@@ -6909,3 +6909,35 @@ FROM t
 
 
 TEXT_HOMOGLYPH = _homoglyph_sql()
+
+
+# per-domain template-prefix mining (textstats.
+# domain_prefix_boilerplate): LCP of ALL of a domain's texts equals
+# LCP(min, max) under binary string order (the corpus is ASCII, so
+# Spark UTF8_BINARY and DuckDB binary collation agree); the LCP
+# length is the count of equal prefixes up to the 64-char cap
+# (prefix equality is monotone)
+DOMAIN_PREFIX = """
+WITH t AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+         'site' || CAST(doc_id % 7 AS VARCHAR)
+           || ' header boilerplate | ' || text AS txt
+  FROM documents
+), a AS (
+  SELECT domain, COUNT(*) AS n_docs, min(txt) AS m1, max(txt) AS m2,
+         least(length(min(txt)), length(max(txt)), 64) AS bound
+  FROM t GROUP BY domain
+), k AS (
+  SELECT domain, n_docs, m1,
+         CASE WHEN bound > 0
+              THEN len(list_filter(range(1, bound + 1),
+                       i -> substr(m1, 1, CAST(i AS INTEGER))
+                            = substr(m2, 1, CAST(i AS INTEGER))))
+              ELSE 0 END AS pl
+  FROM a
+)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(pl AS BIGINT) AS prefix_len,
+       substr(m1, 1, CAST(pl AS INTEGER)) AS prefix
+FROM k
+"""

@@ -99,7 +99,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "multimodal_decode_tiff",
                         "multimodal_tiff_pages", "tiff_to_pdf",
                         "dedup_title_levenshtein", "web_triangles",
-                        "web_clustering_coeff", "text_homoglyph"]
+                        "web_clustering_coeff", "text_homoglyph",
+                        "domain_prefix"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
