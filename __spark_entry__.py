@@ -2862,6 +2862,44 @@ def q_dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 hash_col="ahash")
 
 
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash visual near-dup (pHash — third member of
+    the family after dHash/aHash): every corpus ref gets a real
+    32x32 grayscale PPM synthesized by INVERSE DCT of sha-derived
+    +/-A low-frequency coefficients (rounding-sign-verified at
+    generation); the pipeline decodes the rasters, runs a REAL
+    orthonormal 2D DCT over BT.601 luma, takes the 63 low-frequency
+    AC signs, and pairs images at Hamming <= 6 via banded LSH (7
+    bands x 9 bits — pigeonhole-exact at this threshold, so the
+    brute-force DuckDB oracle states the same pair set without ever
+    running a DCT)."""
+    from stirling_pdf_spark.corpus.media import phash_image_table
+    from stirling_pdf_spark.operators.dedup import (
+        dhash_near_dup_pairs, image_phash,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    hashes = image_phash(phash_image_table(docs))
+    return dhash_near_dup_pairs(hashes, max_distance=6,
+                                hash_col="phash",
+                                n_bands=7, band_bits=9)
+
+
 def q_f6_filter_rotation(spark: SparkSession, sf_dir: str,
                          docs: DataFrame | None = None) -> DataFrame:
     """F6 filter-page-rotation (FilterController.java:229-245 reads the
@@ -5201,6 +5239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_clustering_coeff": q_web_clustering_coeff,
         "text_homoglyph": q_text_homoglyph,
         "domain_prefix": q_domain_prefix,
+        # r5 eleventh session: born below the saturated window;
+        # replica-green at sf0.01 (check_queries), listed in
+        # R6_WINDOW_CANDIDATES for rotation next round — DCT pHash
+        # completes the perceptual-hash trio over REAL decoded rasters
+        "dedup_image_phash": q_dedup_image_phash,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5731,6 +5774,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_to_pdf": O.TIFF_TO_PDF,
         "text_homoglyph": O.TEXT_HOMOGLYPH,
         "domain_prefix": O.DOMAIN_PREFIX,
+        "dedup_image_phash": O.DEDUP_IMAGE_PHASH,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -796,3 +796,101 @@ def tiff_multipage_table(docs: DataFrame) -> DataFrame:
             )
 
     return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)
+
+
+# --- pHash fixtures: rasters SYNTHESIZED IN THE DCT DOMAIN with
+# CONTROLLED near-dups (the perceptual-hash family's third member
+# after dHash/aHash: sign structure of the low-frequency 2D-DCT block)
+
+PHASH_GROUPS = 32
+PHASH_DIM = 32                  # pHash works on a 32x32 luma plane
+PHASH_LOW = 8                   # low-frequency block: 8x8 minus DC
+_PHASH_BITS = PHASH_LOW * PHASH_LOW - 1   # 63 sign bits
+
+
+def phash_coeff_bits(ref: str) -> list[int]:
+    """63 binary DCT-coefficient signs: group g = byte4 mod 32
+    supplies the base pattern (parity of sha256('phg:{g}:{c}')), the
+    ref flips k = byte5 mod 5 signs at stride-7 positions from
+    byte6 mod 63 — all pure sha256 functions the DuckDB oracle
+    re-derives, same construction as the dHash/aHash fixtures."""
+    h = hashlib.sha256(ref.encode()).digest()
+    g = h[4] % PHASH_GROUPS
+    bits = [hashlib.sha256(f"phg:{g}:{c}".encode()).digest()[0] % 2
+            for c in range(_PHASH_BITS)]
+    k = h[5] % 5
+    fb = h[6] % _PHASH_BITS
+    for j in range(k):
+        bits[(fb + 7 * j) % _PHASH_BITS] ^= 1
+    return bits
+
+
+def _dct_mat(n: int = PHASH_DIM):
+    """Orthonormal DCT-II matrix: X = M @ P @ M.T, P = M.T @ X @ M."""
+    import numpy as np
+
+    x = np.arange(n)
+    u = np.arange(n)[:, None]
+    m = np.cos(np.pi * (2 * x + 1) * u / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def phash_payload_for_ref(ref: str) -> bytes:
+    """A VALID 32x32 grayscale PPM built by INVERSE DCT of a sparse
+    coefficient matrix: DC pins the mean at 128 and each of the 63
+    low-frequency AC slots carries +/-A per the ref's sign bits. The
+    generator verifies that integer rounding of the pixel plane
+    preserves every coefficient sign (margin A=24 vs a rounding
+    perturbation of ~0.3) and deterministically widens A if any sign
+    would flip — so decode + DCT on the consumer side reconstructs
+    the sha-derived bits EXACTLY, which is what lets a SQL oracle
+    state the pair set without ever running a DCT."""
+    import numpy as np
+
+    bits = phash_coeff_bits(ref)
+    m = _dct_mat()
+    for amp in (24.0, 28.0, 32.0, 40.0):
+        coef = np.zeros((PHASH_DIM, PHASH_DIM))
+        coef[0, 0] = 128.0 * PHASH_DIM
+        i = 0
+        for u in range(PHASH_LOW):
+            for v in range(PHASH_LOW):
+                if u == 0 and v == 0:
+                    continue
+                coef[u, v] = amp if bits[i] else -amp
+                i += 1
+        px = np.clip(np.rint(m.T @ coef @ m), 0, 255).astype(np.uint8)
+        back = m @ px.astype(np.float64) @ m.T
+        ok = True
+        i = 0
+        for u in range(PHASH_LOW):
+            for v in range(PHASH_LOW):
+                if u == 0 and v == 0:
+                    continue
+                if (back[u, v] > 0) != bool(bits[i]):
+                    ok = False
+                i += 1
+        if ok:
+            body = np.repeat(px.reshape(-1), 3).tobytes()
+            return (f"P6\n{PHASH_DIM} {PHASH_DIM}\n255\n".encode()
+                    + body)
+    raise ValueError(f"phash fixture signs did not stabilize: {ref}")
+
+
+def phash_image_table(docs: DataFrame) -> DataFrame:
+    """phash fixtures (media_ref, fmt='ppm', payload) for every
+    corpus ref — the DCT-hash near-dup gate's input."""
+
+    def gen(batches):
+        for rb in batches:
+            refs = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(["ppm"] * len(refs), pa.string()),
+                 pa.array([phash_payload_for_ref(r) for r in refs],
+                          pa.binary())],
+                names=["media_ref", "fmt", "payload"],
+            )
+
+    return media_refs(docs).mapInArrow(gen, MEDIA_SCHEMA)

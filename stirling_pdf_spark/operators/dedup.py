@@ -598,25 +598,30 @@ def image_dhash(media: DataFrame, payload_col: str = "payload",
 
 def dhash_near_dup_pairs(hashes: DataFrame, max_distance: int = 7,
                          id_col: str = "media_ref",
-                         hash_col: str = "dhash") -> DataFrame:
-    """Visual near-dup pairs by banded Hamming LSH: the 64-bit dHash
-    splits into 8 bands of 8 bits; candidates are pairs equal in at
-    least one band (bucket self-join — linear in images x bands, never
-    all-pairs), verified by bit_count(xor) <= max_distance. For
-    max_distance <= 7 the pigeonhole makes banding EXACT: 7 differing
-    bits cannot touch all 8 bands, so every qualifying pair collides
-    somewhere. Output: (id_a, id_b, distance)."""
-    if max_distance >= DHASH_BANDS:
+                         hash_col: str = "dhash",
+                         n_bands: int = DHASH_BANDS,
+                         band_bits: int = 8) -> DataFrame:
+    """Visual near-dup pairs by banded Hamming LSH: the hash splits
+    into n_bands bands of band_bits bits; candidates are pairs equal
+    in at least one band (bucket self-join — linear in images x bands,
+    never all-pairs), verified by bit_count(xor) <= max_distance. For
+    max_distance < n_bands the pigeonhole makes banding EXACT: that
+    many differing bits cannot touch every band, so every qualifying
+    pair collides somewhere. Defaults fit the 64-bit dHash/aHash
+    (8x8); the 63-bit pHash passes n_bands=7, band_bits=9. Output:
+    (id_a, id_b, distance)."""
+    if max_distance >= n_bands:
         raise ValueError(
-            f"banding is only exact for max_distance < {DHASH_BANDS}")
+            f"banding is only exact for max_distance < {n_bands}")
+    mask = (1 << band_bits) - 1
     src = (hashes.select(F.col(id_col).alias("id"),
                          F.col(hash_col).alias("dhash"))
            .filter(F.col("dhash").isNotNull()))
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("dhash", 8 * i)
-                 .bitwiseAND(F.lit(255)).alias("v"))
-        for i in range(DHASH_BANDS)
+                 F.shiftrightunsigned("dhash", band_bits * i)
+                 .bitwiseAND(F.lit(mask)).alias("v"))
+        for i in range(n_bands)
     ])
     banded = src.select("id", "dhash", F.explode(bands).alias("b")) \
         .select("id", "dhash", "b.band", "b.v")
@@ -697,6 +702,95 @@ def image_ahash(media: DataFrame, payload_col: str = "payload",
                     w = h = ah = None
                 out["media_ref"].append(ref)
                 out["ahash"].append(ah)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
+def image_phash(media: DataFrame, payload_col: str = "payload",
+                ref_col: str = "media_ref") -> DataFrame:
+    """Perceptual DCT hash (pHash) over DECODED rasters — the third
+    member of the perceptual-hash family (dHash ranks gradients,
+    aHash ranks absolute brightness, pHash ranks the SIGN STRUCTURE
+    of the low-frequency 2D-DCT block, which survives blur/resize/
+    re-encode better than either; standard in image-dedup stages of
+    training pipelines; the reference only byte-hash-dedups images,
+    ExtractImagesController.java:123-128).
+
+    Per image: real decode (multimodal.decode_pixels), BT.601 integer
+    luma, box-average to the 32x32 pHash plane, orthonormal 2D DCT
+    (two 32x32 matmuls), bit i = sign of the i-th low-frequency AC
+    coefficient (8x8 block minus DC, row-major — 63 bits). Same
+    narrow mapInPandas shape as image_dhash: no shuffle, undecodable
+    payloads yield null hashes. Output: (media_ref, phash int64,
+    width, height); pairs via dhash_near_dup_pairs(hash_col='phash',
+    n_bands=7, band_bits=9) — exact for distance <= 6."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..corpus.media import PHASH_DIM, PHASH_LOW, _dct_mat
+    from .multimodal import decode_pixels
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        m = _dct_mat()
+        for pdf in batches:
+            out = {"media_ref": [], "phash": [], "width": [],
+                   "height": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                ph = w = h = None
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, rgb = decode_pixels(b)
+                    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    wide = px.astype(np.int64)
+                    luma = (299 * wide[:, :, 0] + 587 * wide[:, :, 1]
+                            + 114 * wide[:, :, 2]) // 1000
+                    d = PHASH_DIM
+                    if (h, w) == (d, d):
+                        plane = luma.astype(np.float64)
+                    elif h >= d and w >= d:
+                        # area sampling on integer boundaries (exact
+                        # on cell-aligned fixtures)
+                        ys = [int(r * h / d) for r in range(d + 1)]
+                        xs = [int(c * w / d) for c in range(d + 1)]
+                        plane = np.empty((d, d))
+                        for r in range(d):
+                            for c in range(d):
+                                plane[r, c] = luma[ys[r]:ys[r + 1],
+                                                   xs[c]:xs[c + 1]].mean()
+                    else:
+                        # upsample small rasters by nearest pixel
+                        iy = (np.arange(d) * h) // d
+                        ix = (np.arange(d) * w) // d
+                        plane = luma[np.ix_(iy, ix)].astype(np.float64)
+                    coef = m @ plane @ m.T
+                    v = np.uint64(0)
+                    i = 0
+                    for u in range(PHASH_LOW):
+                        for vv in range(PHASH_LOW):
+                            if u == 0 and vv == 0:
+                                continue
+                            if coef[u, vv] > 0:
+                                v |= np.uint64(1) << np.uint64(i)
+                            i += 1
+                    ph = int(v.astype(np.int64))
+                except (NotImplementedError, ValueError, IndexError):
+                    w = h = ph = None
+                out["media_ref"].append(ref)
+                out["phash"].append(ph)
                 out["width"].append(w)
                 out["height"].append(h)
             yield pd.DataFrame(out)

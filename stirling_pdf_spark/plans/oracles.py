@@ -2732,6 +2732,68 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
 DEDUP_IMAGE_AHASH = _ahash_sql()
 
 
+def _phash_sql() -> str:
+    """DCT perceptual-hash oracle: the fixtures are SYNTHESIZED in
+    the DCT domain (corpus.media.phash_payload_for_ref — inverse DCT
+    of +/-A coefficients whose signs are pure sha256 functions, with
+    a generator-side guarantee that integer rounding preserves every
+    sign), so the oracle never runs a DCT: it re-derives the 63 sign
+    bits (group base pattern 'phg:{g}:{c}' + the ref's stride-7
+    flips, digit for digit like the dHash/aHash oracles), folds them
+    into 32+31-bit halves, and brute-forces ALL pairs at Hamming <= 6
+    — equal to the engine's banded LSH by pigeonhole (7 bands of 9
+    bits: 6 differing bits cannot touch every band)."""
+    def term(bi: int, base: int) -> str:
+        return (f"(CASE WHEN lb[{bi + 1}] = 1"
+                f" THEN {1 << (bi - base)} ELSE 0 END)")
+
+    lo = " + ".join(term(bi, 0) for bi in range(32))
+    hi = " + ".join(term(bi, 32) for bi in range(32, 63))
+    hexb9 = ("((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1))")
+    hexb11 = ("((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1))")
+    hexb13 = ("((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16"
+              " + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1))")
+    return f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS ref
+  FROM documents
+), hh AS (
+  SELECT ref, sha256(ref) AS h FROM d
+), par AS (
+  SELECT ref, {hexb9} % 32 AS g, {hexb11} % 5 AS k, {hexb13} % 63 AS fb
+  FROM hh
+), cellraw AS (
+  SELECT p.ref, t.c, p.k, p.fb,
+         (strpos('0123456789abcdef',
+                 substr(sha256('phg:' || CAST(p.g AS VARCHAR) || ':'
+                               || CAST(t.c AS VARCHAR)), 2, 1)) - 1) % 2
+           AS bb
+  FROM par p CROSS JOIN (SELECT unnest(range(0, 63)) AS c) t
+), cell AS (
+  SELECT ref, c,
+         CASE WHEN (((c - fb) % 63 + 63) % 63) < 7 * k
+                   AND ((((c - fb) % 63 + 63) % 63) % 7) = 0
+              THEN 1 - bb ELSE bb END AS bit
+  FROM cellraw
+), lbs AS (
+  SELECT ref, list(bit ORDER BY c) AS lb FROM cell GROUP BY ref
+), hv AS (
+  SELECT ref, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi
+  FROM lbs
+)
+SELECT a.ref AS id_a, b.ref AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS distance
+FROM hv a JOIN hv b ON a.ref < b.ref
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+"""
+
+
+DEDUP_IMAGE_PHASH = _phash_sql()
+
+
 # /analysis/font-info over the rich corpus: Helvetica body +
 # Helvetica-Bold title always; Courier appears on every 5th body line,
 # i.e. once ceil(n_words/8) >= 5 (n_words >= 33).

@@ -100,7 +100,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "multimodal_tiff_pages", "tiff_to_pdf",
                         "dedup_title_levenshtein", "web_triangles",
                         "web_clustering_coeff", "text_homoglyph",
-                        "domain_prefix"]
+                        "domain_prefix",
+                        # r5 eleventh session
+                        "dedup_image_phash"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -261,3 +261,104 @@ def test_png_text_chunks_round_trip_and_isolation(spark):
         ("ok", 0, "Title", "hello"), ("ok", 1, "Author", "a b"),
         ("trunc", 0, "Title", "hello"), ("trunc", 1, "Author", "a b"),
     ]
+
+
+# ---------------------------------------------------------------- pHash
+
+
+def expected_phash(ref: str) -> int:
+    """Closed-form pHash of a fixture: bit i = the i-th sha-derived
+    DCT sign (the generator guarantees rounding preserves signs)."""
+    from stirling_pdf_spark.corpus.media import phash_coeff_bits
+
+    bits = phash_coeff_bits(ref)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v  # 63 bits: always fits a signed int64
+
+
+def test_phash_fixture_signs_survive_rounding_broad_sweep():
+    """The generator verifies sign stability itself; this sweep
+    re-checks 400 refs independently (decode + float DCT) so a
+    regression in either side shows up without Spark."""
+    import numpy as np
+
+    from stirling_pdf_spark.corpus.media import (
+        PHASH_LOW, _dct_mat, phash_coeff_bits, phash_payload_for_ref,
+    )
+
+    m = _dct_mat()
+    for i in range(400):
+        ref = f"media-{hashlib.sha256(str(i).encode()).hexdigest()[:8]}"
+        w, h, rgb = decode_pixels(phash_payload_for_ref(ref))
+        assert (w, h) == (32, 32)
+        luma = np.frombuffer(rgb, np.uint8).reshape(32, 32, 3)[:, :, 0]
+        coef = m @ luma.astype(np.float64) @ m.T
+        bits = phash_coeff_bits(ref)
+        idx = 0
+        for u in range(PHASH_LOW):
+            for v in range(PHASH_LOW):
+                if u == 0 and v == 0:
+                    continue
+                assert (coef[u, v] > 0) == bool(bits[idx]), (ref, u, v)
+                idx += 1
+
+
+def test_image_phash_matches_closed_form(spark):
+    from stirling_pdf_spark.corpus.media import phash_payload_for_ref
+    from stirling_pdf_spark.operators.dedup import image_phash
+
+    refs = [f"media-{hashlib.sha256(str(i).encode()).hexdigest()[:8]}"
+            for i in range(12)]
+    rows = [(r, "ppm", phash_payload_for_ref(r)) for r in refs]
+    media = spark.createDataFrame(
+        rows, "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r for r in image_phash(media).collect()}
+    for ref in refs:
+        assert got[ref]["phash"] == expected_phash(ref)
+        assert (got[ref]["width"], got[ref]["height"]) == (32, 32)
+
+
+def test_phash_pairs_banding_is_exact_vs_brute_force(spark):
+    from stirling_pdf_spark.operators.dedup import dhash_near_dup_pairs
+
+    rng = random.Random(7)
+    hashes = []
+    base = rng.getrandbits(63)
+    for i in range(40):
+        h = base
+        for _ in range(rng.randrange(0, 10)):
+            h ^= 1 << rng.randrange(63)
+        hashes.append((f"m{i:02d}", h))
+    df = spark.createDataFrame(hashes, "media_ref string, phash long")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in dhash_near_dup_pairs(
+               df, max_distance=6, hash_col="phash",
+               n_bands=7, band_bits=9).collect()}
+    want = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = bin(hashes[i][1] ^ hashes[j][1]).count("1")
+            if d <= 6:
+                want[(hashes[i][0], hashes[j][0])] = d
+    assert got == want
+
+
+def test_image_phash_small_raster_upsample_path(spark):
+    """A raster below 32x32 goes through the nearest-pixel upsample
+    branch and still yields a deterministic non-null hash."""
+    from stirling_pdf_spark.operators.dedup import image_phash
+
+    w, h = 5, 4
+    px = bytes(
+        b for i in range(w * h)
+        for b in (hashlib.sha256(str(i).encode()).digest()[0],) * 3)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px
+    media = spark.createDataFrame(
+        [("m0", "ppm", payload), ("m1", "ppm", payload)],
+        "media_ref string, fmt string, payload binary")
+    got = image_phash(media).collect()
+    vals = {r["media_ref"]: r["phash"] for r in got}
+    assert vals["m0"] is not None and vals["m0"] == vals["m1"]
