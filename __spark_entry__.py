@@ -3384,6 +3384,39 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(image_table(docs))
 
 
+def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality admission over REAL decoded pixels (PPM + PNG
+    subset — the formats whose decoded RGB equals the deterministic
+    pixel stream byte for byte): exact integer luma sums / extremes
+    per raster plus the dark/bright/flat/corpus-outlier flag rules,
+    all restated closed-form by the DuckDB oracle from sha256
+    digests. The engine side runs the actual container decode
+    (PNG via zlib + all five scanline filters)."""
+    from stirling_pdf_spark.corpus.media import image_table
+    from stirling_pdf_spark.operators.multimodal import (
+        image_quality_stats,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    media = image_table(docs).filter(F.col("fmt") != "bmp")
+    return image_quality_stats(media)
+
+
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode (kernel/jpeg.py — marker walk, Huffman
     entropy decode with byte-unstuffing and restart intervals, dequant,
@@ -5244,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R6_WINDOW_CANDIDATES for rotation next round — DCT pHash
         # completes the perceptual-hash trio over REAL decoded rasters
         "dedup_image_phash": q_dedup_image_phash,
+        "image_quality_stats": q_image_quality_stats,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5775,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "text_homoglyph": O.TEXT_HOMOGLYPH,
         "domain_prefix": O.DOMAIN_PREFIX,
         "dedup_image_phash": O.DEDUP_IMAGE_PHASH,
+        "image_quality_stats": O.IMAGE_QUALITY_STATS,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

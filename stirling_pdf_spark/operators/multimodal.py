@@ -1017,3 +1017,103 @@ def tiff_pages(media: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, TIFF_PAGES_SCHEMA)
+
+
+def image_quality_stats(media: DataFrame, payload_col: str = "payload",
+                        ref_col: str = "media_ref",
+                        dark_mean: int = 40, bright_mean: int = 215,
+                        flat_var: int = 64,
+                        outlier_dev_x1000: int = 10000) -> DataFrame:
+    """Image quality filtering over DECODED pixels — the standard
+    multimodal-pipeline admission stage (drop too-dark / too-bright /
+    near-constant rasters, plus corpus-level luma outliers; the
+    reference never looks at pixels, ExtractImagesController.java
+    dedups bytes only, so this extends the engine the way the
+    training-pipeline brief calls for).
+
+    Integer-exact throughout (house style — no floats): per image the
+    BT.601 luma (299r+587g+114b)//1000 is summed exactly (sum, sum of
+    squares, min, max), and the flags are pure integer
+    cross-multiplications:
+      dark      sum < dark_mean * n
+      bright    sum > bright_mean * n
+      flat      n*ssq - sum^2 < flat_var * n^2   (variance < flat_var)
+      outlier   |mean_x1000 - corpus_mean_x1000| > outlier_dev_x1000
+    keep = 1 iff none fire. Undecodable payloads emit null stats and
+    keep = 0 (per-row error isolation).
+
+    Scale shape: one narrow mapInPandas decode pass (no shuffle), one
+    2-long-column corpus aggregate broadcast back — a classifier pass
+    must not cost a shuffle at 10^12 images, and this one doesn't."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_luma", T.LongType(), True),
+        T.StructField("ssq_luma", T.LongType(), True),
+        T.StructField("min_luma", T.IntegerType(), True),
+        T.StructField("max_luma", T.IntegerType(), True),
+    ])
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "width", "height",
+                                   "n_px", "sum_luma", "ssq_luma",
+                                   "min_luma", "max_luma")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                w = h = n = s = q = lo = hi = None
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, rgb = decode_pixels(b)
+                    px = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+                    wide = px.astype(np.int64)
+                    luma = (299 * wide[:, 0] + 587 * wide[:, 1]
+                            + 114 * wide[:, 2]) // 1000
+                    n = int(luma.size)
+                    s = int(luma.sum())
+                    q = int((luma * luma).sum())
+                    lo = int(luma.min())
+                    hi = int(luma.max())
+                except (NotImplementedError, ValueError, IndexError):
+                    w = h = n = s = q = lo = hi = None
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(n)
+                out["sum_luma"].append(s)
+                out["ssq_luma"].append(q)
+                out["min_luma"].append(lo)
+                out["max_luma"].append(hi)
+            yield pd.DataFrame(out)
+
+    stats = src.mapInPandas(run, schema)
+    corpus = stats.filter(F.col("n_px").isNotNull()).agg(
+        F.sum("sum_luma").cast("long").alias("tot_sum"),
+        F.sum("n_px").cast("long").alias("tot_n"))
+    joined = stats.crossJoin(F.broadcast(corpus))
+    mean = F.expr("(1000 * sum_luma) div n_px")
+    gmean = F.expr("(1000 * tot_sum) div tot_n")
+    dark = F.col("sum_luma") < dark_mean * F.col("n_px")
+    bright = F.col("sum_luma") > bright_mean * F.col("n_px")
+    flat = (F.col("n_px") * F.col("ssq_luma")
+            - F.col("sum_luma") * F.col("sum_luma")
+            < flat_var * F.col("n_px") * F.col("n_px"))
+    outlier = F.abs(mean - gmean) > outlier_dev_x1000
+    bad = dark | bright | flat | outlier
+    flag = lambda c: F.when(F.col("n_px").isNull(), F.lit(None)) \
+        .otherwise(c.cast("int")).cast("long")  # noqa: E731
+    return joined.select(
+        "media_ref", "width", "height", "n_px", "sum_luma", "ssq_luma",
+        "min_luma", "max_luma",
+        F.when(F.col("n_px").isNotNull(), mean).cast("long")
+        .alias("mean_x1000"),
+        flag(dark).alias("dark"), flag(bright).alias("bright"),
+        flag(flat).alias("flat"), flag(outlier).alias("outlier"),
+        F.when(F.col("n_px").isNull(), F.lit(0))
+        .otherwise((~bad).cast("int")).cast("long").alias("keep"),
+    )

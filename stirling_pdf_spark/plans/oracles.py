@@ -2794,6 +2794,83 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
 DEDUP_IMAGE_PHASH = _phash_sql()
 
 
+def _image_quality_sql() -> str:
+    """Image quality-stats oracle over the PPM+PNG raster subset
+    (decoded RGB = the deterministic 'px:' stream byte for byte; BMP
+    is excluded because its decode reorders rows/channels): regrow
+    the stream from sha256 hex digests, fold BT.601 integer luma per
+    pixel, aggregate exact sums, and restate the engine's integer
+    flag rules including the corpus-mean outlier test."""
+    b1 = _hexb(1)
+    b3 = _hexb(3)
+    b5 = _hexb(5)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS ref
+  FROM documents
+), dims AS (
+  SELECT ref, 4 + {b3} % 29 AS w, 4 + {b5} % 29 AS hgt
+  FROM (SELECT ref, sha256(ref) AS h FROM d)
+  WHERE {b1} % 3 <> 1
+), digests AS (
+  SELECT dims.ref, t.di,
+         sha256('px:' || dims.ref || ':' || CAST(t.di AS VARCHAR)) AS dh
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 96)) AS di) t
+  WHERE t.di * 32 < 3 * w * hgt
+), bytes AS (
+  SELECT g.ref, t.j,
+         ((strpos('0123456789abcdef',
+                  substr(g.dh, (t.j % 32) * 2 + 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(g.dh, (t.j % 32) * 2 + 2, 1)) - 1)) AS b
+  FROM digests g
+  JOIN (SELECT unnest(range(0, 3072)) AS j) t
+    ON t.j // 32 = g.di
+  JOIN dims ON dims.ref = g.ref AND t.j < 3 * dims.w * dims.hgt
+), px AS (
+  SELECT ref, j // 3 AS q,
+         (299 * max(CASE WHEN j % 3 = 0 THEN b END)
+          + 587 * max(CASE WHEN j % 3 = 1 THEN b END)
+          + 114 * max(CASE WHEN j % 3 = 2 THEN b END)) // 1000 AS lum
+  FROM bytes GROUP BY ref, j // 3
+), st AS (
+  SELECT px.ref, dims.w, dims.hgt,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(lum) AS BIGINT) AS sum_luma,
+         CAST(sum(lum * lum) AS BIGINT) AS ssq_luma,
+         CAST(min(lum) AS INTEGER) AS min_luma,
+         CAST(max(lum) AS INTEGER) AS max_luma
+  FROM px JOIN dims ON dims.ref = px.ref
+  GROUP BY px.ref, dims.w, dims.hgt
+), corpus AS (
+  SELECT sum(sum_luma) AS tot_sum, sum(n_px) AS tot_n FROM st
+), fl AS (
+  SELECT st.*,
+         (1000 * sum_luma) // n_px AS mean_x1000,
+         (1000 * tot_sum) // tot_n AS gmean_x1000,
+         CASE WHEN sum_luma < 40 * n_px THEN 1 ELSE 0 END AS dark,
+         CASE WHEN sum_luma > 215 * n_px THEN 1 ELSE 0 END AS bright,
+         CASE WHEN n_px * ssq_luma - sum_luma * sum_luma
+                   < 64 * n_px * n_px THEN 1 ELSE 0 END AS flat,
+         CASE WHEN abs((1000 * sum_luma) // n_px
+                       - (1000 * tot_sum) // tot_n) > 10000
+              THEN 1 ELSE 0 END AS outlier
+  FROM st CROSS JOIN corpus
+)
+SELECT ref AS media_ref,
+       CAST(w AS INTEGER) AS width, CAST(hgt AS INTEGER) AS height,
+       n_px, sum_luma, ssq_luma, min_luma, max_luma,
+       CAST(mean_x1000 AS BIGINT) AS mean_x1000,
+       CAST(dark AS BIGINT) AS dark, CAST(bright AS BIGINT) AS bright,
+       CAST(flat AS BIGINT) AS flat,
+       CAST(outlier AS BIGINT) AS outlier,
+       CAST(CASE WHEN dark + bright + flat + outlier = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM fl
+"""
+
+
+
 # /analysis/font-info over the rich corpus: Helvetica body +
 # Helvetica-Bold title always; Courier appears on every 5th body line,
 # i.e. once ceil(n_words/8) >= 5 (n_words >= 33).
@@ -2956,6 +3033,9 @@ SELECT media_ref, fmt,
        END AS px_head
 FROM dims
 """
+
+IMAGE_QUALITY_STATS = _image_quality_sql()
+
 
 # baseline-JPEG decode (corpus.media.jpeg_payload_for_ref): dims are
 # pure functions of sha256(ref); fixture blocks are CONSTANT at even

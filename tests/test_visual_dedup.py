@@ -362,3 +362,63 @@ def test_image_phash_small_raster_upsample_path(spark):
     got = image_phash(media).collect()
     vals = {r["media_ref"]: r["phash"] for r in got}
     assert vals["m0"] is not None and vals["m0"] == vals["m1"]
+
+
+# ------------------------------------------------- image quality stats
+
+
+def test_image_quality_stats_flags_and_exact_sums(spark):
+    from stirling_pdf_spark.operators.multimodal import (
+        image_quality_stats,
+    )
+
+    def ppm(vals):  # grayscale pixels from a list of luma values
+        w = len(vals)
+        body = bytes(b for v in vals for b in (v, v, v))
+        return f"P6\n{w} 1\n255\n".encode() + body
+
+    rows = [
+        ("dark", "ppm", ppm([5, 10, 15, 20])),
+        ("bright", "ppm", ppm([250, 251, 252, 253])),
+        ("flat", "ppm", ppm([100, 101, 100, 101])),
+        ("good", "ppm", ppm([0, 255, 60, 200])),
+        ("broken", "bin", b"not an image"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r
+           for r in image_quality_stats(
+               media, outlier_dev_x1000=10**9).collect()}
+    assert got["dark"]["dark"] == 1 and got["dark"]["keep"] == 0
+    assert got["bright"]["bright"] == 1 and got["bright"]["keep"] == 0
+    assert got["flat"]["flat"] == 1 and got["flat"]["keep"] == 0
+    g = got["good"]
+    assert (g["dark"], g["bright"], g["flat"], g["keep"]) == (0, 0, 0, 1)
+    assert g["sum_luma"] == 0 + 255 + 60 + 200
+    assert g["ssq_luma"] == 255**2 + 60**2 + 200**2
+    assert (g["min_luma"], g["max_luma"], g["n_px"]) == (0, 255, 4)
+    assert g["mean_x1000"] == (1000 * 515) // 4
+    b = got["broken"]
+    assert b["keep"] == 0 and b["n_px"] is None and b["sum_luma"] is None
+
+
+def test_image_quality_stats_corpus_outlier_rule(spark):
+    from stirling_pdf_spark.operators.multimodal import (
+        image_quality_stats,
+    )
+
+    def ppm(vals):
+        body = bytes(b for v in vals for b in (v, v, v))
+        return f"P6\n{len(vals)} 1\n255\n".encode() + body
+
+    # three mid-range images + one far-off: only the far one flagged
+    rows = [(f"m{i}", "ppm", ppm([100, 160, 90, 170])) for i in range(3)]
+    rows.append(("far", "ppm", ppm([230, 255, 250, 245])))
+    media = spark.createDataFrame(
+        rows, "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r
+           for r in image_quality_stats(
+               media, bright_mean=256, outlier_dev_x1000=50000).collect()}
+    assert got["far"]["outlier"] == 1 and got["far"]["keep"] == 0
+    for i in range(3):
+        assert got[f"m{i}"]["outlier"] == 0 and got[f"m{i}"]["keep"] == 1
