@@ -370,6 +370,16 @@ def q_auto_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_rotate(docs_autorotate_from_documents(spark, sf_dir))
 
 
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index (postings
+    chained on pos_i = pos_0 + i): match counts + first hit position
+    per (phrase, doc) for three literal phrases of mixed length."""
+    from stirling_pdf_spark.operators.retrieval import phrase_search
+
+    return phrase_search(read_table(spark, sf_dir, "documents"))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Okapi BM25 top-10 per query (rational IDF so two
     engines agree bit-for-bit) over the documents table — the sparse
@@ -5278,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completes the perceptual-hash trio over REAL decoded rasters
         "dedup_image_phash": q_dedup_image_phash,
         "image_quality_stats": q_image_quality_stats,
+        "phrase_search": q_phrase_search,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5810,6 +5821,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_prefix": O.DOMAIN_PREFIX,
         "dedup_image_phash": O.DEDUP_IMAGE_PHASH,
         "image_quality_stats": O.IMAGE_QUALITY_STATS,
+        "phrase_search": O.PHRASE_SEARCH,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

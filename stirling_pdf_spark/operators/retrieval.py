@@ -344,3 +344,69 @@ def ict_pairs(df: DataFrame, max_len: int = 128, overlap: int = 32,
                          F.expr("c[0]").alias("negative"))
     return pairs.join(negs, "partner").select(
         "id", "pair_no", "query", "positive", "negative")
+
+
+# literal phrase queries over the synthetic documents vocabulary —
+# mixed lengths so the join chain depth varies (2-gram, 2-gram, 3-gram)
+PHRASE_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("p0", ("table", "table")),
+    ("p1", ("fast", "sort")),
+    ("p2", ("scan", "slow", "fast")),
+)
+
+
+def phrase_search(df: DataFrame,
+                  phrases: tuple[tuple[str, tuple[str, ...]], ...]
+                  = PHRASE_QUERIES,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the IR
+    op BM25's bag-of-words scoring cannot express (public positional-
+    postings design, Manning et al. IIR §2.4; the reference's text
+    search, PDFText­Stripper-based, is per-document — this is the
+    corpus-level indexed form).
+
+    Per phrase t0..t(m-1): postings lists (id, pos) for each term,
+    chained on pos_i = pos_0 + i — an (m-1)-deep equi-join on
+    (id, position), never a scan of non-matching docs. Output one row
+    per (query_id, doc) with the match count and first hit position.
+
+    Scale shape: the postings table is filtered to the union of
+    phrase terms AT THE SCAN (literal IN-list pushdown) before any
+    shuffle, so the joins touch only candidate postings; each join is
+    an equi-join on (id, pos) — broadcast-able per-term when a term
+    is rare, shuffle-hash otherwise, Catalyst/AQE's call. No windows,
+    no driver state; phrase literals are plan constants."""
+    from .textstats import parallelize
+
+    all_terms = sorted({t for _, ts in phrases for t in ts})
+    toks = (
+        parallelize(df)
+        .select(F.col(id_col).cast("long").alias("id"),
+                F.posexplode(words_col(text_col)).alias("pos", "term"))
+        .filter(F.col("term").isin(all_terms))
+    )
+    from ..runtime.staging import stage
+
+    toks = stage(toks)  # consumed once per distinct phrase term
+    parts = []
+    for qid, terms in phrases:
+        cur = (toks.filter(F.col("term") == terms[0])
+               .select("id", F.col("pos").alias("p0")))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = (toks.filter(F.col("term") == t)
+                   .select(F.col("id").alias("ni"),
+                           F.col("pos").alias(f"p{i}")))
+            cur = cur.join(
+                nxt, (F.col("id") == F.col("ni"))
+                & (F.col(f"p{i}") == F.col("p0") + i)).drop("ni")
+        parts.append(cur.select(F.lit(qid).alias("query_id"),
+                                "id", "p0"))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    return (hits.groupBy("query_id", "id")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.min("p0").cast("long").alias("first_pos"))
+            .select("query_id", F.col("id").alias("doc_id"),
+                    "n_matches", "first_pos"))

@@ -3037,6 +3037,36 @@ FROM dims
 IMAGE_QUALITY_STATS = _image_quality_sql()
 
 
+# positional phrase search: per doc, 1-based token list w; a phrase of
+# m terms matches at i iff w[i..i+m-1] equal the literals; n_matches =
+# count, first_pos = min i - 1 (engine positions are 0-based)
+PHRASE_SEARCH = """
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), m AS (
+  SELECT 'p0' AS query_id, doc_id,
+         list_filter(range(1, len(w)),
+                     i -> w[i] = 'table' AND w[i+1] = 'table') AS hits
+  FROM d
+  UNION ALL
+  SELECT 'p1', doc_id,
+         list_filter(range(1, len(w)),
+                     i -> w[i] = 'fast' AND w[i+1] = 'sort')
+  FROM d
+  UNION ALL
+  SELECT 'p2', doc_id,
+         list_filter(range(1, len(w) - 1),
+                     i -> w[i] = 'scan' AND w[i+1] = 'slow'
+                          AND w[i+2] = 'fast')
+  FROM d
+)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
+"""
+
+
 # baseline-JPEG decode (corpus.media.jpeg_payload_for_ref): dims are
 # pure functions of sha256(ref); fixture blocks are CONSTANT at even
 # luma levels with a flat quant step of 16, so encode->decode is

@@ -102,7 +102,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "web_clustering_coeff", "text_homoglyph",
                         "domain_prefix",
                         # r5 eleventh session
-                        "dedup_image_phash", "image_quality_stats"]
+                        "dedup_image_phash", "image_quality_stats",
+                        "phrase_search"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

@@ -90,3 +90,33 @@ def test_sessionize_matches_builtin_session_window(spark):
         .collect()
     }
     assert ours == builtin and len(ours) > 0
+
+
+def test_phrase_search_counts_positions_and_overlaps(spark):
+    from stirling_pdf_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table table table b"),       # overlapping 2x 'table table'
+            (2, "fast sort then fast sort"),    # 2x 'fast sort'
+            (3, "scan slow fast scan slow"),    # 1x 3-gram, partial tail
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string")
+    got = {(r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+           for r in phrase_search(docs).collect()}
+    assert got == {
+        ("p0", 1): (2, 1),
+        ("p1", 2): (2, 0),
+        ("p2", 3): (1, 0),
+    }
+
+
+def test_phrase_search_custom_single_term_phrase(spark):
+    from stirling_pdf_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "y y")], "doc_id long, text string")
+    got = {(r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+           for r in phrase_search(docs, phrases=(("q", ("x",)),)).collect()}
+    assert got == {("q", 1): (2, 0)}
