@@ -380,6 +380,16 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(read_table(spark, sf_dir, "documents"))
 
 
+
+def q_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining: every 100th doc becomes a query
+    (its first 3 tokens), scored by the shared integer-exact Okapi
+    BM25 core, gold doc excluded before dense top-5 ranking."""
+    from stirling_pdf_spark.operators.retrieval import bm25_hard_negatives
+
+    return bm25_hard_negatives(read_table(spark, sf_dir, "documents"))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Okapi BM25 top-10 per query (rational IDF so two
     engines agree bit-for-bit) over the documents table — the sparse
@@ -5289,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_phash": q_dedup_image_phash,
         "image_quality_stats": q_image_quality_stats,
         "phrase_search": q_phrase_search,
+        "bm25_hard_negatives": q_bm25_hard_negatives,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5822,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_image_phash": O.DEDUP_IMAGE_PHASH,
         "image_quality_stats": O.IMAGE_QUALITY_STATS,
         "phrase_search": O.PHRASE_SEARCH,
+        "bm25_hard_negatives": O.BM25_HARD_NEGATIVES,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

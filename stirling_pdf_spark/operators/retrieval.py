@@ -41,15 +41,14 @@ K1_X10 = 12   # Okapi k1 = 1.2
 B_X100 = 75   # Okapi b = 0.75
 
 
-def bm25_topk(df: DataFrame,
-              queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
-              k: int = 10,
-              id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(query_id, rank, doc_id, score_x1e6): the top-k docs per query
-    by integer-exact Okapi BM25 (rational IDF), rank ties broken by
-    doc_id asc. Docs with no query term never enter the ranking; N
-    and avgdl count every doc with at least one token."""
+def _bm25_scored(df: DataFrame, q: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(query_id, id, score_x1e6) for every candidate doc sharing at
+    least one term with a query — the shared integer-exact Okapi
+    scoring core behind bm25_topk and bm25_hard_negatives. ``q`` is a
+    (query_id, term) DataFrame; duplicate query terms contribute
+    twice (standard query-tf weighting)."""
     toks = (
         parallelize(df)
         .select(F.col(id_col).cast("long").alias("id"),
@@ -62,10 +61,6 @@ def bm25_topk(df: DataFrame,
     ).select("n_docs", F.expr("(100 * tot) div n_docs").alias("avgdl_x100"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    q = df.sparkSession.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
-        ["query_id", "term"])
 
     joined = (
         F.broadcast(q)
@@ -85,9 +80,24 @@ def bm25_topk(df: DataFrame,
                     F.expr("(1000 * (2 * (n_docs - df) + 1)) "
                            "div (2 * df + 1)"))
     )
-    scored = joined.groupBy("query_id", "id").agg(
+    return joined.groupBy("query_id", "id").agg(
         F.sum(F.col("idf_x1000") * F.col("ratio_x1000"))
         .cast("long").alias("score_x1e6"))
+
+
+def bm25_topk(df: DataFrame,
+              queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+              k: int = 10,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(query_id, rank, doc_id, score_x1e6): the top-k docs per query
+    by integer-exact Okapi BM25 (rational IDF), rank ties broken by
+    doc_id asc. Docs with no query term never enter the ranking; N
+    and avgdl count every doc with at least one token."""
+    q = df.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        ["query_id", "term"])
+    scored = _bm25_scored(df, q, id_col=id_col, text_col=text_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_x1e6"), F.asc("id"))
     return (
@@ -95,6 +105,47 @@ def bm25_topk(df: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("id").alias("doc_id"),
                 "score_x1e6")
+    )
+
+
+def bm25_hard_negatives(df: DataFrame, every: int = 100,
+                        n_terms: int = 3, k: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Hard-negative mining for retrieval training (the standard
+    recipe behind DPR/contrastive fine-tuning data, Karpukhin et al.
+    2020 arXiv:2004.04906 — negatives that a sparse ranker scores
+    HIGH but that are not the gold document): every doc whose id is
+    divisible by ``every`` becomes a query (its first ``n_terms``
+    tokens, duplicates keeping their query-tf weight), the gold is
+    the source doc itself, and the negatives are the top-k OTHER docs
+    by the same integer-exact Okapi BM25 as bm25_topk.
+
+    Output: (query_doc_id, rank, neg_doc_id, score_x1e6) — rank 1 is
+    the hardest negative; the gold doc is excluded BEFORE ranking so
+    ranks stay dense.
+
+    Scale shape: the sampled query table is corpus_size/every rows
+    (broadcast); scoring shares bm25's postings aggregations; the
+    final top-k windows per query over candidate docs only."""
+    base = (
+        parallelize(df)
+        .select(F.col(id_col).cast("long").alias("query_id"),
+                words_col(text_col).alias("w"))
+        .filter(F.col("query_id") % every == 0)
+    )
+    q = (base.select("query_id",
+                     F.explode(F.slice("w", 1, n_terms)).alias("term"))
+         .filter(F.col("term") != ""))
+    scored = _bm25_scored(df, q, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1e6"), F.asc("id"))
+    return (
+        scored.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("query_doc_id"), "rank",
+                F.col("id").alias("neg_doc_id"), "score_x1e6")
     )
 
 

@@ -3671,6 +3671,71 @@ FROM r WHERE rank <= {k}
 BM25_TOPK = _bm25_sql()
 
 
+def _bm25_hard_neg_sql(every: int = 100, n_terms: int = 3,
+                       k: int = 5) -> str:
+    """Hard-negative mining oracle: queries are the first n_terms
+    tokens of every doc with id % every = 0 (duplicates keep their
+    query-tf weight), scored by the same integer-exact Okapi BM25 as
+    _bm25_sql, gold doc excluded before ranking."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT id, term FROM toks WHERE term <> ''
+), dl AS (
+  SELECT id, count(*) AS dl FROM tk GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs,
+         (100 * SUM(dl)) // count(*) AS avgdl_x100
+  FROM dl
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM tk GROUP BY id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT query_id, t.term
+  FROM (SELECT CAST(doc_id AS BIGINT) AS query_id,
+               string_split(trim(text), ' ') AS w
+        FROM documents
+        WHERE CAST(doc_id AS BIGINT) % {every} = 0),
+       unnest(w[1:{n_terms}]) AS t(term)
+  WHERE t.term <> ''
+), j AS (
+  SELECT q.query_id, tf.id, tf.tf, dft.df, dl.dl,
+         stats.n_docs, stats.avgdl_x100,
+         100 - 75 + (75 * 100 * dl.dl) // stats.avgdl_x100 AS norm_x100
+  FROM q
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.id = dl.id
+  CROSS JOIN stats
+), c AS (
+  SELECT query_id, id,
+         ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+         * ((1000 * 2200 * tf) // (1000 * tf + 12 * norm_x100))
+         AS contrib
+  FROM j
+), s AS (
+  SELECT query_id, id, CAST(SUM(contrib) AS BIGINT) AS score_x1e6
+  FROM c GROUP BY query_id, id
+), r0 AS (
+  SELECT * FROM s WHERE id <> query_id
+), r AS (
+  SELECT query_id, id, score_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_x1e6 DESC, id ASC) AS BIGINT) AS rank
+  FROM r0
+)
+SELECT query_id AS query_doc_id, rank, id AS neg_doc_id, score_x1e6
+FROM r WHERE rank <= {k}
+"""
+
+
+BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
+
+
 # /timestamp-pdf DocTimeStamp state over the analysis corpus: every
 # doc timestamped by its num % 5 preset TSA; docs whose corpus planted
 # a signature field (hex digit 16 % 4 = 0) take sig1

@@ -120,3 +120,47 @@ def test_phrase_search_custom_single_term_phrase(spark):
     got = {(r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
            for r in phrase_search(docs, phrases=(("q", ("x",)),)).collect()}
     assert got == {("q", 1): (2, 0)}
+
+
+def test_bm25_hard_negatives_excludes_gold_and_ranks_dense(spark):
+    from stirling_pdf_spark.operators.retrieval import bm25_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma filler filler"),
+            (1, "alpha beta gamma"),          # strongest non-gold match
+            (2, "alpha beta other words here"),
+            (3, "alpha only once in text"),
+            (4, "nothing shared at all"),
+        ],
+        "doc_id long, text string")
+    got = bm25_hard_negatives(docs, every=5, n_terms=3, k=3).collect()
+    rows = {(r["query_doc_id"], r["rank"]): r["neg_doc_id"] for r in got}
+    # only doc 0 queries; gold (0) excluded; doc 4 shares no term
+    assert set(r["query_doc_id"] for r in got) == {0}
+    assert 0 not in set(r["neg_doc_id"] for r in got)
+    assert rows[(0, 1)] == 1          # full 3-term overlap ranks first
+    assert sorted(rows.values()) == [1, 2, 3]
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == [1, 2, 3]         # dense after exclusion
+
+
+def test_bm25_hard_negatives_duplicate_query_terms_weigh_double(spark):
+    from stirling_pdf_spark.operators.retrieval import (
+        _bm25_scored, bm25_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare rare boring"),   # query: rare rare boring
+            (1, "rare filler filler"),
+            (2, "boring filler filler"),
+        ],
+        "doc_id long, text string")
+    got = {r["neg_doc_id"]: r["score_x1e6"]
+           for r in bm25_hard_negatives(docs, every=3, n_terms=3,
+                                        k=3).collect()}
+    # 'rare' appears twice in the query: doc 1's contribution is the
+    # single-term score doubled; df(rare) == df(boring) == 2 so the
+    # per-occurrence contribution is symmetric with doc 2's
+    assert got[1] == 2 * got[2]
