@@ -381,6 +381,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs at cos >= 0.85 — the
+    weighted-vocabulary similarity axis next to the shingle family;
+    threshold decided float-free via the decimal cross-multiplied
+    square."""
+    from stirling_pdf_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(read_table(spark, sf_dir, "documents"),
+                              threshold_pct=85)
+
+
 def q_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR-style hard-negative mining: every 100th doc becomes a query
     (its first 3 tokens), scored by the shared integer-exact Okapi
@@ -5300,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_stats": q_image_quality_stats,
         "phrase_search": q_phrase_search,
         "bm25_hard_negatives": q_bm25_hard_negatives,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5834,6 +5847,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quality_stats": O.IMAGE_QUALITY_STATS,
         "phrase_search": O.PHRASE_SEARCH,
         "bm25_hard_negatives": O.BM25_HARD_NEGATIVES,
+        "tfidf_cosine_pairs": O.TFIDF_COSINE_PAIRS,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

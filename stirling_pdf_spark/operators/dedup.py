@@ -1259,3 +1259,70 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def tfidf_cosine_pairs(df: DataFrame, threshold_pct: int = 75,
+                       max_df: int | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Weighted near-dup pairs by TF-IDF cosine — the similarity axis
+    the shingle family cannot see (MinHash/Jaccard treat every term
+    equally; tf-idf cosine keys on DISTINCTIVE vocabulary overlap, the
+    classic sparse-vector dedup from IR).
+
+    Integer-exact: w(d, t) = tf * idf_x100 with idf_x100 =
+    (100 * N) div df; a pair qualifies iff cos >= threshold_pct/100,
+    decided WITHOUT floats or square roots by the cross-multiplied
+    square 10^4 * dot^2 >= t^2 * norm_a * norm_b (valid since all
+    weights are non-negative), evaluated in decimal(38,0) so the
+    squares cannot overflow int64 silently. Output: (id_a, id_b, dot,
+    norm_a, norm_b) — the oracle restates the same inequality in
+    HUGEINT.
+
+    Scale shape: inverted-index self-join on the term key (linear in
+    postings, never an all-pairs crossJoin); ``max_df`` drops terms
+    with document frequency above the cap BEFORE the join — on
+    Zipfian web corpora that caps the hot-term candidate explosion
+    exactly like dedup_jaccard_maxdf's prefix filter. Per-doc norms
+    are one extra partial-agg'd groupBy, broadcast-joined back."""
+    toks = (
+        parallelize(df)
+        .select(F.col(id_col).cast("long").alias("id"),
+                F.explode(words_col(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    from ..runtime.staging import stage
+
+    tf = stage(tf)  # consumed by df-counts and the pair join
+    dft = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = tf.select("id").distinct().count()
+    if max_df is not None:
+        dft = dft.filter(F.col("dfreq") <= max_df)
+    w = (tf.join(F.broadcast(dft), "term")
+         .withColumn("idf_x100", F.expr(f"(100 * {n_docs}) div dfreq"))
+         .select("id", "term",
+                 (F.col("tf") * F.col("idf_x100")).cast("long")
+                 .alias("w")))
+    w = stage(w)  # consumed by norms and both join sides
+    norms = w.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"),
+                      F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"),
+                      F.col("norm").alias("norm_b"))
+    dec = "decimal(38,0)"
+    lhs = (F.lit(10000).cast(dec) * F.col("dot").cast(dec)
+           * F.col("dot").cast(dec))
+    rhs = (F.lit(threshold_pct * threshold_pct).cast(dec)
+           * F.col("norm_a").cast(dec) * F.col("norm_b").cast(dec))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .filter(lhs >= rhs)
+            .select("id_a", "id_b", "dot", "norm_a", "norm_b"))

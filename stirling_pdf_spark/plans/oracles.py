@@ -3736,6 +3736,42 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# TF-IDF cosine near-dup pairs: integer weights tf * ((100*N) div df),
+# threshold cos >= 85/100 decided by the cross-multiplied square in
+# HUGEINT (engine side uses decimal(38,0) for the same inequality)
+TFIDF_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM tk GROUP BY id, term
+), nd AS (
+  SELECT count(DISTINCT id) AS n FROM tf
+), dft AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+), w AS (
+  SELECT id, term, CAST(tf * ((100 * nd.n) // dfreq) AS BIGINT) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+), norms AS (
+  SELECT id, CAST(sum(w * w) AS BIGINT) AS norm FROM w GROUP BY id
+), dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, dot, na.norm AS norm_a, nb.norm AS norm_b
+FROM dots
+JOIN norms na ON na.id = dots.id_a
+JOIN norms nb ON nb.id = dots.id_b
+WHERE CAST(10000 AS HUGEINT) * dot * dot
+      >= CAST(7225 AS HUGEINT) * na.norm * nb.norm
+"""
+
+
 # /timestamp-pdf DocTimeStamp state over the analysis corpus: every
 # doc timestamped by its num % 5 preset TSA; docs whose corpus planted
 # a signature field (hex digit 16 % 4 = 0) take sig1

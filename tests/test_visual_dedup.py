@@ -422,3 +422,47 @@ def test_image_quality_stats_corpus_outlier_rule(spark):
     assert got["far"]["outlier"] == 1 and got["far"]["keep"] == 0
     for i in range(3):
         assert got[f"m{i}"]["outlier"] == 0 and got[f"m{i}"]["keep"] == 1
+
+
+# ---------------------------------------------------- tf-idf cosine pairs
+
+
+def test_tfidf_cosine_pairs_threshold_and_integers(spark):
+    from stirling_pdf_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),        # identical -> cos = 1
+            (3, "apple banana date"),          # 2/3 overlap
+            (4, "elder fig grape"),            # disjoint
+        ],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           tfidf_cosine_pairs(docs, threshold_pct=90).collect()}
+    assert (1, 2) in got and len(got) == 1
+    r = got[(1, 2)]
+    # identical docs: dot == norm_a == norm_b
+    assert r["dot"] == r["norm_a"] == r["norm_b"]
+    # N=4: apple/banana have df=3 -> idf (100*4)//3 = 133; cherry
+    # df=2 -> 200; dot = 133^2 + 133^2 + 200^2
+    assert r["dot"] == 2 * 133 * 133 + 200 * 200
+
+
+def test_tfidf_cosine_pairs_max_df_prunes_hot_terms(spark):
+    from stirling_pdf_spark.operators.dedup import tfidf_cosine_pairs
+
+    # 'the' is in every doc; with max_df=2 it never joins, so the
+    # only surviving pair is the one sharing rare terms
+    docs = spark.createDataFrame(
+        [
+            (1, "the zebra yak"),
+            (2, "the zebra yak"),
+            (3, "the other words"),
+            (4, "the more words"),
+        ],
+        "doc_id long, text string")
+    got = [(r["id_a"], r["id_b"]) for r in
+           tfidf_cosine_pairs(docs, threshold_pct=90,
+                              max_df=2).collect()]
+    assert got == [(1, 2)]
