@@ -4624,6 +4624,34 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(wav_table(docs)).drop("reason")
 
 
+
+def q_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean sample-rate decimation (factor 4) over the sawtooth
+    WAV fixtures: per-channel floor-div block means whose loudness
+    statistics the oracle states closed-form (mono blocks collapse to
+    -1; stereo blocks alternate with block parity)."""
+    from stirling_pdf_spark.corpus.media import wav_table
+    from stirling_pdf_spark.operators.multimodal import audio_downsample
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return audio_downsample(wav_table(docs)).drop("reason")
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5313,6 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bm25_hard_negatives": q_bm25_hard_negatives,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "audio_downsample": q_audio_downsample,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5848,6 +5877,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": O.PHRASE_SEARCH,
         "bm25_hard_negatives": O.BM25_HARD_NEGATIVES,
         "tfidf_cosine_pairs": O.TFIDF_COSINE_PAIRS,
+        "audio_downsample": O.AUDIO_DOWNSAMPLE,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -1117,3 +1117,71 @@ def image_quality_stats(media: DataFrame, payload_col: str = "payload",
         F.when(F.col("n_px").isNull(), F.lit(0))
         .otherwise((~bad).cast("int")).cast("long").alias("keep"),
     )
+
+
+AUDIO_DOWNSAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("rate_out", T.IntegerType(), True),
+    T.StructField("n_out_frames", T.LongType(), True),
+    T.StructField("peak_out", T.LongType(), True),
+    T.StructField("sumabs_out", T.LongType(), True),
+    T.StructField("energy_out", T.LongType(), True),
+    T.StructField("reason", T.StringType(), True),
+])
+
+
+def audio_downsample(media: DataFrame, factor: int = 4,
+                     payload_col: str = "payload",
+                     ref_col: str = "media_ref") -> DataFrame:
+    """Sample-rate normalization by block-mean decimation — the audio
+    corpus standardization stage (training pipelines resample
+    everything to one rate before featurization; block averaging is
+    the integer anti-aliasing-lite decimator that needs no float
+    filter taps). Per channel, every ``factor`` consecutive frames
+    collapse to their FLOOR-division mean (numpy floor_divide
+    semantics — rounds toward -inf, which the closed-form oracle
+    states exactly); a trailing partial block is dropped.
+
+    Output keeps the integer loudness statistics of the RESAMPLED
+    signal (count/peak/sum|s|/energy) rather than the samples — the
+    engine-stable quantities (audio_energy's contract). One narrow
+    mapInPandas, no shuffle; undecodable rows carry a reason."""
+    from ..kernel import wav
+
+    src = media.select(F.col(ref_col).alias("media_ref"),
+                       F.col(payload_col).alias("payload"))
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            cols = ("media_ref", "channels", "sample_rate", "rate_out",
+                    "n_out_frames", "peak_out", "sumabs_out",
+                    "energy_out", "reason")
+            out = {k: [] for k in cols}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                ch = rate = ro = n = pk = sa = en = reason = None
+                try:
+                    ch, rate, _bits, arr = wav.decode_samples(b)
+                    frames = arr.astype(np.int64).reshape(-1, ch)
+                    nb = (frames.shape[0] // factor) * factor
+                    blocks = frames[:nb].reshape(-1, factor, ch)
+                    ds = np.floor_divide(blocks.sum(axis=1), factor)
+                    a = np.abs(ds)
+                    ro = rate // factor
+                    n = int(ds.shape[0])
+                    pk = int(a.max()) if a.size else 0
+                    sa = int(a.sum())
+                    en = int((a * a).sum())
+                except (NotImplementedError, ValueError,
+                        struct.error) as e:
+                    reason = str(e) or type(e).__name__
+                for k, v in zip(cols, (ref, ch, rate, ro, n, pk, sa,
+                                       en, reason)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_DOWNSAMPLE_SCHEMA)

@@ -3736,6 +3736,41 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# block-mean downsample (factor 4) of the sawtooth WAV fixtures: the
+# per-block floor-div means are closed-form — mono blocks collapse to
+# -2 // 4 = -1 everywhere; stereo blocks alternate (amp+3, -(amp+4))
+# and (amp+11, -(amp+12)) with block parity
+AUDIO_DOWNSAMPLE = f"""
+WITH d AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS media_ref
+  FROM documents
+), p AS (
+  SELECT media_ref,
+         1 + {_hexb(3)} % 2 AS ch,
+         ([8000, 16000, 32000, 48000])[{_hexb(5)} % 4 + 1] AS rate,
+         256 * (1 + {_hexb(7)} % 8) AS nf,
+         1000 + 100 * ({_hexb(9)} % 10) AS amp
+  FROM (SELECT media_ref, sha256(media_ref) AS h FROM d)
+)
+SELECT media_ref,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(rate // 4 AS INTEGER) AS rate_out,
+       CAST(nf // 4 AS BIGINT) AS n_out_frames,
+       CAST(CASE WHEN ch = 1 THEN 1 ELSE amp + 12 END AS BIGINT)
+         AS peak_out,
+       CAST(CASE WHEN ch = 1 THEN nf // 4
+            ELSE (nf // 8) * (4 * amp + 30) END AS BIGINT) AS sumabs_out,
+       CAST(CASE WHEN ch = 1 THEN nf // 4
+            ELSE (nf // 8) * ((amp + 3) * (amp + 3)
+                             + (amp + 4) * (amp + 4)
+                             + (amp + 11) * (amp + 11)
+                             + (amp + 12) * (amp + 12))
+            END AS BIGINT) AS energy_out
+FROM p
+"""
+
+
 # TF-IDF cosine near-dup pairs: integer weights tf * ((100*N) div df),
 # threshold cos >= 85/100 decided by the cross-multiplied square in
 # HUGEINT (engine side uses decimal(38,0) for the same inequality)

@@ -99,3 +99,55 @@ def test_streaming_dedup_replay_and_restart(spark, tmp_path):
     r7 = got[7]
     assert r7["value_micro"] == 1000000
     assert r7["ts_us"] % 60_000_000 == 0  # whole-minute fixture ts
+
+
+def test_audio_downsample_floor_means_and_partial_block_drop(spark):
+    from stirling_pdf_spark.kernel import wav
+    from stirling_pdf_spark.operators.multimodal import audio_downsample
+
+    # mono, 10 frames, factor 4 -> 2 blocks, 2 trailing frames dropped
+    samples = [7, -3, 5, 1, -8, -8, -8, -8, 99, 99]
+    payload = wav.encode_pcm16(1, 8000, samples)
+    media = spark.createDataFrame(
+        [("m0", "wav", payload), ("bad", "wav", b"RIFFxxxx")],
+        "media_ref string, fmt string, payload binary")
+    got = {r["media_ref"]: r for r in audio_downsample(
+        media, factor=4).collect()}
+    m = got["m0"]
+    # block means: (7-3+5+1)//4 = 2; (-32)//4 = -8
+    assert (m["n_out_frames"], m["rate_out"]) == (2, 2000)
+    assert m["peak_out"] == 8
+    assert m["sumabs_out"] == 2 + 8
+    assert m["energy_out"] == 4 + 64
+    b = got["bad"]
+    assert b["reason"] is not None and b["n_out_frames"] is None
+
+
+def test_audio_downsample_negative_sum_uses_floor_division(spark):
+    from stirling_pdf_spark.kernel import wav
+    from stirling_pdf_spark.operators.multimodal import audio_downsample
+
+    # sum = -2 over 4 frames: floor(-0.5) = -1 (NOT trunc's 0)
+    payload = wav.encode_pcm16(1, 8000, [1, -1, 1, -3])
+    media = spark.createDataFrame(
+        [("m", "wav", payload)],
+        "media_ref string, fmt string, payload binary")
+    r = audio_downsample(media, factor=4).collect()[0]
+    assert (r["sumabs_out"], r["energy_out"]) == (1, 1)
+
+
+def test_audio_downsample_stereo_per_channel_blocks(spark):
+    from stirling_pdf_spark.kernel import wav
+    from stirling_pdf_spark.operators.multimodal import audio_downsample
+
+    # stereo 4 frames: L = 4,4,4,4 -> 4; R = -8,-8,-8,-8 -> -8
+    inter = [4, -8, 4, -8, 4, -8, 4, -8]
+    payload = wav.encode_pcm16(2, 16000, inter)
+    media = spark.createDataFrame(
+        [("m", "wav", payload)],
+        "media_ref string, fmt string, payload binary")
+    r = audio_downsample(media, factor=4).collect()[0]
+    assert (r["channels"], r["n_out_frames"]) == (2, 1)
+    assert r["peak_out"] == 8
+    assert r["sumabs_out"] == 12
+    assert r["energy_out"] == 16 + 64
