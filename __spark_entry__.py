@@ -4652,6 +4652,17 @@ def q_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_downsample(wav_table(docs)).drop("reason")
 
 
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup pairs (common 2-gram shingles /
+    min size >= 0.8) — the asymmetric quote/subset detector next to
+    the symmetric Jaccard gate."""
+    from stirling_pdf_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(read_table(spark, sf_dir, "documents"),
+                             threshold_pct=80)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5342,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hard_negatives": q_bm25_hard_negatives,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "audio_downsample": q_audio_downsample,
+        "containment_pairs": q_containment_pairs,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5878,6 +5890,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hard_negatives": O.BM25_HARD_NEGATIVES,
         "tfidf_cosine_pairs": O.TFIDF_COSINE_PAIRS,
         "audio_downsample": O.AUDIO_DOWNSAMPLE,
+        "containment_pairs": O.CONTAINMENT_PAIRS,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -1326,3 +1326,55 @@ def tfidf_cosine_pairs(df: DataFrame, threshold_pct: int = 75,
     return (dots.join(na, "id_a").join(nb, "id_b")
             .filter(lhs >= rhs)
             .select("id_a", "id_b", "dot", "norm_a", "norm_b"))
+
+
+def containment_pairs(df: DataFrame, n: int = 2,
+                      threshold_pct: int = 80,
+                      max_df: int | None = None,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT — the
+    quote/subset detector symmetric Jaccard misses (a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0;
+    Broder's original resemblance-vs-containment distinction,
+    "On the resemblance and containment of documents", 1997).
+
+    Pairs (id_a < id_b) with common / min(size_a, size_b) >=
+    threshold_pct/100, decided integer-exactly:
+        100 * common >= threshold_pct * least(size_a, size_b)
+    Output: (id_a, id_b, common, size_a, size_b).
+
+    Scale shape: identical to ngram_jaccard_pairs — one shingle
+    inverted-index self-join (never all-pairs), optional ``max_df``
+    hot-shingle prefix cap, per-doc sizes partial-agg'd and joined
+    back."""
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
+    inv = (
+        sh.select("id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    if max_df is not None:
+        dfreq = inv.groupBy("sh").agg(F.count("*").alias("df_"))
+        inv = (
+            inv.join(dfreq.filter(F.col("df_") <= max_df), "sh", "inner")
+            .select("id", "sh")
+        )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "size_b"), "id_b")
+        .filter(F.col("common") * 100
+                >= F.lit(threshold_pct)
+                * F.least(F.col("size_a"), F.col("size_b")))
+        .select("id_a", "id_b", F.col("common").cast("long").alias("common"),
+                "size_a", "size_b")
+    )

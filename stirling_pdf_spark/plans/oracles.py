@@ -3736,6 +3736,33 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# asymmetric containment pairs over distinct 2-gram shingles:
+# 100 * common >= 80 * least(size_a, size_b)
+CONTAINMENT_PAIRS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT id, unnest(list_distinct(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END)) AS s
+  FROM d
+), sz AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b
+FROM pairs
+JOIN sz sa ON sa.id = pairs.id_a
+JOIN sz sb ON sb.id = pairs.id_b
+WHERE 100 * common >= 80 * least(sa.sz, sb.sz)
+"""
+
+
 # block-mean downsample (factor 4) of the sawtooth WAV fixtures: the
 # per-block floor-div means are closed-form — mono blocks collapse to
 # -2 // 4 = -1 everywhere; stereo blocks alternate (amp+3, -(amp+4))

@@ -466,3 +466,35 @@ def test_tfidf_cosine_pairs_max_df_prunes_hot_terms(spark):
            tfidf_cosine_pairs(docs, threshold_pct=90,
                               max_df=2).collect()]
     assert got == [(1, 2)]
+
+
+def test_containment_pairs_catch_subset_jaccard_misses(spark):
+    from stirling_pdf_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here")],
+        "doc_id long, text string")
+    cont = containment_pairs(docs, threshold_pct=100).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    r = cont[0]
+    assert r["common"] == r["size_a"] == 3   # all 3 shingles contained
+    # the symmetric Jaccard at 50% misses the same pair
+    jac = ngram_jaccard_pairs(docs, threshold_pct=50).collect()
+    assert (1, 2) not in [(x["id_a"], x["id_b"]) for x in jac]
+
+
+def test_containment_pairs_max_df_cap(spark):
+    from stirling_pdf_spark.operators.dedup import containment_pairs
+
+    # shingle 'a b' is in all docs; capping df at 2 removes it, so no
+    # pair reaches the threshold
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b y"), (3, "a b z")],
+        "doc_id long, text string")
+    assert containment_pairs(docs, threshold_pct=50).count() == 3
+    assert containment_pairs(docs, threshold_pct=50,
+                             max_df=2).count() == 0
