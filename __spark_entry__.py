@@ -4663,6 +4663,15 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold_pct=80)
 
 
+
+def q_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff trigram LM scoring: even-doc model,
+    odd-doc scores, live backoff path (Brants et al. 2007)."""
+    from stirling_pdf_spark.operators.textstats import lm_trigram_backoff
+
+    return lm_trigram_backoff(read_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5354,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "audio_downsample": q_audio_downsample,
         "containment_pairs": q_containment_pairs,
+        "lm_trigram_backoff": q_lm_trigram_backoff,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5891,6 +5901,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_pairs": O.TFIDF_COSINE_PAIRS,
         "audio_downsample": O.AUDIO_DOWNSAMPLE,
         "containment_pairs": O.CONTAINMENT_PAIRS,
+        "lm_trigram_backoff": O.LM_TRIGRAM_BACKOFF,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

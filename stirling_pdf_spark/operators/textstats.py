@@ -1930,3 +1930,88 @@ def domain_prefix_boilerplate(df: DataFrame, domain_col: str = "domain",
         k.cast("long").alias("prefix_len"),
         m1.substr(F.lit(1), k).alias("prefix"),
     )
+
+
+def lm_trigram_backoff(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Held-out trigram scoring with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    count-ratio backoff Google built for web-scale corpora precisely
+    because it needs no discounting math): the model trains on the
+    EVEN-doc_id half of the corpus and scores the ODD half, so unseen
+    trigrams genuinely occur and the backoff path is live (training
+    on the full corpus would see every scored trigram at least once —
+    the bigram_lm_fit gate's in-corpus fit measures formulaicness;
+    this one measures generalization).
+
+    Integer-exact per trigram position:
+        seen:    s = (1000 * c3(w1w2w3)) div c2(w1w2)
+        backoff: s = (4 * ((1000 * c2(w2w3)) div c1(w2))) div 10
+                 (alpha = 0.4 as the x10 integer)
+        else 0
+    with c1 counting bigram LEFT occurrences (bigram_lm_fit's
+    denominator convention). Output per odd doc: (id, n_trigrams,
+    n_seen, n_backoff, fit_x1000 = sum div n).
+
+    Scale shape: three partial-agg'd count tables (trigram, bigram,
+    left-word — vocabulary-sized, broadcastable on real corpora),
+    four lookup joins from the scored half, one per-doc groupBy. The
+    model IS a DataFrame; no driver state."""
+    base = parallelize(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        words_col(text_col).alias("w"))
+    train = base.filter(F.col("id") % 2 == 0)
+    g2 = (train.filter(F.size("w") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(w) - 2),"
+              " i -> struct(w[i] as w1, concat(w[i], ' ', w[i+1])"
+              " as gm))")).alias("b"))
+          .select("b.w1", "b.gm"))
+    c12 = g2.groupBy("gm").agg(F.count("*").alias("c12"))
+    c1 = g2.groupBy("w1").agg(F.count("*").alias("c1"))
+    g3 = (train.filter(F.size("w") >= 3)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(w) - 3),"
+              " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+              .alias("tg")))
+    c123 = g3.groupBy("tg").agg(F.count("*").alias("c123"))
+
+    score_half = base.filter(F.col("id") % 2 == 1)
+    pos = (score_half.filter(F.size("w") >= 3)
+           .select("id", F.explode(F.expr(
+               "transform(sequence(0, size(w) - 3),"
+               " i -> struct("
+               "  concat(w[i], ' ', w[i+1], ' ', w[i+2]) as tg,"
+               "  concat(w[i], ' ', w[i+1]) as b12,"
+               "  concat(w[i+1], ' ', w[i+2]) as b23,"
+               "  w[i+1] as mid))")).alias("t"))
+           .select("id", "t.tg", "t.b12", "t.b23", "t.mid"))
+    joined = (
+        pos.join(F.broadcast(c123), "tg", "left")
+        .join(F.broadcast(c12), pos["b12"] == c12["gm"], "left")
+        .join(F.broadcast(c12.select(F.col("gm").alias("gm_b"),
+                                     F.col("c12").alias("cb"))),
+              pos["b23"] == F.col("gm_b"), "left")
+        .join(F.broadcast(c1), pos["mid"] == c1["w1"], "left")
+    )
+    seen = F.col("c123").isNotNull()
+    backoff = F.col("cb").isNotNull() & F.col("c1").isNotNull()
+    s = (F.when(seen, F.expr("(1000 * c123) div c12"))
+         .when(backoff, F.expr("(4 * ((1000 * cb) div c1)) div 10"))
+         .otherwise(F.lit(0)))
+    agg = (joined.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum(seen.cast("long")).cast("long").alias("n_seen"),
+        F.sum((~seen & backoff).cast("long")).cast("long")
+        .alias("n_backoff"),
+        F.sum(s).alias("p_sum")))
+    out = score_half.select("id").join(agg, "id", "left")
+    return out.select(
+        "id",
+        F.coalesce("n_trigrams", F.lit(0)).cast("long")
+        .alias("n_trigrams"),
+        F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+        F.coalesce("n_backoff", F.lit(0)).cast("long")
+        .alias("n_backoff"),
+        F.coalesce(F.expr("p_sum div n_trigrams"), F.lit(0))
+        .cast("long").alias("fit_x1000"))

@@ -3736,6 +3736,72 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# held-out stupid-backoff trigram scoring: model from EVEN doc_ids,
+# scores for ODD doc_ids; alpha = 0.4 as the x10 integer; c1 counts
+# bigram LEFT occurrences (bigram_lm_fit's denominator convention)
+LM_TRIGRAM_BACKOFF = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), tr AS (
+  SELECT id, w FROM d WHERE id % 2 = 0
+), g2 AS (
+  SELECT w[i] AS w1, w[i] || ' ' || w[i + 1] AS gm
+  FROM tr, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT gm, count(*) AS c12 FROM g2 GROUP BY gm
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1
+), g3 AS (
+  SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg
+  FROM tr, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), c123 AS (
+  SELECT tg, count(*) AS c123 FROM g3 GROUP BY tg
+), pos AS (
+  SELECT id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg,
+         w[i] || ' ' || w[i + 1] AS b12,
+         w[i + 1] || ' ' || w[i + 2] AS b23,
+         w[i + 1] AS mid
+  FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE id % 2 = 1 AND len(w) >= 3
+), sc AS (
+  SELECT pos.id,
+         CASE WHEN c123.c123 IS NOT NULL
+              THEN (1000 * c123.c123) // c12.c12
+              WHEN cb.cb IS NOT NULL AND c1.c1 IS NOT NULL
+              THEN (4 * ((1000 * cb.cb) // c1.c1)) // 10
+              ELSE 0 END AS s,
+         CASE WHEN c123.c123 IS NOT NULL THEN 1 ELSE 0 END AS seen,
+         CASE WHEN c123.c123 IS NULL AND cb.cb IS NOT NULL
+                   AND c1.c1 IS NOT NULL THEN 1 ELSE 0 END AS bo
+  FROM pos
+  LEFT JOIN c123 ON c123.tg = pos.tg
+  LEFT JOIN c12 ON c12.gm = pos.b12
+  LEFT JOIN (SELECT gm AS gm_b, c12 AS cb FROM c12) cb
+         ON cb.gm_b = pos.b23
+  LEFT JOIN c1 ON c1.w1 = pos.mid
+), agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(seen) AS BIGINT) AS n_seen,
+         CAST(sum(bo) AS BIGINT) AS n_backoff,
+         sum(s) AS p_sum
+  FROM sc GROUP BY id
+)
+SELECT d.id,
+       COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+       COALESCE(agg.n_seen, 0) AS n_seen,
+       COALESCE(agg.n_backoff, 0) AS n_backoff,
+       CAST(COALESCE(agg.p_sum // agg.n_trigrams, 0) AS BIGINT)
+         AS fit_x1000
+FROM (SELECT id FROM d WHERE id % 2 = 1) d
+LEFT JOIN agg ON agg.id = d.id
+"""
+
+
 # asymmetric containment pairs over distinct 2-gram shingles:
 # 100 * common >= 80 * least(size_a, size_b)
 CONTAINMENT_PAIRS = """

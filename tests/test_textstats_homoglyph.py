@@ -50,3 +50,45 @@ def test_domain_prefix_cap(spark):
                                ["domain", "text"])
     (r,) = domain_prefix_boilerplate(df, cap=64).collect()
     assert (r.prefix_len, r.prefix) == (64, "q" * 64)
+
+
+def test_lm_trigram_backoff_seen_backoff_and_unseen_paths(spark):
+    from stirling_pdf_spark.operators.textstats import lm_trigram_backoff
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # train: trigrams 'a b c','b c d'
+            (2, "a b c"),          # train: reinforces 'a b c'
+            (1, "a b c x"),        # score: 'a b c' seen, 'b c x' backoff
+            (3, "q r s t"),        # score: nothing seen, no backoff
+            (5, "zz"),             # score: too short -> zeros
+        ],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in lm_trigram_backoff(docs).collect()}
+    r1 = got[1]
+    # seen: c3('a b c')=2, c2('a b')=2 -> 1000; backoff for 'b c x':
+    # c2('c x')=0 -> cb null -> s=0 but counted neither seen nor
+    # backoff; 'b c x' has b23='c x' unseen -> s=0
+    assert (r1["n_trigrams"], r1["n_seen"], r1["n_backoff"]) == (2, 1, 0)
+    assert r1["fit_x1000"] == (1000 + 0) // 2
+    r3 = got[3]
+    assert (r3["n_seen"], r3["n_backoff"], r3["fit_x1000"]) == (0, 0, 0)
+    r5 = got[5]
+    assert (r5["n_trigrams"], r5["fit_x1000"]) == (0, 0)
+
+
+def test_lm_trigram_backoff_backoff_value_alpha(spark):
+    from stirling_pdf_spark.operators.textstats import lm_trigram_backoff
+
+    docs = spark.createDataFrame(
+        [
+            (0, "m n o"),          # train: bigrams 'm n','n o'
+            (1, "x m n o"),        # 'x m n': unseen, b23='m n' cb=1,
+                                   # c1('m')=1 -> (4*1000)//10 = 400
+                                   # 'm n o': seen -> 1000
+        ],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in lm_trigram_backoff(docs).collect()}
+    r = got[1]
+    assert (r["n_trigrams"], r["n_seen"], r["n_backoff"]) == (2, 1, 1)
+    assert r["fit_x1000"] == (400 + 1000) // 2
