@@ -232,6 +232,15 @@ BENCH_QUERIES = (
     "tiff_to_pdf",
     "text_homoglyph",
     "domain_prefix",
+    # round-5 eleventh session
+    "dedup_image_phash",
+    "image_quality_stats",
+    "phrase_search",
+    "bm25_hard_negatives",
+    "tfidf_cosine_pairs",
+    "audio_downsample",
+    "containment_pairs",
+    "lm_trigram_backoff",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -1294,13 +1294,14 @@ def tfidf_cosine_pairs(df: DataFrame, threshold_pct: int = 75,
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     from ..runtime.staging import stage
 
-    tf = stage(tf)  # consumed by df-counts and the pair join
+    tf = stage(tf)  # consumed by df-counts, N and the pair join
     dft = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    n_docs = tf.select("id").distinct().count()
+    nd = tf.agg(F.countDistinct("id").alias("n_docs"))
     if max_df is not None:
         dft = dft.filter(F.col("dfreq") <= max_df)
     w = (tf.join(F.broadcast(dft), "term")
-         .withColumn("idf_x100", F.expr(f"(100 * {n_docs}) div dfreq"))
+         .crossJoin(F.broadcast(nd))
+         .withColumn("idf_x100", F.expr("(100 * n_docs) div dfreq"))
          .select("id", "term",
                  (F.col("tf") * F.col("idf_x100")).cast("long")
                  .alias("w")))
