@@ -4672,6 +4672,41 @@ def q_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_trigram_backoff(read_table(spark, sf_dir, "documents"))
 
 
+
+def q_html_justext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style context-sensitive boilerplate classification:
+    every doc synthesizes an HTML page of 12-token <p> blocks (every
+    5th block per (doc_id + idx) carries a 3-word nav link), the
+    engine PARSES the HTML with JVM regexp (no UDF), classifies
+    bad/near/good by integer link-density/length/stopword rules and
+    runs the adjacency relabel pass; the oracle re-derives every
+    class closed-form from the raw token stream."""
+    from stirling_pdf_spark.functions.html import justext_blocks
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.expr(
+        "concat('<html><body>', concat_ws('', transform("
+        " sequence(0, (size(split(trim(text), '\\\\s+')) + 11) div 12"
+        "  - 1),"
+        " i -> concat('<p>',"
+        "  CASE WHEN (doc_id + i) % 5 = 0"
+        "        AND size(slice(split(trim(text), '\\\\s+'),"
+        "                       i * 12 + 1, 12)) >= 4"
+        "  THEN concat('<a href=\"/x\">',"
+        "   concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+        "             i * 12 + 1, 3)), '</a> ',"
+        "   concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+        "             i * 12 + 4,"
+        "             size(slice(split(trim(text), '\\\\s+'),"
+        "                        i * 12 + 1, 12)) - 3)))"
+        "  ELSE concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+        "                 i * 12 + 1, 12)) END,"
+        " '</p>'))), '</body></html>')")
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      html.alias("html"))
+    return justext_blocks(src)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5364,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_downsample": q_audio_downsample,
         "containment_pairs": q_containment_pairs,
         "lm_trigram_backoff": q_lm_trigram_backoff,
+        "html_justext": q_html_justext,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5902,6 +5938,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_downsample": O.AUDIO_DOWNSAMPLE,
         "containment_pairs": O.CONTAINMENT_PAIRS,
         "lm_trigram_backoff": O.LM_TRIGRAM_BACKOFF,
+        "html_justext": O.HTML_JUSTEXT,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -426,3 +426,74 @@ def crawl_schedule(urls, delay_ms: int = 1000,
         "url_id", "domain", "slot",
         (F.col("slot") * delay_ms).cast("long").alias("fetch_at_ms"),
     )
+
+
+JUSTEXT_STOPWORDS = ("a", "the")
+JUSTEXT_CHUNK = 12          # tokens per synthesized paragraph
+
+
+def justext_blocks(df, id_col: str = "doc_id",
+                   html_col: str = "html"):
+    """jusText-style paragraph classification (Pomikálek 2011,
+    "Removing boilerplate and duplicate content from web corpora" —
+    the context-sensitive boilerplate algorithm the north star names
+    next to Readability): per <p> block, link density + length +
+    stopword density give an INITIAL class (bad / near-good / good),
+    then the context pass relabels each near-good block good iff an
+    adjacent block is good, else bad — isolated borderline paragraphs
+    are boilerplate, borderline paragraphs inside an article are
+    content.
+
+    Integer rules (cross-multiplied, no floats):
+        bad_init   10 * link_chars > 2 * total_chars  OR  n_words < 4
+        good_init  n_words >= 10 AND 10 * n_stop >= n_words
+        near       otherwise
+    Context: good stays good, bad stays bad; near-good -> good iff
+    lag(cls) or lead(cls) is good (paragraph order within the doc).
+
+    Scale shape: the parse is map-only JVM regexp (block split, <a>
+    strip) riding the scan — NO Python UDF; the only shuffle is the
+    per-doc window for the adjacency pass, partitioned by doc_id.
+
+    Output: (doc_id, para_idx, n_words, n_stop, link_chars,
+    total_chars, cls_init, cls_final)."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({html_col},"
+                   " '<p>(.*?)</p>', 1)")).alias("para_idx", "raw"),
+    )
+    clean = F.regexp_replace("raw", "<[^>]*>", "")
+    link_text = F.regexp_extract("raw", "<a[^>]*>(.*?)</a>", 1)
+    toks = F.split(F.trim(clean), r"\s+")
+    stops = ", ".join(f"'{s}'" for s in JUSTEXT_STOPWORDS)
+    m = (paras
+         .withColumn("text_clean", clean)
+         .withColumn("link_chars",
+                     F.length(link_text).cast("long"))
+         .withColumn("total_chars",
+                     F.length("text_clean").cast("long"))
+         .withColumn("n_words", F.size(toks).cast("long"))
+         .withColumn("n_stop",
+                     F.expr(f"size(filter(split(trim(text_clean),"
+                            f" '\\\\s+'), t -> t IN ({stops})))")
+                     .cast("long")))
+    bad = (10 * F.col("link_chars") > 2 * F.col("total_chars")) \
+        | (F.col("n_words") < 4)
+    good = (~bad) & (F.col("n_words") >= 10) \
+        & (10 * F.col("n_stop") >= F.col("n_words"))
+    cls = F.when(bad, "bad").when(good, "good").otherwise("near")
+    m = m.withColumn("cls_init", cls)
+    w = Window.partitionBy("doc_id").orderBy("para_idx")
+    adj_good = (F.lag("cls_init").over(w) == "good") \
+        | (F.lead("cls_init").over(w) == "good")
+    final = (F.when(F.col("cls_init") != "near", F.col("cls_init"))
+             .when(F.coalesce(adj_good, F.lit(False)), "good")
+             .otherwise("bad"))
+    return (m.withColumn("cls_final", final)
+            .select("doc_id", F.col("para_idx").cast("long")
+                    .alias("para_idx"),
+                    "n_words", "n_stop", "link_chars", "total_chars",
+                    "cls_init", "cls_final"))

@@ -3736,6 +3736,52 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# jusText-style paragraph classification re-derived closed-form from
+# the raw token stream: 12-token chunks, link planted when
+# (doc_id + i) % 5 = 0 and the chunk has >= 4 words (3-word link text)
+HTML_JUSTEXT = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, t.i AS para_idx,
+         list_slice(w, t.i * 12 + 1, t.i * 12 + 12) AS tk
+  FROM d, unnest(range(0, (len(w) + 11) // 12)) AS t(i)
+), m AS (
+  SELECT doc_id, para_idx,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(len(list_filter(tk, x -> x IN ('a', 'the')))
+              AS BIGINT) AS n_stop,
+         CAST(CASE WHEN (doc_id + para_idx) % 5 = 0 AND len(tk) >= 4
+              THEN strlen(array_to_string(list_slice(tk, 1, 3), ' '))
+              ELSE 0 END AS BIGINT) AS link_chars,
+         CAST(strlen(array_to_string(tk, ' ')) AS BIGINT)
+           AS total_chars
+  FROM p
+), c AS (
+  SELECT *,
+         CASE WHEN 10 * link_chars > 2 * total_chars OR n_words < 4
+              THEN 'bad'
+              WHEN n_words >= 10 AND 10 * n_stop >= n_words
+              THEN 'good'
+              ELSE 'near' END AS cls_init
+  FROM m
+)
+SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+       n_words, n_stop, link_chars, total_chars, cls_init,
+       CASE WHEN cls_init <> 'near' THEN cls_init
+            WHEN COALESCE(lag(cls_init) OVER
+                   (PARTITION BY doc_id ORDER BY para_idx) = 'good',
+                 FALSE)
+              OR COALESCE(lead(cls_init) OVER
+                   (PARTITION BY doc_id ORDER BY para_idx) = 'good',
+                 FALSE)
+            THEN 'good' ELSE 'bad' END AS cls_final
+FROM c
+"""
+
+
 # held-out stupid-backoff trigram scoring: model from EVEN doc_ids,
 # scores for ODD doc_ids; alpha = 0.4 as the x10 integer; c1 counts
 # bigram LEFT occurrences (bigram_lm_fit's denominator convention)

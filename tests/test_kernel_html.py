@@ -67,3 +67,38 @@ def test_document_order_and_whitespace_normalized():
     )
     out = extract_main_blocks(html)
     assert out == [f"First paragraph {LONG}", f"Second paragraph {LONG}"]
+
+
+def test_justext_blocks_classes_and_context_relabel(spark):
+    from stirling_pdf_spark.functions.html import justext_blocks
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    near = "words without stopwords here now five six seven eight nine ten"
+    html = (
+        "<html><body>"
+        f"<p><a href=\"/nav\">home page link</a> x</p>"   # link-dense: bad
+        f"<p>{good}</p>"                                   # good
+        f"<p>{near}</p>"                                   # near, next to good
+        "<p>tiny one</p>"                                  # < 4 words: bad
+        f"<p>{near}</p>"                                   # near, adj to bad/none
+        "</body></html>")
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = {r["para_idx"]: r for r in justext_blocks(df).collect()}
+    assert rows[0]["cls_init"] == "bad" and rows[0]["cls_final"] == "bad"
+    assert rows[1]["cls_init"] == "good"
+    assert rows[2]["cls_init"] == "near" and rows[2]["cls_final"] == "good"
+    assert rows[3]["cls_init"] == "bad"
+    # isolated near-good (neighbors bad / edge) demotes to bad
+    assert rows[4]["cls_init"] == "near" and rows[4]["cls_final"] == "bad"
+
+
+def test_justext_blocks_counts_are_exact(spark):
+    from stirling_pdf_spark.functions.html import justext_blocks
+
+    html = "<html><body><p><a href=\"/x\">a b</a> the c</p></body></html>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    [r] = justext_blocks(df).collect()
+    assert r["n_words"] == 4
+    assert r["n_stop"] == 2            # 'a' and 'the'
+    assert r["link_chars"] == 3        # 'a b'
+    assert r["total_chars"] == len("a b the c")

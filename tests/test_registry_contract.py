@@ -105,7 +105,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "dedup_image_phash", "image_quality_stats",
                         "phrase_search", "bm25_hard_negatives",
                         "tfidf_cosine_pairs", "audio_downsample",
-                        "containment_pairs", "lm_trigram_backoff"]
+                        "containment_pairs", "lm_trigram_backoff",
+                        "html_justext"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
