@@ -4707,6 +4707,16 @@ def q_html_justext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return justext_blocks(src)
 
 
+
+def q_sketch_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs ground truth for the
+    top-10 corpus terms (deterministic md5 row hashes; 4 x 256
+    cells); overestimate >= 0 is part of the checked output."""
+    from stirling_pdf_spark.operators.sketch import cms_heavy_estimates
+
+    return cms_heavy_estimates(read_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5400,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "lm_trigram_backoff": q_lm_trigram_backoff,
         "html_justext": q_html_justext,
+        "sketch_cms_estimate": q_sketch_cms_estimate,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5939,6 +5950,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": O.CONTAINMENT_PAIRS,
         "lm_trigram_backoff": O.LM_TRIGRAM_BACKOFF,
         "html_justext": O.HTML_JUSTEXT,
+        "sketch_cms_estimate": O.SKETCH_CMS_ESTIMATE,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

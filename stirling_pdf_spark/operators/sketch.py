@@ -150,3 +150,85 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
             .alias("bloom_flag"),
             F.coalesce("exact_flag", F.lit(0)).cast("int")
             .alias("exact_flag"))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cells(df: DataFrame, key_col: str,
+              depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch cells (Cormode & Muthukrishnan 2005) — the
+    fixed-size mergeable FREQUENCY summary next to HLL's cardinality
+    one: depth x width counters, row r hashing every key by the first
+    8 hex chars of md5('cms{r}:' || key). Per-partition pieces merge
+    by plain cell-wise SUM, so the shuffle payload is at most
+    depth*width rows per executor REGARDLESS of input size — the
+    point of carrying a sketch at 10^12 tokens. Deterministic md5
+    hashing keeps the sketch bit-identical across engines (Spark's
+    own CountMinSketchAgg seeds differently per run).
+
+    Output: (row, col, cnt) — at most depth*width rows total."""
+    cells = []
+    for r in range(depth):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms{r}:"), F.col(key_col))), 1, 8),
+            16, 10).cast("long") % width
+        cells.append(F.struct(F.lit(r).alias("row"),
+                              h.cast("int").alias("col")))
+    return (df.select(F.explode(F.array(*cells)).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.col").alias("col"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_heavy_estimates(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 10,
+                        depth: int = CMS_DEPTH,
+                        width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query audit of the Count-Min sketch against ground
+    truth: build the sketch over every token occurrence, then for the
+    top-k true-count terms (ties by term asc) report the CMS estimate
+    est = min over rows of cell[r][h_r(term)] next to the true count.
+    CMS never underestimates, so est - true_cnt >= 0 is part of the
+    gate's checked output.
+
+    Scale shape: one token groupBy for truth (partial-agg'd), the
+    bounded-cell sketch aggregation, and a broadcast join of the
+    top-k terms against depth rows each — the sketch table never
+    exceeds depth*width rows."""
+    from pyspark.sql import Window
+
+    from .dedup import parallelize, words_col
+
+    toks = (parallelize(df)
+            .select(F.explode(words_col(text_col)).alias("term"))
+            .filter(F.col("term") != ""))
+    from ..runtime.staging import stage
+
+    toks = stage(toks)  # consumed by truth and the sketch
+    truth = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("true_cnt"))
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("term"))
+    top = (truth.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k))
+    cells = cms_cells(toks, "term", depth=depth, width=width)
+    probes = []
+    for r in range(depth):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cms{r}:"), F.col("term"))), 1, 8),
+            16, 10).cast("long") % width
+        probes.append(F.struct(F.lit(r).alias("row"),
+                               h.cast("int").alias("col")))
+    probed = (top.select("term", "true_cnt", "rank",
+                         F.explode(F.array(*probes)).alias("p"))
+              .select("term", "true_cnt", "rank",
+                      F.col("p.row").alias("row"),
+                      F.col("p.col").alias("col")))
+    est = (probed.join(F.broadcast(cells), ["row", "col"])
+           .groupBy("term", "true_cnt", "rank")
+           .agg(F.min("cnt").cast("long").alias("est_cnt")))
+    return est.select("rank", "term", "true_cnt", "est_cnt",
+                      (F.col("est_cnt") - F.col("true_cnt"))
+                      .cast("long").alias("overestimate"))

@@ -3736,6 +3736,45 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# Count-Min sketch point-query audit: depth 4 x width 256, row hash =
+# first 8 md5 hex chars of 'cms{r}:'||term mod 256; estimates for the
+# top-10 true-count terms; CMS never underestimates
+SKETCH_CMS_ESTIMATE = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tk AS (
+  SELECT term FROM toks WHERE term <> ''
+), truth AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM tk GROUP BY term
+), top AS (
+  SELECT term, true_cnt,
+         CAST(row_number() OVER (ORDER BY true_cnt DESC, term ASC)
+              AS BIGINT) AS rank
+  FROM truth QUALIFY rank <= 10
+), cells AS (
+  SELECT r.r AS row,
+         CAST(CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
+              || ':' || term), 1, 8)) AS BIGINT) % 256 AS INTEGER)
+           AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+  GROUP BY 1, 2
+), probed AS (
+  SELECT top.term, top.true_cnt, top.rank, r.r AS row,
+         CAST(CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
+              || ':' || top.term), 1, 8)) AS BIGINT) % 256 AS INTEGER)
+           AS col
+  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+)
+SELECT p.rank, p.term, p.true_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+       CAST(min(c.cnt) - p.true_cnt AS BIGINT) AS overestimate
+FROM probed p JOIN cells c ON c.row = p.row AND c.col = p.col
+GROUP BY p.rank, p.term, p.true_cnt
+"""
+
+
 # jusText-style paragraph classification re-derived closed-form from
 # the raw token stream: 12-token chunks, link planted when
 # (doc_id + i) % 5 = 0 and the chunk has >= 4 words (3-word link text)

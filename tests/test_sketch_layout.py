@@ -119,3 +119,38 @@ class TestZorder:
         man = zorder_manifest(docs).collect()
         spans = [r["max_x"] - r["min_x"] for r in man]
         assert sum(spans) / len(spans) < 128
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from stirling_pdf_spark.operators.sketch import cms_heavy_estimates
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x y q")],
+        "doc_id long, text string")
+    rows = {r["term"]: r for r in cms_heavy_estimates(
+        docs, k=4).collect()}
+    assert rows["x"]["true_cnt"] == 4
+    assert set(rows) == {"x", "y", "z", "q"}
+    for r in rows.values():
+        assert r["overestimate"] >= 0
+        assert r["est_cnt"] >= r["true_cnt"]
+    # 4 distinct terms in 4x256 cells: collisions are possible but a
+    # row without collision must bound est to the true count
+    assert rows["x"]["est_cnt"] == 4  # depth-4 min finds a clean row
+
+
+def test_cms_cells_bounded_and_mergeable_by_sum(spark):
+    from stirling_pdf_spark.operators.sketch import cms_cells
+
+    df1 = spark.createDataFrame([("a",), ("b",)], "term string")
+    df2 = spark.createDataFrame([("a",), ("c",)], "term string")
+    both = df1.union(df2)
+    cells_union = {(r["row"], r["col"]): r["cnt"]
+                   for r in cms_cells(both, "term").collect()}
+    from collections import Counter
+    merged = Counter()
+    for d in (df1, df2):
+        for r in cms_cells(d, "term").collect():
+            merged[(r["row"], r["col"])] += r["cnt"]
+    assert dict(merged) == cells_union
+    assert len(cells_union) <= 4 * 256
