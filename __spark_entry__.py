@@ -4717,6 +4717,32 @@ def q_sketch_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_estimates(read_table(spark, sf_dir, "documents"))
 
 
+
+def q_html_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> interleaved text+media spans in document order (the
+    north-rule input shape from the web side): 12-token <p> chunks
+    with an <img> planted after every chunk where (doc_id + i) % 3
+    = 0; the engine parses the HTML with one ordered JVM regexp pass,
+    the oracle re-derives spans and offsets closed-form."""
+    from stirling_pdf_spark.functions.html import html_to_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.expr(
+        "concat('<html><body>', concat_ws('', transform("
+        " sequence(0, (size(split(trim(text), WS)) + 11) div 12 - 1),"
+        " i -> concat('<p>',"
+        "  concat_ws(' ', slice(split(trim(text), WS), i * 12 + 1, 12)),"
+        "  '</p>',"
+        "  CASE WHEN (doc_id + i) % 3 = 0"
+        "  THEN concat('<img src=\"media-',"
+        "       substr(sha2(encode(text, 'UTF-8'), 256), 1, 8),"
+        "       '-', cast(i as string), '\">')"
+        "  ELSE '' END))), '</body></html>')".replace("WS", "'\\\\s+'"))
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      html.alias("html"))
+    return html_to_spans(src)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5411,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_backoff": q_lm_trigram_backoff,
         "html_justext": q_html_justext,
         "sketch_cms_estimate": q_sketch_cms_estimate,
+        "html_interleaved": q_html_interleaved,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5951,6 +5978,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_backoff": O.LM_TRIGRAM_BACKOFF,
         "html_justext": O.HTML_JUSTEXT,
         "sketch_cms_estimate": O.SKETCH_CMS_ESTIMATE,
+        "html_interleaved": O.HTML_INTERLEAVED,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

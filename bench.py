@@ -241,6 +241,8 @@ BENCH_QUERIES = (
     "audio_downsample",
     "containment_pairs",
     "lm_trigram_backoff",
+    "html_justext",
+    "sketch_cms_estimate",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

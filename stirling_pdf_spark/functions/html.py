@@ -497,3 +497,37 @@ def justext_blocks(df, id_col: str = "doc_id",
                     .alias("para_idx"),
                     "n_words", "n_stop", "link_chars", "total_chars",
                     "cls_init", "cls_final"))
+
+
+def html_to_spans(df, id_col: str = "doc_id",
+                  html_col: str = "html"):
+    """HTML -> ordered interleaved spans — the web-side twin of the
+    PDF extraction pipeline's output contract (the north-rule input
+    shape: (doc_id, kind, text, media_ref, offset) with text and
+    media interleaved in DOCUMENT ORDER). <p> blocks become text
+    spans (tags stripped), <img> elements become media spans carrying
+    their src as the media_ref; offset is the 0-based position in
+    the combined sequence.
+
+    Scale shape: map-only — ONE ordered regexp_extract_all pass per
+    document rides the scan (posexplode preserves the match order),
+    no shuffle, no Python UDF."""
+    items = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({html_col},"
+                   " '(<p>.*?</p>|<img [^>]*>)', 1)"))
+        .alias("offset", "raw"),
+    )
+    is_img = F.col("raw").startswith("<img")
+    return items.select(
+        "doc_id",
+        F.col("offset").cast("long").alias("offset"),
+        F.when(is_img, F.lit("media")).otherwise(F.lit("text"))
+        .alias("kind"),
+        F.when(is_img, F.lit(""))
+        .otherwise(F.regexp_replace("raw", "<[^>]*>", "")).alias("text"),
+        F.when(is_img,
+               F.regexp_extract("raw", 'src="([^"]*)"', 1))
+        .otherwise(F.lit("")).alias("media_ref"),
+    )

@@ -3736,6 +3736,39 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# HTML -> interleaved spans: 12-token text chunks; an image follows
+# chunk i iff (doc_id + i) % 3 = 0, ref 'media-'||sha8(text)||'-'||i;
+# offsets count the combined in-order sequence
+HTML_INTERLEAVED = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), p AS (
+  SELECT doc_id, text, t.i AS i,
+         array_to_string(list_slice(w, t.i * 12 + 1, t.i * 12 + 12),
+                         ' ') AS chunk,
+         CASE WHEN (doc_id + t.i) % 3 = 0 THEN 1 ELSE 0 END AS has_img
+  FROM d, unnest(range(0, (len(w) + 11) // 12)) AS t(i)
+), o AS (
+  SELECT doc_id, text, i, chunk, has_img,
+         i + COALESCE(SUM(has_img) OVER (PARTITION BY doc_id
+             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS off_text
+  FROM p
+)
+SELECT doc_id, CAST(off_text AS BIGINT) AS offset,
+       'text' AS kind, chunk AS text, '' AS media_ref
+FROM o
+UNION ALL
+SELECT doc_id, CAST(off_text + 1 AS BIGINT) AS offset,
+       'media' AS kind, '' AS text,
+       'media-' || substr(sha256(text), 1, 8) || '-'
+         || CAST(i AS VARCHAR) AS media_ref
+FROM o WHERE has_img = 1
+"""
+
+
 # Count-Min sketch point-query audit: depth 4 x width 256, row hash =
 # first 8 md5 hex chars of 'cms{r}:'||term mod 256; estimates for the
 # top-10 true-count terms; CMS never underestimates

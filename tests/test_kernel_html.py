@@ -102,3 +102,22 @@ def test_justext_blocks_counts_are_exact(spark):
     assert r["n_stop"] == 2            # 'a' and 'the'
     assert r["link_chars"] == 3        # 'a b'
     assert r["total_chars"] == len("a b the c")
+
+
+def test_html_to_spans_order_and_kinds(spark):
+    from stirling_pdf_spark.functions.html import html_to_spans
+
+    html = ('<html><body><p>one two</p>'
+            '<img src="media-abc-0">'
+            '<p>three <b>four</b></p>'
+            '<img src="media-def-1"><p>five</p></body></html>')
+    df = spark.createDataFrame([(3, html)], "doc_id long, html string")
+    rows = [(r["offset"], r["kind"], r["text"], r["media_ref"])
+            for r in html_to_spans(df).orderBy("offset").collect()]
+    assert rows == [
+        (0, "text", "one two", ""),
+        (1, "media", "", "media-abc-0"),
+        (2, "text", "three four", ""),
+        (3, "media", "", "media-def-1"),
+        (4, "text", "five", ""),
+    ]
