@@ -272,6 +272,17 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(_colink_edges(spark, sf_dir))
 
 
+
+def q_web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs on the directed domain co-link graph (two
+    domains cited by the same sources, shared-count kept), one source-keyed
+    self-join — the link-structure relatedness signal next to
+    pagerank/HITS/triangles."""
+    from stirling_pdf_spark.operators.graph import cocitation
+
+    return cocitation(_colink_edges(spark, sf_dir), min_common=1)
+
+
 def _colink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic domain co-link paths shared by the
     web_triangles / web_clustering_coeff gates."""
@@ -5438,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_justext": q_html_justext,
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "html_interleaved": q_html_interleaved,
+        "web_cocitation": q_web_cocitation,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5979,6 +5991,7 @@ def oracle_sql() -> dict[str, str]:
         "html_justext": O.HTML_JUSTEXT,
         "sketch_cms_estimate": O.SKETCH_CMS_ESTIMATE,
         "html_interleaved": O.HTML_INTERLEAVED,
+        "web_cocitation": O.WEB_COCITATION,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

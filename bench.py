@@ -243,6 +243,8 @@ BENCH_QUERIES = (
     "lm_trigram_backoff",
     "html_justext",
     "sketch_cms_estimate",
+    "html_interleaved",
+    "web_cocitation",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

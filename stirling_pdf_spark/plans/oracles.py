@@ -3736,6 +3736,31 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# co-citation pairs on the directed co-link graph: distinct directed
+# edges from the two per-doc path segments; pairs of targets sharing
+# >= 2 citing sources
+WEB_COCITATION = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS n FROM documents
+), e AS (
+  SELECT DISTINCT 'dom' || CAST(n % 97 AS VARCHAR) AS src,
+         'dom' || CAST((n * n + 3) % 97 AS VARCHAR) AS dst
+  FROM d
+  UNION
+  SELECT DISTINCT 'dom' || CAST((n * n + 3) % 97 AS VARCHAR),
+         'dom' || CAST((n * 3 + 7) % 97 AS VARCHAR)
+  FROM d
+), f AS (
+  SELECT src, dst FROM e WHERE src <> dst
+)
+SELECT a.dst AS id_a, b.dst AS id_b,
+       CAST(count(*) AS BIGINT) AS common
+FROM f a JOIN f b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst
+HAVING count(*) >= 1
+"""
+
+
 # HTML -> interleaved spans: 12-token text chunks; an image follows
 # chunk i iff (doc_id + i) % 3 = 0, ref 'media-'||sha8(text)||'-'||i;
 # offsets count the combined in-order sequence
@@ -4983,7 +5008,7 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
-HAVING count(*) >= 2
+HAVING count(*) >= 1
 """
 
 

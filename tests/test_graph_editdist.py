@@ -75,3 +75,26 @@ def test_clustering_coefficient(spark):
         "c": (2, 1, 1000000),
         "d": (1, 0, 0),
     }
+
+
+def test_cocitation_counts_threshold_and_hub_cap(spark):
+    from stirling_pdf_spark.operators.graph import cocitation
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "x"), ("s1", "y"), ("s1", "y"),   # dup edge collapses
+            ("s2", "x"), ("s2", "y"),
+            ("s3", "x"), ("s3", "z"),
+            ("hub", "x"), ("hub", "y"), ("hub", "z"), ("hub", "w"),
+            ("s4", "s4"),                             # self loop dropped
+        ],
+        "src string, dst string")
+    got = {(r["id_a"], r["id_b"]): r["common"]
+           for r in cocitation(edges, min_common=2).collect()}
+    # x,y co-cited by s1, s2, hub = 3; x,z by s3 + hub = 2
+    assert got == {("x", "y"): 3, ("x", "z"): 2}
+    # capping hub out-degree at 3 removes its contributions
+    capped = {(r["id_a"], r["id_b"]): r["common"]
+              for r in cocitation(edges, min_common=2,
+                                  max_out=3).collect()}
+    assert capped == {("x", "y"): 2}
