@@ -1959,6 +1959,28 @@ def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(read_table(spark, sf_dir, "documents"))
 
 
+
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible seeded training-order shuffle: md5(seed:doc_id)
+    keys, shard by first byte, position by key order within shard —
+    per-shard windows only, never one global sort."""
+    from stirling_pdf_spark.operators.serialize import shuffle_order
+
+    return shuffle_order(read_table(spark, sf_dir, "documents"))
+
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly traffic-anomaly flags per event type: count vs 2x the
+    trailing-24-row mean, integer cross-multiplied, cold-start hours
+    never flagged."""
+    from stirling_pdf_spark.operators.relational import (
+        events_hourly_anomaly,
+    )
+
+    return events_hourly_anomaly(read_table(spark, sf_dir, "events"))
+
+
 def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL serialization through Spark's REAL JVM-side to_json
     (JacksonGenerator): one {"doc_id":...,"text":...} record per doc;
@@ -5450,6 +5472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_estimate": q_sketch_cms_estimate,
         "html_interleaved": q_html_interleaved,
         "web_cocitation": q_web_cocitation,
+        "corpus_shuffle_order": q_corpus_shuffle_order,
+        "events_anomaly": q_events_anomaly,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -5992,6 +6016,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms_estimate": O.SKETCH_CMS_ESTIMATE,
         "html_interleaved": O.HTML_INTERLEAVED,
         "web_cocitation": O.WEB_COCITATION,
+        "corpus_shuffle_order": O.CORPUS_SHUFFLE_ORDER,
+        "events_anomaly": O.EVENTS_ANOMALY,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

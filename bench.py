@@ -245,6 +245,8 @@ BENCH_QUERIES = (
     "sketch_cms_estimate",
     "html_interleaved",
     "web_cocitation",
+    "corpus_shuffle_order",
+    "events_anomaly",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

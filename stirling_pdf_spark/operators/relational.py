@@ -664,3 +664,44 @@ def length_percentiles(df: DataFrame, percentiles=(50, 90, 99),
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def events_hourly_anomaly(df: DataFrame, factor_x10: int = 20,
+                          min_trail: int = 12,
+                          window_hours: int = 24) -> DataFrame:
+    """Traffic-anomaly flags over the event stream — the pipeline
+    health monitor every ingestion system runs (a crawler bug or bot
+    flood shows up as an hourly count spiking vs its own trailing
+    baseline): per event_type, hour h is anomalous when its count
+    exceeds factor_x10/10 times the trailing ``window_hours``-row
+    mean, decided by the integer cross-multiplication
+        10 * cnt * trail_n > factor_x10 * trail_sum
+    after at least ``min_trail`` prior hours exist (cold-start hours
+    are never flagged).
+
+    Scale shape: one (event_type, hour) partial-agg'd groupBy — the
+    hourly table is tiny after it — then a per-type ROWS window over
+    that table; never a window over raw events.
+
+    Output: (event_type, hour_epoch, cnt, trail_n, trail_sum,
+    anomaly)."""
+    from pyspark.sql import Window
+
+    hourly = (df.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("long").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-window_hours, -1))
+    trail_n = F.count("cnt").over(w).cast("long")
+    trail_sum = F.sum("cnt").over(w).cast("long")
+    out = (hourly.withColumn("trail_n", trail_n)
+           .withColumn("trail_sum", F.coalesce(trail_sum, F.lit(0))))
+    anomaly = ((F.col("trail_n") >= min_trail)
+               & (10 * F.col("cnt") * F.col("trail_n")
+                  > factor_x10 * F.col("trail_sum")))
+    return out.select(
+        "event_type",
+        F.unix_timestamp("hour").cast("long").alias("hour_epoch"),
+        "cnt", "trail_n", "trail_sum",
+        anomaly.cast("int").cast("long").alias("anomaly"))

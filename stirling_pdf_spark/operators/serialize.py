@@ -126,3 +126,32 @@ def chat_format_records(df: DataFrame, id_col: str = "doc_id",
         loss_start.alias("loss_start"), loss_end.alias("loss_end"),
         (loss_end - loss_start).alias("n_loss_chars"),
     )
+
+
+def shuffle_order(df: DataFrame, seed: str = "epoch0",
+                  n_shards: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle — the final stage
+    of every data pipeline (a training run must visit documents in a
+    pseudo-random order that is REPRODUCIBLE across reruns and
+    resumable mid-epoch; rand() is neither): every doc gets a shuffle
+    key md5(seed || ':' || id), lands in shard = first byte mod
+    n_shards, and takes its 0-based position by key order WITHIN the
+    shard. A new ``seed`` ("epoch1", ...) reshuffles everything
+    deterministically.
+
+    Scale shape: the shard assignment is map-only; the only shuffle
+    is the per-shard window (partitionBy shard — n_shards reducers,
+    each ordering corpus/n_shards keys, NEVER a single global sort).
+    Output: (id, shard, pos, key)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 2), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("shard").orderBy("key")
+    return (df.select(F.col(id_col).cast("long").alias("id"),
+                      key.alias("key"), shard.cast("long").alias("shard"))
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .select("id", "shard", "pos", "key"))

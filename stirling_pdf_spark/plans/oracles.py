@@ -3736,6 +3736,52 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# hourly anomaly flags: per event_type, 10*cnt*trail_n >
+# 20*trail_sum over the trailing 24 ROWS (>= 12 rows warm-up)
+EVENTS_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hour, cnt,
+         CAST(count(cnt) OVER w AS BIGINT) AS trail_n,
+         CAST(COALESCE(sum(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(epoch(hour) AS BIGINT) AS hour_epoch,
+       cnt, trail_n, trail_sum,
+       CAST(CASE WHEN trail_n >= 12
+                  AND 10 * cnt * trail_n > 20 * trail_sum
+            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM t
+"""
+
+
+# seeded deterministic shuffle: md5('epoch0:' || id) keys, shard =
+# first byte mod 8, pos = 0-based key rank within shard
+CORPUS_SHUFFLE_ORDER = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         md5('epoch0:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR))
+           AS key
+  FROM documents
+)
+SELECT id,
+       CAST(CAST(concat('0x', substr(key, 1, 2)) AS BIGINT) % 8
+            AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY CAST(concat('0x', substr(key, 1, 2)) AS BIGINT)
+                         % 8
+            ORDER BY key) - 1 AS BIGINT) AS pos,
+       key
+FROM d
+"""
+
+
 # co-citation pairs on the directed co-link graph: distinct directed
 # edges from the two per-doc path segments; pairs of targets sharing
 # >= 2 citing sources

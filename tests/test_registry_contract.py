@@ -107,7 +107,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "tfidf_cosine_pairs", "audio_downsample",
                         "containment_pairs", "lm_trigram_backoff",
                         "html_justext", "sketch_cms_estimate",
-                        "html_interleaved", "web_cocitation"]
+                        "html_interleaved", "web_cocitation",
+                        "corpus_shuffle_order", "events_anomaly"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

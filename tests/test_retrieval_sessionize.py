@@ -164,3 +164,59 @@ def test_bm25_hard_negatives_duplicate_query_terms_weigh_double(spark):
     # single-term score doubled; df(rare) == df(boring) == 2 so the
     # per-occurrence contribution is symmetric with doc 2's
     assert got[1] == 2 * got[2]
+
+
+def test_events_hourly_anomaly_spike_and_cold_start(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import (
+        events_hourly_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 14 calm hours of 2 events, then a 10-event spike
+    for h in range(14):
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=eid % 50),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    for _ in range(10):
+        rows.append((eid, base + dt.timedelta(hours=14, minutes=eid % 50),
+                     1, "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    got = {r["hour_epoch"]: r for r in
+           events_hourly_anomaly(df, min_trail=12).collect()}
+    spike_epoch = int((base + dt.timedelta(hours=14)).timestamp())
+    assert got[spike_epoch]["anomaly"] == 1
+    assert got[spike_epoch]["cnt"] == 10
+    # every calm hour and every cold-start hour stays unflagged
+    assert sum(r["anomaly"] for r in got.values()) == 1
+    # hour 0 has no trail at all
+    first_epoch = int(base.timestamp())
+    assert got[first_epoch]["trail_n"] == 0
+
+
+def test_shuffle_order_reproducible_and_seed_sensitive(spark):
+    from stirling_pdf_spark.operators.serialize import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {(r["id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(df, seed="epoch0").collect()}
+    b = {(r["id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(df, seed="epoch0").collect()}
+    c = {(r["id"]): (r["shard"], r["pos"])
+         for r in shuffle_order(df, seed="epoch1").collect()}
+    assert a == b            # reproducible
+    assert a != c            # a new seed reshuffles
+    # positions are dense 0..n-1 within every shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
