@@ -3395,6 +3395,50 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, nodes)
 
 
+
+def q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup END-TO-END: pHash over decoded rasters -> banded
+    Hamming pairs -> connected components over all refs -> one
+    representative per visual cluster (min ref) with its absorbed
+    count — the image keep-list a multimodal pipeline actually
+    applies, verified against the recursive-CTE closure."""
+    from stirling_pdf_spark.corpus.media import phash_image_table
+    from stirling_pdf_spark.operators.dedup import (
+        dhash_near_dup_pairs, image_phash,
+    )
+
+    _ship_package(spark)
+    base = read_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2(F.col("text").cast("binary"), 256))
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("1|100.0|650.0|200.0|120.0").alias("text"),
+                F.concat(F.lit("media-"), F.substring(sha, 1, 8))
+                .alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    hashes = image_phash(phash_image_table(docs))
+    pairs = dhash_near_dup_pairs(hashes, max_distance=6,
+                                 hash_col="phash",
+                                 n_bands=7, band_bits=9)
+    comp = D.connected_components(
+        pairs.select("id_a", "id_b"),
+        hashes.select(F.col("media_ref").alias("id")))
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("n_absorbed",
+                        (F.count("*").over(w) - 1).cast("long"))
+        .filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias("media_ref"), "n_absorbed")
+    )
+
+
 def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-list application — the dedup pipeline end-to-end: MinHash
     pairs -> connected components -> ONE representative per component
@@ -5474,6 +5518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": q_web_cocitation,
         "corpus_shuffle_order": q_corpus_shuffle_order,
         "events_anomaly": q_events_anomaly,
+        "image_dedup_keep": q_image_dedup_keep,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -6018,6 +6063,7 @@ def oracle_sql() -> dict[str, str]:
         "web_cocitation": O.WEB_COCITATION,
         "corpus_shuffle_order": O.CORPUS_SHUFFLE_ORDER,
         "events_anomaly": O.EVENTS_ANOMALY,
+        "image_dedup_keep": O.IMAGE_DEDUP_KEEP,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

@@ -247,6 +247,7 @@ BENCH_QUERIES = (
     "web_cocitation",
     "corpus_shuffle_order",
     "events_anomaly",
+    "image_dedup_keep",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

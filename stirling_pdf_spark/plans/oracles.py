@@ -2871,6 +2871,35 @@ FROM fl
 
 
 
+# visual keep-list: transitive closure over the pHash pair set (the
+# same sha-derived pair oracle), representative = min ref
+IMAGE_DEDUP_KEEP = f"""
+WITH RECURSIVE p AS ({DEDUP_IMAGE_PHASH}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+refs AS (
+  SELECT DISTINCT 'media-' || substr(sha256(text), 1, 8) AS ref
+  FROM documents
+),
+reach(a, b) AS (
+  SELECT ref, ref FROM refs
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS ref, MIN(b) AS component FROM reach GROUP BY a
+)
+SELECT ref AS media_ref,
+       CAST(COUNT(*) OVER (PARTITION BY component) - 1 AS BIGINT)
+         AS n_absorbed
+FROM comp
+QUALIFY ref = component
+"""
+
+
 # /analysis/font-info over the rich corpus: Helvetica body +
 # Helvetica-Bold title always; Courier appears on every 5th body line,
 # i.e. once ceil(n_words/8) >= 5 (n_words >= 33).
