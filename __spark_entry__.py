@@ -397,10 +397,15 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine near-dup pairs at cos >= 0.85 — the
     weighted-vocabulary similarity axis next to the shingle family;
     threshold decided float-free via the decimal cross-multiplied
-    square."""
+    square. Gated on the doc_id % 5 == 0 sample: the synthetic
+    corpus's 30-word vocabulary makes EVERY term a hot term, so the
+    unpruned inverted-index join is quadratic by construction here
+    (real corpora are Zipfian and prune via max_df — see the
+    operator's scale notes and the max_df pytest)."""
     from stirling_pdf_spark.operators.dedup import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(read_table(spark, sf_dir, "documents"),
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs.filter(F.col("doc_id") % 5 == 0),
                               threshold_pct=85)
 
 

@@ -4086,10 +4086,12 @@ FROM p
 # threshold cos >= 85/100 decided by the cross-multiplied square in
 # HUGEINT (engine side uses decimal(38,0) for the same inequality)
 TFIDF_COSINE_PAIRS = """
-WITH toks AS (
+WITH src AS (
+  SELECT * FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0
+), toks AS (
   SELECT CAST(doc_id AS BIGINT) AS id,
          unnest(string_split(trim(text), ' ')) AS term
-  FROM documents
+  FROM src
 ), tk AS (
   SELECT id, term FROM toks WHERE term <> ''
 ), tf AS (
