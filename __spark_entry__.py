@@ -4825,6 +4825,18 @@ def q_html_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_spans(src)
 
 
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality ensemble: hashed-classifier label +
+    bigram-LM corpus-mean head + length head, keep on >= 2 votes —
+    every corpus statistic a broadcast 1-row aggregate."""
+    from stirling_pdf_spark.operators.textstats import (
+        quality_ensemble_vote,
+    )
+
+    return quality_ensemble_vote(read_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC diff (validate.snapshot_diff): v2 derives from the
     corpus deterministically — doc_id%10==7 removed, %10==3 text
@@ -5524,6 +5536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": q_corpus_shuffle_order,
         "events_anomaly": q_events_anomaly,
         "image_dedup_keep": q_image_dedup_keep,
+        "quality_ensemble": q_quality_ensemble,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -6069,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": O.CORPUS_SHUFFLE_ORDER,
         "events_anomaly": O.EVENTS_ANOMALY,
         "image_dedup_keep": O.IMAGE_DEDUP_KEEP,
+        "quality_ensemble": O.QUALITY_ENSEMBLE_VOTE,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

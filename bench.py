@@ -248,6 +248,7 @@ BENCH_QUERIES = (
     "corpus_shuffle_order",
     "events_anomaly",
     "image_dedup_keep",
+    "quality_ensemble",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

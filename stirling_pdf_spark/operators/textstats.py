@@ -2015,3 +2015,43 @@ def lm_trigram_backoff(df: DataFrame, id_col: str = "doc_id",
         .alias("n_backoff"),
         F.coalesce(F.expr("p_sum div n_trigrams"), F.lit(0))
         .cast("long").alias("fit_x1000"))
+
+
+def quality_ensemble_vote(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Majority-vote quality ensemble — the public-pipeline pattern of
+    COMBINING weak quality signals instead of trusting one (FineWeb's
+    ablation-driven filter stacking, the CCNet head/tail split, and
+    fastText-style classifiers all feed ensembles in practice): three
+    independent integer signals vote, a document keeps on >= 2 votes.
+
+      label     hashed linear classifier score > 0
+                (quality_classifier_score, map-only)
+      head      bigram-LM corpus fit above the corpus mean
+                (lm_quality_partition's cross-multiplied rule)
+      len_head  token count above the corpus mean
+                (same broadcast-mean rule on length)
+
+    Scale shape: two map-only passes + the LM's counting shuffles;
+    every corpus statistic arrives as a broadcast 1-row aggregate —
+    no global sort, no rank window. Output: (id, label, head,
+    len_head, votes, keep) — all integers."""
+    ids = F.col(id_col).cast("long")
+    base = df.select(ids.alias("id"), F.col(text_col).alias("text"))
+    clf = quality_classifier_score(base, id_col="id").select(
+        "id", F.col("label").cast("long").alias("label"), "n_tokens")
+    lm = lm_quality_partition(base, id_col="id").select("id", "head")
+    lstats = clf.agg(F.sum("n_tokens").alias("tot_tok"),
+                     F.count("*").alias("n_docs"))
+    lhead = (clf.crossJoin(F.broadcast(lstats))
+             .select("id", "label",
+                     (F.col("n_tokens") * F.col("n_docs")
+                      >= F.col("tot_tok")).cast("long")
+                     .alias("len_head")))
+    out = lhead.join(lm, "id")
+    votes = F.col("label") + F.col("head") + F.col("len_head")
+    return out.select(
+        "id", "label", F.col("head").cast("long").alias("head"),
+        "len_head",
+        votes.cast("long").alias("votes"),
+        (votes >= 2).cast("int").cast("long").alias("keep"))

@@ -5049,6 +5049,72 @@ FROM s
 QUALITY_CLASSIFIER_SCORE = _quality_classifier_sql()
 
 
+def _quality_ensemble_sql() -> str:
+    """Majority-vote ensemble oracle: the hashed-classifier label,
+    the bigram-LM corpus-mean head and the length head, each derived
+    exactly as its standalone oracle, voted >= 2."""
+    from ..operators.textstats import QC_BUCKETS, QC_WEIGHTS
+
+    wlit = "[" + ", ".join(str(w) for w in QC_WEIGHTS) + "]"
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), clf AS (
+  SELECT id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(w, x ->
+              {wlit}[CAST(('0x' || substr(md5(x), 1, 8))::BIGINT
+                          % {QC_BUCKETS} AS INTEGER) + 1]), 'sum')
+              AS BIGINT) AS score
+  FROM t
+), g AS (
+  SELECT id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gm
+  FROM t, unnest(range(1, len(w))) AS q(i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT gm, count(*) AS c12 FROM g GROUP BY gm
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM g GROUP BY w1
+), fitagg AS (
+  SELECT g.id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         SUM((1000 * c12.c12) // c1.c1) AS p_sum
+  FROM g JOIN c12 USING (gm) JOIN c1 USING (w1)
+  GROUP BY g.id
+), fit AS (
+  SELECT t.id,
+         CAST(COALESCE(fitagg.p_sum // fitagg.n_bigrams, 0) AS BIGINT)
+           AS fit_x1000
+  FROM t LEFT JOIN fitagg ON fitagg.id = t.id
+), lmstats AS (
+  SELECT sum(fit_x1000) AS sum_fit, count(*) AS n_docs FROM fit
+), lstats AS (
+  SELECT sum(n_tokens) AS tot_tok, count(*) AS n_docs FROM clf
+), v AS (
+  SELECT clf.id,
+         CAST(CASE WHEN clf.score > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS label,
+         CAST(CASE WHEN fit.fit_x1000 * lmstats.n_docs
+                        >= lmstats.sum_fit THEN 1 ELSE 0 END AS BIGINT)
+           AS head,
+         CAST(CASE WHEN clf.n_tokens * lstats.n_docs >= lstats.tot_tok
+                   THEN 1 ELSE 0 END AS BIGINT) AS len_head
+  FROM clf
+  JOIN fit ON fit.id = clf.id
+  CROSS JOIN lmstats CROSS JOIN lstats
+)
+SELECT id, label, head, len_head,
+       CAST(label + head + len_head AS BIGINT) AS votes,
+       CAST(CASE WHEN label + head + len_head >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM v
+"""
+
+
+QUALITY_ENSEMBLE_VOTE = _quality_ensemble_sql()
+
+
 def _winnow_fps_cte(k: int = 3, w: int = 4) -> str:
     """Shared winnowing CTE (Schleimer et al. 2003): k-word shingle
     hashes (the repo-standard md5-prefix integer hash), window-of-w

@@ -92,3 +92,21 @@ def test_lm_trigram_backoff_backoff_value_alpha(spark):
     r = got[1]
     assert (r["n_trigrams"], r["n_seen"], r["n_backoff"]) == (2, 1, 1)
     assert r["fit_x1000"] == (400 + 1000) // 2
+
+
+def test_quality_ensemble_vote_majority_rule(spark):
+    from stirling_pdf_spark.operators.textstats import (
+        quality_ensemble_vote,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 9}" for j in range(i, i + 6 + i % 7)))
+         for i in range(12)],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in quality_ensemble_vote(docs).collect()}
+    assert len(got) == 12
+    for r in got.values():
+        assert r["votes"] == r["label"] + r["head"] + r["len_head"]
+        assert r["keep"] == (1 if r["votes"] >= 2 else 0)
+    # the ensemble must actually split the corpus
+    assert {r["keep"] for r in got.values()} == {0, 1}
