@@ -5151,7 +5151,7 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
-HAVING count(*) >= 1
+HAVING count(*) >= 2
 """
 
 
