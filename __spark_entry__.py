@@ -1986,6 +1986,16 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_hourly_anomaly(read_table(spark, sf_dir, "events"))
 
 
+
+def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass hierarchical ROLLUP: (type, hour-of-day) leaves,
+    per-type subtotals and the grand total with an explicit level id
+    — all three levels out of ONE shuffle."""
+    from stirling_pdf_spark.operators.relational import events_rollup
+
+    return events_rollup(read_table(spark, sf_dir, "events"))
+
+
 def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL serialization through Spark's REAL JVM-side to_json
     (JacksonGenerator): one {"doc_id":...,"text":...} record per doc;
@@ -5537,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "image_dedup_keep": q_image_dedup_keep,
         "quality_ensemble": q_quality_ensemble,
+        "events_rollup_cube": q_events_rollup_cube,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -6083,6 +6094,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": O.EVENTS_ANOMALY,
         "image_dedup_keep": O.IMAGE_DEDUP_KEEP,
         "quality_ensemble": O.QUALITY_ENSEMBLE_VOTE,
+        "events_rollup_cube": O.EVENTS_ROLLUP_CUBE,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

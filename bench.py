@@ -249,6 +249,7 @@ BENCH_QUERIES = (
     "events_anomaly",
     "image_dedup_keep",
     "quality_ensemble",
+    "events_rollup_cube",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

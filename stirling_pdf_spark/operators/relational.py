@@ -705,3 +705,31 @@ def events_hourly_anomaly(df: DataFrame, factor_x10: int = 20,
         F.unix_timestamp("hour").cast("long").alias("hour_epoch"),
         "cnt", "trail_n", "trail_sum",
         anomaly.cast("int").cast("long").alias("anomaly"))
+
+
+def events_rollup(df: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP aggregation — the multi-level OLAP
+    summary (type x hour-of-day -> type -> grand total) computed in
+    ONE pass instead of three separate groupBys (Spark's rollup()
+    partial-aggregates every level in the same shuffle, the classic
+    data-cube trick). Null grouping slots are coalesced to sentinels
+    ('(all)' / -1) and the level id is derived EXPLICITLY from which
+    dims are present, so the output is engine-portable without
+    relying on grouping_id() bit conventions.
+
+    Output: (event_type, hod, lvl, n_events, sum_value_micro) with
+    lvl 0 = leaf, 1 = per-type subtotal, 2 = grand total."""
+    hod = F.hour("ts").cast("long")
+    rolled = (df.select(F.col("event_type"), hod.alias("hod"),
+                        micro(F.col("value")).alias("v"))
+              .rollup("event_type", "hod")
+              .agg(F.count("*").cast("long").alias("n_events"),
+                   F.sum("v").cast("long").alias("sum_value_micro")))
+    lvl = (F.when(F.col("event_type").isNull(), F.lit(2))
+           .when(F.col("hod").isNull(), F.lit(1))
+           .otherwise(F.lit(0)))
+    return rolled.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("hod", F.lit(-1)).cast("long").alias("hod"),
+        lvl.cast("long").alias("lvl"),
+        "n_events", "sum_value_micro")

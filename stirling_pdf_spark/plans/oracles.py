@@ -3765,6 +3765,26 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# hierarchical ROLLUP (type x hour -> type -> grand total) with
+# sentinel-coalesced slots and an explicit level id
+EVENTS_ROLLUP_CUBE = f"""
+WITH r AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         GROUPING(event_type) AS ge, GROUPING(hour(ts)) AS gh,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM({micro('value')}) AS BIGINT) AS sum_value_micro
+  FROM events
+  GROUP BY ROLLUP (event_type, hour(ts))
+)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(hod, -1) AS BIGINT) AS hod,
+       CAST(CASE WHEN ge = 1 THEN 2 WHEN gh = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS lvl,
+       n_events, sum_value_micro
+FROM r
+"""
+
+
 # hourly anomaly flags: per event_type, 10*cnt*trail_n >
 # 20*trail_sum over the trailing 24 ROWS (>= 12 rows warm-up)
 EVENTS_ANOMALY = """

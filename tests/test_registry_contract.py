@@ -109,7 +109,8 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "html_justext", "sketch_cms_estimate",
                         "html_interleaved", "web_cocitation",
                         "corpus_shuffle_order", "events_anomaly",
-                        "image_dedup_keep", "quality_ensemble"]
+                        "image_dedup_keep", "quality_ensemble",
+                        "events_rollup_cube"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():

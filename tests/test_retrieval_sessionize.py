@@ -220,3 +220,30 @@ def test_shuffle_order_reproducible_and_seed_sensitive(spark):
         by_shard[shard].append(pos)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def test_events_rollup_levels_are_consistent(spark):
+    import datetime as dt
+
+    from stirling_pdf_spark.operators.relational import events_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i % 3), 1,
+             "click" if i % 2 else "view", 1.5, "{}")
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    got = events_rollup(df).collect()
+    leaves = [r for r in got if r["lvl"] == 0]
+    subs = {r["event_type"]: r for r in got if r["lvl"] == 1}
+    [total] = [r for r in got if r["lvl"] == 2]
+    assert total["event_type"] == "(all)" and total["hod"] == -1
+    assert total["n_events"] == 12
+    assert total["sum_value_micro"] == 12 * 1_500_000
+    # per-type subtotals equal the sum of their leaves
+    for et in ("click", "view"):
+        mine = [r for r in leaves if r["event_type"] == et]
+        assert subs[et]["n_events"] == sum(r["n_events"] for r in mine)
+        assert subs[et]["hod"] == -1
+    assert sum(r["n_events"] for r in leaves) == 12
