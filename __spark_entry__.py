@@ -1996,6 +1996,16 @@ def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_rollup(read_table(spark, sf_dir, "events"))
 
 
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty: share of distinct shingles unique to
+    the doc across the corpus — the diversity audit inverse to the
+    ExactSubstr duplicate-coverage gate."""
+    from stirling_pdf_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(read_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_to_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL serialization through Spark's REAL JVM-side to_json
     (JacksonGenerator): one {"doc_id":...,"text":...} record per doc;
@@ -5548,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_keep": q_image_dedup_keep,
         "quality_ensemble": q_quality_ensemble,
         "events_rollup_cube": q_events_rollup_cube,
+        "text_ngram_novelty": q_text_ngram_novelty,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -6095,6 +6106,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_keep": O.IMAGE_DEDUP_KEEP,
         "quality_ensemble": O.QUALITY_ENSEMBLE_VOTE,
         "events_rollup_cube": O.EVENTS_ROLLUP_CUBE,
+        "text_ngram_novelty": O.TEXT_NGRAM_NOVELTY,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

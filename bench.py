@@ -250,6 +250,7 @@ BENCH_QUERIES = (
     "image_dedup_keep",
     "quality_ensemble",
     "events_rollup_cube",
+    "text_ngram_novelty",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

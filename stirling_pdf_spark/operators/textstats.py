@@ -2055,3 +2055,38 @@ def quality_ensemble_vote(df: DataFrame, id_col: str = "doc_id",
         "len_head",
         votes.cast("long").alias("votes"),
         (votes >= 2).cast("int").cast("long").alias("keep"))
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty — the inverse of boilerplate
+    coverage (a doc whose shingles appear NOWHERE else is original
+    content; one built from corpus-common shingles is template):
+    novelty_x1000 = (1000 * corpus-unique distinct n-grams) div
+    (distinct n-grams). The diversity-audit companion to
+    substring_dup_coverage (which measures the duplicated side).
+
+    Scale shape: one shingle explode + ONE partial-agg'd document-
+    frequency groupBy on the shingle key + a join back and a per-doc
+    groupBy — the ngram_jaccard index shape without the self-join.
+    Output: (id, n_shingles, n_unique, novelty_x1000); docs with
+    < n tokens emit 0 / 0 / 0."""
+    from .dedup import _shingled
+
+    sh = _shingled(df, id_col, text_col, n)
+    inv = (sh.select("id", F.explode_outer("shingles").alias("s")))
+    from ..runtime.staging import stage
+
+    inv = stage(inv)  # consumed by df-counts and the per-doc agg
+    freq = (inv.filter(F.col("s").isNotNull())
+            .groupBy("s").agg(F.count("*").alias("dfreq")))
+    agg = (inv.join(F.broadcast(freq), "s", "left")
+           .groupBy("id")
+           .agg(F.count(F.col("s")).cast("long").alias("n_shingles"),
+                F.sum((F.col("dfreq") == 1).cast("int")).cast("long")
+                .alias("n_unique")))
+    return agg.select(
+        "id", "n_shingles",
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        F.coalesce(F.expr("(1000 * n_unique) div n_shingles"),
+                   F.lit(0)).cast("long").alias("novelty_x1000"))

@@ -3765,6 +3765,40 @@ FROM r WHERE rank <= {k}
 BM25_HARD_NEGATIVES = _bm25_hard_neg_sql()
 
 
+# per-doc 3-gram novelty: distinct shingles, corpus-unique distinct
+# shingles, (1000 * unique) div distinct; < 3-token docs emit zeros
+TEXT_NGRAM_NOVELTY = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE [] END) AS ss
+  FROM d
+), inv AS (
+  SELECT id, unnest(ss) AS s FROM sh
+), freq AS (
+  SELECT s, count(*) AS dfreq FROM inv GROUP BY s
+), agg AS (
+  SELECT inv.id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN freq.dfreq = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unique
+  FROM inv JOIN freq USING (s) GROUP BY inv.id
+)
+SELECT d.id,
+       COALESCE(agg.n_shingles, 0) AS n_shingles,
+       COALESCE(agg.n_unique, 0) AS n_unique,
+       CAST(COALESCE((1000 * agg.n_unique) // agg.n_shingles, 0)
+            AS BIGINT) AS novelty_x1000
+FROM d LEFT JOIN agg ON agg.id = d.id
+"""
+
+
 # hierarchical ROLLUP (type x hour -> type -> grand total) with
 # sentinel-coalesced slots and an explicit level id
 EVENTS_ROLLUP_CUBE = f"""

@@ -110,3 +110,22 @@ def test_quality_ensemble_vote_majority_rule(spark):
         assert r["keep"] == (1 if r["votes"] >= 2 else 0)
     # the ensemble must actually split the corpus
     assert {r["keep"] for r in got.values()} == {0, 1}
+
+
+def test_ngram_novelty_closed_form(spark):
+    from stirling_pdf_spark.operators.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: 'a b c','b c d'
+            (2, "a b c"),          # shingle 'a b c' shared with doc 1
+            (3, "x y z q"),        # fully unique
+            (4, "zz"),             # < 3 tokens -> zeros
+        ],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in ngram_novelty(docs).collect()}
+    assert (got[1]["n_shingles"], got[1]["n_unique"]) == (2, 1)
+    assert got[1]["novelty_x1000"] == 500
+    assert (got[2]["n_shingles"], got[2]["n_unique"]) == (1, 0)
+    assert got[3]["novelty_x1000"] == 1000
+    assert (got[4]["n_shingles"], got[4]["novelty_x1000"]) == (0, 0)
