@@ -5391,6 +5391,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_span_counts(spark, "/root/testdata/sf0.001")
 
 
+
+def q_emb_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pair mining (similarity.mutual_knn_pairs): bitext /
+    paired-data alignment stage — even-id side vs odd-id side, pairs
+    kept only when each is in the other's cosine top-3. Integer-exact
+    output (ranks only); the oracle re-derives both directional ranks
+    in DuckDB over the same float64 cosine."""
+    from stirling_pdf_spark.operators.similarity import mutual_knn_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mutual_knn_pairs(emb, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate
     records the FIRST 50 entries only, so new/changed gates and gates
@@ -5559,6 +5571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": q_quality_ensemble,
         "events_rollup_cube": q_events_rollup_cube,
         "text_ngram_novelty": q_text_ngram_novelty,
+        # twelfth session: mutual-kNN bitext-style pair mining, born
+        # below the saturated window; replica-green via check_queries
+        "emb_margin_pairs": q_emb_margin_pairs,
         # bpe_pair_counts + pipeline_training_corpus: born below the
         # boundary -- the r5 window is saturated with gates that still
         # need their first r5 driver row; both replica-green at sf0.01
@@ -6107,6 +6122,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_ensemble": O.QUALITY_ENSEMBLE_VOTE,
         "events_rollup_cube": O.EVENTS_ROLLUP_CUBE,
         "text_ngram_novelty": O.TEXT_NGRAM_NOVELTY,
+        "emb_margin_pairs": O.EMB_MUTUAL_KNN,
         "text_tfidf_topk": O.TEXT_TFIDF_TOPK,
         "text_hash_sample": O.TEXT_HASH_SAMPLE,
         "s11_metadata_update": O.S11_METADATA_UPDATE,

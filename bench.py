@@ -251,6 +251,8 @@ BENCH_QUERIES = (
     "quality_ensemble",
     "events_rollup_cube",
     "text_ngram_novelty",
+    # round-5 twelfth session
+    "emb_margin_pairs",
 )
 
 # the queries shared with the round-3 bench (same protocol/corpus) —

@@ -357,3 +357,42 @@ def emb_dim_stats(df: DataFrame, vec_col: str = "embedding",
         F.min("fx").cast("long").alias("min_fx"),
         F.max("fx").cast("long").alias("max_fx"),
     )
+
+
+def mutual_knn_pairs(df: DataFrame, k: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Mutual-kNN pair mining — the alignment stage of margin-based
+    bitext/paired-data construction (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining"): the corpus is split into side A (even
+    id) and side B (odd id) modelling two sources to be paired
+    (languages, modalities, snapshot generations), and a pair
+    (a, b) survives only if b is within a's cosine top-k over B AND a
+    is within b's top-k over A. The mutual constraint is what removes
+    the hubness false-positives a one-directional top-k (ann_cosine_topk)
+    keeps.
+
+    Output: (id_a, id_b, rank_ab, rank_ba) — integer-exact (ranks, no
+    float columns), ties broken by partner id ascending like the ANN
+    family.
+
+    This is the labeled EXACT baseline (bipartite all-pairs cosine,
+    like embedding_near_dup_pairs): at 100 TB the candidate pairs come
+    from lsh_buckets / IVF probes restricted to each side, and the
+    mutual rank filter below is unchanged — both directions' ranks are
+    windowed over the SAME scored frame, so candidates are scored
+    once, not once per direction."""
+    v = parallelize(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = v.filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    scored = a.crossJoin(b).withColumn("cos", cosine_expr("va", "vb"))
+    w_ab = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    w_ba = Window.partitionBy("id_b").orderBy(F.desc("cos"), F.asc("id_a"))
+    return (
+        scored
+        .withColumn("rank_ab", F.row_number().over(w_ab).cast("long"))
+        .withColumn("rank_ba", F.row_number().over(w_ba).cast("long"))
+        .filter((F.col("rank_ab") <= k) & (F.col("rank_ba") <= k))
+        .select("id_a", "id_b", "rank_ab", "rank_ba")
+    )

@@ -7682,3 +7682,29 @@ SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
        substr(m1, 1, CAST(pl AS INTEGER)) AS prefix
 FROM k
 """
+
+
+# mutual-kNN pair mining over the even/odd vec_id bipartition: the
+# same float64 cosine + (cos DESC, id ASC) rank determinism as
+# ANN_COSINE_TOPK, windowed in BOTH directions over one scored frame
+EMB_MUTUAL_KNN = f"""
+WITH {_EMB_CTE},
+a AS (SELECT id, v FROM e WHERE id % 2 = 0),
+b AS (SELECT id, v FROM e WHERE id % 2 = 1),
+s AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM a, b
+),
+r AS (
+  SELECT id_a, id_b,
+         CAST(row_number() OVER (PARTITION BY id_a
+              ORDER BY c DESC, id_b ASC) AS BIGINT) AS rank_ab,
+         CAST(row_number() OVER (PARTITION BY id_b
+              ORDER BY c DESC, id_a ASC) AS BIGINT) AS rank_ba
+  FROM s
+)
+SELECT id_a, id_b, rank_ab, rank_ba FROM r
+WHERE rank_ab <= 3 AND rank_ba <= 3
+"""

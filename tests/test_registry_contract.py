@@ -110,7 +110,9 @@ R6_WINDOW_CANDIDATES = ["bpe_pair_counts", "pipeline_training_corpus",
                         "html_interleaved", "web_cocitation",
                         "corpus_shuffle_order", "events_anomaly",
                         "image_dedup_keep", "quality_ensemble",
-                        "events_rollup_cube", "text_ngram_novelty"]
+                        "events_rollup_cube", "text_ngram_novelty",
+                        # r5 twelfth session
+                        "emb_margin_pairs"]
 
 
 def test_new_round5_gates_sit_inside_the_driver_window():
