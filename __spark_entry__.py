@@ -51,6 +51,20 @@ def _ship_package(spark: SparkSession) -> None:
         pass  # already added, or driver-side sys.path suffices
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a small-scan input across the session's parallelism
+    before a compute-heavy Python stage. The bench tables are single
+    small parquet files (one row group — an unsplittable ONE-task
+    scan), so a mapInPandas/mapInArrow directly over them runs
+    serially; hash-repartition on ``cols`` (deterministic under task
+    retry) unless the input is already at least that parallel (at
+    100 TB the scan has thousands of splits and this is a no-op)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *[F.col(c) for c in cols])
+
+
 # ------------------------------------------------------------- extraction
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +540,8 @@ def q_html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "</body></html>")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
 
-    html_df = docs.mapInPandas(build, "doc_id string, html string")
+    html_df = _fan_out(docs, "doc_id").mapInPandas(
+        build, "doc_id string, html string")
     return html_table_cells(html_df)
 
 
@@ -831,14 +846,21 @@ def q_img_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["payload"].append(fn(ref))
             yield pd.DataFrame(rows)
 
-    images = src.mapInPandas(
+    images = _fan_out(src, "doc_id").mapInPandas(
         gen, "doc_id string, seq int, media_ref string, payload binary")
     out = images_to_pdf(images, "maintainAspectRatio",
                         auto_rotate=True)
-    s = out.select("doc_id", F.explode("spans").alias("sp")) \
+    # the exploded wire rows feed BOTH sides of the pagemeta|media
+    # join below; without staging, each side re-runs the payload
+    # generation + decode chain (guide: persist an intermediate with
+    # two Python-stage consumers)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    s = _stage(
+        out.select("doc_id", F.explode("spans").alias("sp"))
         .select("doc_id", F.col("sp.kind").alias("kind"),
                 F.col("sp.text").alias("text"),
-                F.col("sp.media_ref").alias("media_ref"))
+                F.col("sp.media_ref").alias("media_ref")))
     pm = s.filter(F.col("kind") == "pagemeta").select(
         "doc_id",
         F.split_part("text", F.lit("|"), F.lit(1)).cast("long")
@@ -3707,7 +3729,7 @@ def q_tiff_to_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for r in pdf["ref"]],
             })
 
-    images = src.mapInPandas(
+    images = _fan_out(src, "doc_id").mapInPandas(
         gen, "doc_id string, seq int, media_ref string, payload binary")
     out = images_to_pdf(images, "fitDocumentToImage")
     return out.select("doc_id", F.explode("spans").alias("sp")).select(

