@@ -600,8 +600,13 @@ def q_extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.runtime.incremental import extract_incremental
 
     _ship_package(spark)
-    base = docs_from_documents_table(spark, sf_dir)
-    rev = docs_compare_rev_from_documents(spark, sf_dir)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # each derived corpus feeds TWO consumers (payload hash + an
+    # extraction); stage them so the Python synthesis runs once per
+    # side instead of once per consumer
+    base = _stage(docs_from_documents_table(spark, sf_dir))
+    rev = _stage(docs_compare_rev_from_documents(spark, sf_dir))
     out = extract_incremental(base, extract_spans(base), rev)
     flat = out.select(
         "doc_id", "reused", F.explode("spans").alias("s")

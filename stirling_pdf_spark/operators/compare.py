@@ -35,7 +35,13 @@ _GROUPS_SCHEMA = ("doc_id string, pane string, group_idx long, "
 def _paired(base: DataFrame, revised: DataFrame) -> DataFrame:
     b = base.select(F.col("doc_id"), F.col("text").alias("base_text"))
     r = revised.select(F.col("doc_id"), F.col("text").alias("rev_text"))
-    return b.join(r, "doc_id")
+    # pin the diff stage's parallelism: the joined pair rows are a few
+    # KB each, so AQE's byte-based coalescing folds the join output to
+    # 1-2 partitions — but the downstream LCS matrix is O(len_a*len_b)
+    # per row, compute far above bytes. Hash on doc_id (deterministic);
+    # the repartition is the only exchange the map stage needs.
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return b.join(r, "doc_id").repartition(par, "doc_id")
 
 
 def compare_summary(base: DataFrame, revised: DataFrame,

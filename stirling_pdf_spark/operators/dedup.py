@@ -335,11 +335,17 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     # full image decode + DCT for the perceptual-hash pairs) — measured
     # 12.3 s -> 3.6 s on dedup_keep_best and 14.1 s -> 3.4 s on
     # image_dedup_keep at sf0.1 once edges materialize exactly once.
+    # symmetrize with ONE pass over pairs (explode into both
+    # directions) — a union of two projections would execute the
+    # pair-generation subtree twice (no exchange reuse across the
+    # swapped projections), doubling the decode/verify work that
+    # dominates these graphs.
     edges = stage(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
     if nodes is None:
