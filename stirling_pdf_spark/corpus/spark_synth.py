@@ -11,7 +11,6 @@ external data):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..kernel import wire
@@ -26,6 +25,37 @@ def _raw_dicts(spans) -> list[dict]:
     return [dict(zip(_RAW_FIELDS, s)) for s in spans]
 
 
+def _spans_batch(ids: list[str], span_lists: list[list[tuple]]):
+    """Columnar Arrow encode of (doc_id, spans) rows — four flat
+    arrays + one offsets array instead of a Python dict per span (the
+    dict-per-span pandas path was the dominant cost of corpus
+    materialization, not the synthesis itself)."""
+    import pyarrow as pa
+
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    offs: list[int] = []
+    offsets = [0]
+    for spans in span_lists:
+        for k, t, m, o in spans:
+            kinds.append(k)
+            texts.append(t)
+            refs.append(m)
+            offs.append(o)
+        offsets.append(len(kinds))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+         pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
+        names=list(_RAW_FIELDS),
+    )
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids, pa.string()),
+         pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)],
+        names=["doc_id", "spans"],
+    )
+
+
 def synth_docs_df(
     spark: SparkSession,
     n_docs: int,
@@ -37,18 +67,14 @@ def synth_docs_df(
         num_partitions = spark.sparkContext.defaultParallelism
 
     def gen(batches):
-        for pdf in batches:
-            rows = [synth_doc(int(i), seed, mega_pages) for i in pdf["id"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": [r[0] for r in rows],
-                    "spans": [_raw_dicts(r[2]) for r in rows],
-                }
-            )
+        for rb in batches:
+            rows = [synth_doc(int(i), seed, mega_pages)
+                    for i in rb.column(0).to_pylist()]
+            yield _spans_batch([r[0] for r in rows], [r[2] for r in rows])
 
     return (
         spark.range(0, n_docs, numPartitions=num_partitions)
-        .mapInPandas(gen, DOCS_SCHEMA)
+        .mapInArrow(gen, DOCS_SCHEMA)
     )
 
 
@@ -102,15 +128,18 @@ def _derive_docs(spark: SparkSession, sf_dir: str, derive) -> DataFrame:
         docs = docs.repartition(par, "doc_id")
 
     def gen(batches):
-        for pdf in batches:
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id")).to_pylist()
+            texts = rb.column(names.index("text")).to_pylist()
             out_ids, out_spans = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, text in zip(ids, texts):
                 did, spans = derive(f"doc-{doc_id}", text or "")
                 out_ids.append(did)
-                out_spans.append(_raw_dicts(spans))
-            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+                out_spans.append(spans)
+            yield _spans_batch(out_ids, out_spans)
 
-    return docs.mapInPandas(gen, DOCS_SCHEMA)
+    return docs.mapInArrow(gen, DOCS_SCHEMA)
 
 
 def docs_twocol_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,6 +308,25 @@ def synth_corpus(n: int, seed: int = 42,
 TABLE_CELL_MAX_CHARS = 16  # cell words clipped so cell width stays
                            # inside the grid / whitespace-gap geometry
 
+# Precomputed wire-header tails for the fixed-geometry text-derivation
+# corpora (synth_from_text / rich_from_text): the 40-line page layout
+# makes the "|x|y|fs|font\t" part of every line's wire a pure function
+# of line_no % 40, and y = 72 + 14*k is an exact small-integer float,
+# so repr(accumulated y) == repr(72.0 + 14.0*k) bit-for-bit. Hoisting
+# the repr/format work out of the per-line loop cuts the dominant cost
+# of corpus derivation (measured ~2x on derive-heavy bench stages);
+# the emitted wire strings are byte-identical.
+_BODY_TAILS = tuple(
+    f"|{LEFT_X!r}|{(TOP_Y + LINE_STEP * k)!r}|{FS!r}|{FONT}\t"
+    for k in range(40)
+)
+_RICH_TAILS = tuple(
+    f"|{LEFT_X!r}|{(TOP_Y + LINE_STEP * k)!r}|{FS!r}"
+    f"|{'Courier' if k % 5 == 4 else FONT}\t"
+    for k in range(40)
+)
+_SYNTH_MEDIA_TAIL = f"|{100.0!r}|{650.0!r}|{200.0!r}|{120.0!r}"
+
 
 def rich_from_text(doc_id: str, text: str):
     """Derive a 'rich' interleaved document deterministically from plain
@@ -338,16 +357,19 @@ def rich_from_text(doc_id: str, text: str):
     title = TextRun(1, LEFT_X, 40.0, 16.0, "Helvetica-Bold",
                     " ".join(words[:6]))
     spans.append(("text", wire.encode_text_run(title), "", len(spans)))
-    n_lines = 0
-    for i in range(0, len(words), 8):
-        content = " ".join(words[i : i + 8])
-        line_no = i // 8
-        font = "Courier" if line_no % 5 == 4 else FONT
-        run = TextRun(line_no // 40 + 1, LEFT_X,
-                      round(TOP_Y + LINE_STEP * (line_no % 40), 2),
-                      FS, font, content)
-        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
-        n_lines += 1
+    # hot loop: precomputed _RICH_TAILS headers (byte-identical wires,
+    # see the tails' comment) instead of TextRun + encode per line
+    append = spans.append
+    page_s, page = "1", 1
+    n_words = len(words)
+    for i in range(0, n_words, 8):
+        line_no = i >> 3
+        if line_no // 40 + 1 != page:
+            page = line_no // 40 + 1
+            page_s = str(page)
+        append(("text", page_s + _RICH_TAILS[line_no % 40]
+                + " ".join(words[i:i + 8]), "", len(spans)))
+    n_lines = (n_words + 7) // 8
     n_pages = (n_lines - 1) // 40 + 1
     for p in range(1, n_pages + 1, 2):
         spans.append(("bookmark", f"0|{p}|ch {p}", "", len(spans)))
@@ -502,18 +524,23 @@ def synth_from_text(doc_id: str, text: str):
     words = text.split()
     spans: list[tuple[str, str, str, int]] = []
     h = hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()
-    page, line_on_page, y = 1, 0, TOP_Y
+    # hot loop: precomputed _BODY_TAILS / _SYNTH_MEDIA_TAIL headers
+    # (byte-identical wires, see the tails' comment) instead of
+    # TextRun + encode per line
+    append = spans.append
+    page, line_on_page = 1, 0
+    page_s = "1"
     for i in range(0, len(words), 8):
-        content = " ".join(words[i : i + 8])
-        run = TextRun(page, LEFT_X, round(y, 2), FS, FONT, content)
-        spans.append(("text", wire.encode_text_run(run), "", len(spans)))
+        append(("text", page_s + _BODY_TAILS[line_on_page]
+                + " ".join(words[i:i + 8]), "", len(spans)))
         line_on_page += 1
-        y += LINE_STEP
         if line_on_page >= 40:
             if page % 3 == 0:
                 ref = "media-" + hashlib.sha256(f"{h}:{page}".encode()).hexdigest()[:8]
-                _emit_media(spans, MediaDraw(page, 100.0, 650.0, 200.0, 120.0, ref))
-            page, line_on_page, y = page + 1, 0, TOP_Y
+                append(("media", page_s + _SYNTH_MEDIA_TAIL, ref,
+                        len(spans)))
+            page, line_on_page = page + 1, 0
+            page_s = str(page)
     if h.endswith("0"):
         spans.append(("attachment", "extra.dat",
                       "media-" + h[:8], len(spans)))

@@ -40,16 +40,17 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _WS.split(text or "") if t]
 
 
-def diff_words(a: list[str], b: list[str],
-               max_tokens: int | None = None) -> list[tuple[str, str]]:
-    """textDiff.ts:21-56 — LCS word diff, reference tie-breaking.
+def _common_suffix_len(a: list[str], b: list[str], lim: int) -> int:
+    """Length of the common tail of a and b, capped at ``lim``."""
+    n, m = len(a), len(b)
+    k = 0
+    while k < lim and a[n - 1 - k] == b[m - 1 - k]:
+        k += 1
+    return k
 
-    Returns the interleaved token list as (type, text) with type in
-    {unchanged, removed, added}, in the reference's emission order
-    (backtrack from (n, m), unshift).
-    """
-    if max_tokens is not None:
-        a, b = a[:max_tokens], b[:max_tokens]
+
+def _diff_core(a: list[str], b: list[str]) -> list[tuple[str, str]]:
+    """The untrimmed LCS DP + reference backtrack (textDiff.ts:21-56)."""
     n, m = len(a), len(b)
     # DP fill: row[j] = max(diag + 1 if eq else up[j], row[j - 1]) —
     # the running-max form of the textDiff matrix (identical values:
@@ -75,6 +76,33 @@ def diff_words(a: list[str], b: list[str],
             out.append((REMOVED, a[i - 1]))
             i -= 1
     out.reverse()
+    return out
+
+
+def diff_words(a: list[str], b: list[str],
+               max_tokens: int | None = None) -> list[tuple[str, str]]:
+    """textDiff.ts:21-56 — LCS word diff, reference tie-breaking.
+
+    Returns the interleaved token list as (type, text) with type in
+    {unchanged, removed, added}, in the reference's emission order
+    (backtrack from (n, m), unshift).
+
+    Common-SUFFIX trimming before the DP is an exact identity, not an
+    approximation: the backtrack takes the diagonal through any equal
+    tail unconditionally (the token-equality branch fires before the
+    matrix tests), and mat[i][j] depends only on a[:i]/b[:j], so the
+    walk over the remaining region is bit-identical to the walk over
+    the trimmed inputs. diff(a, b) == diff(a[:n-k], b[:m-k]) +
+    unchanged-tail — pinned against the untrimmed port in tests. For
+    corpus-refresh diffs (small edits in long documents) this turns the
+    O(n*m) matrix into O(changed-window^2).
+    """
+    if max_tokens is not None:
+        a, b = a[:max_tokens], b[:max_tokens]
+    k = _common_suffix_len(a, b, min(len(a), len(b)))
+    out = _diff_core(a[:len(a) - k], b[:len(b) - k])
+    if k:
+        out.extend((UNCHANGED, t) for t in a[len(a) - k:])
     return out
 
 
@@ -134,13 +162,35 @@ def diff_summary(a: list[str], b: list[str],
     removed_sorted_join, added_sorted_join).
 
     The removed/added joins are SORTED so the value is a function of
-    the per-type token multisets alone — those are uniquely determined
-    by the two inputs (any maximum common subsequence excludes the
-    same multiset), while the interleaved order at equal-token ties is
-    an implementation detail.
+    the per-type token multisets alone, while the interleaved order at
+    equal-token ties is an implementation detail.
+
+    Because only the multisets (not the interleaving) survive into the
+    output, the common PREFIX can be trimmed too (on top of
+    diff_words' sequence-exact suffix trim): with a = P+a', b = P+b',
+    the backtrack's matched-token multiset equals multiset(P) + the
+    trimmed walk's matches. Sketch: mat[|P|+i][|P|+j] = |P| +
+    mat'[i][j] (the LCS common-prefix lemma), so middle-region
+    decisions coincide with the trimmed walk's; at the region boundary
+    the matrix test can never fire on the b side (mat[i][p] = p >
+    p-1 = mat[i][p-1] there), so the walk either mirrors the trimmed
+    removed/added chain or takes a cross-boundary token match, and in
+    the cross case the remaining boundary walk must realize
+    mat[i-1][p-1] = p-1 matches — the rest of the prefix matches
+    fully, and the matched multiset still totals multiset(P) + M'.
+    Counts and per-type multisets are therefore invariant (pinned
+    against the untrimmed port in tests); the interleaving is not,
+    which is why diff_words itself only trims the suffix.
     """
-    diff = diff_words(a, b, max_tokens=max_tokens)
-    unchanged = sum(1 for t, _ in diff if t == UNCHANGED)
+    if max_tokens is not None:
+        a, b = a[:max_tokens], b[:max_tokens]
+    lim = min(len(a), len(b))
+    p = 0
+    while p < lim and a[p] == b[p]:
+        p += 1
+    k = _common_suffix_len(a, b, lim - p)
+    diff = _diff_core(a[p:len(a) - k], b[p:len(b) - k])
+    unchanged = p + k + sum(1 for t, _ in diff if t == UNCHANGED)
     removed = sorted(x for t, x in diff if t == REMOVED)
     added = sorted(x for t, x in diff if t == ADDED)
     return (unchanged, len(removed), len(added),

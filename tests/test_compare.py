@@ -81,6 +81,39 @@ def test_diff_summary_multiset_stable():
     assert (u, nr, na, rem, add) == (3, 1, 0, "x", "")
 
 
+def test_diff_summary_affix_trim_matches_untrimmed_port():
+    # diff_summary trims the common prefix AND suffix before the DP;
+    # counts and sorted per-type joins must equal the untrimmed
+    # reference port's on adversarial repeated-token inputs (where the
+    # backtrack may cross the trim boundary and attribute a different
+    # COPY of an equal token — the multisets must not move)
+    def port_summary(a, b):
+        diff = _reference_diff(a, b)
+        u = sum(1 for t, _ in diff if t == "unchanged")
+        rem = sorted(x for t, x in diff if t == "removed")
+        add = sorted(x for t, x in diff if t == "added")
+        return (u, len(rem), len(add), " ".join(rem), " ".join(add))
+
+    cases = [
+        (["x", "y", "x"], ["x"]),              # cross-boundary match
+        (["x"], ["x", "y", "x"]),
+        (["v", "v"], ["v", "w", "v", "w"]),
+        (["p", "x", "y"], ["p", "y", "x"]),    # ambiguous middle LCS
+        (["a"] * 6, ["a"] * 3),
+        ([], ["a", "b"]),
+        (["a", "b"], []),
+        (["s", "s", "t", "s"], ["s", "t", "s", "s"]),
+    ]
+    rng = random.Random(13)
+    vocab = ["x", "y", "z"]                    # tiny vocab: many ties
+    for _ in range(300):
+        a = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        b = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        cases.append((a, b))
+    for a, b in cases:
+        assert diff_summary(a, b) == port_summary(a, b), (a, b)
+
+
 def test_pane_tokens_and_groups():
     diff = diff_words(["t0", "t1", "t2", "t3"], ["t0", "A", "B", "t3"])
     assert pane_tokens(diff, "base") == [
