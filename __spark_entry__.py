@@ -3444,7 +3444,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_pct=O.JACCARD_THRESHOLD_PCT,
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
-    return D.connected_components(pairs, nodes)
+    return D.connected_components(pairs, nodes, dedup_edges=False)
 
 
 
@@ -3475,13 +3475,18 @@ def q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("spans"),
     )
-    hashes = image_phash(phash_image_table(docs))
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # the hash table feeds BOTH the pair generation and the component
+    # node universe — stage it so the decode + DCT pipeline runs once
+    hashes = _stage(image_phash(phash_image_table(docs)))
     pairs = dhash_near_dup_pairs(hashes, max_distance=6,
                                  hash_col="phash",
                                  n_bands=7, band_bits=9)
     comp = D.connected_components(
         pairs.select("id_a", "id_b"),
-        hashes.select(F.col("media_ref").alias("id")))
+        hashes.select(F.col("media_ref").alias("id")),
+        dedup_edges=False)
     w = Window.partitionBy("component")
     return (
         comp.withColumn("n_absorbed",
@@ -3503,7 +3508,8 @@ def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_pct=O.JACCARD_THRESHOLD_PCT,
     )
     comp = D.connected_components(
-        pairs, docs.select(F.col("doc_id").alias("id")))
+        pairs, docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False)
     w = Window.partitionBy("component")
     return (
         comp.withColumn("n_absorbed",
@@ -4250,7 +4256,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_pct=O.JACCARD_THRESHOLD_PCT,
     )
     comp = D.connected_components(
-        pairs, docs.select(F.col("doc_id").alias("id")))
+        pairs, docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False)
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return sizes.groupBy("sz").agg(
         F.count("*").cast("long").alias("n_clusters"),

@@ -12,6 +12,7 @@ blob table is reproducible from any docs table without external data.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -278,6 +279,18 @@ DHASH_ROWS, DHASH_COLS = 8, 9   # dHash grid: 8 rows x 9 cols -> 64 bits
 _DHASH_CELLS = DHASH_ROWS * DHASH_COLS
 
 
+@lru_cache(maxsize=None)
+def _group_pattern(salt: str, g: int, n: int) -> tuple[int, ...]:
+    """Base cell pattern of hash-fixture group ``g`` — parity of
+    sha256('{salt}:{g}:{c}') per cell. Memoized: there are only 32
+    groups per family, so recomputing the n sha256 digests per REF
+    (instead of per group) dominated fixture generation."""
+    return tuple(
+        hashlib.sha256(f"{salt}:{g}:{c}".encode()).digest()[0] % 2
+        for c in range(n)
+    )
+
+
 def dhash_cell_bits(ref: str) -> list[int]:
     """72 binary cell values: the ref's GROUP (hash byte 4 mod 32)
     supplies a base pattern (parity of sha256('dhg:{g}:{c}')), and the
@@ -288,8 +301,7 @@ def dhash_cell_bits(ref: str) -> list[int]:
     DuckDB oracle re-derives."""
     h = hashlib.sha256(ref.encode()).digest()
     g = h[4] % DHASH_GROUPS
-    bits = [hashlib.sha256(f"dhg:{g}:{c}".encode()).digest()[0] % 2
-            for c in range(_DHASH_CELLS)]
+    bits = list(_group_pattern("dhg", g, _DHASH_CELLS))
     k = h[5] % 5
     fb = h[6] % _DHASH_CELLS
     for j in range(k):
@@ -302,17 +314,20 @@ def dhash_payload_for_ref(ref: str) -> bytes:
     constant on each s x s cell at luma 200 (bit 1) / 50 (bit 0) —
     cell-aligned with the 9x8 dHash grid, so the real decode +
     box-average pipeline reconstructs the cell bits exactly."""
+    import numpy as np
+
     h = hashlib.sha256(ref.encode()).digest()
     s = 2 + h[7] % 3
     bits = dhash_cell_bits(ref)
     w, hgt = DHASH_COLS * s, DHASH_ROWS * s
-    px = bytearray()
-    for y in range(hgt):
-        r = y // s
-        for x in range(w):
-            v = 200 if bits[r * DHASH_COLS + x // s] else 50
-            px += bytes((v, v, v))
-    return f"P6\n{w} {hgt}\n255\n".encode() + bytes(px)
+    # vectorized cell -> pixel expansion (byte-identical to the
+    # per-pixel loop: each s x s cell is constant 200/50 gray)
+    cells = np.where(np.asarray(bits, np.uint8)
+                     .reshape(DHASH_ROWS, DHASH_COLS) != 0, 200, 50)
+    plane = np.repeat(np.repeat(cells.astype(np.uint8), s, axis=0),
+                      s, axis=1)
+    body = np.repeat(plane.reshape(-1), 3).tobytes()
+    return f"P6\n{w} {hgt}\n255\n".encode() + body
 
 
 def dhash_image_table(docs: DataFrame) -> DataFrame:
@@ -350,8 +365,7 @@ def ahash_cell_bits(ref: str) -> list[int]:
     all pure sha256 functions the DuckDB oracle re-derives."""
     h = hashlib.sha256(ref.encode()).digest()
     g = h[4] % AHASH_GROUPS
-    bits = [hashlib.sha256(f"ahg:{g}:{c}".encode()).digest()[0] % 2
-            for c in range(_AHASH_CELLS)]
+    bits = list(_group_pattern("ahg", g, _AHASH_CELLS))
     k = h[5] % 5
     fb = h[6] % _AHASH_CELLS
     for j in range(k):
@@ -364,17 +378,20 @@ def ahash_payload_for_ref(ref: str) -> bytes:
     constant on each s x s cell at luma 200 (bit 1) / 50 (bit 0) -
     cell-aligned with the 8x8 aHash grid, so decode + box-average
     reconstructs the cell bits exactly."""
+    import numpy as np
+
     h = hashlib.sha256(ref.encode()).digest()
     s = 2 + h[7] % 3
     bits = ahash_cell_bits(ref)
     side = AHASH_DIM * s
-    px = bytearray()
-    for y in range(side):
-        r = y // s
-        for x in range(side):
-            v = 200 if bits[r * AHASH_DIM + x // s] else 50
-            px += bytes((v, v, v))
-    return f"P6\n{side} {side}\n255\n".encode() + bytes(px)
+    # vectorized cell -> pixel expansion (byte-identical to the
+    # per-pixel loop, same shape as dhash_payload_for_ref)
+    cells = np.where(np.asarray(bits, np.uint8)
+                     .reshape(AHASH_DIM, AHASH_DIM) != 0, 200, 50)
+    plane = np.repeat(np.repeat(cells.astype(np.uint8), s, axis=0),
+                      s, axis=1)
+    body = np.repeat(plane.reshape(-1), 3).tobytes()
+    return f"P6\n{side} {side}\n255\n".encode() + body
 
 
 def ahash_image_table(docs: DataFrame) -> DataFrame:
@@ -827,8 +844,7 @@ def phash_coeff_bits(ref: str) -> list[int]:
     re-derives, same construction as the dHash/aHash fixtures."""
     h = hashlib.sha256(ref.encode()).digest()
     g = h[4] % PHASH_GROUPS
-    bits = [hashlib.sha256(f"phg:{g}:{c}".encode()).digest()[0] % 2
-            for c in range(_PHASH_BITS)]
+    bits = list(_group_pattern("phg", g, _PHASH_BITS))
     k = h[5] % 5
     fb = h[6] % _PHASH_BITS
     for j in range(k):

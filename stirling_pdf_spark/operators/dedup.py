@@ -303,7 +303,8 @@ def simhash_groups(df: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------- components / clustering
 
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
-                         max_iter: int = 12) -> DataFrame:
+                         max_iter: int = 12,
+                         dedup_edges: bool = True) -> DataFrame:
     """Connected components over near-duplicate pairs — the stage that
     turns pairwise dedup output into keep-lists: (id, component) with
     component = min id in the component.
@@ -326,6 +327,12 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
 
     ``pairs``: (id_a, id_b). ``nodes``: optional (id) universe so
     singletons appear in the output; defaults to ids present in pairs.
+    ``dedup_edges``: min-propagation is idempotent, so duplicate edges
+    never change the RESULT — the distinct() only bounds per-round
+    join width. Callers whose pair generators already emit each
+    unordered pair once (every groupBy-produced pair set in this
+    module: minhash/jaccard/winnow pairs, the banded Hamming pairs)
+    pass False and skip that full edge-list shuffle.
     """
     from ..runtime.staging import stage
 
@@ -340,17 +347,27 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     # pair-generation subtree twice (no exchange reuse across the
     # swapped projections), doubling the decode/verify work that
     # dominates these graphs.
-    edges = stage(
-        pairs.select(F.explode(F.array(
-            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-        )).alias("e"))
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")
+    if dedup_edges:
+        edges = edges.distinct()
+    edges = stage(edges)
     if nodes is None:
         nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("comp"))
+    # Seed labels with round 0's pre-jump state, least(id, min
+    # neighbor): round 0's neigh_min joins edges against the IDENTITY
+    # labeling, so the join is a no-op and the round reduces to this
+    # one groupBy + left join — folding it into the seed saves one
+    # full (join + groupBy + join + checkpoint + count) round. The
+    # label sequence from round 1 on is identical by construction.
+    neigh0 = edges.groupBy("src").agg(F.min("dst").alias("nmin"))
+    labels = (
+        nodes.join(neigh0, nodes.id == neigh0.src, "left")
+        .select("id", F.least(F.col("id"), F.coalesce("nmin", F.col("id")))
+                .alias("comp"))
+    )
     ckpt = labels  # the frame holding the current round's checkpoint
     converged = False
     for _ in range(max_iter):
@@ -544,6 +561,31 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 DHASH_BANDS = 8  # 8 bands x 8 bits over the 64-bit hash
 
 
+def _box_average(luma, ys: list[int], xs: list[int]):
+    """Grid box-average of an integer luma plane over the cell
+    boundaries ``ys`` x ``xs`` — the vectorized (two reduceat passes)
+    form of the per-cell slice-.mean() double loop, bit-identical to
+    it: integer segment sums are exact in both paths, and int64
+    slice.mean() is exactly sum/count in float64 (every partial sum is
+    an exact small integer). Falls back to the loop when a boundary
+    repeats (image smaller than the grid; reduceat cannot express the
+    empty slice whose .mean() is the loop's NaN)."""
+    import numpy as np
+
+    rows, cols = len(ys) - 1, len(xs) - 1
+    if all(ys[i] < ys[i + 1] for i in range(rows)) and \
+            all(xs[i] < xs[i + 1] for i in range(cols)):
+        rsum = np.add.reduceat(luma, ys[:-1], axis=0)
+        csum = np.add.reduceat(rsum, xs[:-1], axis=1)
+        counts = np.multiply.outer(np.diff(ys), np.diff(xs))
+        return csum / counts
+    cells = np.empty((rows, cols))
+    for r in range(rows):
+        for c in range(cols):
+            cells[r, c] = luma[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    return cells
+
+
 def image_dhash(media: DataFrame, payload_col: str = "payload",
                 ref_col: str = "media_ref") -> DataFrame:
     """Perceptual difference hash over DECODED rasters — the standard
@@ -591,11 +633,7 @@ def image_dhash(media: DataFrame, payload_col: str = "payload",
                     # otherwise)
                     ys = [int(r * h / 8) for r in range(9)]
                     xs = [int(c * w / 9) for c in range(10)]
-                    cells = np.empty((8, 9))
-                    for r in range(8):
-                        for c in range(9):
-                            cells[r, c] = luma[ys[r]:ys[r + 1],
-                                               xs[c]:xs[c + 1]].mean()
+                    cells = _box_average(luma, ys, xs)
                     v = np.uint64(0)
                     for r in range(8):
                         for c in range(8):
@@ -630,10 +668,20 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_distance: int = 7,
     if max_distance >= n_bands:
         raise ValueError(
             f"banding is only exact for max_distance < {n_bands}")
+    from ..runtime.staging import stage
+
     mask = (1 << band_bits) - 1
-    src = (hashes.select(F.col(id_col).alias("id"),
-                         F.col(hash_col).alias("dhash"))
-           .filter(F.col("dhash").isNotNull()))
+    # stage the (id, hash) table before the self-join: the join plans
+    # as a broadcast (the banded side is tiny), and a broadcast side
+    # is a SEPARATE subtree — without the persist the whole upstream
+    # decode + perceptual-hash pipeline executed once per join side
+    # (verified in the physical plan: two MapInPandas/MapInArrow
+    # chains). The staged table is one ~20-byte row per image.
+    src = stage(
+        hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("dhash"))
+        .filter(F.col("dhash").isNotNull())
+    )
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("dhash", band_bits * i)
@@ -715,11 +763,7 @@ def image_ahash(media: DataFrame, payload_col: str = "payload",
                             + 114 * wide[:, :, 2]) // 1000
                     ys = [int(r * h / 8) for r in range(9)]
                     xs = [int(c * w / 8) for c in range(9)]
-                    cells = np.empty((8, 8))
-                    for r in range(8):
-                        for c in range(8):
-                            cells[r, c] = luma[ys[r]:ys[r + 1],
-                                               xs[c]:xs[c + 1]].mean()
+                    cells = _box_average(luma, ys, xs)
                     mean = cells.mean()
                     v = np.uint64(0)
                     for r in range(8):
@@ -795,11 +839,7 @@ def image_phash(media: DataFrame, payload_col: str = "payload",
                         # on cell-aligned fixtures)
                         ys = [int(r * h / d) for r in range(d + 1)]
                         xs = [int(c * w / d) for c in range(d + 1)]
-                        plane = np.empty((d, d))
-                        for r in range(d):
-                            for c in range(d):
-                                plane[r, c] = luma[ys[r]:ys[r + 1],
-                                                   xs[c]:xs[c + 1]].mean()
+                        plane = _box_average(luma, ys, xs)
                     else:
                         # upsample small rasters by nearest pixel
                         iy = (np.arange(d) * h) // d
@@ -1036,7 +1076,8 @@ def keep_best_corpus(docs: DataFrame, pairs: DataFrame,
     Output: (doc_id, doc_bytes, n_absorbed) — one row per kept doc.
     """
     comp = connected_components(
-        pairs, docs.select(F.col(id_col).alias("id")))
+        pairs, docs.select(F.col(id_col).alias("id")),
+        dedup_edges=False)
     scored = comp.join(
         docs.select(
             F.col(id_col).alias("id"),
