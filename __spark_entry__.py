@@ -1586,8 +1586,12 @@ def q_security_password(spark: SparkSession, sf_dir: str,
     )
 
     _ship_package(spark)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
     if docs is None:
-        docs = docs_analysis_from_documents(spark, sf_dir)
+        # the corpus feeds both parity branches — stage it so the
+        # Python synthesis runs once, not per branch
+        docs = _stage(docs_analysis_from_documents(spark, sf_dir))
     num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
     protected = add_password(
         docs.filter(num % 2 == 0), user_password="u",
@@ -1622,8 +1626,11 @@ def q_signature_state(spark: SparkSession, sf_dir: str,
     )
 
     _ship_package(spark)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
     if docs is None:
-        docs = docs_analysis_from_documents(spark, sf_dir)
+        # both parity branches read the corpus — synthesize once
+        docs = _stage(docs_analysis_from_documents(spark, sf_dir))
     num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
     date = F.concat(F.lit("2026-01-"),
                     F.lpad((num % 28 + 1).cast("string"), 2, "0"))
@@ -1657,7 +1664,10 @@ def q_add_image_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.pageops import add_image
 
     _ship_package(spark)
-    docs = docs_from_documents_table(spark, sf_dir)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # both parity branches read the corpus — synthesize once
+    docs = _stage(docs_from_documents_table(spark, sf_dir))
     num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
     every = add_image(docs.filter(num % 2 == 0), "media-stamp",
                       x=150.0, y=500.0, w=120.0, h=80.0,
@@ -2645,7 +2655,11 @@ def q_timestamp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ship_package(spark)
-    docs = docs_analysis_from_documents(spark, sf_dir)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # the corpus feeds FIVE filtered branches (one per TSA preset) —
+    # stage it so the Python synthesis runs once, not per branch
+    docs = _stage(docs_analysis_from_documents(spark, sf_dir))
     num = F.split_part("doc_id", F.lit("-"), F.lit(2)).cast("long")
     date = F.concat(F.lit("2026-02-"),
                     F.lpad((num % 28 + 1).cast("string"), 2, "0"))

@@ -15,6 +15,8 @@ previous fragment's average character width.
 
 from __future__ import annotations
 
+from operator import attrgetter
+
 from .model import (
     CHAR_WIDTH_FACTOR,
     COLUMN_GAP_X,
@@ -100,8 +102,11 @@ def cluster_lines(runs: list[TextRun]) -> list[Line]:
     the reference compares each incoming TextPosition against the
     running line's anchor, not the previous run (flush logic
     AllTextLineExtractor.java:84-95)."""
-    visible = [r for r in runs if r.content.strip()]
-    visible.sort(key=lambda r: (r.y, r.x))
+    # isspace() instead of strip(): same predicate (non-empty with any
+    # non-space char) without allocating a stripped copy per run
+    visible = [r for r in runs
+               if r.content and not r.content.isspace()]
+    visible.sort(key=attrgetter("y", "x"))
     lines: list[Line] = []
     cur: Line | None = None
     for run in visible:

@@ -46,8 +46,10 @@ def encode_text_run(run: TextRun) -> str:
 
 
 def parse_text_run(text: str) -> TextRun:
-    head, _, content = text.partition(_SEP)
-    page_s, x_s, y_s, fs_s, font = head.split("|", 4)
+    # one split pass: the 5th "|" field is "font\tcontent" (neither
+    # font names nor the 4 numeric fields can contain the tab)
+    page_s, x_s, y_s, fs_s, rest = text.split("|", 4)
+    font, _, content = rest.partition(_SEP)
     return TextRun(int(page_s), float(x_s), float(y_s), float(fs_s), font, content)
 
 

@@ -101,24 +101,39 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 2,
                         threshold_pct: int = 50,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        index: DataFrame | None = None) -> DataFrame:
     """Pairs (id_a < id_b) with n-gram Jaccard >= threshold_pct/100.
 
     Threshold test is exact integer arithmetic:
         common * 100 >= threshold_pct * (size_a + size_b - common)
     Output: (id_a, id_b, common, size_a, size_b) — all integers.
+
+    ``index``: optional pre-built (id, sh) exploded distinct-shingle
+    index (minhash_quality_report shares ONE staged index between this
+    exact path and the LSH path instead of tokenizing + shingling the
+    corpus twice). Sizes then come from a per-id count over the index
+    — identical values, since shingles are distinct per doc, and docs
+    with zero shingles can never reach the inner pair join either way.
     """
-    sh = _shingled(df, id_col, text_col, n)
-    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
-    # explode_outer + scalar post-filter instead of explode: a plain
-    # explode makes Catalyst infer `size(shingles) > 0` and push it to
-    # the SCAN with the whole shingle expression inlined — the regex
-    # split then re-executes per lambda element on the unparallelized
-    # input split (measured 11s vs 0.5s on sf0.1)
-    inv = (
-        sh.select("id", F.explode_outer("shingles").alias("sh"))
-        .filter(F.col("sh").isNotNull())
-    )
+    if index is not None:
+        inv = index
+        sizes = inv.groupBy("id").agg(F.count("*").cast("long")
+                                      .alias("sz"))
+    else:
+        sh = _shingled(df, id_col, text_col, n)
+        sizes = sh.select("id",
+                          F.size("shingles").cast("long").alias("sz"))
+        # explode_outer + scalar post-filter instead of explode: a
+        # plain explode makes Catalyst infer `size(shingles) > 0` and
+        # push it to the SCAN with the whole shingle expression
+        # inlined — the regex split then re-executes per lambda
+        # element on the unparallelized input split (measured 11s vs
+        # 0.5s on sf0.1)
+        inv = (
+            sh.select("id", F.explode_outer("shingles").alias("sh"))
+            .filter(F.col("sh").isNotNull())
+        )
     if max_df is not None:
         dfreq = inv.groupBy("sh").agg(F.count("*").alias("df_"))
         inv = (
@@ -168,7 +183,8 @@ def minhash_signature_cols(num_hashes: int):
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 2,
                       num_hashes: int = 8, bands: int = 4,
-                      threshold_pct: int = 50) -> DataFrame:
+                      threshold_pct: int = 50,
+                      index: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH candidate generation, then exact-Jaccard verify.
 
     Signature: num_hashes string-min hashes; bands of
@@ -176,22 +192,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     hashes). Candidates = pairs sharing any band bucket; verified with
     exact integer-threshold Jaccard on distinct shingle sets.
     Output: (id_a, id_b, common, size_a, size_b).
+
+    ``index``: optional pre-built (id, sh) exploded distinct-shingle
+    index, expected already persisted by the caller (see
+    ngram_jaccard_pairs).
     """
     from ..runtime.staging import stage
 
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
-    sh = _shingled(df, id_col, text_col, n)
-    # the exploded inverted index feeds FOUR consumers (signatures,
-    # sizes, and both sides of the verify join); without staging it the
-    # regex tokenization + shingle transform re-runs per consumer —
-    # persist is the intermediate-table shape, spill-safe. Registered
-    # with runtime.staging so long-lived sessions can release it
-    # between queries instead of leaking to the ContextCleaner.
-    exploded = stage(
-        sh.select("id", F.explode_outer("shingles").alias("sh"))
-        .filter(F.col("sh").isNotNull())
-    )
+    if index is not None:
+        exploded = index
+    else:
+        sh = _shingled(df, id_col, text_col, n)
+        # the exploded inverted index feeds FOUR consumers (signatures,
+        # sizes, and both sides of the verify join); without staging it
+        # the regex tokenization + shingle transform re-runs per
+        # consumer — persist is the intermediate-table shape,
+        # spill-safe. Registered with runtime.staging so long-lived
+        # sessions can release it between queries instead of leaking
+        # to the ContextCleaner.
+        exploded = stage(
+            sh.select("id", F.explode_outer("shingles").alias("sh"))
+            .filter(F.col("sh").isNotNull())
+        )
     sig = exploded.groupBy("id").agg(*minhash_signature_cols(num_hashes))
 
     band_keys = [
@@ -1111,11 +1135,23 @@ def minhash_quality_report(docs: DataFrame, n: int, num_hashes: int,
 
     One row, integer-exact; one full-outer join over the two bounded
     pair sets, aggregated in a single job (no driver-side counts).
+
+    Both sides consume ONE staged exploded shingle index — the corpus
+    is tokenized and shingled once, not once per side.
     """
-    exact = ngram_jaccard_pairs(docs, n=n, threshold_pct=threshold_pct) \
+    from ..runtime.staging import stage
+
+    sh = _shingled(docs, "doc_id", "text", n)
+    index = stage(
+        sh.select("id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    exact = ngram_jaccard_pairs(docs, n=n, threshold_pct=threshold_pct,
+                                index=index) \
         .select("id_a", "id_b", F.lit(1).alias("e"))
     lsh = minhash_lsh_pairs(docs, n=n, num_hashes=num_hashes,
-                            bands=bands, threshold_pct=threshold_pct) \
+                            bands=bands, threshold_pct=threshold_pct,
+                            index=index) \
         .select("id_a", "id_b", F.lit(1).alias("c"))
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     agg = j.agg(
