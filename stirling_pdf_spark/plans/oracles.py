@@ -2541,7 +2541,7 @@ FROM base
 # doc_id%4 tails exercise bullet-ratio (10 bullet lines), ellipsis
 # line-ends, and symbol-ratio failures; every ratio is an integer
 # cross-multiplication shared verbatim with the engine.
-GOPHER_QUALITY = """
+GOPHER_QUALITY = r"""
 WITH d AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS id,
          text || CASE CAST(doc_id AS BIGINT) % 4
