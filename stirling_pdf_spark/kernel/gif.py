@@ -147,12 +147,15 @@ def decode(payload: bytes) -> tuple[int, int, bytes]:
                 chunks.append(chunk)
                 pos += 1 + ln
             indices = _lzw_decode(min_code, b"".join(chunks), w * h)
-            rgb = bytearray()
-            for i in indices:
-                if i >= len(table):
-                    raise ValueError("palette index out of range")
-                rgb += bytes(table[i])
-            return w, h, bytes(rgb)
+            # vectorized palette mapping (byte-identical to the
+            # per-pixel loop; same error on an out-of-range index)
+            import numpy as np
+
+            idx = np.frombuffer(indices, np.uint8)
+            if idx.size and int(idx.max()) >= len(table):
+                raise ValueError("palette index out of range")
+            pal = np.asarray(table, np.uint8)
+            return w, h, pal[idx].tobytes()
         elif b == 0x3B:                     # trailer
             break
         else:
