@@ -152,7 +152,11 @@ def q_e17_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.elements import extract_elements
 
     _ship_package(spark)
-    docs = docs_from_documents_table(spark, sf_dir)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # the derivation feeds two Python passes (spans + elements) —
+    # synthesize once
+    docs = _stage(docs_from_documents_table(spark, sf_dir))
     flat = explode_spans(extract_spans(docs))
     kinds = flat.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
@@ -977,7 +981,10 @@ def q_e17_full_info(spark: SparkSession, sf_dir: str,
 
     _ship_package(spark)
     if docs is None:
-        docs = docs_rich_from_documents(spark, sf_dir)
+        from stirling_pdf_spark.runtime.staging import stage as _stage
+
+        # inline derivation feeds two Python passes — synthesize once
+        docs = _stage(docs_rich_from_documents(spark, sf_dir))
     flat = explode_spans(extract_spans(docs))
     is_ann = F.col("kind") == "annotation"
     ann_contents = F.split_part("text", F.lit("|"), F.lit(3))
@@ -1111,9 +1118,14 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str,
     from stirling_pdf_spark.operators.elements import extract_elements
 
     _ship_package(spark)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
     if docs is None:
-        docs = docs_info_repeat_from_documents(spark, sf_dir, 32)
-    els = extract_elements(docs)
+        # inline derivation feeds the elements pass AND extract_spans
+        docs = _stage(docs_info_repeat_from_documents(spark, sf_dir, 32))
+    # els feeds TWO aggregate branches (pages + xobj); without the
+    # persist the full elements extraction runs once per branch
+    els = _stage(extract_elements(docs))
     pages = els.filter(F.col("kind") == "text").groupBy("doc_id", "page").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
@@ -4197,7 +4209,11 @@ def q_extract_parallelism_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stirling_pdf_spark.operators.validate import span_diff
 
     _ship_package(spark)
-    docs = docs_from_documents_table(spark, sf_dir)
+    from stirling_pdf_spark.runtime.staging import stage as _stage
+
+    # the SAME corpus extracted under two partitionings — synthesize
+    # once; each side still repartitions + extracts independently
+    docs = _stage(docs_from_documents_table(spark, sf_dir))
     cols = ["doc_id", "order", "kind", "text", "media_ref"]
     a = explode_spans(extract_spans(docs, num_partitions=5)).select(*cols)
     b = explode_spans(
