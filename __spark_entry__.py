@@ -1123,9 +1123,11 @@ def q_e17_page_info(spark: SparkSession, sf_dir: str,
     if docs is None:
         # inline derivation feeds the elements pass AND extract_spans
         docs = _stage(docs_info_repeat_from_documents(spark, sf_dir, 32))
-    # els feeds TWO aggregate branches (pages + xobj); without the
-    # persist the full elements extraction runs once per branch
-    els = _stage(extract_elements(docs))
+    # els feeds two aggregate branches; measured: persisting the WIDE
+    # per-element table costs more than re-running the cheap elements
+    # pass over the (cached or plain-scan) docs — 2.1 s vs 2.9 s at
+    # sf0.1 — so the branches deliberately recompute it
+    els = extract_elements(docs)
     pages = els.filter(F.col("kind") == "text").groupBy("doc_id", "page").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
